@@ -1,0 +1,107 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All functions are pure Spark SQL expressions (JVM-side, codegen'd — no Python
+UDFs in the hot path), so they survive a 100 TB scan: tokenization, quality
+stats, language-ID scoring, shingling, MinHash signatures and fingerprints are
+all per-row ``transform``/``filter``/``aggregate`` lambdas over split arrays.
+
+Determinism: hashing uses md5 (identical in DuckDB) rather than xxhash64
+(Spark-only), so every operator here has an exact cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared stopword list (language-agnostic quality scoring).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space split — matches DuckDB
+    string_split(text, ' ') exactly)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def in_list_count(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def avg_token_len(toks: Column) -> Column:
+    """Exact integer arithmetic then one double division (deterministic)."""
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total / F.size(toks), 4)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: in_list_count(toks, words) for lang, words in LANG_MARKERS.items()}
+
+
+def predict_lang(toks: Column) -> Column:
+    """Argmax over language marker scores with a fixed precedence chain
+    (en > es > fr > de > zh on ties) — mirrored as a CASE chain in the
+    oracle so tie-breaking is bit-identical."""
+    s = lang_scores(toks)
+    best = s[LANG_ORDER[0]]
+    pred = F.lit(LANG_ORDER[0])
+    for lang in LANG_ORDER[1:]:
+        cond = s[lang] > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, s[lang]).otherwise(best)
+    return pred
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams. Documents shorter than n words fall back to the
+    whole text as a single shingle."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_sig(shingle_col: Column, num_perm: int = 16) -> list[Column]:
+    """MinHash signature: perm i = min over shingles of md5(i ':' shingle).
+
+    md5 output is uniform hex → lexicographic min over hex strings is a
+    valid uniform min-hash, and is engine-portable (DuckDB list_aggregate
+    (…, 'min') over the same md5 strings)."""
+    return [
+        F.array_min(
+            F.transform(
+                shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: min rolling word-3-gram hash (minhash with one
+    permutation) — stable under local edits far from the minimum shingle."""
+    return F.array_min(
+        F.transform(shingles(tokens(text), 3), lambda s: F.md5(s))
+    )

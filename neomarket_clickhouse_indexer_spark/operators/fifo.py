@@ -1,0 +1,150 @@
+"""FIFO lot allocation — the grouped-map core of the reference's ledger.
+
+The reference's only custom dataflow operator is a per-wallet FIFO-lot PnL
+state machine (reference src/ledger-engine.ts:67-154 PositionManager,
+:914-1953 event loop): buys append lots at unit cost, sells consume lots
+first-in-first-out, realized PnL = proceeds − consumed cost basis.
+
+This module implements the *allocation* core as a Spark grouped-map operator:
+per key, units sold (in time order) are matched against units bought (in time
+order); unmatched buys remain open inventory at cost. It is deliberately
+side-effect-free and oracle-checkable: the same semantics are expressible in
+SQL as cumulative-interval overlap (each buy covers cumulative unit interval
+[cum_before, cum_after); each sell likewise; matched qty = interval overlap),
+which is what the DuckDB differential oracle uses — a genuinely independent
+algorithm.
+
+Scale notes: ``groupBy(key).applyInPandas`` shuffles once on the key and
+streams each group through pandas via Arrow. Keys (wallets/users) are
+numerous and small → near-perfect parallelism; a single hot key degrades to
+one task but stays bounded by that key's event count. The domain ledger
+(neomarket_clickhouse_indexer_spark.ledger) builds the full 13-event-type
+state machine on the same pattern.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALLOC_SCHEMA = (
+    "key bigint, buy_qty bigint, sell_qty bigint, matched_qty bigint, "
+    "realized_pnl double, open_qty bigint, open_cost double"
+)
+
+
+def _allocate_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Two-pointer FIFO match over one key's buys and sells (already
+    time-ordered by the caller via sort below)."""
+    pdf = pdf.sort_values(["ts", "ord"], kind="mergesort")
+    buys = pdf[pdf["side"] == 1]
+    sells = pdf[pdf["side"] == -1]
+    b_qty = buys["qty"].to_numpy()
+    b_px = buys["price"].to_numpy()
+    s_qty = sells["qty"].to_numpy()
+    s_px = sells["price"].to_numpy()
+
+    realized = 0.0
+    matched = 0
+    bi = 0
+    b_rem = b_qty[0] if len(b_qty) else 0
+    for j in range(len(s_qty)):
+        need = s_qty[j]
+        while need > 0 and bi < len(b_qty):
+            take = min(need, b_rem)
+            realized += take * (s_px[j] - b_px[bi])
+            matched += int(take)
+            need -= take
+            b_rem -= take
+            if b_rem == 0:
+                bi += 1
+                b_rem = b_qty[bi] if bi < len(b_qty) else 0
+        if bi >= len(b_qty) and need > 0:
+            break  # oversold remainder stays unmatched
+
+    open_qty = int(b_qty.sum()) - matched
+    # open cost = cost of the unmatched tail of the buy queue
+    open_cost = 0.0
+    rem = open_qty
+    for i in range(len(b_qty) - 1, -1, -1):
+        if rem <= 0:
+            break
+        take = min(rem, int(b_qty[i]))
+        open_cost += take * b_px[i]
+        rem -= take
+    return pd.DataFrame(
+        {
+            "key": [pdf["key"].iloc[0]],
+            "buy_qty": [int(b_qty.sum())],
+            "sell_qty": [int(s_qty.sum())],
+            "matched_qty": [matched],
+            "realized_pnl": [round(realized, 4)],
+            "open_qty": [open_qty],
+            "open_cost": [round(open_cost, 4)],
+        }
+    )
+
+
+def fifo_allocate(df: DataFrame) -> DataFrame:
+    """Input columns: key bigint, ts, ord (unique tiebreak), side (1 buy /
+    -1 sell), qty int, price double. Output: one row per key."""
+    return (
+        df.select("key", "ts", "ord", "side", "qty", "price")
+        .groupBy("key")
+        .applyInPandas(_allocate_group, schema=ALLOC_SCHEMA)
+    )
+
+
+def fifo_allocate_sql(events_rel: str) -> str:
+    """DuckDB oracle for :func:`fifo_allocate` over a relation with the same
+    input columns — independent interval-overlap formulation."""
+    return f"""
+WITH src AS (SELECT * FROM {events_rel}),
+b AS (
+  SELECT key, qty, price,
+         SUM(qty) OVER (PARTITION BY key ORDER BY ts, ord
+                        ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM src WHERE side = 1
+),
+b2 AS (SELECT *, cum_end - qty AS cum_start FROM b),
+s AS (
+  SELECT key, qty, price,
+         SUM(qty) OVER (PARTITION BY key ORDER BY ts, ord
+                        ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM src WHERE side = -1
+),
+s2 AS (SELECT *, cum_end - qty AS cum_start FROM s),
+m AS (
+  SELECT b2.key,
+         LEAST(b2.cum_end, s2.cum_end) - GREATEST(b2.cum_start, s2.cum_start) AS mqty,
+         s2.price - b2.price AS unit_pnl
+  FROM b2 JOIN s2 ON b2.key = s2.key
+   AND b2.cum_start < s2.cum_end AND s2.cum_start < b2.cum_end
+),
+bt AS (SELECT key, CAST(SUM(qty) AS BIGINT) AS buy_qty, CAST(MAX(cum_end) AS BIGINT) AS total_buy FROM b2 GROUP BY key),
+st AS (SELECT key, CAST(SUM(qty) AS BIGINT) AS sell_qty, CAST(MAX(cum_end) AS BIGINT) AS total_sell FROM s2 GROUP BY key),
+magg AS (
+  SELECT key, CAST(SUM(mqty) AS BIGINT) AS matched_qty,
+         ROUND(CAST(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10))) AS DOUBLE), 4) AS realized_pnl
+  FROM m GROUP BY key
+),
+opens AS (
+  SELECT b2.key,
+         CAST(SUM(GREATEST(0, b2.cum_end - GREATEST(b2.cum_start, COALESCE(st.total_sell, 0)))) AS BIGINT) AS open_qty,
+         ROUND(CAST(SUM(CAST(GREATEST(0, b2.cum_end - GREATEST(b2.cum_start, COALESCE(st.total_sell, 0))) * b2.price AS DECIMAL(30,10))) AS DOUBLE), 4) AS open_cost
+  FROM b2 LEFT JOIN st ON b2.key = st.key GROUP BY b2.key
+)
+SELECT k.key,
+       COALESCE(bt.buy_qty, 0) AS buy_qty,
+       COALESCE(st.sell_qty, 0) AS sell_qty,
+       COALESCE(magg.matched_qty, 0) AS matched_qty,
+       COALESCE(magg.realized_pnl, 0.0) AS realized_pnl,
+       COALESCE(opens.open_qty, 0) AS open_qty,
+       COALESCE(opens.open_cost, 0.0) AS open_cost
+FROM (SELECT DISTINCT key FROM src) k
+LEFT JOIN bt ON k.key = bt.key
+LEFT JOIN st ON k.key = st.key
+LEFT JOIN magg ON k.key = magg.key
+LEFT JOIN opens ON k.key = opens.key
+"""

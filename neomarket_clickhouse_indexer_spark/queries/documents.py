@@ -1,0 +1,244 @@
+"""Training-data pipeline queries over the ``documents`` table
+(doc_id, text, lang, source, n_chars).
+
+These are the beyond-reference LLM-pipeline operators: exact dedup, MinHash
+LSH near-dup candidate generation, token statistics / quality scoring,
+language-ID, and document fingerprinting. All are pure Spark SQL expressions
+(no Python in the row path) so a 100 TB corpus streams through whole-stage
+codegen; the only shuffles are the final groupBys/joins on hash keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.tables import load_table
+from .util import sql_dsum
+
+# --- docs_dedup_exact: exact duplicate collapse by content hash; keeps the
+#     lowest doc_id per hash (deterministic winner), reports cluster size.
+
+
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+    )
+
+
+DOCS_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS cluster_size
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- docs_text_stats: quality scoring (length / stopword ratios) — exact
+#     integer arithmetic, one double division, fixed rounding.
+
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    stop_n = TX.in_list_count(toks, TX.STOPWORDS)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        TX.avg_token_len(toks).alias("avg_token_len"),
+        F.round(stop_n / n_tokens, 4).alias("stop_ratio"),
+        ((n_tokens >= 10) & (stop_n / n_tokens < 0.5)).alias("is_quality"),
+    )
+
+
+_TOKS = "string_split(text, ' ')"
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+
+DOCS_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       ROUND(CAST(list_sum(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT))) AS BIGINT)
+             / CAST(len({_TOKS}) AS BIGINT), 4) AS avg_token_len,
+       ROUND(CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
+             / CAST(len({_TOKS}) AS BIGINT), 4) AS stop_ratio,
+       (len({_TOKS}) >= 10 AND
+        CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
+             / CAST(len({_TOKS}) AS BIGINT) < 0.5) AS is_quality
+FROM documents
+"""
+
+
+# --- docs_lang_id: marker-word language scoring with a fixed precedence
+#     argmax (en > es > fr > de > zh on ties), mirrored as a CASE chain.
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    pred = TX.predict_lang(toks)
+    return docs.select(
+        "doc_id", "lang", pred.alias("pred_lang"), (pred == F.col("lang")).alias("hit")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang]) + "]"
+    return f"CAST(len(list_filter({_TOKS}, t -> list_contains({words}, t))) AS BIGINT)"
+
+
+def _lang_case_sql() -> str:
+    # Mirror of functions.text.predict_lang: langs are scanned in LANG_ORDER
+    # and only a strictly greater score replaces the incumbent, so the
+    # predicted lang is the FIRST one (in order) achieving the max score.
+    s = {lang: _lang_score_sql(lang) for lang in TX.LANG_ORDER}
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {s[lang]} = GREATEST({', '.join(s.values())}) THEN '{lang}'"
+            for lang in TX.LANG_ORDER
+        )
+        + " END"
+    )
+
+
+DOCS_LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       {_lang_case_sql()} AS pred_lang,
+       ({_lang_case_sql()} = lang) AS hit
+FROM documents
+"""
+
+
+# --- docs_token_count_by_source: corpus token accounting per source shard.
+
+
+def docs_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+DOCS_TOKEN_COUNT_BY_SOURCE_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
+# --- docs_fingerprint: rolling 3-gram min-hash fingerprint per document.
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", TX.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+_SHINGLES = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN "
+    f"list_distinct(list_transform(generate_series(1, len({_TOKS}) - 2), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])) "
+    f"ELSE [array_to_string({_TOKS}, ' ')] END"
+)
+
+DOCS_FINGERPRINT_SQL = f"""
+SELECT doc_id, source,
+       list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min') AS fingerprint
+FROM documents
+"""
+
+
+# --- docs_near_dup_pairs: MinHash + LSH banding (16 perms, 4 bands × 4 rows).
+#     Shingle → per-permutation min-hash → band keys → self-join on band key.
+#     This is the scale path for near-dedup: candidate pairs come from equal
+#     band keys (one shuffle on band key), never from an O(n²) cross join.
+
+NUM_PERM = 16
+BAND_SIZE = 4
+NUM_BANDS = NUM_PERM // BAND_SIZE
+
+
+def _doc_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = TX.shingles(TX.tokens(F.col("text")), 3)
+    sigs = docs.select("doc_id", *TX.minhash_sig(sh, NUM_PERM))
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+            )
+        ).alias(f"band{b}")
+        for b in range(NUM_BANDS)
+    ]
+    sigs = sigs.select("doc_id", *band_cols)
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).cast("int").alias("band_idx"), F.col(f"band{b}").alias("band_key"))
+            for b in range(NUM_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _doc_bands(spark, sf_dir)
+    b2 = b.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    pairs = (
+        b.join(
+            b2,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("doc_id") < F.col("doc_id_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+_MH_COLS = ", ".join(
+    f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+    for i in range(NUM_PERM)
+)
+_BAND_SELECTS = " UNION ALL ".join(
+    "SELECT doc_id, CAST({b} AS INT) AS band_idx, md5({key}) AS band_key FROM sigs".format(
+        b=b,
+        key=" || '|' || ".join(f"mh{b * BAND_SIZE + r}" for r in range(BAND_SIZE)),
+    )
+    for b in range(NUM_BANDS)
+)
+
+DOCS_NEAR_DUP_PAIRS_SQL = f"""
+WITH shing AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sigs AS (
+  SELECT doc_id, {_MH_COLS} FROM shing
+),
+bands AS (
+  {_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""

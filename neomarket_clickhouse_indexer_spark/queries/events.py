@@ -1,0 +1,369 @@
+"""Event-stream query surface — the reference's analytics shapes re-expressed
+over the generic ``events`` table (event_id, ts, user_id, event_type, value,
+props JSON).
+
+Mapping to the reference's domain:
+  user_id ↔ wallet, event_type ↔ trade side / event kind, value ↔ usdc
+  amount, (ts, event_id) ↔ (block_timestamp, (block_number, log_index))
+  deterministic order key, props ↔ metadata JSON.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.candles import finalize, ohlcv, rebucket
+from ..operators.dedup import latest_by_key
+from ..operators.fifo import fifo_allocate, fifo_allocate_sql
+from ..sources.tables import load_table
+from .util import DEC, EVENTS_SQL, dsum, sql_dsum
+
+# --- latest_event_per_user: W3 latest-by-key dedup view (ReplacingMergeTree
+#     FINAL / LIMIT 1 BY; reference src/api.ts:74, CLICKHOUSE_INDEXER_PLAN.md:26).
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = f"""
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM {EVENTS_SQL} e
+)
+WHERE rn = 1
+"""
+
+
+# --- user_running_value: W2 running cumulative sum (reference running PnL /
+#     inventory, src/api.ts:1592-1636). Exact decimal accumulation.
+
+
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
+        ).alias("running_value"),
+    )
+
+
+USER_RUNNING_VALUE_SQL = f"""
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_value
+FROM {EVENTS_SQL} e
+"""
+
+
+# --- candles_1m / candles_5m: A7/A8 OHLCV pre-aggregation + re-bucketing
+#     (reference candles_1m MV 001:403-430; re-bucket reads api.ts:1821-1879).
+#     The 5m query composes rebucket() over the 1m partials — the oracle
+#     computes 5m directly from raw events, so the partial-merge path is
+#     genuinely differentially tested.
+
+
+def candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ohlcv(ev, key="event_type", ts="ts", price="value", ord_col="event_id", bucket_seconds=60)
+    return finalize(c).withColumnRenamed("key", "event_type")
+
+
+def candles_5m_rebucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c1 = ohlcv(ev, key="event_type", ts="ts", price="value", ord_col="event_id", bucket_seconds=60)
+    return finalize(rebucket(c1, 300)).withColumnRenamed("key", "event_type")
+
+
+def _candles_sql(seconds: int) -> str:
+    return f"""
+SELECT event_type,
+       CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) - (CAST(floor(epoch(ts)) AS BIGINT) % {seconds})) AS TIMESTAMP) AS bucket,
+       arg_min(value, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, event_id) AS close,
+       {sql_dsum("value", "volume")},
+       COUNT(*) AS trades
+FROM {EVENTS_SQL} e
+GROUP BY 1, 2
+"""
+
+
+CANDLES_1M_SQL = _candles_sql(60)
+CANDLES_5M_SQL = _candles_sql(300)
+
+
+# --- hourly_type_volume: A1 + toStartOfHour bucketing (reference
+#     token_volume_1h MV, 001:571-589).
+
+
+def hourly_type_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "volume"))
+
+
+HOURLY_TYPE_VOLUME_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, {sql_dsum("value", "volume")}
+FROM {EVENTS_SQL} e
+GROUP BY 1, 2
+"""
+
+
+# --- user_stats: A1/A3/A4 per-user profile (reference /user/stats,
+#     src/api.ts:1034-1044; uniqExact :354; argMax :813-815).
+
+
+def user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            "purchase_value",
+        ),
+        F.max("value").alias("max_value"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min("ts").alias("first_seen"),
+    )
+
+
+USER_STATS_SQL = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", "purchase_value")},
+       MAX(value) AS max_value,
+       arg_max(event_type, event_id) AS last_type,
+       MIN(ts) AS first_seen
+FROM {EVENTS_SQL} e
+GROUP BY user_id
+"""
+
+
+# --- top_users_by_volume: T1 top-k leaderboard (reference /leaderboard
+#     sort=volume, src/api.ts:339-368) with deterministic rank.
+
+
+def top_users_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = ev.groupBy("user_id").agg(
+        dsum(F.col("value"), "volume"), F.count(F.lit(1)).alias("n_trades")
+    )
+    w = Window.orderBy(F.desc("volume"), F.asc("user_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "user_id", "volume", "n_trades")
+    )
+
+
+TOP_USERS_BY_VOLUME_SQL = f"""
+WITH agg AS (
+  SELECT user_id, {sql_dsum("value", "volume")}, COUNT(*) AS n_trades
+  FROM {EVENTS_SQL} e WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT rank, user_id, volume, n_trades
+FROM (
+  SELECT user_id, volume, n_trades,
+         ROW_NUMBER() OVER (ORDER BY volume DESC, user_id) AS rank
+  FROM agg
+)
+WHERE rank <= 10
+"""
+
+
+# --- last_view_before_purchase: J6 as-of join (reference snapshot as-of reads,
+#     src/api.ts:639-661). Spark uses the single-pass union+carry-forward
+#     operator; the oracle uses DuckDB's native ASOF JOIN — independent
+#     algorithms, same semantics.
+
+
+def last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        probes=purchases,
+        anchors=views,
+        on=["user_id"],
+        ts="ts",
+        payload=["value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("asof_value").alias("last_view_value"),
+    )
+
+
+LAST_VIEW_BEFORE_PURCHASE_SQL = f"""
+WITH e AS (SELECT * FROM {EVENTS_SQL}),
+p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id, p.user_id, v.value AS last_view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+# --- signup_intervals: W1 SCD2 lead-window valid_to derivation (reference
+#     market_categories_history_scd2 view, 001:508-522).
+
+
+def signup_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts", 1).over(w), F.lit("2100-01-01").cast("timestamp")
+        ).alias("valid_to"),
+    )
+
+
+SIGNUP_INTERVALS_SQL = f"""
+SELECT user_id, ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '2100-01-01') AS valid_to
+FROM {EVENTS_SQL} e
+WHERE event_type = 'signup'
+"""
+
+
+# --- hour_bucket_last: W5 last-value-per-bucket (reference portfolio history
+#     argMax(value, snapshot_time) per interval, src/api.ts:993-1009).
+
+
+def hour_bucket_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.max_by("value", "event_id").alias("last_value"))
+
+
+HOUR_BUCKET_LAST_SQL = f"""
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       arg_max(value, event_id) AS last_value
+FROM {EVENTS_SQL} e
+GROUP BY 1, 2
+"""
+
+
+# --- props_bucket_agg: JSON extraction (reference metadata JSON strings,
+#     src/ledger-engine.ts:861) + A1.
+
+
+def props_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value"), "total_value"))
+    )
+
+
+PROPS_BUCKET_AGG_SQL = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n, {sql_dsum("value", "total_value")}
+FROM {EVENTS_SQL} e
+GROUP BY 1
+"""
+
+
+# --- recent_window_activity: P7 time-window predicate with injectable "now"
+#     (reference now()-relative windows, src/api.ts:288-293; fixed clock for
+#     deterministic tests per SURVEY §7).
+
+FIXED_NOW = "2024-01-30 00:00:00"
+
+
+def recent_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    now = F.lit(FIXED_NOW).cast("timestamp")
+    return (
+        ev.filter(
+            (F.col("ts") >= now - F.expr("INTERVAL 24 HOURS")) & (F.col("ts") < now)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), "volume"))
+    )
+
+
+RECENT_WINDOW_ACTIVITY_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dsum("value", "volume")}
+FROM {EVENTS_SQL} e
+WHERE ts >= TIMESTAMP '{FIXED_NOW}' - INTERVAL 24 HOUR
+  AND ts < TIMESTAMP '{FIXED_NOW}'
+GROUP BY event_type
+"""
+
+
+# --- fifo_user_pnl: O1 FIFO-lot allocation (reference ledger engine,
+#     src/ledger-engine.ts:67-154,914-1953) as a grouped-map pandas operator;
+#     oracle is the independent cumulative-interval SQL formulation.
+
+
+def _fifo_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .filter(k.isNotNull())
+        .select(
+            F.col("user_id").alias("key"),
+            "ts",
+            F.col("event_id").alias("ord"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("side"),
+            ((k % 5) + 1).alias("qty"),
+            F.col("value").alias("price"),
+        )
+    )
+
+
+def fifo_user_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fifo_allocate(_fifo_input(spark, sf_dir))
+
+
+FIFO_USER_PNL_SQL = fifo_allocate_sql(
+    f"""(
+  SELECT user_id AS key, ts, event_id AS ord,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS side,
+         (CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1 AS qty,
+         value AS price
+  FROM {EVENTS_SQL} e
+  WHERE event_type IN ('purchase', 'click')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+)"""
+)

@@ -1,0 +1,128 @@
+"""Query registry — the single source of truth for the engine's query
+surface.
+
+Every entry pairs a Spark DataFrame pipeline with (where SQL-expressible) an
+independent DuckDB oracle. ``__spark_entry__.py`` re-exports these as
+``queries()`` / ``oracle_sql()`` for the driver's differential gate;
+``tests/test_correctness.py`` runs the same comparison locally.
+
+``tags`` cite the SURVEY.md §2 operator ids each query exercises, so coverage
+is auditable line-by-line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import documents as D
+from . import events as E
+from . import relational as R
+from . import vectors_q as V
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_SPECS: list[QuerySpec] = [
+    # Relational / star-schema surface
+    QuerySpec("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL,
+              ("A1", "A2", "P1", "P2"), "TPC-H Q1 shape: wide hash agg"),
+    QuerySpec("shipping_priority", R.shipping_priority, R.SHIPPING_PRIORITY_SQL,
+              ("J1", "A1", "T1"), "TPC-H Q3 shape: join + agg + top-k"),
+    QuerySpec("regional_supplier_volume", R.regional_supplier_volume,
+              R.REGIONAL_SUPPLIER_VOLUME_SQL, ("J1", "A1"),
+              "TPC-H Q5 shape: 6-way broadcast-dim join"),
+    QuerySpec("late_order_priority", R.late_order_priority,
+              R.LATE_ORDER_PRIORITY_SQL, ("J1", "A1", "P7"),
+              "TPC-H Q4 shape: EXISTS semi-join"),
+    QuerySpec("customers_without_orders", R.customers_without_orders,
+              R.CUSTOMERS_WITHOUT_ORDERS_SQL, ("J8", "A1"), "anti-join"),
+    QuerySpec("returns_conditional", R.returns_conditional,
+              R.RETURNS_CONDITIONAL_SQL, ("A2", "P4", "P5"), "sumIf/countIf"),
+    QuerySpec("part_price_fallback", R.part_price_fallback,
+              R.PART_PRICE_FALLBACK_SQL, ("J9", "P5"),
+              "left-join fallback ladder with coalesce"),
+    QuerySpec("segment_top_customers", R.segment_top_customers,
+              R.SEGMENT_TOP_CUSTOMERS_SQL, ("W4",), "ranked window top-k per group"),
+    QuerySpec("lineitem_page", R.lineitem_page, R.LINEITEM_PAGE_SQL,
+              ("T2", "T3"), "deterministic LIMIT/OFFSET pagination"),
+    QuerySpec("orders_monthly", R.orders_monthly, R.ORDERS_MONTHLY_SQL,
+              ("A1",), "date_trunc month rollup"),
+    QuerySpec("party_volume_union", R.party_volume_union,
+              R.PARTY_VOLUME_UNION_SQL, ("U1", "W4", "J1"),
+              "union-relabel view + per-role top-k (wallet_trades shape)"),
+    # Event-stream surface
+    QuerySpec("latest_event_per_user", E.latest_event_per_user,
+              E.LATEST_EVENT_PER_USER_SQL, ("W3",), "latest-by-key dedup view"),
+    QuerySpec("user_running_value", E.user_running_value,
+              E.USER_RUNNING_VALUE_SQL, ("W2",), "running cumulative sum"),
+    QuerySpec("candles_1m", E.candles_1m, E.CANDLES_1M_SQL,
+              ("A7", "A4"), "OHLCV 1m pre-aggregation"),
+    QuerySpec("candles_5m_rebucketed", E.candles_5m_rebucketed, E.CANDLES_5M_SQL,
+              ("A8", "A7"), "partial-state re-bucketing 1m→5m"),
+    QuerySpec("hourly_type_volume", E.hourly_type_volume,
+              E.HOURLY_TYPE_VOLUME_SQL, ("A1",), "hourly volume rollup"),
+    QuerySpec("user_stats", E.user_stats, E.USER_STATS_SQL,
+              ("A1", "A3", "A4", "A5"), "per-user profile agg"),
+    QuerySpec("top_users_by_volume", E.top_users_by_volume,
+              E.TOP_USERS_BY_VOLUME_SQL, ("T1", "W4", "A1"), "leaderboard"),
+    QuerySpec("last_view_before_purchase", E.last_view_before_purchase,
+              E.LAST_VIEW_BEFORE_PURCHASE_SQL, ("J6",),
+              "as-of join (oracle: native ASOF JOIN)"),
+    QuerySpec("signup_intervals", E.signup_intervals, E.SIGNUP_INTERVALS_SQL,
+              ("W1",), "SCD2 lead-window valid_to"),
+    QuerySpec("hour_bucket_last", E.hour_bucket_last, E.HOUR_BUCKET_LAST_SQL,
+              ("W5", "A4"), "last value per time bucket"),
+    QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
+              ("A1",), "JSON extraction + agg"),
+    QuerySpec("recent_window_activity", E.recent_window_activity,
+              E.RECENT_WINDOW_ACTIVITY_SQL, ("P7", "A1"),
+              "now()-relative window with injected clock"),
+    QuerySpec("fifo_user_pnl", E.fifo_user_pnl, E.FIFO_USER_PNL_SQL,
+              ("O1", "O3"), "FIFO-lot allocation (applyInPandas vs interval SQL)"),
+    # Training-data pipeline: documents
+    QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
+              ("DD1",), "exact dedup by content hash"),
+    QuerySpec("docs_text_stats", D.docs_text_stats, D.DOCS_TEXT_STATS_SQL,
+              ("TX1",), "token/quality statistics"),
+    QuerySpec("docs_lang_id", D.docs_lang_id, D.DOCS_LANG_ID_SQL,
+              ("TX2",), "marker-based language ID"),
+    QuerySpec("docs_token_count_by_source", D.docs_token_count_by_source,
+              D.DOCS_TOKEN_COUNT_BY_SOURCE_SQL, ("TX3",), "corpus token accounting"),
+    QuerySpec("docs_fingerprint", D.docs_fingerprint, D.DOCS_FINGERPRINT_SQL,
+              ("TX4",), "rolling-hash document fingerprint"),
+    QuerySpec("docs_near_dup_pairs", D.docs_near_dup_pairs,
+              D.DOCS_NEAR_DUP_PAIRS_SQL, ("DD2",),
+              "MinHash+LSH near-dup candidate pairs"),
+    # Training-data pipeline: embeddings
+    QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
+              ("VS1",), "exact cosine top-k"),
+    QuerySpec("label_centroids", V.label_centroids, V.LABEL_CENTROIDS_SQL,
+              ("VS2",), "per-label centroid (IVF seed)"),
+    QuerySpec("near_dup_embeddings", V.near_dup_embeddings,
+              V.NEAR_DUP_EMBEDDINGS_SQL, ("DD3", "VS1"),
+              "embedding-cosine near-dup pairs"),
+]
+
+REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
+
+
+def queries_map() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

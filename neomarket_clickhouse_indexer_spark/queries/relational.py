@@ -1,0 +1,415 @@
+"""Relational query surface over the star schema.
+
+Each query is (spark_fn, oracle_sql) — the Spark side is declarative
+DataFrame API (Catalyst: pushdown, pruning, broadcast), the oracle is
+independent DuckDB SQL for the differential gate. Operator ids (§2 of
+SURVEY.md) are noted per query.
+
+Scale notes common to all: dimension tables (region/nation/customer/
+supplier/part) are broadcast — no shuffle of the fact side for enrichment
+joins (reference's CH hash-join with in-memory dims, src/api.ts:403-425).
+Aggregations rely on Spark's map-side partial agg; top-k compiles to
+TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .util import dsum, sql_dsum
+
+# --- pricing_summary: TPC-H Q1 shape. A1 hash agg, A2, P1/P2 projection+filter,
+#     exact decimal sums (§2.4; reference src/api.ts:348-364 leaderboard agg shape).
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4))
+        .withColumn(
+            "avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 4)
+        )
+    )
+    return out
+
+
+_DSUM_QTY = "ROUND(CAST(SUM(CAST((l_quantity) AS DECIMAL(30,10))) AS DOUBLE), 4)"
+_DSUM_PRICE = "ROUND(CAST(SUM(CAST((l_extendedprice) AS DECIMAL(30,10))) AS DOUBLE), 4)"
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum("l_quantity", "sum_qty")},
+       {sql_dsum("l_extendedprice", "sum_base_price")},
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+       {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+       COUNT(*) AS count_order,
+       ROUND({_DSUM_QTY} / COUNT(*), 4) AS avg_qty,
+       ROUND({_DSUM_PRICE} / COUNT(*), 4) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- shipping_priority: TPC-H Q3 shape. J1 fact-dim joins + agg + T1 top-k.
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    # orders is a fact table — join it normally (AQE picks the strategy);
+    # only the filtered customer dim is an explicit broadcast.
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- regional_supplier_volume: TPC-H Q5 shape. J1 multi-way broadcast joins.
+
+
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    return out
+
+
+REGIONAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT r_name, n_name,
+       {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+# --- late_order_priority: TPC-H Q4 shape. Left-semi (EXISTS) join + A1.
+
+
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+LATE_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --- customers_without_orders: J8 anti-join (reference skip-set semantics,
+#     src/ledger-engine.ts:972-1095) + A1.
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {sql_dsum("c_acctbal", "total_acctbal")}
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --- returns_conditional: A2 sumIf/countIf (reference src/api.ts:1249-1250,
+#     src/build-rollup-1d.ts:76-78), P4 IN-list filter.
+
+
+def returns_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "N", "R")
+    )
+    is_f = F.col("l_linestatus") == "F"
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(is_f, 1)).alias("n_finished"),
+        F.count(F.when(~is_f, 1)).alias("n_open"),
+        dsum(F.when(is_f, F.col("l_quantity")).otherwise(F.lit(0.0)), "qty_finished"),
+        dsum(
+            F.when(is_f, F.col("l_extendedprice") * (1 - F.col("l_discount"))).otherwise(
+                F.lit(0.0)
+            ),
+            "rev_finished",
+        ),
+    )
+
+
+RETURNS_CONDITIONAL_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE l_linestatus <> 'F') AS n_open,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END", "qty_finished")},
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", "rev_finished")}
+FROM lineitem
+WHERE l_returnflag IN ('A', 'N', 'R')
+GROUP BY l_returnflag
+"""
+
+
+# --- part_price_fallback: J9 existence-fallback join with coalesce
+#     (reference src/api.ts:787-827 per-token fallback ladder).
+
+
+def part_price_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sold = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice"), "sold_value"),
+        dsum(F.col("l_quantity"), "sold_qty"),
+    )
+    return (
+        part.join(sold, part.p_partkey == sold.l_partkey, "left")
+        .select(
+            "p_partkey",
+            F.round(
+                F.coalesce(
+                    F.col("sold_value") / F.col("sold_qty"), F.col("p_retailprice")
+                ),
+                4,
+            ).alias("eff_price"),
+            (F.col("sold_qty").isNull()).alias("is_fallback"),
+        )
+    )
+
+
+PART_PRICE_FALLBACK_SQL = f"""
+WITH sold AS (
+  SELECT l_partkey,
+         {sql_dsum("l_extendedprice", "sold_value")},
+         {sql_dsum("l_quantity", "sold_qty")}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey,
+       ROUND(COALESCE(sold_value / sold_qty, p_retailprice), 4) AS eff_price,
+       (sold_qty IS NULL) AS is_fallback
+FROM part LEFT JOIN sold ON p_partkey = l_partkey
+"""
+
+
+# --- segment_top_customers: W4 ranking window per group.
+
+
+def segment_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "c_acctbal")
+    )
+
+
+SEGMENT_TOP_CUSTOMERS_SQL = """
+SELECT c_mktsegment, rank, c_custkey, c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer
+)
+WHERE rank <= 3
+"""
+
+
+# --- lineitem_page: T2 LIMIT/OFFSET pagination as a deterministic
+#     row_number slice (reference src/api.ts:916-918,1174-1175).
+
+
+def lineitem_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
+    # full 6-column key is, giving a total deterministic order (T3).
+    w = Window.orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
+        .select("rn", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+LINEITEM_PAGE_SQL = """
+SELECT rn, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
+                            l_suppkey, l_quantity, l_extendedprice) AS rn, *
+  FROM lineitem
+)
+WHERE rn > 100 AND rn <= 150
+"""
+
+
+# --- orders_monthly: date_trunc time bucketing (§2.8 date/time family).
+
+
+def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_value"),
+        )
+    )
+
+
+ORDERS_MONTHLY_SQL = f"""
+SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", "total_value")}
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+# --- party_volume_union: U1 union-relabel (reference wallet_trades view,
+#     clickhouse/init/001_create_tables.sql:352-377) + W4 top-k per role.
+
+
+def party_volume_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier_side = li.select(
+        F.lit("supplier").alias("role"),
+        F.col("l_suppkey").cast("long").alias("party_key"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    customer_side = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.lit("customer").alias("role"),
+            F.col("o_custkey").cast("long").alias("party_key"),
+            F.col("l_extendedprice").alias("amount"),
+        )
+    )
+    both = supplier_side.unionByName(customer_side)
+    agg = both.groupBy("role", "party_key").agg(dsum(F.col("amount"), "volume"))
+    w = Window.partitionBy("role").orderBy(F.desc("volume"), F.asc("party_key"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("role", "rank", "party_key", "volume")
+    )
+
+
+PARTY_VOLUME_UNION_SQL = f"""
+WITH both_sides AS (
+  SELECT 'supplier' AS role, CAST(l_suppkey AS BIGINT) AS party_key, l_extendedprice AS amount
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer' AS role, CAST(o_custkey AS BIGINT) AS party_key, l_extendedprice AS amount
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+agg AS (
+  SELECT role, party_key, {sql_dsum("amount", "volume")}
+  FROM both_sides GROUP BY role, party_key
+)
+SELECT role, rank, party_key, volume
+FROM (
+  SELECT role, party_key, volume,
+         ROW_NUMBER() OVER (PARTITION BY role ORDER BY volume DESC, party_key) AS rank
+  FROM agg
+)
+WHERE rank <= 5
+"""

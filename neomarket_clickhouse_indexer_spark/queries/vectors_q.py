@@ -1,0 +1,154 @@
+"""Similarity-search queries over the ``embeddings`` table
+(vec_id, embedding array<float>, label).
+
+Brute-force cosine top-k is the exactness baseline; the corpus side is never
+shuffled — the (small) query set broadcasts and each corpus partition scores
+locally, then TakeOrdered per query. The LSH/IVF candidate-pruning variants
+build on operators/minhash-style bucketing (see documents near-dup) and land
+in a later round; the plumbing here (array<float> columns, higher-order
+functions, rounding discipline) is the shared foundation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as VX
+from ..sources.tables import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+# --- knn_bruteforce: exact cosine top-k per query vector (ANN baseline).
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        VX.cosine_rounded(F.col("q_emb"), F.col("c_emb"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+)
+_QNORM = (
+    "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_CNORM = (
+    "sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT} / ({_QNORM} * {_CNORM}), 6) AS cosine_sim
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT query_id, rank, neighbor_id, cosine_sim
+FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+# --- label_centroids: per-label element-wise mean (cluster centroids /
+#     IVF coarse quantizer seed). posexplode → (label, dim) mean.
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_v")
+        )
+        .select("label", F.col("dim").cast("long").alias("dim"), "mean_v")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+  -- parallel unnests zip element-wise in DuckDB → (value, 1-based index)
+  SELECT label, unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_v
+FROM ex
+GROUP BY 1, 2
+"""
+
+
+# --- near_dup_embeddings: embedding-cosine near-duplicate pairs (dedup by
+#     semantic similarity). Threshold filter over the pair scores.
+
+SIM_THRESHOLD = 0.9
+
+
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            VX.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= SIM_THRESHOLD)
+    )
+
+
+_DOT_AB = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+)
+_ANORM = (
+    "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_BNORM = (
+    "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+NEAR_DUP_EMBEDDINGS_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_DOT_AB} / ({_ANORM} * {_BNORM}), 6) AS cosine_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND({_DOT_AB} / ({_ANORM} * {_BNORM}), 6) >= {SIM_THRESHOLD}
+"""

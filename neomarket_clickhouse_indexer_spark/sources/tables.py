@@ -1,0 +1,68 @@
+"""Parquet table loaders for the driver-provided star schema.
+
+Tables (see TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under a
+scale-factor directory.
+
+Scale notes: ``spark.read.parquet`` gives Catalyst full pushdown (filters,
+column pruning, partition pruning when the path is partitioned). At 100 TB
+these would be directory-partitioned (e.g. events by date) — the loader
+accepts any path glob so the same query code runs over both layouts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables — always broadcast-join these against facts.
+DIM_TABLES = {"region", "nation", "customer", "supplier", "part"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; normalizes the events table's nanosecond timestamps.
+
+    Spark 4 rejects parquet INT64 TIMESTAMP(NANOS) by default; we read them
+    as raw longs (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+    microsecond timestamps with exact integer division (``ts div 1000`` —
+    double division would lose precision at 1.7e18 ns). DuckDB truncates
+    ns→µs the same way on CAST(ts AS TIMESTAMP), so both engines see
+    identical instants.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for the SQL API) and return them."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
