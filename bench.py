@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect cost). The headline set spans the operator families:
+wide hash agg, multi-join, window dedup, OHLCV pre-agg + re-bucket, FIFO
+grouped-map, MinHash LSH, and brute-force cosine top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from neomarket_clickhouse_indexer_spark.queries import REGISTRY
+from neomarket_clickhouse_indexer_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "regional_supplier_volume",
+    "party_volume_union",
+    "latest_event_per_user",
+    "user_running_value",
+    "candles_1m",
+    "candles_5m_rebucketed",
+    "top_users_by_volume",
+    "fifo_user_pnl",
+    "docs_near_dup_pairs",
+    "docs_text_stats",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 32))
+
+    # Warm the JVM, the parquet reader path, and the Python-worker pool so
+    # the first timed query isn't paying one-time startup (~4s of pandas
+    # worker spawn otherwise lands on whichever query runs first).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: PLC0415
+
+    spark.range(1000).withColumn("k", (F.col("id") % 8)).groupBy(
+        "k"
+    ).applyInPandas(
+        lambda pdf: pd.DataFrame({"k": [pdf["k"].iloc[0]], "n": [len(pdf)]}),
+        "k bigint, n bigint",
+    ).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
