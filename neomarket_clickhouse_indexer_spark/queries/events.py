@@ -367,3 +367,79 @@ FIFO_USER_PNL_SQL = fifo_allocate_sql(
     AND json_extract_string(props, '$.k') IS NOT NULL
 )"""
 )
+
+
+# --- domain_ledger_summary: the full domain FIFO ledger state machine (O1)
+#     driven by a deterministic mapping of the generic events table onto
+#     domain event types. No SQL oracle (stateful replay is not
+#     SQL-expressible) — the driver records a rows-only check; correctness
+#     is covered by tests/test_ledger_engine.py golden scenarios and the
+#     distributed-vs-local differential in tests/test_ledger_spark.py.
+
+
+def _domain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    wallet = F.concat(F.lit("0xw"), F.col("user_id").cast("string"))
+    cond = F.concat(F.lit("c"), (F.col("user_id") % 10).cast("string"))
+    yes = F.concat(F.lit("tok-yes-"), (F.col("user_id") % 10).cast("string"))
+    no = F.concat(F.lit("tok-no-"), (F.col("user_id") % 10).cast("string"))
+    legs = F.array(yes, no)
+    qty = ((k % 5) + 1).cast("double")
+    base = ev.select(
+        wallet.alias("wallet"),
+        F.col("ts"),
+        F.col("event_id").alias("block_number"),
+        F.lit(0).cast("long").alias("log_index"),
+        F.col("event_type"),
+        F.col("value"),
+        k.alias("k"),
+        qty.alias("qd"),
+        cond.alias("condition_id"),
+        yes.alias("yes"),
+        no.alias("no"),
+        legs.alias("legs"),
+    )
+    typ = (
+        F.when(F.col("event_type") == "purchase", F.lit("trade"))
+        .when(F.col("event_type") == "click", F.lit("trade"))
+        .when(F.col("event_type") == "signup", F.lit("split"))
+        .when(F.col("event_type") == "view", F.lit("transfer"))
+        .otherwise(F.lit("fee_refund"))
+    )
+    return base.select(
+        "wallet",
+        "ts",
+        "block_number",
+        "log_index",
+        typ.alias("type"),
+        F.when(typ == "transfer", F.col("yes")).otherwise(
+            F.when(typ == "trade", F.col("yes")).otherwise(F.lit(""))
+        ).alias("token_id"),
+        F.col("condition_id"),
+        F.when(typ.isin("trade", "transfer"), F.col("qd")).otherwise(F.lit(0.0)).alias("qty"),
+        F.when(typ == "trade", F.col("value") / 100.0)
+        .when(typ == "split", F.col("value") / 10.0)
+        .when(typ == "fee_refund", F.col("value") / 1000.0)
+        .otherwise(F.lit(0.0))
+        .alias("usdc"),
+        F.lit(0.0).alias("fee"),
+        (F.col("event_type") == "purchase").alias("is_buy"),
+        ((F.col("k") % 2) == 0).alias("is_in"),
+        F.when(typ == "split", F.col("legs")).otherwise(
+            F.lit(None).cast("array<string>")
+        ).alias("outcome_token_ids"),
+        F.lit(None).cast("array<double>").alias("payout_ratios"),
+    )
+
+
+def domain_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ledger.build import build_wallet_ledger
+
+    entries = build_wallet_ledger(_domain_events(spark, sf_dir))
+    return entries.groupBy("wallet").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        dsum(F.col("realized_pnl"), "realized_pnl"),
+        dsum(F.col("usdc_delta"), "net_cashflow"),
+        F.countDistinct("token_id").alias("n_tokens"),
+    )

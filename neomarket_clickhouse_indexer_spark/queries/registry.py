@@ -91,6 +91,9 @@ _SPECS: list[QuerySpec] = [
               "now()-relative window with injected clock"),
     QuerySpec("fifo_user_pnl", E.fifo_user_pnl, E.FIFO_USER_PNL_SQL,
               ("O1", "O3"), "FIFO-lot allocation (applyInPandas vs interval SQL)"),
+    QuerySpec("domain_ledger_summary", E.domain_ledger_summary, None,
+              ("O1", "O2"), "full domain FIFO ledger replay (rows-only; "
+              "golden+differential tested in tests/)"),
     # Training-data pipeline: documents
     QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
               ("DD1",), "exact dedup by content hash"),
