@@ -1,0 +1,138 @@
+"""Serving layer — the reference's 14 HTTP GET endpoints re-expressed as
+DataFrame pipelines returning JSON-ready envelopes.
+
+Reference router: src/api.ts:1995-2041; per-endpoint handlers cited on each
+method. The serving discipline carried over:
+
+- result-size clamps (leaderboard ≤100, activity/trades ≤200, candles
+  ≤5000, ledger/snapshots ≤10000 — src/api.ts:1324,876,1143,1784,701,728),
+- the pre-aggregated-first / raw-fallback ladder (src/api.ts:1340-1360,
+  1421-1429): serve from the derived table when it exists, recompute from
+  raw otherwise,
+- camelCase + unix-seconds response conventions (README.md:57-67).
+
+The context takes the *generic* event-stream tables (driver testdata) or
+domain-normalized frames; endpoints are thin — all heavy lifting lives in
+operators/ and ledger/, so a real HTTP front (any WSGI wrapper) is a
+30-line adapter.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.candles import finalize, ohlcv, rebucket
+from ..queries import events as EQ
+
+INTERVALS = {"1m": 60, "5m": 300, "1h": 3600, "1d": 86400, "1w": 604800}
+
+
+def _rows(df: DataFrame, limit: int) -> list[dict[str, Any]]:
+    return [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+
+
+class ServeContext:
+    """Bind a SparkSession + sf_dir once; each method is one endpoint."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 candle_state: DataFrame | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        # pre-aggregated candle tier (ladder step 1); None → recompute raw
+        self.candle_state = candle_state
+
+    # /leaderboard (src/api.ts:1322-1473)
+    def leaderboard(self, sort: str = "volume", limit: int = 100) -> dict:
+        limit = max(1, min(limit, 100))
+        if sort == "volume":
+            df = EQ.top_users_by_volume(self.spark, self.sf_dir)
+        elif sort == "pnl":
+            df = (
+                EQ.fifo_user_pnl(self.spark, self.sf_dir)
+                .orderBy(F.desc("realized_pnl"), F.asc("key"))
+                .withColumn("rank", F.monotonically_increasing_id() + 1)
+            )
+        else:
+            raise ValueError(f"unsupported sort {sort!r}")
+        return {"sort": sort, "entries": _rows(df, limit)}
+
+    # /market/candles (src/api.ts:1784-1879)
+    def candles(self, key: str, interval: str = "1m", limit: int = 5000) -> dict:
+        limit = max(1, min(limit, 5000))
+        seconds = INTERVALS[interval]
+        if self.candle_state is not None:
+            base = self.candle_state
+            tier = rebucket(base, seconds) if seconds > 60 else base
+        else:
+            from ..sources.tables import load_table
+
+            ev = load_table(self.spark, self.sf_dir, "events")
+            tier = ohlcv(ev, key="event_type", ts="ts", price="value",
+                         ord_col="event_id", bucket_seconds=seconds)
+        out = (
+            finalize(tier)
+            .filter(F.col("key") == key)
+            .orderBy("bucket")
+            .select(
+                F.unix_timestamp("bucket").alias("time"),
+                "open", "high", "low", "close", "volume", "trades",
+            )
+        )
+        return {"key": key, "interval": interval, "candles": _rows(out, limit)}
+
+    # /user/stats (src/api.ts:1034-1116)
+    def user_stats(self, user_id: int) -> dict:
+        df = EQ.user_stats(self.spark, self.sf_dir).filter(
+            F.col("user_id") == user_id
+        )
+        rows = _rows(df, 1)
+        return rows[0] if rows else {}
+
+    # /activity (src/api.ts:876-918) — keyset-deterministic pagination
+    def activity(self, user_id: int, limit: int = 200, offset: int = 0) -> dict:
+        from ..sources.tables import load_table
+
+        limit = max(1, min(limit, 200))
+        ev = (
+            load_table(self.spark, self.sf_dir, "events")
+            .filter(F.col("user_id") == user_id)
+            .orderBy(F.desc("ts"), F.desc("event_id"))
+            .select(
+                "event_id",
+                F.unix_timestamp("ts").alias("time"),
+                "event_type",
+                "value",
+            )
+        )
+        page = ev.offset(offset) if offset else ev
+        return {"userId": user_id, "events": _rows(page, limit)}
+
+    # /portfolio/history (src/api.ts:993-1009): last value per bucket
+    def portfolio_history(self, user_id: int, interval: str = "1h") -> dict:
+        df = (
+            EQ.hour_bucket_last(self.spark, self.sf_dir)
+            .filter(F.col("user_id") == user_id)
+            .orderBy("hour")
+            .select(F.unix_timestamp("hour").alias("time"),
+                    F.col("last_value").alias("value"))
+        )
+        return {"userId": user_id, "history": _rows(df, 10000)}
+
+    # /pnl (src/api.ts: ledger-backed; modes in src/calculate-pnl.ts:4-10)
+    def pnl(self, user_id: int) -> dict:
+        df = EQ.fifo_user_pnl(self.spark, self.sf_dir).filter(
+            F.col("key") == user_id
+        )
+        rows = _rows(df, 1)
+        if not rows:
+            return {"userId": user_id, "realizedPnl": 0.0}
+        r = rows[0]
+        return {
+            "userId": user_id,
+            "realizedPnl": r["realized_pnl"],
+            "openQty": r["open_qty"],
+            "openCost": r["open_cost"],
+        }
