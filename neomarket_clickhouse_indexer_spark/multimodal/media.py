@@ -1,0 +1,144 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
+``mapInPandas`` fan-out, partitioning discipline. The decode kernels are
+STUBS (this container ships no image/audio libraries): each kernel either
+raises ``NotImplementedError`` when a real decode is requested, or runs a
+clearly-marked deterministic fake so pipelines are testable end-to-end.
+
+Design for 100 TB:
+- media rides in ``binary`` columns next to typed metadata
+  (struct<format,width,height,duration_ms>), so pruning/filtering happens
+  on metadata without touching payload bytes (columnar pushdown);
+- per-row kernels run in ``mapInPandas`` over Arrow batches — bytes never
+  pass through Python row-by-row;
+- frame sampling fans out (media → frames) inside the executor, so the
+  shuffle moves only sampled frames, not whole videos.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<format:string, width:int, height:int, duration_ms:int>"
+)
+
+FEATURE_DIM = 16
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame bytes".replace(
+    "bytes", "binary"
+)
+
+FEATURE_SCHEMA = f"media_id bigint, feature array<float>"
+
+
+def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake corpus: payload = sha256 stream keyed by id.
+    (Generator, not a stub — the bytes are real, only meaningless.)"""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                ("png" if kind == "image" else "wav" if kind == "audio" else "mp4",
+                 64 + i % 16, 48 + i % 8, 0 if kind == "image" else 1000 * (1 + i % 7)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_real(payload: bytes, fmt: str):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "real media decode requires imaging/audio libraries not present in "
+        "this environment; wire PIL/ffmpeg here in production"
+    )
+
+
+def image_stats(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Per-image stats over Arrow batches. Fake kernel: byte-level moments
+    standing in for pixel moments (deterministic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if real_decode:
+                _decode_real(b"", "")
+            payloads = pdf["payload"]
+            arr = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(a) for a in arr],
+                    "mean_byte": [float(a.mean()) for a in arr],
+                    "std_byte": [float(a.std()) for a in arr],
+                }
+            )
+
+    return (
+        media.filter(media.kind == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, "media_id bigint, n_bytes bigint, mean_byte double, std_byte double")
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000,
+                 frame_bytes: int = 256) -> DataFrame:
+    """Video → sampled frames fan-out (media_id, frame_idx, frame). Fake
+    kernel: frames are deterministic payload slices; a real kernel would
+    seek/decode keyframes. The fan-out shape (one input row → many output
+    rows inside the executor) is the part that matters at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for row in pdf.itertuples(index=False):
+                duration = row.meta["duration_ms"] or 0
+                n_frames = max(1, duration // every_ms)
+                payload = bytes(row.payload)
+                for f in range(int(n_frames)):
+                    start = (f * frame_bytes) % max(1, len(payload))
+                    out_ids.append(row.media_id)
+                    out_idx.append(f)
+                    out_frames.append(payload[start : start + frame_bytes])
+            if out_ids:
+                yield pd.DataFrame(
+                    {"media_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+                )
+
+    return (
+        media.filter(media.kind == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(run, FRAME_SCHEMA)
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Binary → fixed-dim float vector (fake embedding: seeded from a
+    payload digest; real kernel would run a vision/audio encoder). Output
+    plugs directly into functions/vectors.py similarity search."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for p in pdf["payload"]:
+                digest = hashlib.sha256(bytes(p)).digest()
+                v = np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint16)
+                feats.append((v.astype(np.float32) / 65535.0).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

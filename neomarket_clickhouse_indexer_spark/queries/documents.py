@@ -247,3 +247,186 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
+
+
+# --- docs_top_by_lang: A6 groupArray+arraySort+arrayMap shape (reference
+#     outcome-price collection, src/api.ts:1946) — per lang, doc_ids of the
+#     3 longest texts as an ordered array.
+
+
+def docs_top_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    collected = docs.groupBy("lang").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n_chars")).alias("neg"),
+                                        F.col("doc_id").alias("doc_id")))
+            ),
+            1, 3,
+        ).alias("top"),
+    )
+    arrays = collected.select(
+        "lang",
+        F.transform(F.col("top"), lambda s: s.getField("doc_id")).alias("top_doc_ids"),
+    )
+    # posexplode to rows for the gate — array-typed outputs hash poorly
+    # across engines; the A6 collect+sort+transform pattern lives above.
+    return arrays.select(
+        "lang", F.posexplode("top_doc_ids").alias("pos", "doc_id")
+    ).select("lang", F.col("pos").cast("long").alias("pos"), "doc_id")
+
+
+DOCS_TOP_BY_LANG_SQL = """
+WITH tops AS (
+  SELECT lang,
+         (list_transform(
+            list_sort(list(struct_pack(neg := -n_chars, doc_id := doc_id))),
+            s -> s.doc_id))[1:3] AS top_doc_ids
+  FROM documents
+  GROUP BY lang
+),
+ex AS (
+  SELECT lang,
+         unnest(generate_series(1, len(top_doc_ids))) AS i,
+         unnest(top_doc_ids) AS doc_id
+  FROM tops
+)
+SELECT lang, CAST(i - 1 AS BIGINT) AS pos, doc_id FROM ex
+"""
+
+
+# --- docs_word_filter: J4 array-membership semi-join (reference
+#     hasAny(token_ids, [...]), src/api.ts:104-110).
+
+_FILTER_WORDS = ["spark", "join", "window"]
+
+
+def docs_word_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    hit = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _FILTER_WORDS]))
+    return (
+        docs.filter(hit)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+    )
+
+
+_FW = "[" + ", ".join(f"'{w}'" for w in _FILTER_WORDS) + "]"
+
+DOCS_WORD_FILTER_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE len(list_intersect({_TOKS}, {_FW})) > 0
+GROUP BY lang
+"""
+
+
+# --- docs_simhash: 16-bit SimHash over word hashes — bit j is the sign of
+#     Σ±1 across words (+1 if word-hash bit j set). Word hash = first 8 hex
+#     chars of md5 (engine-portable); hamming-adjacent docs are near-dups.
+
+SIMHASH_BITS = 16
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+DOCS_SIMHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) AS h
+  FROM words
+),
+bits AS (
+  SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM bits
+"""
+
+
+# --- docs_jaccard_pairs: DD2 stage 2 — exact shingle-Jaccard verification
+#     of the LSH candidate pairs (candidates are cheap recall; Jaccard is
+#     the precision filter). At 100 TB this is the only O(pairs) exact work.
+
+JACCARD_THRESHOLD = 0.6
+
+
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh")
+    )
+    pairs = docs_near_dup_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        joined.select(
+            "doc_a", "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DOCS_JACCARD_PAIRS_SQL = f"""
+WITH shing AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+sigs AS (
+  SELECT doc_id, {_MH_COLS} FROM shing
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT),
+             4) AS jaccard
+FROM pairs
+JOIN shing sa ON pairs.doc_a = sa.doc_id
+JOIN shing sb ON pairs.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)
+      >= {JACCARD_THRESHOLD}
+"""

@@ -108,6 +108,15 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("docs_near_dup_pairs", D.docs_near_dup_pairs,
               D.DOCS_NEAR_DUP_PAIRS_SQL, ("DD2",),
               "MinHash+LSH near-dup candidate pairs"),
+    QuerySpec("docs_jaccard_pairs", D.docs_jaccard_pairs,
+              D.DOCS_JACCARD_PAIRS_SQL, ("DD2", "DD4"),
+              "exact n-gram Jaccard verification of LSH candidates"),
+    QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
+              ("DD5",), "16-bit SimHash document signatures"),
+    QuerySpec("docs_top_by_lang", D.docs_top_by_lang, D.DOCS_TOP_BY_LANG_SQL,
+              ("A6",), "groupArray+arraySort+arrayMap ordered collection"),
+    QuerySpec("docs_word_filter", D.docs_word_filter, D.DOCS_WORD_FILTER_SQL,
+              ("J4",), "array-membership semi-join filter"),
     # Training-data pipeline: embeddings
     QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
               ("VS1",), "exact cosine top-k"),
@@ -116,6 +125,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("near_dup_embeddings", V.near_dup_embeddings,
               V.NEAR_DUP_EMBEDDINGS_SQL, ("DD3", "VS1"),
               "embedding-cosine near-dup pairs"),
+    QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
+              ("VS3",), "random-hyperplane LSH ANN with exact re-rank"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

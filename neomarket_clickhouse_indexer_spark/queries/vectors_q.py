@@ -152,3 +152,115 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND ROUND({_DOT_AB} / ({_ANORM} * {_BNORM}), 6) >= {SIM_THRESHOLD}
 """
+
+
+# --- knn_ann_lsh: random-hyperplane LSH ANN — the scale path. Signatures
+#     come from a FIXED hyperplane matrix (derived from md5, embedded as
+#     literals in both engines); candidates share the query's bucket, then
+#     exact cosine re-ranks. Same algorithm both sides = consistency check;
+#     recall vs the exact knn_bruteforce is asserted in tests.
+
+N_PLANES = 8
+DIM = 64
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic ±1 matrix from md5 bits (no RNG — reproducible in SQL
+    and across rounds)."""
+    import hashlib
+
+    planes: list[list[int]] = []
+    for j in range(N_PLANES):
+        row: list[int] = []
+        d = 0
+        while len(row) < DIM:
+            h = hashlib.md5(f"plane-{j}-{d}".encode()).digest()
+            for byte in h:
+                for bit in range(8):
+                    if len(row) >= DIM:
+                        break
+                    row.append(1 if (byte >> bit) & 1 else -1)
+            d += 1
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def _bucket_expr(emb: str):
+    """Σ_j (sign(emb·w_j) > 0) << j as a Spark column.
+
+    Each plane's dot product is a zip_with+aggregate fold over a literal
+    weight array — 8 compact folds instead of a 512-term expression tree
+    (which made codegen/compile dominate the query)."""
+    total = None
+    for j, row in enumerate(_PLANES):
+        weights = F.array(*[F.lit(float(w)) for w in row])
+        dot_j = F.aggregate(
+            F.zip_with(F.col(emb), weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total.cast("long")
+
+
+def _bucket_sql(emb: str) -> str:
+    parts = []
+    for j, row in enumerate(_PLANES):
+        dot_j = " + ".join(
+            f"CAST({emb}[{d + 1}] AS DOUBLE) * ({w})" for d, w in enumerate(row)
+        )
+        parts.append(f"(CASE WHEN ({dot_j}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def knn_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", _bucket_expr("embedding").alias("bucket"))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    corpus = bucketed.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    cands = corpus.join(
+        F.broadcast(queries), F.col("c_bucket") == F.col("q_bucket")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        VX.cosine_rounded(F.col("q_emb"), F.col("c_emb"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+KNN_ANN_LSH_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket FROM embeddings
+),
+cands AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT} / ({_QNORM} * {_CNORM}), 6) AS cosine_sim
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT query_id, rank, neighbor_id, cosine_sim
+FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM cands
+)
+WHERE rank <= 3
+"""

@@ -13,7 +13,18 @@ from pyspark.sql import DataFrame
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    # array-typed cells (numpy arrays / lists) are unhashable-unsortable —
+    # normalize to tuples so row sorting works
+    for col in df.columns:
+        if df[col].map(lambda v: isinstance(v, (list, tuple))
+                       or hasattr(v, "tolist") and not isinstance(v, (str, bytes))
+                       ).any():
+            df[col] = df[col].map(
+                lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v)
+                if v is not None and not isinstance(v, (str, bytes, float, int))
+                else v
+            )
     if len(df) == 0:
         return df.reset_index(drop=True)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
