@@ -83,20 +83,42 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_sig(shingle_col: Column, num_perm: int = 16) -> list[Column]:
-    """MinHash signature: perm i = min over shingles of md5(i ':' shingle).
+def _seeded_md5(prefix: str):
+    # closure factory, NOT `lambda s, b=b:` — a two-parameter lambda makes
+    # Spark's transform() pass the ARRAY INDEX as the second argument,
+    # silently overriding the default (degenerate signatures)
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    md5 output is uniform hex → lexicographic min over hex strings is a
-    valid uniform min-hash, and is engine-portable (DuckDB list_aggregate
-    (…, 'min') over the same md5 strings)."""
+
+def hash_families(shingle_col: Column, num_families: int) -> list[Column]:
+    """Per-shingle md5 arrays, one per seed family: family b =
+    transform(sh, s -> md5(b ':' s)). Materialize these ONCE (alias them in
+    a projection) before slicing permutations out — md5 is the expensive
+    part."""
     return [
-        F.array_min(
-            F.transform(
-                shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-            )
-        ).alias(f"mh{i}")
-        for i in range(num_perm)
+        F.transform(shingle_col, _seeded_md5(f"{b}:")).alias(f"hf{b}")
+        for b in range(num_families)
     ]
+
+
+PERMS_PER_MD5 = 4  # 128-bit digest → 4 × 32-bit (8 hex chars) sub-hashes
+
+
+def minhash_from_families(family_cols: list[Column], num_perm: int) -> list[Column]:
+    """MinHash signature: perm i = min over shingles of the i-th 8-hex-char
+    slice of the (i // 4)-th family hash. One md5 per shingle yields FOUR
+    permutations (uniform independent 32-bit slices), so 16 perms cost 4
+    md5 passes instead of 16. Lexicographic min over fixed-width hex ==
+    numeric min; engine-portable (DuckDB substring + list min)."""
+    def slicer(off: int):
+        return lambda h: F.substring(h, off, 8)
+
+    sigs = []
+    for i in range(num_perm):
+        fam = family_cols[i // PERMS_PER_MD5]
+        off = (i % PERMS_PER_MD5) * 8 + 1
+        sigs.append(F.array_min(F.transform(fam, slicer(off))).alias(f"mh{i}"))
+    return sigs
 
 
 def fingerprint(text: Column) -> Column:

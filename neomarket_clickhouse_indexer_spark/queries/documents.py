@@ -174,13 +174,21 @@ NUM_BANDS = NUM_PERM // BAND_SIZE
 
 def _doc_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Materialize the shingle array ONCE per row before fanning out to the 16
-    # permutation columns — otherwise each mh_i recomputes split+transform
-    # (16× the tokenization work; measured 103s→~13s at sf0.1).
+    # Two materialization boundaries: (1) the shingle array (else every
+    # downstream column recomputes split+transform; measured 103s→13s at
+    # sf0.1), then (2) the 4 md5 family arrays (each md5 digest yields 4
+    # 32-bit permutation slices; 16 md5 passes → 4, measured 13s→~6s).
     shingled = docs.select(
         "doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh")
     )
-    sigs = shingled.select("doc_id", *TX.minhash_sig(F.col("sh"), NUM_PERM))
+    n_fam = NUM_PERM // TX.PERMS_PER_MD5
+    hashed = shingled.select("doc_id", *TX.hash_families(F.col("sh"), n_fam))
+    sigs = hashed.select(
+        "doc_id",
+        *TX.minhash_from_families(
+            [F.col(f"hf{b}") for b in range(n_fam)], NUM_PERM
+        ),
+    )
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -221,8 +229,13 @@ def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+_N_FAM = NUM_PERM // 4
+_HF_COLS = ", ".join(
+    f"list_transform(sh, s -> md5('{b}:' || s)) AS hf{b}" for b in range(_N_FAM)
+)
 _MH_COLS = ", ".join(
-    f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+    "list_aggregate(list_transform(hf{fam}, h -> substring(h, {off}, 8)), 'min')"
+    " AS mh{i}".format(fam=i // 4, off=(i % 4) * 8 + 1, i=i)
     for i in range(NUM_PERM)
 )
 _BAND_SELECTS = " UNION ALL ".join(
@@ -237,8 +250,11 @@ DOCS_NEAR_DUP_PAIRS_SQL = f"""
 WITH shing AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ),
+hashed AS (
+  SELECT doc_id, {_HF_COLS} FROM shing
+),
 sigs AS (
-  SELECT doc_id, {_MH_COLS} FROM shing
+  SELECT doc_id, {_MH_COLS} FROM hashed
 ),
 bands AS (
   {_BAND_SELECTS}
@@ -408,8 +424,11 @@ DOCS_JACCARD_PAIRS_SQL = f"""
 WITH shing AS (
   SELECT doc_id, {_SHINGLES} AS sh FROM documents
 ),
+hashed AS (
+  SELECT doc_id, {_HF_COLS} FROM shing
+),
 sigs AS (
-  SELECT doc_id, {_MH_COLS} FROM shing
+  SELECT doc_id, {_MH_COLS} FROM hashed
 ),
 bands AS (
   {_BAND_SELECTS}

@@ -1,0 +1,41 @@
+"""Write sinks: append (S3) and idempotent partition replace (S4).
+
+Reference patterns:
+- S3 batch append: JSONEachRow inserts per table (src/main.ts:779-805) →
+  plain partitioned parquet append.
+- S4 idempotent replace: ``ALTER TABLE … DELETE WHERE wallet=… `` + INSERT
+  rebuilds (src/build-ledger.ts:73-109, build-rollup-1d.ts:56-87) →
+  dynamic partition overwrite: only the partitions present in the new data
+  are replaced, everything else untouched. Same delete+insert atomicity
+  class as the reference (per-partition), no table-wide rewrite.
+
+At 100 TB the partition column IS the idempotence unit — pick it to match
+the rebuild grain (wallet bucket for ledgers, date for rollups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def replace_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Overwrite ONLY the partitions present in ``df`` (reference
+    delete-where-then-insert, S4)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
