@@ -443,3 +443,59 @@ def domain_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("usdc_delta"), "net_cashflow"),
         F.countDistinct("token_id").alias("n_tokens"),
     )
+
+
+# --- user_type_winloss: A13 two-level fold (reference win/loss/best/worst
+#     per condition from grouped PnL, src/api.ts:1071-1116): level 1 = net
+#     value per (user, event_type); level 2 = per-user fold with
+#     deterministic best/worst selection.
+
+
+def user_type_winloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signed = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+        -F.col("value")
+    )
+    per_type = ev.groupBy("user_id", "event_type").agg(dsum(signed, "net"))
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("net"), F.asc("event_type")
+    )
+    w_worst = Window.partitionBy("user_id").orderBy(
+        F.asc("net"), F.asc("event_type")
+    )
+    ranked = per_type.withColumn("rb", F.row_number().over(w_best)).withColumn(
+        "rw", F.row_number().over(w_worst)
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.when(F.col("net") > 0, 1)).alias("n_winning_types"),
+        F.count(F.when(F.col("net") < 0, 1)).alias("n_losing_types"),
+        F.max(F.when(F.col("rb") == 1, F.col("event_type"))).alias("best_type"),
+        F.max(F.when(F.col("rb") == 1, F.col("net"))).alias("best_net"),
+        F.max(F.when(F.col("rw") == 1, F.col("event_type"))).alias("worst_type"),
+        F.max(F.when(F.col("rw") == 1, F.col("net"))).alias("worst_net"),
+    )
+
+
+USER_TYPE_WINLOSS_SQL = f"""
+WITH per_type AS (
+  SELECT user_id, event_type,
+         {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE -value END", "net")}
+  FROM {EVENTS_SQL} e
+  GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY net DESC, event_type) AS rb,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY net ASC, event_type) AS rw
+  FROM per_type
+)
+SELECT user_id,
+       COUNT(*) FILTER (WHERE net > 0) AS n_winning_types,
+       COUNT(*) FILTER (WHERE net < 0) AS n_losing_types,
+       MAX(CASE WHEN rb = 1 THEN event_type END) AS best_type,
+       MAX(CASE WHEN rb = 1 THEN net END) AS best_net,
+       MAX(CASE WHEN rw = 1 THEN event_type END) AS worst_type,
+       MAX(CASE WHEN rw = 1 THEN net END) AS worst_net
+FROM ranked
+GROUP BY user_id
+"""

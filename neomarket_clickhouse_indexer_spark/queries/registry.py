@@ -86,6 +86,9 @@ _SPECS: list[QuerySpec] = [
               ("W5", "A4"), "last value per time bucket"),
     QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
               ("A1",), "JSON extraction + agg"),
+    QuerySpec("user_type_winloss", E.user_type_winloss,
+              E.USER_TYPE_WINLOSS_SQL, ("A13", "A2", "W4"),
+              "two-level win/loss/best/worst fold"),
     QuerySpec("recent_window_activity", E.recent_window_activity,
               E.RECENT_WINDOW_ACTIVITY_SQL, ("P7", "A1"),
               "now()-relative window with injected clock"),

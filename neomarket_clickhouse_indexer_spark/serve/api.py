@@ -121,6 +121,31 @@ class ServeContext:
         )
         return {"userId": user_id, "history": _rows(df, 10000)}
 
+    # /trades recent window with adaptive widening (T6: retry with a 365d
+    # window when the 30d window returns <10 rows, src/api.ts:1188-1192)
+    def recent_trades(self, user_id: int, now=None, min_rows: int = 10) -> dict:
+        from ..queries.events import FIXED_NOW
+        from ..sources.tables import load_table
+
+        now = F.lit(now or FIXED_NOW).cast("timestamp")
+        ev = load_table(self.spark, self.sf_dir, "events").filter(
+            (F.col("user_id") == user_id) & (F.col("event_type") == "purchase")
+        )
+
+        def window_rows(days: int):
+            return (
+                ev.filter(F.col("ts") >= now - F.expr(f"INTERVAL {days} DAYS"))
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+                .select("event_id", F.unix_timestamp("ts").alias("time"), "value")
+            )
+
+        rows = _rows(window_rows(30), 200)
+        widened = False
+        if len(rows) < min_rows:
+            rows = _rows(window_rows(365), 200)
+            widened = True
+        return {"userId": user_id, "trades": rows, "windowWidened": widened}
+
     # /pnl (src/api.ts: ledger-backed; modes in src/calculate-pnl.ts:4-10)
     def pnl(self, user_id: int) -> dict:
         df = EQ.fifo_user_pnl(self.spark, self.sf_dir).filter(
