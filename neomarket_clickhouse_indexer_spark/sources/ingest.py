@@ -1,0 +1,192 @@
+"""EVM log ingest + ABI decode (S1/S2) — raw logs to typed bronze rows,
+entirely JVM-side.
+
+Reference: the Subsquid processor streams blocks, filters by
+(address, topic0) and ABI-decodes 13 event types in TypeScript
+(src/main.ts:149-219 filters, :227-635 decode loop; ABIs src/abi/*.ts).
+
+Spark re-expression: raw logs are rows
+  (block_number, block_timestamp, log_index, tx_hash, address,
+   topics array<string>, data string)
+from any source (file stream, Kafka, an RPC dump). Decoding static ABI
+layouts is pure string slicing — 32-byte words at fixed offsets — so each
+event type is a ``filter(topic0 == SIG) → select(slice…)`` projection that
+whole-stage-codegens over the scan: no Python, no UDF in the hot path.
+Dynamic arrays (TransferBatch) use sequence+transform over the counted
+region.
+
+Event id = tx_hash-log_index (batch entries append -i), duplicate ids from
+re-ingest are collapsed by dedupe_by_id downstream (SURVEY §1.3).
+
+uint256 handling: USDC/token *amounts* decode to DECIMAL(38,0) from the
+low 128 bits (values ≥ 2^128 would overflow any engine decimal — the
+reference converts to float64 Number() far below that). Keccak-derived
+*ids* (token_id, condition_id) must keep full 256-bit range → hex string
+form, converted to the reference's decimal-string form only at the edge
+(functions/keccak.py handles derivation; hex↔decimal via vectorized
+pandas_udf when parity output demands it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RAW_LOG_SCHEMA = (
+    "block_number long, block_timestamp timestamp, log_index int, "
+    "tx_hash string, address string, topics array<string>, data string"
+)
+
+# event signatures (keccak of the canonical ABI signature — public constants)
+SIG_TRANSFER_SINGLE = "0xc3d58168c5ae7397731d063d5bbf3d657854427343f4c083240f7aacaa2d0f62"
+SIG_TRANSFER_BATCH = "0x4a39dc06d4c0dbc64b70af90fd698a233a518aa5d07e595d983b8c0526c8f7fb"
+SIG_POSITION_SPLIT = "0x2e6bb91f8cbcda0c93623c54d0403a43514fabc40084ec96b6d5379a74786298"
+SIG_POSITIONS_MERGE = "0x6f13ca62553fcc2bcd2372180a43949c1e4cebba603901ede2f4e14f36b282ca"
+SIG_PAYOUT_REDEMPTION = "0x2682012a4a4f1973119f1c9b90745d1bd91fa2bab387344f044cb3586864d18d"
+
+
+def _word(data: Column, i: int) -> Column:
+    """i-th 32-byte word of the data payload ('0x' prefix assumed)."""
+    return F.substring(data, 3 + 64 * i, 64)
+
+
+def _addr_from_topic(topic: Column) -> Column:
+    return F.concat(F.lit("0x"), F.substring(topic, 27, 40))
+
+
+def _uint128_dec(word: Column) -> Column:
+    """Low 128 bits of a 64-hex word as DECIMAL(38,0):
+    conv(hex16)→decimal per 64-bit chunk, exact decimal arithmetic."""
+    hi = F.conv(F.substring(word, 33, 16), 16, 10).cast("decimal(38,0)")
+    lo = F.conv(F.substring(word, 49, 16), 16, 10).cast("decimal(38,0)")
+    two64 = F.lit("18446744073709551616").cast("decimal(38,0)")  # 2^64
+    return (hi * two64 + lo).cast("decimal(38,0)")
+
+
+def _hex_id(word: Column) -> Column:
+    """Full-range 256-bit id as 0x-hex string (no precision loss)."""
+    return F.concat(F.lit("0x"), word)
+
+
+def _common(logs: DataFrame) -> list[Column]:
+    return [
+        F.concat_ws("-", F.col("tx_hash"), F.col("log_index")).alias("id"),
+        F.col("tx_hash"),
+        F.col("log_index"),
+        F.col("block_number"),
+        F.col("block_timestamp"),
+        F.col("block_number").alias("height"),
+    ]
+
+
+def decode_transfer_single(logs: DataFrame) -> DataFrame:
+    """ERC-1155 TransferSingle(operator idx, from idx, to idx, id, value)
+    → transfers rows (reference 001:160-178, main.ts TransferSingle arm)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_TRANSFER_SINGLE)
+    return t.select(
+        *_common(t),
+        _addr_from_topic(F.element_at("topics", 2)).alias("operator"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("from"),
+        _addr_from_topic(F.element_at("topics", 4)).alias("to"),
+        _hex_id(_word(F.col("data"), 0)).alias("token_id"),
+        _uint128_dec(_word(F.col("data"), 1)).alias("value"),
+    )
+
+
+def decode_transfer_batch(logs: DataFrame) -> DataFrame:
+    """ERC-1155 TransferBatch: ids[] + values[] dynamic arrays → one row
+    per (id, value) pair, event id suffixed -i (reference main.ts:466
+    `"{id}-{i}"`). Array region: word0/word1 are the two array offsets;
+    each array starts with a length word. posexplode over a sequence keeps
+    the fan-out inside the executor."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_TRANSFER_BATCH)
+    n = F.conv(F.substring(_word(F.col("data"), 2), 49, 16), 16, 10).cast("int")
+    t = t.withColumn("n_items", n)
+    idx = F.explode(F.sequence(F.lit(0), F.col("n_items") - 1)).alias("i")
+    t = t.select("*", idx)
+    ids_base = 3  # words: [ids_off, vals_off, ids_len, ids..., vals_len, vals...]
+    id_word = F.expr(f"substring(data, 3 + 64 * ({ids_base} + i), 64)")
+    val_word = F.expr(
+        f"substring(data, 3 + 64 * ({ids_base} + n_items + 1 + i), 64)"
+    )
+    return t.select(
+        F.concat_ws("-", F.col("tx_hash"), F.col("log_index"), F.col("i")).alias("id"),
+        F.col("tx_hash"),
+        F.col("log_index"),
+        F.col("block_number"),
+        F.col("block_timestamp"),
+        F.col("block_number").alias("height"),
+        _addr_from_topic(F.element_at("topics", 2)).alias("operator"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("from"),
+        _addr_from_topic(F.element_at("topics", 4)).alias("to"),
+        _hex_id(id_word).alias("token_id"),
+        _uint128_dec(val_word).alias("value"),
+    )
+
+
+def decode_position_split(logs: DataFrame) -> DataFrame:
+    """CTF PositionSplit(stakeholder idx, collateral idx, parentCollectionId,
+    conditionId idx, partition[], amount) → splits rows (reference
+    001:49-68)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_POSITION_SPLIT)
+    n = F.conv(F.substring(_word(F.col("data"), 3), 49, 16), 16, 10).cast("int")
+    t = t.withColumn("n_parts", n)
+    part = F.transform(
+        F.sequence(F.lit(0), F.col("n_parts") - 1),
+        lambda i: _uint128_dec(_word_dyn(4, i)),
+    )
+    return t.select(
+        *_common(t),
+        _addr_from_topic(F.element_at("topics", 2)).alias("stakeholder"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("collateral_token"),
+        _hex_id(_word(F.col("data"), 0)).alias("parent_collection_id"),
+        _hex_id(F.substring(F.element_at("topics", 4), 3, 64)).alias("condition_id"),
+        part.alias("partition"),
+        _uint128_dec(_word(F.col("data"), 2)).alias("amount"),
+    )
+
+
+def _word_dyn(base: int, i: Column) -> Column:
+    """Dynamic word access: word at (base + i) with i a column."""
+    return F.expr("data").substr(
+        (F.lit(3 + 64 * base) + i * 64).cast("int"), F.lit(64)
+    )
+
+
+def decode_positions_merge(logs: DataFrame) -> DataFrame:
+    """CTF PositionsMerge — same layout as split (reference 001:73-92)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_POSITIONS_MERGE)
+    n = F.conv(F.substring(_word(F.col("data"), 3), 49, 16), 16, 10).cast("int")
+    t = t.withColumn("n_parts", n)
+    part = F.transform(
+        F.sequence(F.lit(0), F.col("n_parts") - 1), lambda i: _uint128_dec(_word_dyn(4, i))
+    )
+    return t.select(
+        *_common(t),
+        _addr_from_topic(F.element_at("topics", 2)).alias("stakeholder"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("collateral_token"),
+        _hex_id(_word(F.col("data"), 0)).alias("parent_collection_id"),
+        _hex_id(F.substring(F.element_at("topics", 4), 3, 64)).alias("condition_id"),
+        part.alias("partition"),
+        _uint128_dec(_word(F.col("data"), 2)).alias("amount"),
+    )
+
+
+def decode_payout_redemption(logs: DataFrame) -> DataFrame:
+    """CTF PayoutRedemption(redeemer idx, collateral idx, parentCollectionId
+    idx, conditionId, indexSets[], payout) (reference 001:97-116)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_PAYOUT_REDEMPTION)
+    n = F.conv(F.substring(_word(F.col("data"), 2), 49, 16), 16, 10).cast("int")
+    t = t.withColumn("n_sets", n)
+    sets = F.transform(
+        F.sequence(F.lit(0), F.col("n_sets") - 1), lambda i: _uint128_dec(_word_dyn(3, i))
+    )
+    return t.select(
+        *_common(t),
+        _addr_from_topic(F.element_at("topics", 2)).alias("redeemer"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("collateral_token"),
+        _hex_id(F.substring(F.element_at("topics", 4), 3, 64)).alias("parent_collection_id"),
+        _hex_id(_word(F.col("data"), 0)).alias("condition_id"),
+        sets.alias("index_sets"),
+        _uint128_dec(_word(F.col("data"), 1)).alias("payout"),
+    )
