@@ -67,6 +67,25 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # the reference's headline win: candles served from the pre-aggregated
+    # 1m tier instead of raw trades (6s → <300ms, reference README.md:12).
+    # Build the state once (untimed — that's the MV's job), then time the
+    # re-bucketed read.
+    from neomarket_clickhouse_indexer_spark.operators.candles import (
+        finalize,
+        ohlcv,
+        rebucket,
+    )
+    from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    state = ohlcv(
+        ev, key="event_type", ts="ts", price="value", ord_col="event_id"
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    finalize(rebucket(state, 300)).write.format("noop").mode("overwrite").save()
+    timings["candles_preagg_5m_read"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

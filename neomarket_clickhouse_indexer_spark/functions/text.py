@@ -71,14 +71,20 @@ def predict_lang(toks: Column) -> Column:
     return pred
 
 
-def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-grams. Documents shorter than n words fall back to the
-    whole text as a single shingle."""
+def shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-grams (distinct by default). Documents shorter than n words
+    fall back to the whole text as a single shingle.
+
+    ``distinct=False`` skips the dedup — correct wherever the consumer is
+    duplicate-invariant (min-hash: duplicates never change a min), and
+    measurably cheaper on long docs."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
 

@@ -178,8 +178,10 @@ def _doc_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream column recomputes split+transform; measured 103s→13s at
     # sf0.1), then (2) the 4 md5 family arrays (each md5 digest yields 4
     # 32-bit permutation slices; 16 md5 passes → 4, measured 13s→~6s).
+    # distinct=False: min-hash is duplicate-invariant, and the oracle's
+    # list_distinct produces identical mins — skipping dedup is pure win
     shingled = docs.select(
-        "doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh")
+        "doc_id", TX.shingles(TX.tokens(F.col("text")), 3, distinct=False).alias("sh")
     )
     n_fam = NUM_PERM // TX.PERMS_PER_MD5
     hashed = shingled.select("doc_id", *TX.hash_families(F.col("sh"), n_fam))
@@ -210,7 +212,11 @@ def _doc_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _doc_bands(spark, sf_dir)
+    # materialize the (tiny: 4 rows/doc) band table before the self-join —
+    # otherwise both join branches recompute the whole signature pipeline
+    # (measured 2× the wall time). At cluster scale this is a persisted
+    # intermediate table, the same shape ClickHouse stores as an MV.
+    b = _doc_bands(spark, sf_dir).localCheckpoint(eager=True)
     b2 = b.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("band_idx").alias("band_idx_b"),
@@ -402,9 +408,10 @@ JACCARD_THRESHOLD = 0.6
 
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # checkpoint: the shingle table feeds BOTH sides of the pair join
     sh = docs.select(
         "doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     pairs = docs_near_dup_pairs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
