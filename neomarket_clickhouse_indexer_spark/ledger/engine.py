@@ -209,8 +209,8 @@ class LedgerEngine:
         unit_cost = 1.0 / len(legs)
         for token in legs:
             self.book.add(token, amount, unit_cost, ev["ts"])
-        self._emit(ev, "split", legs[0], amount * len(legs), -amount, unit_cost,
-                   amount, 0.0)
+        self._emit(ev, ev["type"], legs[0], amount * len(legs), -amount,
+                   unit_cost, amount, 0.0)
 
     def on_merge(self, ev: dict) -> None:
         amount = ev["usdc"]
@@ -222,9 +222,9 @@ class LedgerEngine:
         for token in legs:
             consumed, cost, slices = self.book.consume(token, amount)
             total_cost += cost
-            self._realize(ev, token, slices, per_unit, "merge")
+            self._realize(ev, token, slices, per_unit, ev["type"])
         realized = amount - total_cost
-        self._emit(ev, "merge", legs[0], amount * len(legs), amount,
+        self._emit(ev, ev["type"], legs[0], amount * len(legs), amount,
                    per_unit, total_cost, realized)
 
     def on_redemption(self, ev: dict) -> None:
@@ -240,9 +240,9 @@ class LedgerEngine:
             payout = consumed * ratio
             total_payout += payout
             total_cost += cost
-            self._realize(ev, token, slices, ratio, "redemption")
+            self._realize(ev, token, slices, ratio, ev["type"])
         realized = total_payout - total_cost
-        self._emit(ev, "redemption", legs[0] if legs else "", 0.0, total_payout,
+        self._emit(ev, ev["type"], legs[0] if legs else "", 0.0, total_payout,
                    0.0, total_cost, realized)
 
     def on_resolution(self, ev: dict) -> None:
@@ -279,6 +279,38 @@ class LedgerEngine:
             self._emit(ev, "transfer_out", token, consumed, 0.0,
                        (cost / consumed) if consumed > EPS else 0.0, cost, 0.0)
 
+    def on_conversion(self, ev: dict) -> None:
+        """NegRisk conversion (ledger-engine.ts:1670-1751): burn the
+        selected NO legs, mint the complementary YES legs (plus any cash
+        component), carrying cost basis — realized PnL only when the cash
+        received exceeds the burned basis. Fields: outcome_token_ids =
+        burn legs, mint_token_ids = mint legs, qty = per-leg amount,
+        usdc = cash received (0 for pure conversions)."""
+        qty = ev["qty"]
+        burn = ev["outcome_token_ids"]
+        mint = ev.get("mint_token_ids") or []
+        cash = ev.get("usdc", 0.0)
+        if qty <= EPS or not burn:
+            return
+        total_cost = 0.0
+        for token in burn:
+            consumed, cost, _slices = self.book.consume(token, qty)
+            total_cost += cost
+        carry = total_cost - cash
+        realized = 0.0
+        if carry < 0:  # cash exceeds burned basis → realize the excess
+            realized = -carry
+            carry = 0.0
+        if mint:
+            unit_cost = carry / (len(mint) * qty)
+            for token in mint:
+                self.book.add(token, qty, unit_cost, ev["ts"])
+        elif carry > EPS:
+            # nothing minted (no-transfers fallback) → basis realizes as loss
+            realized -= carry
+        self._emit(ev, "adapter_conversion", burn[0], qty * len(burn), cash,
+                   0.0, total_cost, realized)
+
     def on_fee(self, ev: dict) -> None:
         amount = ev["usdc"]
         self.realized_events.append(
@@ -303,6 +335,10 @@ class LedgerEngine:
         "split": "on_split",
         "merge": "on_merge",
         "redemption": "on_redemption",
+        "adapter_split": "on_split",
+        "adapter_merge": "on_merge",
+        "adapter_redemption": "on_redemption",
+        "adapter_conversion": "on_conversion",
         "resolution": "on_resolution",
         "transfer": "on_transfer",
         "fee_refund": "on_fee",

@@ -206,3 +206,60 @@ def test_snapshots_cumulative_consistency():
     eng.take_snapshot(9e9)
     assert eng.snapshots[-1]["realized_pnl"] == pytest.approx(2.5)
     assert eng.snapshots[-1]["token_count"] == 0
+
+
+def test_adapter_split_merge_labels():
+    """Adapter variants share split/merge semantics but keep their own
+    event-type labels (ledger-engine.ts:1463-1669)."""
+    eng = LedgerEngine("w1")
+    eng.replay([
+        ev(0, "adapter_split", usdc=10.0, outcome_token_ids=["yes", "no"]),
+        ev(1, "adapter_merge", usdc=10.0, outcome_token_ids=["yes", "no"]),
+    ])
+    assert eng.realized == pytest.approx(0.0)
+    types = [e["event_type"] for e in eng.entries]
+    assert types == ["adapter_split", "adapter_merge"]
+
+
+def test_conversion_carries_cost_basis():
+    """Scenario 4: conversion burns NO legs and mints YES legs carrying the
+    burned basis; no PnL on a pure conversion."""
+    eng = LedgerEngine("w1")
+    eng.replay([
+        # acquire 10 no-A @0.4 and 10 no-B @0.3
+        ev(0, "trade", token_id="no-A", is_buy=True, qty=10.0, usdc=4.0),
+        ev(1, "trade", token_id="no-B", is_buy=True, qty=10.0, usdc=3.0),
+        ev(2, "adapter_conversion", qty=10.0,
+           outcome_token_ids=["no-A", "no-B"],
+           mint_token_ids=["yes-C"], usdc=0.0),
+    ])
+    assert eng.realized == pytest.approx(0.0)
+    assert eng.book.qty("no-A") == 0.0 and eng.book.qty("no-B") == 0.0
+    assert eng.book.qty("yes-C") == pytest.approx(10.0)
+    # carried basis: (4.0 + 3.0) / 10 units = 0.7/unit
+    assert eng.book.avg_cost("yes-C") == pytest.approx(0.7)
+
+
+def test_conversion_cash_excess_realizes():
+    eng = LedgerEngine("w1")
+    eng.replay([
+        ev(0, "trade", token_id="no-A", is_buy=True, qty=10.0, usdc=4.0),
+        ev(1, "adapter_conversion", qty=10.0,
+           outcome_token_ids=["no-A"], mint_token_ids=["yes-B"], usdc=6.0),
+    ])
+    # cash 6.0 > basis 4.0 → +2.0 realized, yes-B minted at 0 cost
+    assert eng.realized == pytest.approx(2.0)
+    assert eng.book.avg_cost("yes-B") == pytest.approx(0.0)
+
+
+def test_conversion_no_mint_fallback_realizes_loss():
+    """No-transfers fallback (ledger-engine.ts:1266-1272 analog): if the
+    mint legs are unknown, the burned basis realizes as a loss rather than
+    silently vanishing."""
+    eng = LedgerEngine("w1")
+    eng.replay([
+        ev(0, "trade", token_id="no-A", is_buy=True, qty=10.0, usdc=4.0),
+        ev(1, "adapter_conversion", qty=10.0,
+           outcome_token_ids=["no-A"], mint_token_ids=[], usdc=0.0),
+    ])
+    assert eng.realized == pytest.approx(-4.0)
