@@ -130,6 +130,8 @@ _SPECS: list[QuerySpec] = [
               "embedding-cosine near-dup pairs"),
     QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               ("VS3",), "random-hyperplane LSH ANN with exact re-rank"),
+    QuerySpec("knn_ivf", V.knn_ivf, V.KNN_IVF_SQL, ("VS4", "VS2"),
+              "IVF ANN: centroid coarse quantizer, nprobe=1, exact re-rank"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -264,3 +264,124 @@ FROM (
 )
 WHERE rank <= 3
 """
+
+
+# --- knn_ivf: IVF-style ANN — label cells with exact per-label centroids as
+#     the coarse quantizer (computed with the exact-decimal discipline so
+#     both engines derive bit-identical centroids), nprobe=1, exact cosine
+#     re-rank inside the probed cell. Complements knn_ann_lsh: IVF prunes by
+#     cluster geometry, LSH by hash buckets.
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= N_QUERIES)
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mean_v"))),
+            lambda s: s.getField("mean_v"),
+        ).alias("centroid")
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored_cells = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_emb",
+        "label",
+        VX.cosine_rounded(F.col("q_emb"), F.col("centroid"), 6).alias("cell_sim"),
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("label"))
+    probed = (
+        scored_cells.withColumn("r", F.row_number().over(w_cell))
+        .filter(F.col("r") == 1)
+        .select("query_id", "q_emb", F.col("label").alias("probe_label"))
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    cands = corpus.join(
+        F.broadcast(probed), F.col("c_label") == F.col("probe_label")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        VX.cosine_rounded(F.col("q_emb"), F.col("c_emb"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+_CENT = """
+centroid_dims AS (
+  SELECT label, i - 1 AS dim,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+           / COUNT(*) AS mean_v
+  FROM (
+    SELECT label, unnest(embedding) AS v,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings WHERE vec_id >= {nq}
+  )
+  GROUP BY 1, 2
+),
+centroids AS (
+  SELECT label, list(mean_v ORDER BY dim) AS centroid
+  FROM centroid_dims GROUP BY label
+)
+""".format(nq=N_QUERIES)
+
+_QC_DOT = (
+    "list_sum(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * centroid[i]))"
+)
+_CENT_NORM = "sqrt(list_sum(list_transform(centroid, x -> x * x)))"
+
+KNN_IVF_SQL = f"""
+WITH {_CENT},
+cells AS (
+  SELECT q.vec_id AS query_id, centroids.label AS label,
+         ROUND({_QC_DOT} / ({_QNORM} * {_CENT_NORM}), 6) AS cell_sim
+  FROM embeddings q, centroids
+  WHERE q.vec_id < {N_QUERIES}
+),
+probed AS (
+  SELECT query_id, label AS probe_label
+  FROM (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cell_sim DESC, label) AS r
+    FROM cells
+  ) WHERE r = 1
+),
+cands AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT} / ({_QNORM} * {_CNORM}), 6) AS cosine_sim
+  FROM probed p
+  JOIN embeddings c ON c.label = p.probe_label AND c.vec_id >= {N_QUERIES}
+  JOIN embeddings q ON q.vec_id = p.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine_sim
+FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM cands
+)
+WHERE rank <= 3
+"""

@@ -190,3 +190,92 @@ def decode_payout_redemption(logs: DataFrame) -> DataFrame:
         sets.alias("index_sets"),
         _uint128_dec(_word(F.col("data"), 1)).alias("payout"),
     )
+
+
+SIG_ORDER_FILLED = "0xd0a08e8c493f9c94f29311604c9de1b4e8c8d4c06bd0c789af57f2d65bfec0f6"
+SIG_CONDITION_PREPARATION = "0xab3760c3bd2bb38b5bcf54dc79802ed67338b4cf29f3054ded67ed24661e4177"
+SIG_CONDITION_RESOLUTION = "0xb44d84d3289691f71497564b85d4233648d9dbae8cbdbb4329f301c3a0185894"
+
+
+def decode_order_filled(logs: DataFrame) -> DataFrame:
+    """CTF-Exchange OrderFilled(orderHash idx, maker idx, taker idx,
+    makerAssetId, takerAssetId, makerAmountFilled, takerAmountFilled, fee)
+    → trades rows with the derived trading fields (reference trades table
+    001:9-44; decode arm src/main.ts:254-310). Asset id 0 is USDC — the
+    non-zero side is the outcome token; is_maker_buy = (makerAssetId == 0);
+    usdc/token amounts follow the paying side (both 6-decimals)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_ORDER_FILLED)
+    maker_asset = _word(F.col("data"), 0)
+    taker_asset = _word(F.col("data"), 1)
+    maker_amt = _uint128_dec(_word(F.col("data"), 2))
+    taker_amt = _uint128_dec(_word(F.col("data"), 3))
+    is_maker_buy = F.conv(F.substring(maker_asset, 49, 16), 16, 10).cast(
+        "decimal(38,0)"
+    ).eqNullSafe(F.lit(0).cast("decimal(38,0)")) & (
+        F.substring(maker_asset, 1, 48) == "0" * 48
+    )
+    return t.select(
+        *_common(t),
+        F.element_at("topics", 2).alias("order_hash"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("maker"),
+        _addr_from_topic(F.element_at("topics", 4)).alias("taker"),
+        _hex_id(maker_asset).alias("maker_asset_id"),
+        _hex_id(taker_asset).alias("taker_asset_id"),
+        maker_amt.alias("maker_amount"),
+        taker_amt.alias("taker_amount"),
+        _uint128_dec(_word(F.col("data"), 4)).alias("fee"),
+        is_maker_buy.alias("is_maker_buy"),
+        (~is_maker_buy).alias("is_taker_buy"),
+        F.when(is_maker_buy, _hex_id(taker_asset))
+        .otherwise(_hex_id(maker_asset))
+        .alias("token_id"),
+        F.when(is_maker_buy, maker_amt).otherwise(taker_amt).alias("usdc_amount"),
+        F.when(is_maker_buy, taker_amt).otherwise(maker_amt).alias("token_amount"),
+    )
+
+
+def decode_condition_preparation(logs: DataFrame) -> DataFrame:
+    """CTF ConditionPreparation(conditionId idx, oracle idx, questionId idx,
+    outcomeSlotCount) → conditions version rows (is_resolved=false;
+    reference 001:121-141, main.ts ConditionPreparation arm)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_CONDITION_PREPARATION)
+    return t.select(
+        *_common(t),
+        _hex_id(F.substring(F.element_at("topics", 2), 3, 64)).alias("condition_id"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("oracle"),
+        _hex_id(F.substring(F.element_at("topics", 4), 3, 64)).alias("question_id"),
+        F.conv(F.substring(_word(F.col("data"), 0), 49, 16), 16, 10)
+        .cast("int")
+        .alias("outcome_slot_count"),
+        F.lit(False).alias("is_resolved"),
+        F.lit(None).cast("array<decimal(38,0)>").alias("payout_numerators"),
+        F.lit(0).cast("decimal(38,0)").alias("payout_denominator"),
+    )
+
+
+def decode_condition_resolution(logs: DataFrame) -> DataFrame:
+    """CTF ConditionResolution(conditionId idx, oracle idx, questionId idx,
+    outcomeSlotCount, payoutNumerators[]) → resolved conditions version
+    rows; denominator = Σ numerators (reference main.ts resolution arm +
+    created_at backfill join handled in ledger/prep.py)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_CONDITION_RESOLUTION)
+    n = F.conv(F.substring(_word(F.col("data"), 2), 49, 16), 16, 10).cast("int")
+    t = t.withColumn("n_outcomes", n)
+    nums = F.transform(
+        F.sequence(F.lit(0), F.col("n_outcomes") - 1),
+        lambda i: _uint128_dec(_word_dyn(3, i)),
+    )
+    return t.select(
+        *_common(t),
+        _hex_id(F.substring(F.element_at("topics", 2), 3, 64)).alias("condition_id"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("oracle"),
+        _hex_id(F.substring(F.element_at("topics", 4), 3, 64)).alias("question_id"),
+        F.col("n_outcomes").alias("outcome_slot_count"),
+        F.lit(True).alias("is_resolved"),
+        nums.alias("payout_numerators"),
+        F.aggregate(
+            nums,
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: (acc + x).cast("decimal(38,0)"),
+        ).alias("payout_denominator"),
+    )

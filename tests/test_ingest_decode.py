@@ -119,3 +119,61 @@ def test_payout_redemption_roundtrip(spark):
     assert r["redeemer"] == A
     assert int(r["payout"]) == 7_500_000
     assert [int(x) for x in r["index_sets"]] == [1, 2]
+
+
+def test_order_filled_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_ORDER_FILLED,
+        decode_order_filled,
+    )
+
+    oh = topic_hex("77" * 32)
+    # maker pays USDC (asset 0) → maker is buyer
+    data = [w(0), w(TOKEN), w(5_000_000), w(10_000_000), w(25_000)]
+    df = spark.createDataFrame(
+        [log_row([SIG_ORDER_FILLED, oh, topic_addr(A), topic_addr(B)], data)],
+        RAW_LOG_SCHEMA,
+    )
+    r = decode_order_filled(df).collect()[0]
+    assert r["maker"] == A and r["taker"] == B
+    assert r["is_maker_buy"] is True and r["is_taker_buy"] is False
+    assert r["token_id"] == "0x" + w(TOKEN)
+    assert int(r["usdc_amount"]) == 5_000_000
+    assert int(r["token_amount"]) == 10_000_000
+    assert int(r["fee"]) == 25_000
+
+    # reverse: maker sells the token
+    data2 = [w(TOKEN), w(0), w(10_000_000), w(5_000_000), w(0)]
+    df2 = spark.createDataFrame(
+        [log_row([SIG_ORDER_FILLED, oh, topic_addr(A), topic_addr(B)], data2)],
+        RAW_LOG_SCHEMA,
+    )
+    r2 = decode_order_filled(df2).collect()[0]
+    assert r2["is_maker_buy"] is False and r2["is_taker_buy"] is True
+    assert int(r2["usdc_amount"]) == 5_000_000
+    assert int(r2["token_amount"]) == 10_000_000
+
+
+def test_condition_lifecycle_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_CONDITION_PREPARATION,
+        SIG_CONDITION_RESOLUTION,
+        decode_condition_preparation,
+        decode_condition_resolution,
+    )
+
+    cond, oracle, qid = topic_hex(COND), topic_addr(A), topic_hex("99" * 32)
+    prep = log_row([SIG_CONDITION_PREPARATION, cond, oracle, qid], [w(2)])
+    reso = log_row(
+        [SIG_CONDITION_RESOLUTION, cond, oracle, qid],
+        [w(0x40), w(0), w(2), w(1), w(0)],  # offset-ish word, pad, len, [1, 0]
+        log_index=1,
+    )
+    df = spark.createDataFrame([prep, reso], RAW_LOG_SCHEMA)
+    p = decode_condition_preparation(df).collect()[0]
+    assert p["outcome_slot_count"] == 2 and p["is_resolved"] is False
+    assert p["condition_id"] == "0x" + COND
+    r = decode_condition_resolution(df).collect()[0]
+    assert r["is_resolved"] is True
+    assert [int(x) for x in r["payout_numerators"]] == [1, 0]
+    assert int(r["payout_denominator"]) == 1
