@@ -60,6 +60,16 @@ def main() -> None:
         "k bigint, n bigint",
     ).write.format("noop").mode("overwrite").save()
 
+    # warm parquet footers/metadata for every table so the first timed query
+    # isn't also paying one-time file-listing + footer reads
+    from neomarket_clickhouse_indexer_spark.sources.tables import (
+        TABLE_NAMES,
+        load_table,
+    )
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn

@@ -34,15 +34,15 @@ ALLOC_SCHEMA = (
 )
 
 
-def _allocate_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Two-pointer FIFO match over one key's buys and sells (rows must
-    already be in (ts, ord) time order)."""
-    buys = pdf[pdf["side"] == 1]
-    sells = pdf[pdf["side"] == -1]
-    b_qty = buys["qty"].to_numpy()
-    b_px = buys["price"].to_numpy()
-    s_qty = sells["qty"].to_numpy()
-    s_px = sells["price"].to_numpy()
+def _allocate_core(side, qty, price) -> tuple:
+    """Two-pointer FIFO match over one key's numpy columns (rows must
+    already be in (ts, ord) time order). Returns the output tuple —
+    no pandas objects (a DataFrame per key dominates runtime at scale)."""
+    is_buy = side == 1
+    b_qty = qty[is_buy]
+    b_px = price[is_buy]
+    s_qty = qty[~is_buy]
+    s_px = price[~is_buy]
 
     realized = 0.0
     matched = 0
@@ -72,16 +72,27 @@ def _allocate_group(pdf: pd.DataFrame) -> pd.DataFrame:
         take = min(rem, int(b_qty[i]))
         open_cost += take * b_px[i]
         rem -= take
+    return (
+        int(b_qty.sum()),
+        int(s_qty.sum()),
+        matched,
+        round(realized, 4),
+        open_qty,
+        round(open_cost, 4),
+    )
+
+
+def _allocate_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-group wrapper (tests / small inputs)."""
+    vals = _allocate_core(
+        pdf["side"].to_numpy(), pdf["qty"].to_numpy(), pdf["price"].to_numpy()
+    )
     return pd.DataFrame(
-        {
-            "key": [pdf["key"].iloc[0]],
-            "buy_qty": [int(b_qty.sum())],
-            "sell_qty": [int(s_qty.sum())],
-            "matched_qty": [matched],
-            "realized_pnl": [round(realized, 4)],
-            "open_qty": [open_qty],
-            "open_cost": [round(open_cost, 4)],
-        }
+        [(pdf["key"].iloc[0], *vals)],
+        columns=[
+            "key", "buy_qty", "sell_qty", "matched_qty",
+            "realized_pnl", "open_qty", "open_cost",
+        ],
     )
 
 
@@ -101,11 +112,27 @@ def _allocate_partition(batches) -> "pd.DataFrame":
     pdf = pd.concat(chunks, ignore_index=True)
     if pdf.empty:
         return
-    out = [
-        _allocate_group(g)
-        for _, g in pdf.groupby("key", sort=False)
-    ]
-    yield pd.concat(out, ignore_index=True)
+    # slice per key by contiguous runs (rows arrive sorted by key) and emit
+    # ONE output frame per partition — building a pandas DataFrame per key
+    # dominated wall time ~40× at 30k keys
+    import numpy as np
+
+    keys = pdf["key"].to_numpy()
+    side = pdf["side"].to_numpy()
+    qty = pdf["qty"].to_numpy()
+    price = pdf["price"].to_numpy()
+    boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+    out_rows = []
+    for s_i, e_i in zip(boundaries[:-1], boundaries[1:]):
+        vals = _allocate_core(side[s_i:e_i], qty[s_i:e_i], price[s_i:e_i])
+        out_rows.append((keys[s_i], *vals))
+    yield pd.DataFrame(
+        out_rows,
+        columns=[
+            "key", "buy_qty", "sell_qty", "matched_qty",
+            "realized_pnl", "open_qty", "open_cost",
+        ],
+    )
 
 
 def fifo_allocate(df: DataFrame) -> DataFrame:

@@ -337,18 +337,23 @@ GROUP BY event_type
 
 def _fifo_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return (
-        ev.filter(F.col("event_type").isin("purchase", "click"))
-        .filter(k.isNotNull())
-        .select(
-            F.col("user_id").alias("key"),
-            "ts",
-            F.col("event_id").alias("ord"),
-            F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("side"),
-            ((k % 5) + 1).alias("qty"),
-            F.col("value").alias("price"),
-        )
+    # extract the JSON field once behind a projection boundary — the filter
+    # and qty derivation both reuse the parsed column
+    parsed = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+    return parsed.filter(F.col("k").isNotNull()).select(
+        F.col("user_id").alias("key"),
+        "ts",
+        F.col("event_id").alias("ord"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("side"),
+        ((F.col("k") % 5) + 1).alias("qty"),
+        F.col("value").alias("price"),
     )
 
 

@@ -1,0 +1,25 @@
+import sys, re
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+from neomarket_clickhouse_indexer_spark.session import get_spark
+from neomarket_clickhouse_indexer_spark.queries import REGISTRY
+from neomarket_clickhouse_indexer_spark.plans import explain_str
+spark = get_spark('audit', cores=8, shuffle_partitions=8)
+sf = '/root/testdata/sf0.01'
+INTENTIONAL_CROSS = {"knn_bruteforce", "near_dup_embeddings", "knn_ann_lsh", "knn_ivf"}
+for name in sorted(REGISTRY):
+    if name == "domain_ledger_summary":  # triggers eager work; skip plan-only audit
+        pass
+    try:
+        df = REGISTRY[name].fn(spark, sf)
+        plan = explain_str(df, "simple")
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in INTENTIONAL_CROSS:
+            flags.append("BNLJ")
+        n_ex = plan.count("Exchange")
+        if flags:
+            print(f"{name}: {' '.join(flags)} (exchanges~{n_ex})")
+    except Exception as e:
+        print(f"{name}: ERROR {str(e)[:120]}")
+print("audit done")

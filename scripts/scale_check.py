@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Scale sanity: replicate the events table N× (shifted ids/users) and
+check that the core event-stream operators scale ~linearly — the local
+proxy for "would this plan survive a 100× scale-up" (partition counts and
+shuffle structure stay constant; only data volume grows).
+
+Usage: python3 scripts/scale_check.py [N=30]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from neomarket_clickhouse_indexer_spark.operators.candles import finalize, ohlcv
+from neomarket_clickhouse_indexer_spark.operators.dedup import latest_by_key
+from neomarket_clickhouse_indexer_spark.operators.fifo import fifo_allocate
+from neomarket_clickhouse_indexer_spark.queries.events import _fifo_input
+from neomarket_clickhouse_indexer_spark.session import get_spark
+from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    spark = get_spark("scale_check", cores=32, shuffle_partitions=64)
+    base = load_table(spark, "/root/testdata/sf0.1", "events")
+
+    scaled_path = f"/tmp/scale_check_events_x{n}.parquet"
+    if not os.path.exists(scaled_path):
+        reps = spark.range(n).withColumnRenamed("id", "rep")
+        scaled = base.crossJoin(reps).select(
+            (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 1000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        scaled.repartition(64).write.mode("overwrite").parquet(scaled_path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    big = spark.read.parquet(scaled_path)
+    print(f"rows: {big.count():,}")
+
+    def timed(label, df):
+        # run twice, report both: iter0 includes JVM JIT warm-up of the
+        # codegen'd pipeline (measured 10×+ on cold JSON-parse paths);
+        # iter1 is the steady state a long-running cluster job sees
+        for it in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            print(f"{label} iter{it}: {time.perf_counter() - t0:.2f}s", flush=True)
+
+    timed("candles_1m", finalize(
+        ohlcv(big, key="event_type", ts="ts", price="value", ord_col="event_id")
+    ))
+    timed("latest_by_user", latest_by_key(big, ["user_id"], ["ts", "event_id"]))
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    fifo_in = (
+        big.filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.col("user_id").alias("key"),
+            "ts",
+            F.col("event_id").alias("ord"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(-1).alias("side"),
+            ((k % 5) + 1).alias("qty"),
+            F.col("value").alias("price"),
+        )
+        .filter(F.col("qty").isNotNull())
+    )
+    timed("fifo_allocate", fifo_allocate(fifo_in))
+
+
+if __name__ == "__main__":
+    main()
