@@ -1,0 +1,55 @@
+"""Data-layout writer — the storage-side half of the reference's optimizer
+story (SURVEY §4): partition pruning + primary-key locality + data skipping.
+
+Reference: ``PARTITION BY toYYYYMM(ts)`` + ``ORDER BY (token_id, time)``
+MergeTree keys (001:43-44,416) give ClickHouse partition pruning and
+clustered scans. Parquet equivalents:
+
+- hive partitioning on a coarse time/key column → partition pruning is a
+  directory listing, before any I/O;
+- ``sortWithinPartitions`` before write → row-group min/max statistics
+  become selective (data skipping ≈ the reference's bloom/minmax skip
+  indexes, P8), and scans of a key range touch few row groups;
+- file sizing via ``repartition(n)`` so row groups are neither tiny
+  (footer overhead) nor huge (no skipping granularity).
+
+At 100 TB this layout decides whether a token-scoped candle query reads
+megabytes or the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Write hive-partitioned parquet with rows clustered (sorted) on
+    ``cluster_by`` inside each file."""
+    (
+        df.repartition(files_per_partition, *[F.col(c) for c in partition_by])
+        .sortWithinPartitions(*partition_by, *cluster_by)
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def month_col(ts: str) -> F.Column:
+    """toYYYYMM analog for partition columns (reference 001:44)."""
+    return F.date_format(F.col(ts), "yyyyMM").alias("year_month")
+
+
+def pruned_scan(spark: SparkSession, path: str, **partition_filters) -> DataFrame:
+    """Read with partition-pruning filters applied immediately (the filters
+    land in the file index, not in post-scan evaluation)."""
+    df = spark.read.parquet(path)
+    for col, val in partition_filters.items():
+        df = df.filter(F.col(col) == val)
+    return df

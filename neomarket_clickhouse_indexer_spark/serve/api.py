@@ -161,3 +161,99 @@ class ServeContext:
             "openQty": r["open_qty"],
             "openCost": r["open_cost"],
         }
+
+    # /leaderboard/explain (src/api.ts:1560-1667): per-wallet ledger entries
+    # + the never-negative-inventory invariant verdict (O7)
+    def explain_user(self, user_id: int, limit: int = 10000) -> dict:
+        from ..queries.events import _domain_events
+        from ..ledger.build import build_wallet_ledger
+        from ..verify.invariants import check_non_negative_inventory
+
+        wallet = f"0xw{user_id}"
+        events = _domain_events(self.spark, self.sf_dir).filter(
+            F.col("wallet") == wallet
+        )
+        entries = build_wallet_ledger(events)
+        violations = check_non_negative_inventory(entries).count()
+        rows = _rows(
+            entries.orderBy("block_timestamp", "block_number", "log_index").select(
+                "event_type",
+                F.unix_timestamp("block_timestamp").alias("time"),
+                "token_id",
+                "quantity",
+                "usdc_delta",
+                "realized_pnl",
+            ),
+            min(limit, 10000),
+        )
+        return {
+            "wallet": wallet,
+            "entries": rows,
+            "invariants": {
+                "never_negative_inventory": violations == 0,
+                "violations": violations,
+            },
+        }
+
+    # /market/holders (src/api.ts top-5 holders shape): largest open
+    # positions per market proxy
+    def holders(self, limit: int = 5) -> dict:
+        df = (
+            EQ.fifo_user_pnl(self.spark, self.sf_dir)
+            .filter(F.col("open_qty") > 0)
+            .orderBy(F.desc("open_qty"), F.asc("key"))
+            .select(
+                F.col("key").alias("user_id"), "open_qty", "open_cost"
+            )
+        )
+        return {"holders": _rows(df, max(1, min(limit, 5)))}
+
+    # /market/stats (src/api.ts:1240-1256 shape): 24h window aggregates +
+    # deterministic last price per key
+    def market_stats(self, key: str) -> dict:
+        from ..queries.events import FIXED_NOW
+        from ..sources.tables import load_table
+
+        ev = load_table(self.spark, self.sf_dir, "events").filter(
+            F.col("event_type") == key
+        )
+        now = F.lit(FIXED_NOW).cast("timestamp")
+        day = ev.filter(F.col("ts") >= now - F.expr("INTERVAL 24 HOURS"))
+        agg = day.agg(
+            F.count(F.lit(1)).alias("trades24h"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 4)
+            .alias("volume24h"),
+            F.countDistinct("user_id").alias("uniqueUsers24h"),
+        ).collect()[0]
+        last = ev.agg(F.max_by("value", "event_id").alias("lastPrice")).collect()[0]
+        return {
+            "key": key,
+            "trades24h": agg["trades24h"],
+            "volume24h": agg["volume24h"] or 0.0,
+            "uniqueUsers24h": agg["uniqueUsers24h"],
+            "lastPrice": last["lastPrice"],
+        }
+
+    # /discover/markets (src/api.ts:1940-1988): 3-way left join of metadata
+    # proxy × last price × windowed volume, sorted by volume
+    def discover(self, limit: int = 20) -> dict:
+        from ..sources.tables import load_table
+
+        ev = load_table(self.spark, self.sf_dir, "events")
+        vol = ev.groupBy("event_type").agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 4)
+            .alias("volume"),
+            F.count(F.lit(1)).alias("events"),
+        )
+        last = ev.groupBy("event_type").agg(
+            F.max_by("value", "event_id").alias("lastPrice")
+        )
+        users = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("uniqueUsers")
+        )
+        out = (
+            vol.join(last, "event_type", "left")
+            .join(users, "event_type", "left")
+            .orderBy(F.desc("volume"), F.asc("event_type"))
+        )
+        return {"markets": _rows(out, max(1, min(limit, 100)))}

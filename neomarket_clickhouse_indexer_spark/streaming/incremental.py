@@ -130,3 +130,67 @@ def incremental_candles_stream(
 
 def read_candle_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(state_dir)
+
+
+# --- generic additive incremental aggregation (SummingMergeTree analog:
+#     user_balances, token_volume_1h, wallet_token_buys — reference
+#     001:382-398,571-598). Counts and decimal sums merge by addition, so
+#     the fold is: microbatch partials ∪ affected state → re-sum → dynamic
+#     partition overwrite.
+
+
+def merge_additive_states(states: DataFrame, keys: list[str],
+                          sum_cols: list[str]) -> DataFrame:
+    return states.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )
+
+
+def incremental_additive_stream(
+    events_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    partial_fn,
+    keys: list[str],
+    sum_cols: list[str],
+    partition_col: str,
+):
+    """foreachBatch additive folding. ``partial_fn(batch)`` computes the
+    microbatch's partial aggregate at the state grain (must include
+    ``partition_col``); partials merge additively into the state table,
+    rewriting only touched partitions. Epoch markers make replay
+    idempotent (same mechanics as the candle sink)."""
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        marker = os.path.join(state_dir, f"_folded_epoch_{epoch}")
+        if os.path.exists(marker):
+            return
+        delta = partial_fn(batch).localCheckpoint()
+        touched = [r[partition_col] for r in
+                   delta.select(partition_col).distinct().collect()]
+        if not touched:
+            return
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if os.path.exists(state_dir):
+            existing = spark.read.parquet(state_dir).filter(
+                F.col(partition_col).isin(touched)
+            )
+            merged = merge_additive_states(
+                existing.unionByName(delta), keys, sum_cols
+            )
+        else:
+            merged = merge_additive_states(delta, keys, sum_cols)
+        (
+            merged.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(state_dir)
+        )
+        open(marker, "w").close()
+
+    return (
+        events_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fold)
+    )
