@@ -261,3 +261,87 @@ def resolution_events(
         F.col("outcome_token_ids"),
         F.col("payout_ratios"),
     )
+
+
+def normalize_adapter_simple(
+    table: DataFrame, market_metadata: DataFrame, kind: str
+) -> DataFrame:
+    """adapter_splits / adapter_merges (reference 001:183-213): same shape
+    as CTF split/merge but via the negRisk adapter — stakeholder +
+    condition_id + amount; legs resolved from metadata."""
+    assert kind in ("adapter_split", "adapter_merge")
+    df = _with_outcome_tokens(dedupe_by_id(table), market_metadata)
+    return _norm(
+        df,
+        wallet=F.col("stakeholder"),
+        type=F.lit(kind),
+        condition_id=F.col("condition_id"),
+        usdc=_usd("amount"),
+        outcome_token_ids=F.col("outcome_token_ids"),
+    )
+
+
+def normalize_adapter_redemptions(
+    redemptions: DataFrame, market_metadata: DataFrame, conditions: DataFrame
+) -> DataFrame:
+    """adapter_redemptions (reference 001:215-230) — same payout-ratio
+    resolution as CTF redemptions, via the adapter."""
+    cond = latest_by_key(conditions, ["condition_id"], ["height"]).select(
+        F.col("condition_id").alias("c_condition_id"),
+        _payout_ratios().alias("payout_ratios"),
+    )
+    df = _with_outcome_tokens(dedupe_by_id(redemptions), market_metadata)
+    df = df.join(
+        F.broadcast(cond), df.condition_id == cond.c_condition_id, "left"
+    ).drop("c_condition_id")
+    return _norm(
+        df,
+        wallet=F.col("redeemer"),
+        type=F.lit("adapter_redemption"),
+        condition_id=F.col("condition_id"),
+        outcome_token_ids=F.col("outcome_token_ids"),
+        payout_ratios=F.col("payout_ratios"),
+    )
+
+
+def normalize_adapter_conversions(
+    conversions: DataFrame, legs: DataFrame
+) -> DataFrame:
+    """adapter_conversions (reference 001:232-247; engine semantics
+    ledger-engine.ts:1670-1751): burn the selected NO legs, mint the
+    complementary YES legs. ``legs`` resolves (market_id, index_set) →
+    (burn_token_ids, mint_token_ids) — built by the caller from
+    neg_risk_markets.question_count × market metadata (the reference's
+    bit-twiddling over index sets, ledger-engine.ts:463-466,815-820).
+    """
+    c = dedupe_by_id(conversions)
+    legs = legs.select(
+        F.col("market_id").alias("l_market_id"),
+        F.col("index_set").alias("l_index_set"),
+        F.col("burn_token_ids"),
+        F.col("mint_token_ids"),
+    )
+    joined = c.join(
+        F.broadcast(legs),
+        (c.market_id == legs.l_market_id) & (c.index_set == legs.l_index_set),
+        "left",
+    )
+    # mint legs ride in an extra column beyond the normalized schema — the
+    # engine's conversion handler reads ev["mint_token_ids"]
+    return joined.select(
+        F.col("stakeholder").alias("wallet"),
+        F.col("block_timestamp").alias("ts"),
+        F.col("block_number").cast("long").alias("block_number"),
+        F.col("log_index").cast("long").alias("log_index"),
+        F.lit("adapter_conversion").alias("type"),
+        F.lit("").alias("token_id"),
+        F.col("market_id").alias("condition_id"),
+        _usd("amount").alias("qty"),
+        F.lit(0.0).alias("usdc"),
+        F.lit(0.0).alias("fee"),
+        F.lit(False).alias("is_buy"),
+        F.lit(False).alias("is_in"),
+        F.col("burn_token_ids").alias("outcome_token_ids"),
+        F.lit(None).cast("array<double>").alias("payout_ratios"),
+        F.col("mint_token_ids"),
+    )
