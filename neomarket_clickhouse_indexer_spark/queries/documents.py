@@ -456,3 +456,25 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
       / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT)
       >= {JACCARD_THRESHOLD}
 """
+
+
+# --- docs_dup_clusters: DD2 stage 3 — connected components over the LSH
+#     candidate pairs (dedup keeps min doc_id per component). Spark:
+#     iterative min-label propagation; oracle: recursive-CTE transitive
+#     closure — independent algorithms.
+
+
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import connected_components
+
+    pairs = docs_near_dup_pairs(spark, sf_dir)
+    return connected_components(pairs)
+
+
+def _dup_clusters_sql() -> str:
+    from ..operators.clusters import components_sql
+
+    return components_sql(DOCS_NEAR_DUP_PAIRS_SQL)
+
+
+DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()

@@ -111,6 +111,10 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("docs_near_dup_pairs", D.docs_near_dup_pairs,
               D.DOCS_NEAR_DUP_PAIRS_SQL, ("DD2",),
               "MinHash+LSH near-dup candidate pairs"),
+    QuerySpec("docs_dup_clusters", D.docs_dup_clusters,
+              D.DOCS_DUP_CLUSTERS_SQL, ("DD2", "DD6"),
+              "connected-components dedup clusters (label propagation vs "
+              "recursive-CTE oracle)"),
     QuerySpec("docs_jaccard_pairs", D.docs_jaccard_pairs,
               D.DOCS_JACCARD_PAIRS_SQL, ("DD2", "DD4"),
               "exact n-gram Jaccard verification of LSH candidates"),

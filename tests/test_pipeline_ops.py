@@ -83,3 +83,16 @@ def test_simhash_locality(spark, tmp_path):
         "near-dup must not be farther than an unrelated doc"
     )
     assert hamming(sig[0], sig[1]) <= 4
+
+
+def test_connected_components_planted_chain(spark):
+    from neomarket_clickhouse_indexer_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
