@@ -203,3 +203,110 @@ LEFT JOIN st ON k.key = st.key
 LEFT JOIN magg ON k.key = magg.key
 LEFT JOIN opens ON k.key = opens.key
 """
+
+
+# --- avg-cost running positions (the sequential state the streaming
+#     operator maintains; reference PositionManager's aggregate view of
+#     ledger-engine.ts:67-154 under average-cost accounting). Inherently
+#     sequential per key (oversell clamping couples every row to the state
+#     before it) — NOT window-expressible; the DuckDB oracle walks the same
+#     rows with a recursive CTE, a completely different evaluation engine.
+
+AVGCOST_SCHEMA = (
+    "key bigint, position double, avg_cost double, realized double, n long"
+)
+
+
+def _avgcost_core(side, qty, price) -> tuple:
+    pos = cost = realized = 0.0
+    for i in range(len(side)):
+        q = float(qty[i])
+        p = float(price[i])
+        if side[i] == 1:
+            pos += q
+            cost += q * p
+        else:
+            avg = cost / pos if pos > 1e-12 else 0.0
+            take = min(q, pos)
+            realized += take * (p - avg) + (q - take) * p
+            cost -= take * avg
+            pos -= take
+    avg_cost = cost / pos if pos > 1e-12 else 0.0
+    return (round(pos, 6), round(avg_cost, 6), round(realized, 4), len(side))
+
+
+def _avgcost_partition(batches):
+    chunks = list(batches)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    if pdf.empty:
+        return
+    import numpy as np
+
+    keys = pdf["key"].to_numpy()
+    side = pdf["side"].to_numpy()
+    qty = pdf["qty"].to_numpy()
+    price = pdf["price"].to_numpy()
+    boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+    rows = []
+    for s_i, e_i in zip(boundaries[:-1], boundaries[1:]):
+        rows.append((keys[s_i], *_avgcost_core(side[s_i:e_i], qty[s_i:e_i], price[s_i:e_i])))
+    yield pd.DataFrame(
+        rows, columns=["key", "position", "avg_cost", "realized", "n"]
+    )
+
+
+def avg_cost_positions(df: DataFrame) -> DataFrame:
+    """Input columns: key, ts, ord, side (1/-1), qty, price → final
+    (position, avg_cost, realized, n) per key under sequential average-cost
+    accounting with oversell-as-income."""
+    prepared = (
+        df.select("key", "ts", "ord", "side", "qty", "price")
+        .repartition("key")
+        .sortWithinPartitions("key", "ts", "ord")
+    )
+    return prepared.mapInPandas(_avgcost_partition, schema=AVGCOST_SCHEMA)
+
+
+def avg_cost_positions_sql(events_rel: str) -> str:
+    """Recursive-CTE oracle: walk each key's rows in (ts, ord) order,
+    threading (position, cost, realized) through the recursion — the exact
+    IEEE operation sequence of the Python engine, evaluated by DuckDB."""
+    return f"""
+WITH RECURSIVE src AS (SELECT * FROM {events_rel}),
+ordered AS (
+  SELECT key, side, qty, price,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, ord) AS rn
+  FROM src
+),
+counts AS (SELECT key, COUNT(*) AS n FROM ordered GROUP BY key),
+walk(key, rn, pos, cost, realized) AS (
+  SELECT key, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM counts
+  UNION ALL
+  SELECT w.key, w.rn + 1,
+         CASE WHEN o.side = 1 THEN w.pos + o.qty
+              ELSE w.pos - LEAST(o.qty, w.pos) END,
+         CASE WHEN o.side = 1 THEN w.cost + o.qty * o.price
+              ELSE w.cost - LEAST(o.qty, w.pos) *
+                   (CASE WHEN w.pos > 1e-12 THEN w.cost / w.pos ELSE 0.0 END)
+         END,
+         CASE WHEN o.side = 1 THEN w.realized
+              ELSE w.realized
+                   + LEAST(o.qty, w.pos) * (o.price -
+                     (CASE WHEN w.pos > 1e-12 THEN w.cost / w.pos ELSE 0.0 END))
+                   + (o.qty - LEAST(o.qty, w.pos)) * o.price
+         END
+  FROM walk w JOIN ordered o ON o.key = w.key AND o.rn = w.rn + 1
+),
+final AS (
+  SELECT w.key, w.pos, w.cost, w.realized, c.n
+  FROM walk w JOIN counts c ON w.key = c.key AND w.rn = c.n
+)
+SELECT key,
+       ROUND(pos, 6) AS position,
+       ROUND(CASE WHEN pos > 1e-12 THEN cost / pos ELSE 0.0 END, 6) AS avg_cost,
+       ROUND(realized, 4) AS realized,
+       n
+FROM final
+"""

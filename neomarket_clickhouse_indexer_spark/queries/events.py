@@ -504,3 +504,34 @@ SELECT user_id,
 FROM ranked
 GROUP BY user_id
 """
+
+
+# --- avgcost_user_positions: sequential average-cost position state per
+#     user (the stateful-streaming semantics as a batch gate query). The
+#     oracle is a recursive CTE threading state through the same row order
+#     — a sequential algorithm evaluated by two unrelated engines.
+
+
+def avgcost_user_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fifo import avg_cost_positions
+
+    return avg_cost_positions(_fifo_input(spark, sf_dir))
+
+
+def _avgcost_sql() -> str:
+    from ..operators.fifo import avg_cost_positions_sql
+
+    return avg_cost_positions_sql(
+        f"""(
+  SELECT user_id AS key, ts, event_id AS ord,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS side,
+         CAST((CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1 AS DOUBLE) AS qty,
+         value AS price
+  FROM {EVENTS_SQL} e
+  WHERE event_type IN ('purchase', 'click')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+)"""
+    )
+
+
+AVGCOST_USER_POSITIONS_SQL = _avgcost_sql()

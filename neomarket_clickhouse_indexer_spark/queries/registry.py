@@ -94,6 +94,9 @@ _SPECS: list[QuerySpec] = [
               "now()-relative window with injected clock"),
     QuerySpec("fifo_user_pnl", E.fifo_user_pnl, E.FIFO_USER_PNL_SQL,
               ("O1", "O3"), "FIFO-lot allocation (applyInPandas vs interval SQL)"),
+    QuerySpec("avgcost_user_positions", E.avgcost_user_positions,
+              E.AVGCOST_USER_POSITIONS_SQL, ("O1", "ST6"),
+              "sequential avg-cost state machine vs recursive-CTE oracle"),
     QuerySpec("domain_ledger_summary", E.domain_ledger_summary, None,
               ("O1", "O2"), "full domain FIFO ledger replay (rows-only; "
               "golden+differential tested in tests/)"),
