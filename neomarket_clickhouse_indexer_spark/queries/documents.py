@@ -478,3 +478,33 @@ def _dup_clusters_sql() -> str:
 
 
 DOCS_DUP_CLUSTERS_SQL = _dup_clusters_sql()
+
+
+# --- docs_bpe_token_count: TX3b — "BPE-ish" regex tokenization (letter
+#     runs / digit runs / single punctuation, the GPT-2 pre-tokenizer's
+#     skeleton) alongside whitespace counts; the ratio approximates
+#     tokens-per-word inflation a real BPE would produce.
+
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0)
+    ws = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.round(F.size(bpe) / F.size(ws), 4).alias("tokens_per_word"),
+    )
+
+
+DOCS_BPE_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+       ROUND(len(regexp_extract_all(text, '{BPE_ISH}'))
+             / CAST(len({_TOKS}) AS BIGINT), 4) AS tokens_per_word
+FROM documents
+"""

@@ -62,6 +62,9 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("party_volume_union", R.party_volume_union,
               R.PARTY_VOLUME_UNION_SQL, ("U1", "W4", "J1"),
               "union-relabel view + per-role top-k (wallet_trades shape)"),
+    QuerySpec("cheapest_supplier_per_part", R.cheapest_supplier_per_part,
+              R.CHEAPEST_SUPPLIER_PER_PART_SQL, ("J1", "A1", "W4"),
+              "TPC-H Q2 shape: per-group min via decorrelated subquery"),
     # Event-stream surface
     QuerySpec("latest_event_per_user", E.latest_event_per_user,
               E.LATEST_EVENT_PER_USER_SQL, ("W3",), "latest-by-key dedup view"),
@@ -121,6 +124,9 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("docs_jaccard_pairs", D.docs_jaccard_pairs,
               D.DOCS_JACCARD_PAIRS_SQL, ("DD2", "DD4"),
               "exact n-gram Jaccard verification of LSH candidates"),
+    QuerySpec("docs_bpe_token_count", D.docs_bpe_token_count,
+              D.DOCS_BPE_TOKEN_COUNT_SQL, ("TX3",),
+              "BPE-ish regex tokenization vs whitespace"),
     QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
               ("DD5",), "16-bit SimHash document signatures"),
     QuerySpec("docs_top_by_lang", D.docs_top_by_lang, D.DOCS_TOP_BY_LANG_SQL,

@@ -413,3 +413,77 @@ FROM (
 )
 WHERE rank <= 5
 """
+
+
+# --- cheapest_supplier_per_part: TPC-H Q2 shape — correlated subquery
+#     (min cost per part) that Catalyst decorrelates into a join against a
+#     grouped subquery; deterministic tiebreak on suppkey.
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supplier = load_table(spark, sf_dir, "supplier")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            # scale-10 intermediate: rounding a 4-decimal sum then dividing
+            # by small n creates exact .00005 ties where the engines'
+            # rounding modes disagree; 10 decimals pushes ties to measure
+            # zero before the final round(4)
+            dsum(F.col("l_extendedprice") / F.col("l_quantity"),
+                 "unit_price_sum", scale=10),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # rank on the raw double quotient (identical across engines — it's
+        # a comparison, not a rounding); OUTPUT the exact-decimal components
+        # instead of a rounded average: true data ties at .00005 make
+        # round-then-compare engine-divergent (Java rounds the shortest
+        # decimal repr, DuckDB rounds the binary value)
+        .withColumn("avg_unit_price", F.col("unit_price_sum") / F.col("n"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("avg_unit_price"), F.asc("l_suppkey")
+    )
+    best = (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "unit_price_sum", "n")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.col("unit_price_sum").alias("best_price_sum"),
+            F.col("n").alias("best_n"),
+        )
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = f"""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         {sql_dsum("l_extendedprice / l_quantity", "unit_price_sum", scale=10)},
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+priced AS (
+  SELECT l_partkey, l_suppkey, unit_price_sum, n,
+         unit_price_sum / n AS avg_unit_price
+  FROM offers
+),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_price_sum, n
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                 ORDER BY avg_unit_price, l_suppkey) AS rn
+    FROM priced
+  ) WHERE rn = 1
+)
+SELECT p_partkey, p_name, s_name,
+       unit_price_sum AS best_price_sum, n AS best_n
+FROM best
+JOIN part ON l_partkey = p_partkey AND p_size <= 10
+JOIN supplier ON l_suppkey = s_suppkey
+"""
