@@ -228,7 +228,12 @@ def _avgcost_core(side, qty, price) -> tuple:
         else:
             avg = cost / pos if pos > 1e-12 else 0.0
             take = min(q, pos)
-            realized += take * (p - avg) + (q - take) * p
+            # two separate additions: ((realized + a) + b) — the SQL
+            # oracle's left-to-right chain. `realized += a + b` would
+            # associate as realized + (a+b), an ulp-different double that
+            # can straddle a rounding boundary (caught by fuzz seed 1337)
+            realized += take * (p - avg)
+            realized += (q - take) * p
             cost -= take * avg
             pos -= take
     avg_cost = cost / pos if pos > 1e-12 else 0.0
