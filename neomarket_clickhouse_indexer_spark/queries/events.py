@@ -535,3 +535,41 @@ def _avgcost_sql() -> str:
 
 
 AVGCOST_USER_POSITIONS_SQL = _avgcost_sql()
+
+
+# --- market_overview: J2 3-way left join (reference /discover/markets,
+#     src/api.ts:1940-1988: metadata × last price × windowed volume).
+
+
+def market_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vol = ev.groupBy("event_type").agg(
+        dsum(F.col("value"), "volume"), F.count(F.lit(1)).alias("n_events")
+    )
+    last = ev.groupBy("event_type").agg(
+        F.max_by("value", "event_id").alias("last_value")
+    )
+    users = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return vol.join(last, "event_type", "left").join(users, "event_type", "left")
+
+
+MARKET_OVERVIEW_SQL = f"""
+WITH vol AS (
+  SELECT event_type, {sql_dsum("value", "volume")}, COUNT(*) AS n_events
+  FROM {EVENTS_SQL} e GROUP BY event_type
+),
+last AS (
+  SELECT event_type, arg_max(value, event_id) AS last_value
+  FROM {EVENTS_SQL} e GROUP BY event_type
+),
+users AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+  FROM {EVENTS_SQL} e GROUP BY event_type
+)
+SELECT vol.event_type, volume, n_events, last_value, n_users
+FROM vol
+LEFT JOIN last USING (event_type)
+LEFT JOIN users USING (event_type)
+"""

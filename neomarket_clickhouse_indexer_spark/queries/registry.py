@@ -65,6 +65,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("cheapest_supplier_per_part", R.cheapest_supplier_per_part,
               R.CHEAPEST_SUPPLIER_PER_PART_SQL, ("J1", "A1", "W4"),
               "TPC-H Q2 shape: per-group min via decorrelated subquery"),
+    QuerySpec("regional_rollup", R.regional_rollup, R.REGIONAL_ROLLUP_SQL,
+              ("A1", "BONUS"), "ROLLUP grouping sets (beyond reference)"),
     # Event-stream surface
     QuerySpec("latest_event_per_user", E.latest_event_per_user,
               E.LATEST_EVENT_PER_USER_SQL, ("W3",), "latest-by-key dedup view"),
@@ -74,6 +76,8 @@ _SPECS: list[QuerySpec] = [
               ("A7", "A4"), "OHLCV 1m pre-aggregation"),
     QuerySpec("candles_5m_rebucketed", E.candles_5m_rebucketed, E.CANDLES_5M_SQL,
               ("A8", "A7"), "partial-state re-bucketing 1m→5m"),
+    QuerySpec("market_overview", E.market_overview, E.MARKET_OVERVIEW_SQL,
+              ("J2", "A1", "A4"), "3-way left join: volume x last price x users"),
     QuerySpec("hourly_type_volume", E.hourly_type_volume,
               E.HOURLY_TYPE_VOLUME_SQL, ("A1",), "hourly volume rollup"),
     QuerySpec("user_stats", E.user_stats, E.USER_STATS_SQL,

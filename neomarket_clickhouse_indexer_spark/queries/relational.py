@@ -487,3 +487,41 @@ FROM best
 JOIN part ON l_partkey = p_partkey AND p_size <= 10
 JOIN supplier ON l_suppkey = s_suppkey
 """
+
+
+# --- regional_rollup: BONUS beyond the reference (which has no grouping
+#     sets — SURVEY §2.4 note): ROLLUP over (region, nation) revenue with
+#     explicit grouping level, engine-aligned NULL markers.
+
+
+def regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("level"),
+        )
+    )
+
+
+REGIONAL_ROLLUP_SQL = f"""
+SELECT r_name, n_name,
+       {sql_dsum("o_totalprice", "revenue")},
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS level
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
