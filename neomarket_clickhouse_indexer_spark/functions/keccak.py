@@ -123,3 +123,28 @@ def outcome_token_ids(
         )
         for i in range(outcome_slot_count)
     ]
+
+
+# --- negRisk id bit-twiddling (reference src/ledger-engine.ts:463-466,
+#     815-820): a negRisk market id is the question id with the low byte
+#     zeroed; question i's id sets the low byte to i; index-set bit tests
+#     select which questions a conversion burns.
+
+
+def neg_risk_market_id(question_id: str) -> str:
+    """Zero the low byte of a 32-byte question id."""
+    v = int(question_id, 16)
+    return "0x" + f"{(v >> 8) << 8:064x}"
+
+
+def neg_risk_question_id(market_id: str, question_index: int) -> str:
+    """market id | question index (low byte)."""
+    if not 0 <= question_index < 256:
+        raise ValueError("question_index must fit one byte")
+    v = int(market_id, 16)
+    return "0x" + f"{((v >> 8) << 8) | question_index:064x}"
+
+
+def index_set_questions(index_set: int, question_count: int) -> list[int]:
+    """Bit test: which question indices an index set selects."""
+    return [i for i in range(question_count) if (index_set >> i) & 1]

@@ -88,3 +88,23 @@ def test_extract_features_plugs_into_vector_ops(spark, media):
     a = feats.select(F.col("media_id"), F.col("feature").alias("fa"))
     sim = a.select(VX.cosine_rounded(F.col("fa"), F.col("fa"), 6).alias("s")).toPandas()
     assert (sim["s"] == 1.0).all()
+
+
+def test_neg_risk_id_bit_ops():
+    from neomarket_clickhouse_indexer_spark.functions.keccak import (
+        index_set_questions,
+        neg_risk_market_id,
+        neg_risk_question_id,
+    )
+
+    q7 = "0x" + "ab" * 31 + "07"
+    market = neg_risk_market_id(q7)
+    assert market.endswith("00") and market[2:-2] == "ab" * 31
+    assert neg_risk_question_id(market, 7) == q7
+    assert neg_risk_question_id(market, 0) == market
+    assert index_set_questions(0b1011, 4) == [0, 1, 3]
+    assert index_set_questions(0, 4) == []
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        neg_risk_question_id(market, 300)
