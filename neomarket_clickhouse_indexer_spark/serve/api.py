@@ -257,3 +257,69 @@ class ServeContext:
             .orderBy(F.desc("volume"), F.asc("event_type"))
         )
         return {"markets": _rows(out, max(1, min(limit, 100)))}
+
+    # /ledger (src/api.ts ledger rows, clamp ≤10000, keyset order)
+    def ledger(self, user_id: int, limit: int = 10000) -> dict:
+        from ..ledger.build import build_wallet_ledger
+        from ..queries.events import _domain_events
+
+        wallet = f"0xw{user_id}"
+        entries = build_wallet_ledger(
+            _domain_events(self.spark, self.sf_dir).filter(F.col("wallet") == wallet)
+        ).orderBy("block_timestamp", "block_number", "log_index")
+        rows = _rows(
+            entries.select(
+                "event_type",
+                F.unix_timestamp("block_timestamp").alias("time"),
+                "token_id", "quantity", "usdc_delta", "unit_price",
+                "cost_basis", "realized_pnl",
+            ),
+            max(1, min(limit, 10000)),
+        )
+        return {"wallet": wallet, "ledger": rows}
+
+    # /snapshots (src/api.ts snapshots, clamp ≤10000)
+    def snapshots(self, user_id: int, interval_s: int = 86400,
+                  limit: int = 10000) -> dict:
+        from ..ledger.build import build_wallet_snapshots
+        from ..queries.events import _domain_events
+
+        wallet = f"0xw{user_id}"
+        snaps = build_wallet_snapshots(
+            _domain_events(self.spark, self.sf_dir).filter(F.col("wallet") == wallet),
+            interval_s=interval_s,
+        ).orderBy("snapshot_epoch")
+        rows = _rows(
+            snaps.select(
+                F.col("snapshot_epoch").cast("long").alias("time"),
+                "realized_pnl", "unrealized_pnl", "cashflow", "token_count",
+            ),
+            max(1, min(limit, 10000)),
+        )
+        return {"wallet": wallet, "snapshots": rows}
+
+    # /positions (src/api.ts positions from balances + enrichment)
+    def positions(self, user_id: int) -> dict:
+        from ..ledger.build import build_wallet_ledger
+        from ..queries.events import _domain_events
+
+        wallet = f"0xw{user_id}"
+        entries = build_wallet_ledger(
+            _domain_events(self.spark, self.sf_dir).filter(F.col("wallet") == wallet)
+        )
+        signed = (
+            F.when(F.col("event_type").isin("trade_buy", "transfer_in"),
+                   F.col("quantity"))
+            .when(F.col("event_type").isin(
+                "trade_sell", "transfer_out", "resolution_loss"),
+                -F.col("quantity"))
+            .otherwise(F.lit(0.0))
+        )
+        pos = (
+            entries.filter(F.col("token_id") != "")
+            .groupBy("token_id")
+            .agg(F.round(F.sum(signed), 6).alias("qty"))
+            .filter(F.col("qty") > 1e-9)
+            .orderBy(F.desc("qty"), F.asc("token_id"))
+        )
+        return {"wallet": wallet, "positions": _rows(pos, 1000)}
