@@ -38,7 +38,11 @@ HEADLINE = [
     "fifo_user_pnl",
     "docs_near_dup_pairs",
     "docs_text_stats",
+    "docs_simhash",
     "knn_bruteforce",
+    "knn_ann_lsh",
+    "avgcost_user_positions",
+    "regional_rollup",
 ]
 
 

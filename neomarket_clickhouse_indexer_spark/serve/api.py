@@ -43,6 +43,26 @@ class ServeContext:
         self.sf_dir = sf_dir
         # pre-aggregated candle tier (ladder step 1); None → recompute raw
         self.candle_state = candle_state
+        self._freshness_checked: bool | None = None
+
+    def _candle_state_fresh(self, lag_seconds: int = 3600) -> bool:
+        """The tier is fresh if its max bucket is within ``lag_seconds`` of
+        the raw data's max event time (checked once per context)."""
+        if self._freshness_checked is None:
+            from ..sources.tables import load_table
+
+            state_max = self.candle_state.agg(F.max("bucket")).collect()[0][0]
+            raw_max = (
+                load_table(self.spark, self.sf_dir, "events")
+                .agg(F.max("ts"))
+                .collect()[0][0]
+            )
+            self._freshness_checked = (
+                state_max is not None
+                and raw_max is not None
+                and (raw_max - state_max).total_seconds() <= lag_seconds
+            )
+        return self._freshness_checked
 
     # /leaderboard (src/api.ts:1322-1473)
     def leaderboard(self, sort: str = "volume", limit: int = 100) -> dict:
@@ -59,11 +79,18 @@ class ServeContext:
             raise ValueError(f"unsupported sort {sort!r}")
         return {"sort": sort, "entries": _rows(df, limit)}
 
-    # /market/candles (src/api.ts:1784-1879)
+    # /market/candles (src/api.ts:1784-1879). The ladder is freshness-aware
+    # (reference materialized→raw fallback, src/api.ts:1340-1360,1421-1429):
+    # a stale pre-agg tier (max bucket older than the raw data it should
+    # cover) silently falls back to the raw scan instead of serving holes.
     def candles(self, key: str, interval: str = "1m", limit: int = 5000) -> dict:
         limit = max(1, min(limit, 5000))
+        if interval not in INTERVALS:
+            raise ValueError(
+                f"interval must be one of {sorted(INTERVALS)}, got {interval!r}"
+            )
         seconds = INTERVALS[interval]
-        if self.candle_state is not None:
+        if self.candle_state is not None and self._candle_state_fresh():
             base = self.candle_state
             tier = rebucket(base, seconds) if seconds > 60 else base
         else:

@@ -72,3 +72,35 @@ def test_scoped_ledger_rebuild(spark, tmp_path):
     # scoped re-run of one wallet leaves the other intact
     rebuild_wallet_ledgers(events, out, wallets=["0xw12"])
     assert spark.read.parquet(out).select("wallet").distinct().count() == 2
+
+
+def test_candles_freshness_fallback(spark):
+    """A stale pre-agg tier must be bypassed in favor of the raw scan."""
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.operators.candles import ohlcv
+    from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cutoff = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    stale_state = ohlcv(
+        ev.filter(F.col("ts") < cutoff - dt.timedelta(days=7)),
+        key="event_type", ts="ts", price="value", ord_col="event_id",
+    )
+    fresh_state = ohlcv(ev, key="event_type", ts="ts", price="value",
+                        ord_col="event_id")
+
+    stale_ctx = ServeContext(spark, SF_SMOKE, candle_state=stale_state)
+    fresh_ctx = ServeContext(spark, SF_SMOKE, candle_state=fresh_state)
+    raw_ctx = ServeContext(spark, SF_SMOKE)
+
+    raw = raw_ctx.candles("purchase", "5m")["candles"]
+    assert stale_ctx.candles("purchase", "5m")["candles"] == raw, (
+        "stale tier must fall back to raw"
+    )
+    assert fresh_ctx.candles("purchase", "5m")["candles"] == raw
+
+    with pytest.raises(ValueError, match="interval"):
+        raw_ctx.candles("purchase", "17m")
