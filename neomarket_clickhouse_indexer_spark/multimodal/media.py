@@ -32,11 +32,9 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 16
 
-FRAME_SCHEMA = "media_id bigint, frame_idx int, frame bytes".replace(
-    "bytes", "binary"
-)
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame binary"
 
-FEATURE_SCHEMA = f"media_id bigint, feature array<float>"
+FEATURE_SCHEMA = "media_id bigint, feature array<float>"
 
 
 def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
