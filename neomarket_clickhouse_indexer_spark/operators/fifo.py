@@ -24,6 +24,8 @@ state machine on the same pattern.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,17 +36,31 @@ ALLOC_SCHEMA = (
 )
 
 
+def _q10(x: float) -> int:
+    """Quantize a double to integer 1e-10 units the way DuckDB casts
+    double→DECIMAL(30,10): round half away from zero on x*1e10. Summing
+    these integers exactly reproduces the oracle's decimal accumulator —
+    sequential float += drifts from it at ulp level and can straddle the
+    final ROUND(4) boundary (ADVICE r1)."""
+    y = x * 1e10
+    return math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)
+
+
 def _allocate_core(side, qty, price) -> tuple:
     """Two-pointer FIFO match over one key's numpy columns (rows must
     already be in (ts, ord) time order). Returns the output tuple —
-    no pandas objects (a DataFrame per key dominates runtime at scale)."""
+    no pandas objects (a DataFrame per key dominates runtime at scale).
+
+    Money totals are accumulated as exact 1e-10-unit integers (``_q10`` per
+    matched pair / open lot), matching ``fifo_allocate_sql``'s exact
+    DECIMAL(30,10) sums independent of accumulation order."""
     is_buy = side == 1
     b_qty = qty[is_buy]
     b_px = price[is_buy]
     s_qty = qty[~is_buy]
     s_px = price[~is_buy]
 
-    realized = 0.0
+    realized_u = 0  # integer 1e-10 units
     matched = 0
     bi = 0
     b_rem = b_qty[0] if len(b_qty) else 0
@@ -52,7 +68,7 @@ def _allocate_core(side, qty, price) -> tuple:
         need = s_qty[j]
         while need > 0 and bi < len(b_qty):
             take = min(need, b_rem)
-            realized += take * (s_px[j] - b_px[bi])
+            realized_u += _q10(take * (s_px[j] - b_px[bi]))
             matched += int(take)
             need -= take
             b_rem -= take
@@ -64,21 +80,21 @@ def _allocate_core(side, qty, price) -> tuple:
 
     open_qty = int(b_qty.sum()) - matched
     # open cost = cost of the unmatched tail of the buy queue
-    open_cost = 0.0
+    open_cost_u = 0
     rem = open_qty
     for i in range(len(b_qty) - 1, -1, -1):
         if rem <= 0:
             break
         take = min(rem, int(b_qty[i]))
-        open_cost += take * b_px[i]
+        open_cost_u += _q10(take * b_px[i])
         rem -= take
     return (
         int(b_qty.sum()),
         int(s_qty.sum()),
         matched,
-        round(realized, 4),
+        round(float(realized_u) / 1e10, 4),
         open_qty,
-        round(open_cost, 4),
+        round(float(open_cost_u) / 1e10, 4),
     )
 
 

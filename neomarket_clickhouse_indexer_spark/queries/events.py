@@ -228,7 +228,13 @@ def last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 LAST_VIEW_BEFORE_PURCHASE_SQL = f"""
 WITH e AS (SELECT * FROM {EVENTS_SQL}),
 p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
-v AS (SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'view')
+-- tie-proof anchors: when two views share (user_id, ts) the Spark operator
+-- deterministically keeps the max-event_id one; ASOF JOIN alone would pick
+-- an arbitrary same-ts row, so pre-collapse with arg_max (ADVICE r1)
+v AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value
+  FROM e WHERE event_type = 'view' GROUP BY user_id, ts
+)
 SELECT p.event_id AS purchase_id, p.user_id, v.value AS last_view_value
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
@@ -383,7 +389,11 @@ FIFO_USER_PNL_SQL = fifo_allocate_sql(
 
 
 def _domain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # rows with null props.k would yield null qty/usdc and silently poison
+    # wallet books (ADVICE r1) — exclude them, mirroring _fifo_input
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.get_json_object(F.col("props"), "$.k").isNotNull()
+    )
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     wallet = F.concat(F.lit("0xw"), F.col("user_id").cast("string"))
     cond = F.concat(F.lit("c"), (F.col("user_id") % 10).cast("string"))

@@ -66,14 +66,21 @@ class ServeContext:
 
     # /leaderboard (src/api.ts:1322-1473)
     def leaderboard(self, sort: str = "volume", limit: int = 100) -> dict:
+        from pyspark.sql import Window
+
         limit = max(1, min(limit, 100))
         if sort == "volume":
             df = EQ.top_users_by_volume(self.spark, self.sf_dir)
         elif sort == "pnl":
+            # limit() first (TakeOrdered, no global shuffle) then rank the
+            # ≤100-row frame; monotonically_increasing_id is NOT a rank —
+            # it encodes the partition id in the high bits (ADVICE r1)
+            order = [F.desc("realized_pnl"), F.asc("key")]
             df = (
                 EQ.fifo_user_pnl(self.spark, self.sf_dir)
-                .orderBy(F.desc("realized_pnl"), F.asc("key"))
-                .withColumn("rank", F.monotonically_increasing_id() + 1)
+                .orderBy(*order)
+                .limit(limit)
+                .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
             )
         else:
             raise ValueError(f"unsupported sort {sort!r}")
@@ -345,7 +352,14 @@ class ServeContext:
         pos = (
             entries.filter(F.col("token_id") != "")
             .groupBy("token_id")
-            .agg(F.round(F.sum(signed), 6).alias("qty"))
+            # exact decimal accumulator (dsum pattern): a bare double sum is
+            # partition-order-dependent and can flip the qty>1e-9 filter at
+            # the 6th decimal across runs (ADVICE r1)
+            .agg(
+                F.round(
+                    F.sum(signed.cast("decimal(30,10)")).cast("double"), 6
+                ).alias("qty")
+            )
             .filter(F.col("qty") > 1e-9)
             .orderBy(F.desc("qty"), F.asc("token_id"))
         )

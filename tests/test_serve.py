@@ -22,6 +22,18 @@ def test_leaderboard_clamp_and_rank(spark):
     assert vols == sorted(vols, reverse=True)
 
 
+def test_leaderboard_pnl_ranks_are_dense(spark):
+    """sort="pnl" must return ranks exactly 1..N in pnl order even when the
+    underlying frame has many partitions (the monotonically_increasing_id
+    regression produced partition-encoded jumps like 8589934593)."""
+    out = _ctx(spark).leaderboard(sort="pnl", limit=20)
+    entries = out["entries"]
+    assert len(entries) >= 2
+    assert [e["rank"] for e in entries] == list(range(1, len(entries) + 1))
+    pnls = [e["realized_pnl"] for e in entries]
+    assert pnls == sorted(pnls, reverse=True)
+
+
 def test_candles_pre_agg_ladder_matches_raw(spark):
     """Ladder step 1 (serve from the 1m pre-agg tier) must produce the same
     5m candles as recomputing from raw — the reference's <300ms path vs 6s
