@@ -49,6 +49,35 @@ def sql_dsum(expr: str, alias: str, scale: int = DSUM_ROUND) -> str:
     )
 
 
+def ranked_topk(df, order, k: int, rank_alias: str = "rank",
+                rank_offset: int = 0):
+    """Scale-safe deterministic top-k (T1/W4) with dense 1-based ranks.
+
+    ``orderBy().offset().limit()`` plans as ONE TakeOrderedAndProject —
+    each task keeps its local top-(offset+k) and the driver merges — so no
+    stage ever moves the full input to a single partition. The rank window
+    then runs over the ≤k-row result, partitioned by a constant-valued but
+    non-foldable expression (``pmod(xxhash64(col), 1)`` ≡ 0): a bare
+    ``lit(0)`` is constant-folded out of the spec, reviving WindowExec's
+    empty-partition path (and its warning) even though the input is bounded.
+
+    Replaces the global `row_number() ... WHERE rank <= k` shape, which
+    funnels every row through one partition (round-1 verdict: correct at
+    sf0.1, a scale-killer at 100×). ``order`` must reach a unique key for a
+    total order (CLAUDE.md tiebreak rule).
+    """
+    from pyspark.sql import Window
+
+    limited = df.orderBy(*order)
+    limited = limited.offset(rank_offset) if rank_offset else limited
+    limited = limited.limit(k)
+    const0 = F.pmod(F.xxhash64(F.col(df.columns[0])), F.lit(1))
+    w = Window.partitionBy(const0).orderBy(*order)
+    return limited.withColumn(
+        rank_alias, (F.row_number().over(w) + F.lit(rank_offset)).cast("long")
+    )
+
+
 def lsum(col: Column, alias: str) -> Column:
     """Exact integer sum, as bigint (DuckDB SUM(int) is HUGEINT → cast)."""
     return F.sum(col).cast("long").alias(alias)

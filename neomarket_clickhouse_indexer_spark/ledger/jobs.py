@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..determinism import ranked_topk
 from ..sources.sinks import replace_partitions
 from .build import build_wallet_ledger, build_wallet_snapshots
 
@@ -24,14 +25,9 @@ def select_top_wallets(events: DataFrame, n: int = 2000) -> DataFrame:
         .groupBy("wallet")
         .agg(F.sum(F.col("usdc").cast("decimal(30,10)")).alias("volume"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("volume"), F.asc("wallet"))
-    return (
-        vol.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
-        .select("wallet")
-    )
+    return ranked_topk(
+        vol, [F.desc("volume"), F.asc("wallet")], n
+    ).select("wallet")
 
 
 def snapshot_top_wallets(

@@ -18,7 +18,7 @@ from ..operators.candles import finalize, ohlcv, rebucket
 from ..operators.dedup import latest_by_key
 from ..operators.fifo import fifo_allocate, fifo_allocate_sql
 from ..sources.tables import load_table
-from .util import DEC, EVENTS_SQL, dsum, sql_dsum
+from .util import DEC, EVENTS_SQL, dsum, ranked_topk, sql_dsum
 
 # --- latest_event_per_user: W3 latest-by-key dedup view (ReplacingMergeTree
 #     FINAL / LIMIT 1 BY; reference src/api.ts:74, CLICKHOUSE_INDEXER_PLAN.md:26).
@@ -173,12 +173,9 @@ def top_users_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("user_id").agg(
         dsum(F.col("value"), "volume"), F.count(F.lit(1)).alias("n_trades")
     )
-    w = Window.orderBy(F.desc("volume"), F.asc("user_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "user_id", "volume", "n_trades")
-    )
+    return ranked_topk(
+        agg, [F.desc("volume"), F.asc("user_id")], 10
+    ).select("rank", "user_id", "volume", "n_trades")
 
 
 TOP_USERS_BY_VOLUME_SQL = f"""

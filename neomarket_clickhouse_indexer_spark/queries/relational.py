@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .util import dsum, sql_dsum
+from .util import dsum, ranked_topk, sql_dsum
 
 # --- pricing_summary: TPC-H Q1 shape. A1 hash agg, A2, P1/P2 projection+filter,
 #     exact decimal sums (§2.4; reference src/api.ts:348-364 leaderboard agg shape).
@@ -315,14 +315,16 @@ def lineitem_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data — the
     # full 6-column key is, giving a total deterministic order (T3).
-    w = Window.orderBy(
+    # Page 3 (rows 101-150) via offset+limit → ONE TakeOrderedAndProject
+    # (distributed partial top-k with skip), the Spark analog of the
+    # reference's keyset cursor (src/ledger-engine.ts:519-572) — never a
+    # global row_number over the whole fact table (round-1 verdict #2).
+    order = [
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice",
-    )
-    return (
-        li.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
-        .select("rn", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    ]
+    return ranked_topk(li, order, 50, rank_alias="rn", rank_offset=100).select(
+        "rn", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
 
 
@@ -385,10 +387,17 @@ def party_volume_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = supplier_side.unionByName(customer_side)
     agg = both.groupBy("role", "party_key").agg(dsum(F.col("amount"), "volume"))
-    w = Window.partitionBy("role").orderBy(F.desc("volume"), F.asc("party_key"))
+    # role cardinality is 2 — a partitionBy("role") rank funnels every party
+    # of a role through one task (round-1 verdict #5). Per-role TakeOrdered
+    # branches keep the top-5 selection distributed; each branch's rank
+    # window runs over ≤5 rows.
+    order = [F.desc("volume"), F.asc("party_key")]
+    per_role = [
+        ranked_topk(agg.filter(F.col("role") == role), order, 5)
+        for role in ("supplier", "customer")
+    ]
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
+        per_role[0].unionByName(per_role[1])
         .select("role", "rank", "party_key", "volume")
     )
 

@@ -1,6 +1,10 @@
 """Re-export of cross-engine determinism helpers (kept at package root
 so operators can import them without touching the queries package)."""
 
-from ..determinism import DEC, EVENTS_SQL, dsum, lsum, sql_dsum, sql_lsum
+from ..determinism import (
+    DEC, EVENTS_SQL, dsum, lsum, ranked_topk, sql_dsum, sql_lsum,
+)
 
-__all__ = ["DEC", "EVENTS_SQL", "dsum", "lsum", "sql_dsum", "sql_lsum"]
+__all__ = [
+    "DEC", "EVENTS_SQL", "dsum", "lsum", "ranked_topk", "sql_dsum", "sql_lsum",
+]

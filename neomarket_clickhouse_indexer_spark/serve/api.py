@@ -66,21 +66,19 @@ class ServeContext:
 
     # /leaderboard (src/api.ts:1322-1473)
     def leaderboard(self, sort: str = "volume", limit: int = 100) -> dict:
-        from pyspark.sql import Window
+        from ..determinism import ranked_topk
 
         limit = max(1, min(limit, 100))
         if sort == "volume":
             df = EQ.top_users_by_volume(self.spark, self.sf_dir)
         elif sort == "pnl":
-            # limit() first (TakeOrdered, no global shuffle) then rank the
-            # ≤100-row frame; monotonically_increasing_id is NOT a rank —
-            # it encodes the partition id in the high bits (ADVICE r1)
-            order = [F.desc("realized_pnl"), F.asc("key")]
-            df = (
-                EQ.fifo_user_pnl(self.spark, self.sf_dir)
-                .orderBy(*order)
-                .limit(limit)
-                .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+            # TakeOrdered top-k then rank the ≤100-row frame;
+            # monotonically_increasing_id is NOT a rank — it encodes the
+            # partition id in the high bits (ADVICE r1)
+            df = ranked_topk(
+                EQ.fifo_user_pnl(self.spark, self.sf_dir),
+                [F.desc("realized_pnl"), F.asc("key")],
+                limit,
             )
         else:
             raise ValueError(f"unsupported sort {sort!r}")

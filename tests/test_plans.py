@@ -73,3 +73,39 @@ def test_top_users_compiles_to_take_ordered_or_single_limit(spark):
     # rank ≤ 10 via row_number over a fully-aggregated (150-row) frame —
     # the aggregation below it must still be two-phase
     assert "HashAggregate" in plan
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_queries_take_ordered_no_unbounded_window(spark):
+    """The round-1 scale-killers (global row_number for top-k/pagination)
+    must plan as TakeOrderedAndProject, and every Window node must have a
+    non-empty partition spec with its input bounded by the preceding limit
+    (WindowExec's 'No Partition Defined ... single partition' path must
+    never appear)."""
+    import re
+
+    for name in ("lineitem_page", "top_users_by_volume", "party_volume_union"):
+        plan = _physical(_q(name, spark))
+        assert "TakeOrderedAndProject" in plan, f"{name}: no TakeOrdered\n{plan}"
+        # every Window's spec list (2nd bracket group after windowspecdefinition
+        # args) must be non-empty: "Window [exprs], [partSpec], [orderSpec]"
+        for m in re.finditer(r"Window \[[^\n]*?\], (\[[^\]]*\]), \[", plan):
+            assert m.group(1) != "[]", f"{name}: unpartitioned Window\n{plan}"
+        # the Window (if any) must sit above the TakeOrdered, i.e. bounded
+        if "Window" in plan:
+            assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+                f"{name}: Window below the limit (unbounded input)\n{plan}"
+            )
+
+
+def test_select_top_wallets_take_ordered(spark):
+    from neomarket_clickhouse_indexer_spark.ledger.jobs import select_top_wallets
+    from neomarket_clickhouse_indexer_spark.queries.events import _domain_events
+
+    df = select_top_wallets(_domain_events(spark, SF_CORRECTNESS), n=50)
+    plan = _physical(df)
+    assert "TakeOrderedAndProject" in plan
+    assert df.count() <= 50
