@@ -279,3 +279,140 @@ def decode_condition_resolution(logs: DataFrame) -> DataFrame:
             lambda acc, x: (acc + x).cast("decimal(38,0)"),
         ).alias("payout_denominator"),
     )
+
+
+# --- negRisk adapter events (reference src/abi/NegRiskAdapter.ts:6-13;
+#     decode arms src/main.ts:484-585; tables 001:145-155,183-247)
+
+SIG_MARKET_PREPARED = "0xf059ab16d1ca60e123eab60e3c02b68faf060347c701a5d14885a8e1def7b3a8"
+SIG_QUESTION_PREPARED = "0xaac410f87d423a922a7b226ac68f0c2eaf5bf6d15e644ac0758c7f96e2c253f7"
+SIG_ADAPTER_POSITION_SPLIT = "0xbbed930dbfb7907ae2d60ddf78345610214f26419a0128df39b6cc3d9e5df9b0"
+SIG_ADAPTER_POSITIONS_MERGE = "0xba33ac50d8894676597e6e35dc09cff59854708b642cd069d21eb9c7ca072a04"
+SIG_ADAPTER_PAYOUT_REDEMPTION = "0x9140a6a270ef945260c03894b3c6b3b2695e9d5101feef0ff24fec960cfd3224"
+SIG_POSITIONS_CONVERTED = "0xb03d19dddbc72a87e735ff0ea3b57bef133ebe44e1894284916a84044deb367e"
+
+# fee module events (reference src/abi/FeeModule.ts:6-7; src/main.ts:587-633)
+SIG_FEE_REFUNDED = "0xb608d2bf25d8b4b744ba23ce2ea9802ea955e216c064a62f42152fbf98958d24"
+SIG_FEE_WITHDRAWN = "0x6ce49f8691a80db5eb4f60cd55b14640529346a7ddf9bf8f77a423fa6a10bfdb"
+
+
+def decode_market_prepared(logs: DataFrame) -> DataFrame:
+    """NegRiskAdapter MarketPrepared(marketId idx, oracle idx, feeBips,
+    data) → neg_risk_markets version rows with question_count=0 (reference
+    src/main.ts:484-497; table 001:145-155)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_MARKET_PREPARED)
+    return t.select(
+        _hex_id(F.substring(F.element_at("topics", 2), 3, 64)).alias("market_id"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("oracle"),
+        _uint128_dec(_word(F.col("data"), 0)).alias("fee_bips"),
+        F.lit(0).cast("int").alias("question_count"),
+        F.col("block_timestamp").alias("updated_at"),
+        F.col("block_number").alias("height"),
+    )
+
+
+def decode_question_prepared(logs: DataFrame) -> DataFrame:
+    """NegRiskAdapter QuestionPrepared(marketId idx, questionId idx, index,
+    data) → neg_risk_markets version rows with question_count = index + 1
+    (reference src/main.ts:499-512: the adapter numbers questions 0..n-1,
+    so the latest row's count is index+1)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_QUESTION_PREPARED)
+    idx = F.conv(F.substring(_word(F.col("data"), 0), 49, 16), 16, 10).cast("int")
+    return t.select(
+        _hex_id(F.substring(F.element_at("topics", 2), 3, 64)).alias("market_id"),
+        _hex_id(F.substring(F.element_at("topics", 3), 3, 64)).alias("question_id"),
+        (idx + F.lit(1)).alias("question_count"),
+        F.col("block_timestamp").alias("updated_at"),
+        F.col("block_number").alias("height"),
+    )
+
+
+def _decode_adapter_simple(logs: DataFrame, sig: str, who: str) -> DataFrame:
+    """Shared arm for the adapter's PositionSplit / PositionsMerge
+    (identical layout: stakeholder idx, conditionId idx, amount —
+    reference src/main.ts:514-543; tables 001:183-213)."""
+    t = logs.filter(F.element_at("topics", 1) == sig)
+    return t.select(
+        *_common(t),
+        _addr_from_topic(F.element_at("topics", 2)).alias(who),
+        _hex_id(F.substring(F.element_at("topics", 3), 3, 64)).alias("condition_id"),
+        _uint128_dec(_word(F.col("data"), 0)).alias("amount"),
+    )
+
+
+def decode_adapter_position_split(logs: DataFrame) -> DataFrame:
+    return _decode_adapter_simple(
+        logs, SIG_ADAPTER_POSITION_SPLIT, "stakeholder"
+    )
+
+
+def decode_adapter_positions_merge(logs: DataFrame) -> DataFrame:
+    return _decode_adapter_simple(
+        logs, SIG_ADAPTER_POSITIONS_MERGE, "stakeholder"
+    )
+
+
+def decode_adapter_payout_redemption(logs: DataFrame) -> DataFrame:
+    """NegRiskAdapter PayoutRedemption(redeemer idx, conditionId idx,
+    amounts[], payout) (reference src/main.ts:545-563; table 001:215-230).
+    ABI data head = [amounts_offset, payout]; tail = [len, items…]."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_ADAPTER_PAYOUT_REDEMPTION)
+    n = F.conv(F.substring(_word(F.col("data"), 2), 49, 16), 16, 10).cast("int")
+    t = t.withColumn("n_amounts", n)
+    amounts = F.transform(
+        F.sequence(F.lit(0), F.col("n_amounts") - 1),
+        lambda i: _uint128_dec(_word_dyn(3, i)),
+    )
+    return t.select(
+        *_common(t),
+        _addr_from_topic(F.element_at("topics", 2)).alias("redeemer"),
+        _hex_id(F.substring(F.element_at("topics", 3), 3, 64)).alias("condition_id"),
+        F.when(F.col("n_amounts") > 0, amounts)
+        .otherwise(F.array().cast("array<decimal(38,0)>"))
+        .alias("amounts"),
+        _uint128_dec(_word(F.col("data"), 1)).alias("payout"),
+    )
+
+
+def decode_positions_converted(logs: DataFrame) -> DataFrame:
+    """NegRiskAdapter PositionsConverted(stakeholder idx, marketId idx,
+    indexSet idx, amount) (reference src/main.ts:565-585; table
+    001:232-247). index_set is a small bitmask — DECIMAL(38,0) is safe."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_POSITIONS_CONVERTED)
+    return t.select(
+        *_common(t),
+        _addr_from_topic(F.element_at("topics", 2)).alias("stakeholder"),
+        _hex_id(F.substring(F.element_at("topics", 3), 3, 64)).alias("market_id"),
+        _uint128_dec(F.substring(F.element_at("topics", 4), 3, 64)).alias("index_set"),
+        _uint128_dec(_word(F.col("data"), 0)).alias("amount"),
+    )
+
+
+def decode_fee_refunded(logs: DataFrame) -> DataFrame:
+    """FeeModule FeeRefunded(orderHash idx, to idx, id, refund,
+    feeCharged idx) (reference src/main.ts:587-610; table 001:252-270).
+    The emitting module address distinguishes plain vs negRisk fee module."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_FEE_REFUNDED)
+    return t.select(
+        *_common(t),
+        F.col("address").alias("module"),
+        F.element_at("topics", 2).alias("order_hash"),
+        _addr_from_topic(F.element_at("topics", 3)).alias("to"),
+        _hex_id(_word(F.col("data"), 0)).alias("token_id"),
+        _uint128_dec(_word(F.col("data"), 1)).alias("refund"),
+        _uint128_dec(F.substring(F.element_at("topics", 4), 3, 64)).alias("fee_charged"),
+    )
+
+
+def decode_fee_withdrawn(logs: DataFrame) -> DataFrame:
+    """FeeModule FeeWithdrawn(token, to, id, amount) — nothing indexed, all
+    four words in data (reference src/main.ts:612-633; table 001:272-287)."""
+    t = logs.filter(F.element_at("topics", 1) == SIG_FEE_WITHDRAWN)
+    return t.select(
+        *_common(t),
+        F.col("address").alias("module"),
+        _addr_from_topic(F.concat(F.lit("0x"), _word(F.col("data"), 0))).alias("token"),
+        _addr_from_topic(F.concat(F.lit("0x"), _word(F.col("data"), 1))).alias("to"),
+        _hex_id(_word(F.col("data"), 2)).alias("token_id"),
+        _uint128_dec(_word(F.col("data"), 3)).alias("amount"),
+    )

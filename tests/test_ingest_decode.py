@@ -177,3 +177,254 @@ def test_condition_lifecycle_roundtrip(spark):
     assert r["is_resolved"] is True
     assert [int(x) for x in r["payout_numerators"]] == [1, 0]
     assert int(r["payout_denominator"]) == 1
+
+
+# --- negRisk adapter + fee module arms (the 8 decoders completing S2;
+#     reference src/main.ts:484-633, src/abi/NegRiskAdapter.ts:6-13,
+#     src/abi/FeeModule.ts:6-7)
+
+MARKET = "44" * 32
+QID = "55" * 32
+
+
+def test_market_prepared_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_MARKET_PREPARED,
+        decode_market_prepared,
+    )
+
+    # data: [feeBips, bytes_offset, bytes_len] (trailing bytes unused)
+    row = log_row(
+        [SIG_MARKET_PREPARED, topic_hex(MARKET), topic_addr(A)],
+        [w(200), w(0x40), w(0)],
+    )
+    r = decode_market_prepared(spark.createDataFrame([row], RAW_LOG_SCHEMA)).collect()[0]
+    assert r["market_id"] == "0x" + MARKET
+    assert r["oracle"] == A
+    assert int(r["fee_bips"]) == 200
+    assert r["question_count"] == 0
+    assert r["updated_at"] == T0 and r["height"] == 100
+
+
+def test_question_prepared_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_QUESTION_PREPARED,
+        decode_question_prepared,
+    )
+
+    # data: [index, bytes_offset, bytes_len]; question_count = index + 1
+    row = log_row(
+        [SIG_QUESTION_PREPARED, topic_hex(MARKET), topic_hex(QID)],
+        [w(3), w(0x40), w(0)],
+    )
+    r = decode_question_prepared(spark.createDataFrame([row], RAW_LOG_SCHEMA)).collect()[0]
+    assert r["market_id"] == "0x" + MARKET
+    assert r["question_id"] == "0x" + QID
+    assert r["question_count"] == 4
+
+
+def test_adapter_split_merge_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_ADAPTER_POSITION_SPLIT,
+        SIG_ADAPTER_POSITIONS_MERGE,
+        decode_adapter_position_split,
+        decode_adapter_positions_merge,
+    )
+
+    rows = [
+        log_row([SIG_ADAPTER_POSITION_SPLIT, topic_addr(A), topic_hex(COND)],
+                [w(10_000_000)]),
+        log_row([SIG_ADAPTER_POSITIONS_MERGE, topic_addr(B), topic_hex(COND)],
+                [w(4_000_000)], log_index=1),
+    ]
+    df = spark.createDataFrame(rows, RAW_LOG_SCHEMA)
+    s = decode_adapter_position_split(df).collect()
+    m = decode_adapter_positions_merge(df).collect()
+    assert len(s) == 1 and len(m) == 1
+    assert s[0]["stakeholder"] == A and s[0]["condition_id"] == "0x" + COND
+    assert int(s[0]["amount"]) == 10_000_000
+    assert s[0]["id"] == "0xt1-0"
+    assert m[0]["stakeholder"] == B and int(m[0]["amount"]) == 4_000_000
+
+
+def test_adapter_payout_redemption_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_ADAPTER_PAYOUT_REDEMPTION,
+        decode_adapter_payout_redemption,
+    )
+
+    # data head = [amounts_offset, payout]; tail = [len, items...]
+    rows = [
+        log_row(
+            [SIG_ADAPTER_PAYOUT_REDEMPTION, topic_addr(A), topic_hex(COND)],
+            [w(0x40), w(7_500_000), w(2), w(1_000_000), w(2_000_000)],
+        ),
+        # empty amounts array must decode to [] (not garbage words)
+        log_row(
+            [SIG_ADAPTER_PAYOUT_REDEMPTION, topic_addr(B), topic_hex(COND)],
+            [w(0x40), w(9), w(0)],
+            log_index=1,
+        ),
+    ]
+    out = decode_adapter_payout_redemption(
+        spark.createDataFrame(rows, RAW_LOG_SCHEMA)
+    ).orderBy("log_index").collect()
+    assert out[0]["redeemer"] == A
+    assert [int(x) for x in out[0]["amounts"]] == [1_000_000, 2_000_000]
+    assert int(out[0]["payout"]) == 7_500_000
+    assert out[1]["amounts"] == [] and int(out[1]["payout"]) == 9
+
+
+def test_positions_converted_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_POSITIONS_CONVERTED,
+        decode_positions_converted,
+    )
+
+    row = log_row(
+        [SIG_POSITIONS_CONVERTED, topic_addr(A), topic_hex(MARKET), topic_hex("05")],
+        [w(6_000_000)],
+    )
+    r = decode_positions_converted(spark.createDataFrame([row], RAW_LOG_SCHEMA)).collect()[0]
+    assert r["stakeholder"] == A
+    assert r["market_id"] == "0x" + MARKET
+    assert int(r["index_set"]) == 5
+    assert int(r["amount"]) == 6_000_000
+
+
+def test_fee_refunded_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_FEE_REFUNDED,
+        decode_fee_refunded,
+    )
+
+    oh = topic_hex("77" * 32)
+    row = log_row(
+        [SIG_FEE_REFUNDED, oh, topic_addr(A), topic_hex("61A8")],  # feeCharged=25000
+        [w(TOKEN), w(12_345)],
+    )
+    r = decode_fee_refunded(spark.createDataFrame([row], RAW_LOG_SCHEMA)).collect()[0]
+    assert r["module"] == "0x" + "ee" * 20  # emitting contract address
+    assert r["order_hash"] == oh
+    assert r["to"] == A
+    assert r["token_id"] == "0x" + w(TOKEN)
+    assert int(r["refund"]) == 12_345
+    assert int(r["fee_charged"]) == 25_000
+
+
+def test_fee_withdrawn_roundtrip(spark):
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_FEE_WITHDRAWN,
+        decode_fee_withdrawn,
+    )
+
+    usdc = "0x" + "dd" * 20
+    row = log_row(
+        [SIG_FEE_WITHDRAWN],
+        [w(int(usdc, 16)), w(int(B, 16)), w(TOKEN), w(99_000_000)],
+    )
+    r = decode_fee_withdrawn(spark.createDataFrame([row], RAW_LOG_SCHEMA)).collect()[0]
+    assert r["module"] == "0x" + "ee" * 20
+    assert r["token"] == usdc
+    assert r["to"] == B
+    assert r["token_id"] == "0x" + w(TOKEN)
+    assert int(r["amount"]) == 99_000_000
+
+
+def test_decoded_adapter_frames_feed_ledger_prep(spark):
+    """The decode layer's own output (no hand-built frames) must flow
+    through ledger/prep's adapter + fee normalizers end-to-end — the gap
+    round 1 flagged: raw logs of 5 of the 13 tables previously could not
+    be produced by the engine's decode layer."""
+    from decimal import Decimal as D
+
+    from neomarket_clickhouse_indexer_spark.ledger.prep import (
+        normalize_adapter_conversions,
+        normalize_adapter_redemptions,
+        normalize_adapter_simple,
+        normalize_fees,
+    )
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_ADAPTER_PAYOUT_REDEMPTION,
+        SIG_ADAPTER_POSITION_SPLIT,
+        SIG_ADAPTER_POSITIONS_MERGE,
+        SIG_FEE_REFUNDED,
+        SIG_FEE_WITHDRAWN,
+        SIG_POSITIONS_CONVERTED,
+        decode_adapter_payout_redemption,
+        decode_adapter_position_split,
+        decode_adapter_positions_merge,
+        decode_fee_refunded,
+        decode_fee_withdrawn,
+        decode_positions_converted,
+    )
+
+    logs = spark.createDataFrame(
+        [
+            log_row([SIG_ADAPTER_POSITION_SPLIT, topic_addr(A), topic_hex(COND)],
+                    [w(10_000_000)], log_index=0),
+            log_row([SIG_ADAPTER_POSITIONS_MERGE, topic_addr(A), topic_hex(COND)],
+                    [w(4_000_000)], log_index=1),
+            log_row(
+                [SIG_ADAPTER_PAYOUT_REDEMPTION, topic_addr(A), topic_hex(COND)],
+                [w(0x40), w(7_500_000), w(2), w(1_000_000), w(2_000_000)],
+                log_index=2,
+            ),
+            log_row(
+                [SIG_POSITIONS_CONVERTED, topic_addr(A), topic_hex(MARKET), topic_hex("01")],
+                [w(6_000_000)], log_index=3,
+            ),
+            log_row([SIG_FEE_REFUNDED, topic_hex("77" * 32), topic_addr(A), topic_hex("61A8")],
+                    [w(TOKEN), w(12_345)], log_index=4),
+            log_row([SIG_FEE_WITHDRAWN],
+                    [w(0), w(int(A, 16)), w(TOKEN), w(99_000_000)], log_index=5),
+        ],
+        RAW_LOG_SCHEMA,
+    )
+
+    meta = spark.createDataFrame(
+        [("0x" + COND, ["tok-yes", "tok-no"], T0)],
+        "condition_id string, token_ids array<string>, updated_at timestamp",
+    )
+    conditions = spark.createDataFrame(
+        [("0x" + COND, True, [D(1), D(0)], D(1), 100)],
+        "condition_id string, is_resolved boolean, "
+        "payout_numerators array<decimal(38,0)>, "
+        "payout_denominator decimal(38,0), height long",
+    )
+    legs = spark.createDataFrame(
+        [("0x" + MARKET, D(1), ["tok-no"], ["tok-yes"])],
+        "market_id string, index_set decimal(38,0), "
+        "burn_token_ids array<string>, mint_token_ids array<string>",
+    )
+
+    split_n = normalize_adapter_simple(
+        decode_adapter_position_split(logs), meta, "adapter_split"
+    ).collect()
+    merge_n = normalize_adapter_simple(
+        decode_adapter_positions_merge(logs), meta, "adapter_merge"
+    ).collect()
+    red_n = normalize_adapter_redemptions(
+        decode_adapter_payout_redemption(logs), meta, conditions
+    ).collect()
+    conv_n = normalize_adapter_conversions(
+        decode_positions_converted(logs), legs
+    ).collect()
+    fee_n = normalize_fees(
+        decode_fee_refunded(logs), decode_fee_withdrawn(logs)
+    ).collect()
+
+    assert split_n[0]["type"] == "adapter_split"
+    assert split_n[0]["wallet"] == A
+    assert split_n[0]["outcome_token_ids"] == ["tok-yes", "tok-no"]
+    assert split_n[0]["usdc"] == 10.0
+    assert merge_n[0]["type"] == "adapter_merge" and merge_n[0]["usdc"] == 4.0
+    assert red_n[0]["type"] == "adapter_redemption"
+    assert red_n[0]["payout_ratios"] == [1.0, 0.0]
+    assert conv_n[0]["type"] == "adapter_conversion"
+    assert conv_n[0]["outcome_token_ids"] == ["tok-no"]
+    assert conv_n[0]["mint_token_ids"] == ["tok-yes"]
+    assert conv_n[0]["qty"] == 6.0
+    types = sorted(r["type"] for r in fee_n)
+    assert types == ["fee_refund", "fee_withdrawal"]
+    assert {r["usdc"] for r in fee_n} == {0.012345, 99.0}
