@@ -28,23 +28,26 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(30,10)"
 
-# The exact decimal sum is converted to double differently by the two engines
-# (Spark: correctly-rounded BigDecimal→double; DuckDB: int128→double then a
-# double division by 10^scale — off by 1 ulp sometimes). A final ROUND at a
-# scale far above ulp noise (1e-7 relative at 1e9 magnitudes) but far below
-# the data grain pins both to the same value.
+# The exact decimal sum is ROUNDED IN DECIMAL SPACE (both engines round
+# decimals half-away-from-zero, exactly — no binary-repr ambiguity), then
+# cast to double. Rounding after the double cast is subtly wrong: an exact
+# decimal tie like -75.51265 casts to the binary -75.5126499…, which Spark's
+# shortest-repr F.round sends up while DuckDB's binary ROUND sends down
+# (caught at sf0.01 by domain_ledger_summary). The final decimal(·,4)→double
+# cast is a single correctly-rounded operation in both engines for
+# |value| < 2^53/10^4 ≈ 9e11 — far above any sum here.
 DSUM_ROUND = 4
 
 
 def dsum(col: Column, alias: str, scale: int = DSUM_ROUND) -> Column:
     """Order-independent exact sum of a double expression, as double."""
-    return F.round(F.sum(col.cast(DEC)).cast("double"), scale).alias(alias)
+    return F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = DSUM_ROUND) -> str:
     """DuckDB mirror of :func:`dsum`."""
     return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,10))) AS DOUBLE), {scale})"
+        f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(30,10))), {scale}) AS DOUBLE)"
         f" AS {alias}"
     )
 

@@ -96,6 +96,6 @@ def finalize(candles: DataFrame) -> DataFrame:
         "high",
         "low",
         "close",
-        F.round(F.col("volume_dec").cast("double"), 4).alias("volume"),
+        F.round(F.col("volume_dec"), 4).cast("double").alias("volume"),
         F.col("trades").cast("long").alias("trades"),
     )

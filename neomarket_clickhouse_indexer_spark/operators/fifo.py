@@ -46,6 +46,17 @@ def _q10(x: float) -> int:
     return math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)
 
 
+def _units_round4(u: int) -> float:
+    """Round an exact 1e-10-unit integer to 4 decimals half-away-from-zero
+    — the decimal-space ROUND both engines apply to DECIMAL values — then
+    one correctly-rounded float division. Mirrors the oracle's
+    ``CAST(ROUND(SUM(...), 4) AS DOUBLE)`` bit-for-bit."""
+    q, rem = divmod(abs(u), 1_000_000)  # 1e-10 → 1e-4 units
+    if rem >= 500_000:
+        q += 1
+    return math.copysign(q, u) / 1e4
+
+
 def _allocate_core(side, qty, price) -> tuple:
     """Two-pointer FIFO match over one key's numpy columns (rows must
     already be in (ts, ord) time order). Returns the output tuple —
@@ -92,9 +103,9 @@ def _allocate_core(side, qty, price) -> tuple:
         int(b_qty.sum()),
         int(s_qty.sum()),
         matched,
-        round(float(realized_u) / 1e10, 4),
+        _units_round4(realized_u),
         open_qty,
-        round(float(open_cost_u) / 1e10, 4),
+        _units_round4(open_cost_u),
     )
 
 
@@ -197,13 +208,13 @@ bt AS (SELECT key, CAST(SUM(qty) AS BIGINT) AS buy_qty, CAST(MAX(cum_end) AS BIG
 st AS (SELECT key, CAST(SUM(qty) AS BIGINT) AS sell_qty, CAST(MAX(cum_end) AS BIGINT) AS total_sell FROM s2 GROUP BY key),
 magg AS (
   SELECT key, CAST(SUM(mqty) AS BIGINT) AS matched_qty,
-         ROUND(CAST(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10))) AS DOUBLE), 4) AS realized_pnl
+         CAST(ROUND(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10))), 4) AS DOUBLE) AS realized_pnl
   FROM m GROUP BY key
 ),
 opens AS (
   SELECT b2.key,
          CAST(SUM(GREATEST(0, b2.cum_end - GREATEST(b2.cum_start, COALESCE(st.total_sell, 0)))) AS BIGINT) AS open_qty,
-         ROUND(CAST(SUM(CAST(GREATEST(0, b2.cum_end - GREATEST(b2.cum_start, COALESCE(st.total_sell, 0))) * b2.price AS DECIMAL(30,10))) AS DOUBLE), 4) AS open_cost
+         CAST(ROUND(SUM(CAST(GREATEST(0, b2.cum_end - GREATEST(b2.cum_start, COALESCE(st.total_sell, 0))) * b2.price AS DECIMAL(30,10))), 4) AS DOUBLE) AS open_cost
   FROM b2 LEFT JOIN st ON b2.key = st.key GROUP BY b2.key
 )
 SELECT k.key,

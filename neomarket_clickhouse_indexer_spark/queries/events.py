@@ -56,17 +56,17 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(
-            F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
-        ).alias("running_value"),
+        F.round(F.sum(F.col("value").cast(DEC)).over(w), 4)
+        .cast("double")
+        .alias("running_value"),
     )
 
 
 USER_RUNNING_VALUE_SQL = f"""
 SELECT event_id, user_id,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10)))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_value
+                   ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_value
 FROM {EVENTS_SQL} e
 """
 
@@ -446,15 +446,105 @@ def _domain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def domain_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the FULL domain FIFO ledger replay (O1), then project per-wallet
+    summaries that an independent SQL oracle can verify exactly:
+
+    - by-type cashflow sums and entry/token counts are *pure* functions of
+      the input events (the engine's usdc_delta for every domain event type
+      is input-determined), so the oracle recomputes them from the raw
+      events table by mirroring the _domain_events mapping + the engine's
+      emission guards — verifying event routing, normalization and entry
+      emission through the whole replay;
+    - ``conservation_residual`` is the engine's accounting identity
+      Δopen_cost + Δcashflow − Δrealized = 0 per entry (transfers move
+      inventory with no cash/PnL, so their cost terms are excluded). The
+      replay guarantees ≈0 up to float ulps; each per-entry term is
+      quantized via DECIMAL(30,10) so the exact sum is 0 when the state
+      machine is consistent. The oracle asserts the literal identity.
+
+    Replaces the round-1 rows-only check (VERDICT.md 'What's missing' #2);
+    the state-machine internals stay covered by tests/test_ledger_engine.py
+    goldens and the order-sensitive differentials.
+    """
     from ..ledger.build import build_wallet_ledger
 
     entries = build_wallet_ledger(_domain_events(spark, sf_dir))
+    t = F.col("event_type")
+    cash = F.col("usdc_delta")
+    oc_delta = (
+        F.when(t.isin("trade_buy", "split", "adapter_split"), F.col("cost_basis"))
+        .when(
+            t.isin(
+                "trade_sell", "merge", "adapter_merge", "redemption",
+                "adapter_redemption", "resolution_loss",
+            ),
+            -F.col("cost_basis"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    contrib = oc_delta + cash - F.col("realized_pnl")
+
+    def _cash(types: list[str], alias: str):
+        return dsum(F.when(t.isin(*types), cash).otherwise(F.lit(0.0)), alias)
+
     return entries.groupBy("wallet").agg(
         F.count(F.lit(1)).alias("n_entries"),
-        dsum(F.col("realized_pnl"), "realized_pnl"),
-        dsum(F.col("usdc_delta"), "net_cashflow"),
         F.countDistinct("token_id").alias("n_tokens"),
+        _cash(["trade_buy"], "buy_cash"),
+        _cash(["trade_sell"], "sell_cash"),
+        _cash(["split"], "split_cash"),
+        _cash(["fee_refund", "fee_withdrawal"], "fee_cash"),
+        dsum(cash, "net_cashflow"),
+        F.round(F.abs(F.sum(contrib.cast(DEC))), 4)
+        .cast("double")
+        .alias("conservation_residual"),
     )
+
+
+# Oracle: recompute the pure projections straight from the events table by
+# mirroring _domain_events + the engine's emission guards (on_split skips
+# amount <= 1e-9); the conservation identity is asserted as literal 0.
+DOMAIN_LEDGER_SUMMARY_SQL = f"""
+WITH src AS (
+  SELECT '0xw' || CAST(user_id AS VARCHAR) AS wallet,
+         event_type, value,
+         'tok-yes-' || CAST(user_id % 10 AS VARCHAR) AS yes_token
+  FROM {EVENTS_SQL} e
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+m AS (
+  SELECT wallet,
+         CASE
+           WHEN event_type IN ('purchase', 'click', 'view') THEN TRUE
+           WHEN event_type = 'signup' THEN value / 10.0 > 1e-9
+           ELSE TRUE
+         END AS emitted,
+         CASE
+           WHEN event_type IN ('purchase', 'click', 'view') THEN yes_token
+           WHEN event_type = 'signup' THEN yes_token
+           ELSE ''
+         END AS token,
+         CASE WHEN event_type = 'purchase' THEN -value / 100.0 ELSE 0.0 END AS buy_c,
+         CASE WHEN event_type = 'click' THEN value / 100.0 ELSE 0.0 END AS sell_c,
+         CASE WHEN event_type = 'signup' AND value / 10.0 > 1e-9
+              THEN -value / 10.0 ELSE 0.0 END AS split_c,
+         CASE WHEN event_type NOT IN ('purchase', 'click', 'signup', 'view')
+              THEN value / 1000.0 ELSE 0.0 END AS fee_c
+  FROM src
+)
+SELECT wallet,
+       COUNT(*) FILTER (WHERE emitted) AS n_entries,
+       COUNT(DISTINCT CASE WHEN emitted THEN token END) AS n_tokens,
+       {sql_dsum("buy_c", "buy_cash")},
+       {sql_dsum("sell_c", "sell_cash")},
+       {sql_dsum("split_c", "split_cash")},
+       {sql_dsum("fee_c", "fee_cash")},
+       {sql_dsum("buy_c + sell_c + split_c + fee_c", "net_cashflow")},
+       CAST(0.0 AS DOUBLE) AS conservation_residual
+FROM m
+GROUP BY wallet
+HAVING COUNT(*) FILTER (WHERE emitted) > 0
+"""
 
 
 # --- user_type_winloss: A13 two-level fold (reference win/loss/best/worst

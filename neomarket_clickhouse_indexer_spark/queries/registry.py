@@ -104,9 +104,10 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("avgcost_user_positions", E.avgcost_user_positions,
               E.AVGCOST_USER_POSITIONS_SQL, ("O1", "ST6"),
               "sequential avg-cost state machine vs recursive-CTE oracle"),
-    QuerySpec("domain_ledger_summary", E.domain_ledger_summary, None,
-              ("O1", "O2"), "full domain FIFO ledger replay (rows-only; "
-              "golden+differential tested in tests/)"),
+    QuerySpec("domain_ledger_summary", E.domain_ledger_summary,
+              E.DOMAIN_LEDGER_SUMMARY_SQL, ("O1", "O2", "O7"),
+              "full domain FIFO ledger replay → oracle-checked cashflow "
+              "projections + conservation identity"),
     # Training-data pipeline: documents
     QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
               ("DD1",), "exact dedup by content hash"),

@@ -47,8 +47,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_DSUM_QTY = "ROUND(CAST(SUM(CAST((l_quantity) AS DECIMAL(30,10))) AS DOUBLE), 4)"
-_DSUM_PRICE = "ROUND(CAST(SUM(CAST((l_extendedprice) AS DECIMAL(30,10))) AS DOUBLE), 4)"
+_DSUM_QTY = "CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(30,10))), 4) AS DOUBLE)"
+_DSUM_PRICE = "CAST(ROUND(SUM(CAST((l_extendedprice) AS DECIMAL(30,10))), 4) AS DOUBLE)"
 
 PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,

@@ -253,7 +253,7 @@ class ServeContext:
         day = ev.filter(F.col("ts") >= now - F.expr("INTERVAL 24 HOURS"))
         agg = day.agg(
             F.count(F.lit(1)).alias("trades24h"),
-            F.round(F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 4)
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4).cast("double")
             .alias("volume24h"),
             F.countDistinct("user_id").alias("uniqueUsers24h"),
         ).collect()[0]
@@ -273,7 +273,7 @@ class ServeContext:
 
         ev = load_table(self.spark, self.sf_dir, "events")
         vol = ev.groupBy("event_type").agg(
-            F.round(F.sum(F.col("value").cast("decimal(30,10)")).cast("double"), 4)
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 4).cast("double")
             .alias("volume"),
             F.count(F.lit(1)).alias("events"),
         )
@@ -354,9 +354,9 @@ class ServeContext:
             # partition-order-dependent and can flip the qty>1e-9 filter at
             # the 6th decimal across runs (ADVICE r1)
             .agg(
-                F.round(
-                    F.sum(signed.cast("decimal(30,10)")).cast("double"), 6
-                ).alias("qty")
+                F.round(F.sum(signed.cast("decimal(30,10)")), 6)
+                .cast("double")
+                .alias("qty")
             )
             .filter(F.col("qty") > 1e-9)
             .orderBy(F.desc("qty"), F.asc("token_id"))
