@@ -670,3 +670,133 @@ FROM vol
 LEFT JOIN last USING (event_type)
 LEFT JOIN users USING (event_type)
 """
+
+
+# --- category_leaderboard: the reference's category-filtered leaderboard
+#     end-to-end (queryLeaderboardFromRawFiltered, src/api.ts:597-635):
+#     trades -> token metadata -> SCD2 category view -> filter -> agg ->
+#     HAVING -> top-k. The category dimension is derived from the signup
+#     stream as a versioned history; the Spark plan builds the SCD2
+#     intervals with F.lead (W1 — the reference's
+#     market_categories_history_scd2 view, 001:508-522) and joins trades by
+#     interval containment against the BROADCAST dimension (no fact-table
+#     shuffle — the scale-correct shape for a dimension-sized SCD2 table).
+#     The oracle resolves the same as-of semantics with DuckDB's native
+#     ASOF JOIN over tie-collapsed versions — a genuinely different
+#     algorithm.
+
+
+def category_leaderboard(
+    spark: SparkSession, sf_dir: str, category: str = "cat1"
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+    ).filter(F.col("k").isNotNull())
+    cond = F.concat(F.lit("c"), (F.col("k") % 10).cast("string"))
+
+    # versioned category history (market_categories_history analog)
+    w = Window.partitionBy("condition_id").orderBy("valid_from", "event_id")
+    intervals = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            cond.alias("condition_id"),
+            F.col("ts").alias("valid_from"),
+            F.col("event_id"),
+            F.concat(F.lit("cat"), (F.col("k") % 3).cast("string")).alias("category"),
+        )
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead("valid_from", 1).over(w),
+                F.lit("2100-01-01").cast("timestamp"),
+            ),
+        )
+        # same-timestamp versions leave the earlier one an empty interval —
+        # the max-event_id version wins, matching the oracle's arg_max
+        .filter(F.col("valid_from") < F.col("valid_to"))
+        .select("condition_id", "category", "valid_from", "valid_to")
+    )
+
+    trades = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.concat(F.lit("0xw"), F.col("user_id").cast("string")).alias("wallet"),
+        cond.alias("condition_id"),
+        (F.col("value") / 100.0).alias("usdc"),
+        (F.col("event_type") == "click").alias("is_sell"),
+        F.col("ts"),
+    )
+
+    j = trades.join(
+        F.broadcast(intervals),
+        (trades.condition_id == intervals.condition_id)
+        & (trades.ts >= intervals.valid_from)
+        & (trades.ts < intervals.valid_to),
+    ).select(trades.wallet, trades.condition_id, "usdc", "is_sell", "category")
+
+    agg = (
+        j.filter(F.col("category") == category)
+        .groupBy("wallet")
+        .agg(
+            F.count(F.lit(1)).alias("total_trades"),
+            dsum(F.col("usdc"), "total_volume"),
+            dsum(
+                F.when(F.col("is_sell"), F.col("usdc")).otherwise(-F.col("usdc")),
+                "net_cashflow",
+            ),
+            F.countDistinct("condition_id").alias("markets_traded"),
+        )
+        .filter(F.col("total_trades") >= 5)  # reference HAVING totalTrades >= 5
+    )
+    return ranked_topk(
+        agg, [F.desc("net_cashflow"), F.asc("wallet")], 100
+    ).select(
+        "rank", "wallet", "total_trades", "total_volume",
+        "net_cashflow", "markets_traded",
+    )
+
+
+CATEGORY_LEADERBOARD_SQL = f"""
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM {EVENTS_SQL} ev
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+hist AS (
+  -- tie-collapsed versions: max-event_id category per (condition, ts)
+  SELECT 'c' || CAST(k % 10 AS VARCHAR) AS condition_id, ts,
+         arg_max('cat' || CAST(k % 3 AS VARCHAR), event_id) AS category
+  FROM e WHERE event_type = 'signup' GROUP BY 1, 2
+),
+trades AS (
+  SELECT '0xw' || CAST(user_id AS VARCHAR) AS wallet,
+         'c' || CAST(k % 10 AS VARCHAR) AS condition_id,
+         value / 100.0 AS usdc,
+         event_type = 'click' AS is_sell, ts
+  FROM e WHERE event_type IN ('purchase', 'click')
+),
+j AS (
+  SELECT t.wallet, t.condition_id, t.usdc, t.is_sell, h.category
+  FROM trades t ASOF JOIN hist h
+    ON t.condition_id = h.condition_id AND h.ts <= t.ts
+),
+agg AS (
+  -- category filter via conditional aggregates, NOT a WHERE: DuckDB pushes
+  -- a WHERE on the asof right side INTO the ASOF JOIN, which changes the
+  -- winning version ("latest cat1 version" instead of "latest version,
+  -- then filter") — observed at sf0.001: 366 vs 144 matched trades
+  SELECT wallet,
+         COUNT(*) FILTER (WHERE category = 'cat1') AS total_trades,
+         {sql_dsum("CASE WHEN category = 'cat1' THEN usdc ELSE 0.0 END", "total_volume")},
+         {sql_dsum("CASE WHEN category = 'cat1' THEN (CASE WHEN is_sell THEN usdc ELSE -usdc END) ELSE 0.0 END", "net_cashflow")},
+         COUNT(DISTINCT CASE WHEN category = 'cat1' THEN condition_id END) AS markets_traded
+  FROM j
+  GROUP BY wallet
+  HAVING COUNT(*) FILTER (WHERE category = 'cat1') >= 5
+)
+SELECT rank, wallet, total_trades, total_volume, net_cashflow, markets_traded
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY net_cashflow DESC, wallet) AS rank, *
+  FROM agg
+)
+WHERE rank <= 100
+"""

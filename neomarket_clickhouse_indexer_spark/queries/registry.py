@@ -108,6 +108,11 @@ _SPECS: list[QuerySpec] = [
               E.DOMAIN_LEDGER_SUMMARY_SQL, ("O1", "O2", "O7"),
               "full domain FIFO ledger replay → oracle-checked cashflow "
               "projections + conservation identity"),
+    QuerySpec("category_leaderboard", E.category_leaderboard,
+              E.CATEGORY_LEADERBOARD_SQL,
+              ("J1", "J3", "W1", "A2", "A3", "A9", "T1"),
+              "SCD2 category-filtered leaderboard: LEAD intervals + "
+              "broadcast range join vs ASOF-JOIN oracle"),
     # Training-data pipeline: documents
     QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
               ("DD1",), "exact dedup by content hash"),

@@ -64,11 +64,17 @@ class ServeContext:
             )
         return self._freshness_checked
 
-    # /leaderboard (src/api.ts:1322-1473)
-    def leaderboard(self, sort: str = "volume", limit: int = 100) -> dict:
+    # /leaderboard (src/api.ts:1322-1473); category= routes to the filtered
+    # raw-join plan (queryLeaderboardFromRawFiltered, src/api.ts:597-635)
+    def leaderboard(self, sort: str = "volume", limit: int = 100,
+                    category: str | None = None) -> dict:
         from ..determinism import ranked_topk
 
         limit = max(1, min(limit, 100))
+        if category is not None:
+            df = EQ.category_leaderboard(self.spark, self.sf_dir, category)
+            return {"sort": sort, "category": category,
+                    "entries": _rows(df, limit)}
         if sort == "volume":
             df = EQ.top_users_by_volume(self.spark, self.sf_dir)
         elif sort == "pnl":

@@ -34,6 +34,19 @@ def test_leaderboard_pnl_ranks_are_dense(spark):
     assert pnls == sorted(pnls, reverse=True)
 
 
+def test_leaderboard_category_filtered(spark):
+    """category= routes to the SCD2-filtered raw-join plan (reference
+    queryLeaderboardFromRawFiltered) and returns dense ranks."""
+    out = _ctx(spark).leaderboard(category="cat1", limit=10)
+    entries = out["entries"]
+    assert out["category"] == "cat1"
+    assert len(entries) >= 1
+    assert [e["rank"] for e in entries] == list(range(1, len(entries) + 1))
+    assert all(e["total_trades"] >= 5 for e in entries)
+    ncs = [e["net_cashflow"] for e in entries]
+    assert ncs == sorted(ncs, reverse=True)
+
+
 def test_candles_pre_agg_ladder_matches_raw(spark):
     """Ladder step 1 (serve from the 1m pre-agg tier) must produce the same
     5m candles as recomputing from raw — the reference's <300ms path vs 6s
