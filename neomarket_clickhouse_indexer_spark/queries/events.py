@@ -800,3 +800,44 @@ FROM (
 )
 WHERE rank <= 100
 """
+
+
+# --- streaming_candles_1m: ST1/ST3 driver-gated. The foreachBatch candle
+#     fold (streaming/incremental.py — the reference's candles_1m MV,
+#     001:418-430) runs over a 4-way interleaved split of the events table:
+#     each fold merges partial states into the parquet state table via
+#     dynamic partition overwrite, and because the splits interleave in
+#     time every fold re-merges already-written days (the late-data path,
+#     ST2). The oracle aggregates the same candles directly from raw events
+#     — streaming-state == batch, checked by the driver's own harness.
+
+
+def streaming_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from ..streaming.incremental import _fold_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    state_dir = f"/tmp/nmci_stream_state_{tag}"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    for i in range(4):
+        _fold_batch(
+            ev.filter(F.col("event_id") % 4 == i),
+            state_dir,
+            key="event_type", ts="ts", price="value", ord_col="event_id",
+            bucket_seconds=60,
+        )
+    state = spark.read.parquet(state_dir)
+    return (
+        finalize(state)
+        .withColumnRenamed("key", "event_type")
+        .select(
+            "event_type", "bucket", "open", "high", "low", "close",
+            "volume", "trades",
+        )
+    )
+
+
+STREAMING_CANDLES_1M_SQL = CANDLES_1M_SQL

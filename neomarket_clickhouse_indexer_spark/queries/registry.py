@@ -113,6 +113,10 @@ _SPECS: list[QuerySpec] = [
               ("J1", "J3", "W1", "A2", "A3", "A9", "T1"),
               "SCD2 category-filtered leaderboard: LEAD intervals + "
               "broadcast range join vs ASOF-JOIN oracle"),
+    QuerySpec("streaming_candles_1m", E.streaming_candles_1m,
+              E.STREAMING_CANDLES_1M_SQL, ("ST1", "ST2", "ST3", "A7"),
+              "foreachBatch incremental candle fold over 4 interleaved "
+              "microbatches == direct batch aggregation"),
     # Training-data pipeline: documents
     QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
               ("DD1",), "exact dedup by content hash"),
