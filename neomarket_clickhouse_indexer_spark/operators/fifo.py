@@ -342,3 +342,150 @@ SELECT key,
        n
 FROM final
 """
+
+
+# --- PnL modes (O3) over the FIFO allocation: each matched (buy, sell)
+#     slice carries its entry (buy) and exit (sell) timestamps, and the
+#     reference's modes are time filters over those slices
+#     (src/ledger-engine.ts:16-21,1955-2055; src/calculate-pnl.ts:4-10):
+#       with_history  — exit in [start, end)
+#       period_only   — exit in [start, end) AND entry >= start
+#     The oracle re-derives the same slices via the interval-overlap
+#     formulation with the same time predicates — independent algorithms.
+
+PNL_MODES_SCHEMA = (
+    "key bigint, realized_total double, realized_with_history double, "
+    "realized_period_only double, matched_qty bigint"
+)
+
+
+def _modes_core(ts, side, qty, price, start, end) -> tuple:
+    is_buy = side == 1
+    b_qty, b_px, b_ts = qty[is_buy], price[is_buy], ts[is_buy]
+    s_qty, s_px, s_ts = qty[~is_buy], price[~is_buy], ts[~is_buy]
+
+    total_u = wh_u = po_u = 0  # integer 1e-10 units (see _q10)
+    matched = 0
+    bi = 0
+    b_rem = b_qty[0] if len(b_qty) else 0
+    for j in range(len(s_qty)):
+        need = s_qty[j]
+        exit_in = start <= s_ts[j] < end
+        while need > 0 and bi < len(b_qty):
+            take = min(need, b_rem)
+            u = _q10(take * (s_px[j] - b_px[bi]))
+            total_u += u
+            if exit_in:
+                wh_u += u
+                if b_ts[bi] >= start:
+                    po_u += u
+            matched += int(take)
+            need -= take
+            b_rem -= take
+            if b_rem == 0:
+                bi += 1
+                b_rem = b_qty[bi] if bi < len(b_qty) else 0
+        if bi >= len(b_qty) and need > 0:
+            break
+    return (
+        _units_round4(total_u),
+        _units_round4(wh_u),
+        _units_round4(po_u),
+        matched,
+    )
+
+
+def fifo_realized_modes(df: DataFrame, start: str, end: str) -> DataFrame:
+    """Input columns as :func:`fifo_allocate`; output one row per key with
+    realized PnL under each mode for the period [start, end)."""
+    import numpy as np
+
+    start64 = np.datetime64(start)
+    end64 = np.datetime64(end)
+
+    def _part(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        keys = pdf["key"].to_numpy()
+        ts = pdf["ts"].to_numpy()
+        side = pdf["side"].to_numpy()
+        qty = pdf["qty"].to_numpy()
+        price = pdf["price"].to_numpy()
+        boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        rows = []
+        for s_i, e_i in zip(boundaries[:-1], boundaries[1:]):
+            rows.append(
+                (
+                    keys[s_i],
+                    *_modes_core(
+                        ts[s_i:e_i], side[s_i:e_i], qty[s_i:e_i],
+                        price[s_i:e_i], start64, end64,
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "key", "realized_total", "realized_with_history",
+                "realized_period_only", "matched_qty",
+            ],
+        )
+
+    prepared = (
+        df.select("key", "ts", "ord", "side", "qty", "price")
+        .repartition("key")
+        .sortWithinPartitions("key", "ts", "ord")
+    )
+    return prepared.mapInPandas(_part, schema=PNL_MODES_SCHEMA)
+
+
+def fifo_realized_modes_sql(events_rel: str, start: str, end: str) -> str:
+    """Interval-overlap oracle for :func:`fifo_realized_modes` — pairs carry
+    entry/exit timestamps, modes are FILTER predicates over the pairs."""
+    return f"""
+WITH src AS (SELECT * FROM {events_rel}),
+b AS (
+  SELECT key, ts, qty, price,
+         SUM(qty) OVER (PARTITION BY key ORDER BY ts, ord
+                        ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM src WHERE side = 1
+),
+b2 AS (SELECT *, cum_end - qty AS cum_start FROM b),
+s AS (
+  SELECT key, ts, qty, price,
+         SUM(qty) OVER (PARTITION BY key ORDER BY ts, ord
+                        ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM src WHERE side = -1
+),
+s2 AS (SELECT *, cum_end - qty AS cum_start FROM s),
+m AS (
+  SELECT b2.key,
+         LEAST(b2.cum_end, s2.cum_end) - GREATEST(b2.cum_start, s2.cum_start) AS mqty,
+         s2.price - b2.price AS unit_pnl,
+         b2.ts AS entry_ts, s2.ts AS exit_ts
+  FROM b2 JOIN s2 ON b2.key = s2.key
+   AND b2.cum_start < s2.cum_end AND s2.cum_start < b2.cum_end
+),
+magg AS (
+  SELECT key,
+         CAST(ROUND(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10))), 4) AS DOUBLE) AS realized_total,
+         CAST(ROUND(COALESCE(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10)))
+             FILTER (WHERE exit_ts >= TIMESTAMP '{start}' AND exit_ts < TIMESTAMP '{end}'), 0), 4) AS DOUBLE) AS realized_with_history,
+         CAST(ROUND(COALESCE(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10)))
+             FILTER (WHERE exit_ts >= TIMESTAMP '{start}' AND exit_ts < TIMESTAMP '{end}'
+                       AND entry_ts >= TIMESTAMP '{start}'), 0), 4) AS DOUBLE) AS realized_period_only,
+         CAST(SUM(mqty) AS BIGINT) AS matched_qty
+  FROM m GROUP BY key
+)
+SELECT k.key,
+       COALESCE(magg.realized_total, 0.0) AS realized_total,
+       COALESCE(magg.realized_with_history, 0.0) AS realized_with_history,
+       COALESCE(magg.realized_period_only, 0.0) AS realized_period_only,
+       COALESCE(magg.matched_qty, 0) AS matched_qty
+FROM (SELECT DISTINCT key FROM src) k
+LEFT JOIN magg ON k.key = magg.key
+"""

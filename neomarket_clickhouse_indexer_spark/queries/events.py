@@ -841,3 +841,45 @@ def streaming_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_CANDLES_1M_SQL = CANDLES_1M_SQL
+
+
+# --- fifo_pnl_modes: O3 PnL modes as a gate query (reference
+#     src/calculate-pnl.ts:4-10, ledger-engine.ts:1955-2055). Each matched
+#     FIFO slice carries entry/exit timestamps; modes 1-2 are time filters
+#     over the slices. Period fixed to [Jan 10, Jan 20) inside the
+#     fixture's Jan 1-30 range so all three mode columns differ.
+
+PNL_PERIOD_START = "2024-01-10 00:00:00"
+PNL_PERIOD_END = "2024-01-20 00:00:00"
+
+
+def fifo_pnl_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fifo import fifo_realized_modes
+
+    return fifo_realized_modes(
+        _fifo_input(spark, sf_dir), PNL_PERIOD_START, PNL_PERIOD_END
+    )
+
+
+FIFO_PNL_MODES_SQL = None  # built below from the shared input relation
+
+
+def _build_fifo_modes_sql() -> str:
+    from ..operators.fifo import fifo_realized_modes_sql
+
+    return fifo_realized_modes_sql(
+        f"""(
+  SELECT user_id AS key, ts, event_id AS ord,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS side,
+         (CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1 AS qty,
+         value AS price
+  FROM {EVENTS_SQL} e
+  WHERE event_type IN ('purchase', 'click')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+)""",
+        PNL_PERIOD_START,
+        PNL_PERIOD_END,
+    )
+
+
+FIFO_PNL_MODES_SQL = _build_fifo_modes_sql()

@@ -117,6 +117,10 @@ _SPECS: list[QuerySpec] = [
               E.STREAMING_CANDLES_1M_SQL, ("ST1", "ST2", "ST3", "A7"),
               "foreachBatch incremental candle fold over 4 interleaved "
               "microbatches == direct batch aggregation"),
+    QuerySpec("fifo_pnl_modes", E.fifo_pnl_modes, E.FIFO_PNL_MODES_SQL,
+              ("O3", "O1"),
+              "PnL modes 1-2 (period-only / with-history) over FIFO "
+              "slices vs time-filtered interval oracle"),
     # Training-data pipeline: documents
     QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
               ("DD1",), "exact dedup by content hash"),
