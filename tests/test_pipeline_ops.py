@@ -96,3 +96,25 @@ def test_connected_components_planted_chain(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_doc_bands_persisted_table_reused(spark):
+    """doc_bands_table builds the LSH signature table once (MV analog) and
+    subsequent reads return the identical persisted rows."""
+    import os
+
+    from neomarket_clickhouse_indexer_spark.queries.documents import (
+        _doc_bands,
+        doc_bands_table,
+    )
+
+    t1 = doc_bands_table(spark, SF_SMOKE)
+    path = t1.inputFiles()[0]
+    assert "/tmp/nmci_doc_bands_" in path
+    # second call must read the persisted table, not rebuild
+    t2 = doc_bands_table(spark, SF_SMOKE)
+    assert sorted(t2.inputFiles()) == sorted(t1.inputFiles())
+    # persisted rows == freshly computed rows
+    fresh = {tuple(r) for r in _doc_bands(spark, SF_SMOKE).collect()}
+    stored = {tuple(r) for r in t1.collect()}
+    assert fresh == stored and len(stored) > 0
