@@ -163,6 +163,8 @@ _SPECS: list[QuerySpec] = [
               ("VS3",), "random-hyperplane LSH ANN with exact re-rank"),
     QuerySpec("knn_ivf", V.knn_ivf, V.KNN_IVF_SQL, ("VS4", "VS2"),
               "IVF ANN: centroid coarse quantizer, nprobe=1, exact re-rank"),
+    QuerySpec("knn_ivf_nprobe2", V.knn_ivf_nprobe2, V.KNN_IVF_NPROBE2_SQL,
+              ("VS4",), "IVF ANN with nprobe=2 (recall/cost knob)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -290,7 +290,12 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
+    """IVF ANN with a tunable ``nprobe``: probe the top-``nprobe`` cells by
+    query↔centroid similarity, exact re-rank only inside the probed cells.
+    Work scales linearly with nprobe (recall/cost knob — the standard IVF
+    trade-off); candidates stay a broadcast-probe join, never a full scan.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -305,7 +310,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cell = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("label"))
     probed = (
         scored_cells.withColumn("r", F.row_number().over(w_cell))
-        .filter(F.col("r") == 1)
+        .filter(F.col("r") <= nprobe)
         .select("query_id", "q_emb", F.col("label").alias("probe_label"))
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
@@ -385,3 +390,16 @@ FROM (
 )
 WHERE rank <= 3
 """
+
+
+def _ivf_sql(nprobe: int) -> str:
+    """Oracle for :func:`knn_ivf` at a given nprobe (each corpus vector has
+    exactly one label, so multi-cell probes never duplicate candidates)."""
+    return KNN_IVF_SQL.replace("WHERE r = 1", f"WHERE r <= {nprobe}")
+
+
+def knn_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_ivf(spark, sf_dir, nprobe=2)
+
+
+KNN_IVF_NPROBE2_SQL = _ivf_sql(2)

@@ -118,3 +118,32 @@ def test_doc_bands_persisted_table_reused(spark):
     fresh = {tuple(r) for r in _doc_bands(spark, SF_SMOKE).collect()}
     stored = {tuple(r) for r in t1.collect()}
     assert fresh == stored and len(stored) > 0
+
+
+def test_ivf_recall_improves_monotonically_with_nprobe(spark):
+    """recall@3 vs the exact ranking must be non-decreasing in nprobe, and
+    probing every cell must reach recall 1.0 (IVF degenerates to exact)."""
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        knn_bruteforce,
+        knn_ivf,
+    )
+    from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+    exact = {}
+    for r in knn_bruteforce(spark, SF_SMOKE).filter(F.col("rank") <= 3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_labels = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("label").distinct().count()
+    )
+
+    def recall(nprobe: int) -> float:
+        got = {}
+        for r in knn_ivf(spark, SF_SMOKE, nprobe=nprobe).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & s) for q, s in exact.items())
+        return hits / sum(len(s) for s in exact.values())
+
+    recalls = [recall(p) for p in (1, 2, n_labels)]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
