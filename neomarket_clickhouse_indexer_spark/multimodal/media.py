@@ -140,3 +140,55 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def binary_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    bytes_per_frame: int = 256,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Media→frame fan-out over Arrow batches (the video frame-sampling
+    shape): one output row per ``bytes_per_frame`` chunk of the binary
+    payload, with a per-frame content signature. The fan-out happens inside
+    the executor, so a downstream shuffle moves only frames, never whole
+    payloads — the 100 TB discipline from the module docstring.
+
+    Used by the driver-gated ``multimodal_doc_frames`` query (payloads
+    derived from the documents fixture), so the Arrow/mapInPandas plumbing
+    is exercised end-to-end against a SQL oracle.
+    """
+    carry = list(carry_cols)
+    schema = (
+        f"{id_col} bigint, "
+        + "".join(f"{c} string, " for c in carry)
+        + "frame_idx int, frame_bytes int, frame_sig string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for tup in pdf[[id_col, *carry, payload_col]].itertuples(index=False):
+                mid, *extra, payload = tup
+                b = bytes(payload)
+                n = (len(b) + bytes_per_frame - 1) // bytes_per_frame
+                for i in range(n):
+                    chunk = b[i * bytes_per_frame:(i + 1) * bytes_per_frame]
+                    rows.append(
+                        (
+                            mid,
+                            *extra,
+                            i,
+                            len(chunk),
+                            hashlib.sha256(chunk).hexdigest()[:8],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, *carry, "frame_idx", "frame_bytes", "frame_sig"],
+            )
+
+    return df.select(id_col, *carry, payload_col).mapInPandas(run, schema)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import documents as D
 from . import events as E
+from . import multimodal_q as M
 from . import relational as R
 from . import vectors_q as V
 
@@ -165,6 +166,10 @@ _SPECS: list[QuerySpec] = [
               "IVF ANN: centroid coarse quantizer, nprobe=1, exact re-rank"),
     QuerySpec("knn_ivf_nprobe2", V.knn_ivf_nprobe2, V.KNN_IVF_NPROBE2_SQL,
               ("VS4",), "IVF ANN with nprobe=2 (recall/cost knob)"),
+    QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
+              M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
+              "binary payload -> executor-side frame fan-out -> per-source "
+              "aggregate (Arrow mapInPandas vs substring/sha256 oracle)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
