@@ -93,15 +93,17 @@ def _pack_uint(value: int, bits: int = 256) -> bytes:
 
 
 def collection_id(parent_collection_id: str, condition_id: str, index_set: int) -> str:
-    """keccak(conditionId ++ indexSet) combined with the parent collection —
-    CTF collection derivation (simplified flat-parent form: parent is the
-    zero collection for every market the reference indexes)."""
+    """keccak(encodePacked(bytes32 parent, bytes32 conditionId, uint256
+    indexSet)) — the reference's collection derivation
+    (computeCollectionId, src/ledger-engine.ts:441-446; the zero parent is
+    still 32 zero bytes in the packed preimage)."""
+    parent = (
+        bytes.fromhex(parent_collection_id.removeprefix("0x").rjust(64, "0"))
+        if parent_collection_id
+        else b"\x00" * 32
+    )
     cond = bytes.fromhex(condition_id.removeprefix("0x"))
-    digest = keccak256(cond + _pack_uint(index_set))
-    if parent_collection_id and int(parent_collection_id, 16) != 0:
-        parent = bytes.fromhex(parent_collection_id.removeprefix("0x"))
-        digest = keccak256(parent + digest)
-    return "0x" + digest.hex()
+    return "0x" + keccak256(parent + cond + _pack_uint(index_set)).hex()
 
 
 def position_id(collateral_token: str, coll_id: str) -> str:
@@ -148,3 +150,47 @@ def neg_risk_question_id(market_id: str, question_index: int) -> str:
 def index_set_questions(index_set: int, question_count: int) -> list[int]:
     """Bit test: which question indices an index set selects."""
     return [i for i in range(question_count) if (index_set >> i) & 1]
+
+
+# public Polygon contract addresses (reference src/constants.ts:19-20)
+NEGRISK_ADAPTER = "0xd91E80cF2E7be2e162c6513ceD06f1dD0dA35296"
+NEGRISK_WRAPPED_COLLATERAL = "0x3A3BD7bb9528E159577F7C2e685CC81A765002E2"
+ZERO_BYTES32 = "0x" + "00" * 32
+
+
+def condition_id_from_question(
+    oracle: str, question_id: str, outcome_slot_count: int
+) -> str:
+    """keccak(encodePacked(address, bytes32, uint256)) — the CTF condition
+    id derivation (reference computeConditionIdFromQuestion,
+    src/ledger-engine.ts:475-480)."""
+    oracle_b = bytes.fromhex(oracle.removeprefix("0x"))
+    qid = bytes.fromhex(question_id.removeprefix("0x"))
+    return "0x" + keccak256(oracle_b + qid + _pack_uint(outcome_slot_count)).hex()
+
+
+def neg_risk_token_ids(market_id: str, question_count: int) -> list[dict]:
+    """Per-question (yes, no) outcome token ids of a negRisk market
+    (reference computeNegRiskTokenIds, src/ledger-engine.ts:482-491):
+    question i's id = market id with low byte i; condition = CTF derivation
+    with the adapter as oracle and 2 slots; tokens under the zero parent
+    collection and the wrapped collateral."""
+    out = []
+    for i in range(question_count):
+        qid = neg_risk_question_id(market_id, i)
+        cond = condition_id_from_question(NEGRISK_ADAPTER, qid, 2)
+        yes, no = outcome_token_ids(NEGRISK_WRAPPED_COLLATERAL, cond, 2)
+        out.append({"yes": yes, "no": no})
+    return out
+
+
+def conversion_legs(market_id: str, index_set: int, question_count: int) -> tuple:
+    """(burn_token_ids, mint_token_ids) for a negRisk conversion
+    (reference fallback path, src/ledger-engine.ts:1688-1703): burn the NO
+    token of every question selected by the index set, mint the YES token
+    of every question NOT selected."""
+    tokens = neg_risk_token_ids(market_id, question_count)
+    burn = [tokens[i]["no"] for i in index_set_questions(index_set, question_count)]
+    selected = set(index_set_questions(index_set, question_count))
+    mint = [tokens[i]["yes"] for i in range(question_count) if i not in selected]
+    return burn, mint

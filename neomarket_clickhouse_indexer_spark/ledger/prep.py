@@ -345,3 +345,58 @@ def normalize_adapter_conversions(
         F.lit(None).cast("array<double>").alias("payout_ratios"),
         F.col("mint_token_ids"),
     )
+
+
+def build_conversion_legs(
+    neg_risk_markets: DataFrame, conversions: DataFrame
+) -> DataFrame:
+    """Resolve (market_id, index_set) → (burn_token_ids, mint_token_ids)
+    for negRisk conversions from the engine's own metadata — the
+    reference's no-transfers fallback (src/ledger-engine.ts:1688-1703):
+    burn the NO token of every index-set-selected question, mint the YES
+    token of the rest; token ids derived per computeNegRiskTokenIds
+    (keccak over adapter/wrapped-collateral constants).
+
+    Distributed shape: one pass over the DISTINCT (market_id, index_set)
+    pairs (dimension-sized) joined to the latest question_count, keccak
+    work in an Arrow-batched mapInPandas — no driver-side loop. Feeds
+    :func:`normalize_adapter_conversions` directly.
+    """
+    import pandas as pd
+
+    from ..functions.keccak import conversion_legs
+
+    # version = (height, question_count): counts only grow, so the max
+    # count wins among same-block updates (MarketPrepared + QuestionPrepared
+    # land in one block at market creation)
+    latest = latest_by_key(
+        neg_risk_markets, ["market_id"], ["height", "question_count"]
+    ).select("market_id", "question_count")
+    pairs = (
+        conversions.select("market_id", "index_set")
+        .distinct()
+        .join(F.broadcast(latest), "market_id")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, iset, qc in zip(
+                pdf["market_id"], pdf["index_set"], pdf["question_count"]
+            ):
+                burn, mint = conversion_legs(mid, int(iset), int(qc))
+                rows.append((mid, iset, burn, mint))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "market_id", "index_set", "burn_token_ids", "mint_token_ids",
+                ],
+            )
+
+    return pairs.mapInPandas(
+        run,
+        "market_id string, index_set decimal(38,0), "
+        "burn_token_ids array<string>, mint_token_ids array<string>",
+    )

@@ -392,11 +392,32 @@ def test_decoded_adapter_frames_feed_ledger_prep(spark):
         "payout_numerators array<decimal(38,0)>, "
         "payout_denominator decimal(38,0), height long",
     )
-    legs = spark.createDataFrame(
-        [("0x" + MARKET, D(1), ["tok-no"], ["tok-yes"])],
-        "market_id string, index_set decimal(38,0), "
-        "burn_token_ids array<string>, mint_token_ids array<string>",
+    # legs resolved from the engine's own decoded metadata (MarketPrepared
+    # + QuestionPrepared → question_count; keccak-derived token ids) — no
+    # hand-built frame
+    from neomarket_clickhouse_indexer_spark.ledger.prep import (
+        build_conversion_legs,
     )
+    from neomarket_clickhouse_indexer_spark.sources.ingest import (
+        SIG_MARKET_PREPARED,
+        SIG_QUESTION_PREPARED,
+        decode_market_prepared,
+        decode_question_prepared,
+    )
+
+    meta_logs = spark.createDataFrame(
+        [
+            log_row([SIG_MARKET_PREPARED, topic_hex(MARKET), topic_addr(A)],
+                    [w(200), w(0x40), w(0)], log_index=6),
+            log_row([SIG_QUESTION_PREPARED, topic_hex(MARKET), topic_hex(QID)],
+                    [w(1), w(0x40), w(0)], log_index=7),  # index 1 → count 2
+        ],
+        RAW_LOG_SCHEMA,
+    )
+    nrm = decode_market_prepared(meta_logs).unionByName(
+        decode_question_prepared(meta_logs), allowMissingColumns=True
+    )
+    legs = build_conversion_legs(nrm, decode_positions_converted(logs))
 
     split_n = normalize_adapter_simple(
         decode_adapter_position_split(logs), meta, "adapter_split"
@@ -421,9 +442,15 @@ def test_decoded_adapter_frames_feed_ledger_prep(spark):
     assert merge_n[0]["type"] == "adapter_merge" and merge_n[0]["usdc"] == 4.0
     assert red_n[0]["type"] == "adapter_redemption"
     assert red_n[0]["payout_ratios"] == [1.0, 0.0]
+    from neomarket_clickhouse_indexer_spark.functions.keccak import (
+        neg_risk_token_ids,
+    )
+
+    toks = neg_risk_token_ids("0x" + MARKET, 2)
     assert conv_n[0]["type"] == "adapter_conversion"
-    assert conv_n[0]["outcome_token_ids"] == ["tok-no"]
-    assert conv_n[0]["mint_token_ids"] == ["tok-yes"]
+    # index_set=1 selects question 0: burn its NO leg, mint question 1's YES
+    assert conv_n[0]["outcome_token_ids"] == [toks[0]["no"]]
+    assert conv_n[0]["mint_token_ids"] == [toks[1]["yes"]]
     assert conv_n[0]["qty"] == 6.0
     types = sorted(r["type"] for r in fee_n)
     assert types == ["fee_refund", "fee_withdrawal"]
