@@ -489,3 +489,117 @@ SELECT k.key,
 FROM (SELECT DISTINCT key FROM src) k
 LEFT JOIN magg ON k.key = magg.key
 """
+
+
+# --- daily realized rollup (O4; reference src/build-rollup-1d.ts:56-87 —
+#     wallet × day buckets of realized PnL, idempotently rebuilt). The FIFO
+#     pair decomposition attributes each matched (buy, sell) portion to the
+#     SELL's calendar day, so the rollup is a per-exit-day regrouping of the
+#     same exact pair units the allocator already produces. The oracle
+#     regroups the interval-overlap pair set by CAST(exit_ts AS DATE) —
+#     identical pair decomposition, independent derivation.
+
+ROLLUP_1D_SCHEMA = "key bigint, day date, realized_pnl double, matched_qty bigint"
+
+
+def _rollup_core(ts, side, qty, price, out_rows, key) -> None:
+    """Two-pointer FIFO match accumulating exact 1e-10 units per exit day.
+    Appends (key, day, realized, matched) rows to ``out_rows``."""
+    is_buy = side == 1
+    b_qty, b_px = qty[is_buy], price[is_buy]
+    s_qty, s_px, s_ts = qty[~is_buy], price[~is_buy], ts[~is_buy]
+
+    acc: dict = {}  # numpy datetime64[D] -> [units, matched]
+    bi = 0
+    b_rem = b_qty[0] if len(b_qty) else 0
+    for j in range(len(s_qty)):
+        need = s_qty[j]
+        day = s_ts[j].astype("datetime64[D]")
+        while need > 0 and bi < len(b_qty):
+            take = min(need, b_rem)
+            slot = acc.setdefault(day, [0, 0])
+            slot[0] += _q10(take * (s_px[j] - b_px[bi]))
+            slot[1] += int(take)
+            need -= take
+            b_rem -= take
+            if b_rem == 0:
+                bi += 1
+                b_rem = b_qty[bi] if bi < len(b_qty) else 0
+        if bi >= len(b_qty) and need > 0:
+            break
+    for day in sorted(acc):
+        u, m = acc[day]
+        out_rows.append((key, day.astype("O"), _units_round4(u), m))
+
+
+def fifo_rollup_1d(df: DataFrame) -> DataFrame:
+    """Input columns as :func:`fifo_allocate`; output one row per
+    (key, exit day) with that day's realized PnL and matched quantity.
+    Same single-shuffle partition-wise plan as the allocator."""
+    import numpy as np  # noqa: F401  (ts arrives as datetime64)
+
+    def _part(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        import numpy as np
+
+        keys = pdf["key"].to_numpy()
+        ts = pdf["ts"].to_numpy()
+        side = pdf["side"].to_numpy()
+        qty = pdf["qty"].to_numpy()
+        price = pdf["price"].to_numpy()
+        boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        rows: list = []
+        for s_i, e_i in zip(boundaries[:-1], boundaries[1:]):
+            _rollup_core(
+                ts[s_i:e_i], side[s_i:e_i], qty[s_i:e_i], price[s_i:e_i],
+                rows, keys[s_i],
+            )
+        yield pd.DataFrame(
+            rows, columns=["key", "day", "realized_pnl", "matched_qty"]
+        )
+
+    prepared = (
+        df.select("key", "ts", "ord", "side", "qty", "price")
+        .repartition("key")
+        .sortWithinPartitions("key", "ts", "ord")
+    )
+    return prepared.mapInPandas(_part, schema=ROLLUP_1D_SCHEMA)
+
+
+def fifo_rollup_1d_sql(events_rel: str) -> str:
+    """DuckDB oracle for :func:`fifo_rollup_1d` — the interval-overlap pair
+    set regrouped by the sell side's calendar day."""
+    return f"""
+WITH src AS (SELECT * FROM {events_rel}),
+b AS (
+  SELECT key, ts, qty, price,
+         SUM(qty) OVER (PARTITION BY key ORDER BY ts, ord
+                        ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM src WHERE side = 1
+),
+b2 AS (SELECT *, cum_end - qty AS cum_start FROM b),
+s AS (
+  SELECT key, ts, qty, price,
+         SUM(qty) OVER (PARTITION BY key ORDER BY ts, ord
+                        ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM src WHERE side = -1
+),
+s2 AS (SELECT *, cum_end - qty AS cum_start FROM s),
+m AS (
+  SELECT b2.key,
+         LEAST(b2.cum_end, s2.cum_end) - GREATEST(b2.cum_start, s2.cum_start) AS mqty,
+         s2.price - b2.price AS unit_pnl,
+         s2.ts AS exit_ts
+  FROM b2 JOIN s2 ON b2.key = s2.key
+   AND b2.cum_start < s2.cum_end AND s2.cum_start < b2.cum_end
+)
+SELECT key, CAST(exit_ts AS DATE) AS day,
+       CAST(ROUND(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10))), 4) AS DOUBLE) AS realized_pnl,
+       CAST(SUM(mqty) AS BIGINT) AS matched_qty
+FROM m GROUP BY key, CAST(exit_ts AS DATE)
+"""

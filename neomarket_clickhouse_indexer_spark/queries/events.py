@@ -883,3 +883,172 @@ def _build_fifo_modes_sql() -> str:
 
 
 FIFO_PNL_MODES_SQL = _build_fifo_modes_sql()
+
+
+# The shared FIFO input relation (DuckDB side), used by every FIFO-family
+# oracle above; factored here for the daily rollup gate.
+_FIFO_INPUT_SQL = f"""(
+  SELECT user_id AS key, ts, event_id AS ord,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS side,
+         (CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1 AS qty,
+         value AS price
+  FROM {EVENTS_SQL} e
+  WHERE event_type IN ('purchase', 'click')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+)"""
+
+
+# --- fifo_daily_rollup: O4 daily realized rollup (reference
+#     src/build-rollup-1d.ts:56-87 — wallet × day buckets rebuilt
+#     idempotently; here the rollup is computed directly from the FIFO pair
+#     decomposition, attributed to each matched slice's EXIT day).
+
+
+def fifo_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fifo import fifo_rollup_1d
+
+    out = fifo_rollup_1d(_fifo_input(spark, sf_dir))
+    # DATE → midnight TIMESTAMP for the cross-engine compare (DuckDB DATE
+    # round-trips to pandas as midnight timestamps; orders_monthly convention)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+def _build_fifo_rollup_sql() -> str:
+    from ..operators.fifo import fifo_rollup_1d_sql
+
+    return fifo_rollup_1d_sql(_FIFO_INPUT_SQL)
+
+
+FIFO_DAILY_ROLLUP_SQL = _build_fifo_rollup_sql()
+
+
+# --- user_signed_balances: A10 summing accumulation over a heterogeneous
+#     signed union (U1/U2), dedup-first (A11) — the engine's user_balances
+#     builder shape (agg/derived.py; reference SummingMergeTree balances,
+#     clickhouse/init/001_create_tables.sql:173-189: signed transfer legs
+#     summed per wallet) as a driver-gated query.
+
+
+def user_signed_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedupe_by_id
+
+    ev = dedupe_by_id(load_table(spark, sf_dir, "events"), "event_id")
+    credits = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "user_id", F.col("value").alias("amount"), F.lit("credit").alias("leg")
+    )
+    debits = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", (-F.col("value")).alias("amount"), F.lit("debit").alias("leg")
+    )
+    merged = credits.unionByName(debits)
+    return merged.groupBy("user_id").agg(
+        dsum(F.col("amount"), "balance"),
+        F.count(F.when(F.col("leg") == "credit", 1)).alias("n_credits"),
+        F.count(F.when(F.col("leg") == "debit", 1)).alias("n_debits"),
+    )
+
+
+USER_SIGNED_BALANCES_SQL = f"""
+WITH legs AS (
+  SELECT user_id, value AS amount, 'credit' AS leg
+  FROM {EVENTS_SQL} e WHERE event_type IN ('purchase', 'signup')
+  UNION ALL
+  SELECT user_id, -value AS amount, 'debit' AS leg
+  FROM {EVENTS_SQL} e WHERE event_type IN ('click', 'view')
+)
+SELECT user_id,
+       {sql_dsum("amount", "balance")},
+       COUNT(*) FILTER (WHERE leg = 'credit') AS n_credits,
+       COUNT(*) FILTER (WHERE leg = 'debit') AS n_debits
+FROM legs GROUP BY user_id
+"""
+
+
+# --- orders_latest_activity: J3 join against a dedup (latest-by-key)
+#     subquery — the reference's "join current state" pattern (latest
+#     metadata row per token via ReplacingMergeTree FINAL, e.g.
+#     src/api.ts:403-425 joining trades to current token_metadata).
+#     orders(fact) ⋈ latest-event-per-user; NOT broadcast-hinted — the
+#     dedup side is user-cardinality and must shuffle-join at scale.
+
+
+def orders_latest_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    latest = latest_by_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", F.col("event_type").alias("latest_type")
+    )
+    return (
+        orders.join(latest, orders.o_custkey == latest.user_id)
+        .groupBy("user_id", "latest_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "total_spend"),
+        )
+    )
+
+
+ORDERS_LATEST_ACTIVITY_SQL = f"""
+WITH latest AS (
+  SELECT user_id, event_type AS latest_type
+  FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM {EVENTS_SQL} e
+  ) WHERE rn = 1
+)
+SELECT l.user_id, l.latest_type,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o.o_totalprice", "total_spend")}
+FROM orders o JOIN latest l ON o.o_custkey = l.user_id
+GROUP BY l.user_id, l.latest_type
+"""
+
+
+# --- merged_timeline_page: T4 n-way merge of heterogeneous streams (U2)
+#     into one canonical total order, paginated (T2/T3) — the reference's
+#     unified activity feed (src/api.ts trade+transfer+redemption merge)
+#     over the orders and events tables. Pagination is the same
+#     TakeOrderedAndProject shape as lineitem_page — no global window.
+
+
+def merged_timeline_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    o_part = orders.select(
+        F.lit("order").alias("src"),
+        F.col("o_orderkey").alias("item_id"),
+        F.col("o_custkey").alias("actor"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_totalprice").alias("val"),
+    )
+    e_part = ev.select(
+        F.lit("event").alias("src"),
+        F.col("event_id").alias("item_id"),
+        F.col("user_id").alias("actor"),
+        "ts",
+        F.col("value").alias("val"),
+    )
+    merged = o_part.unionByName(e_part)
+    # (ts, src, item_id) is unique across the union: ids are unique within
+    # each source and src disambiguates between them.
+    return ranked_topk(
+        merged, ["ts", "src", "item_id"], 100, rank_alias="rn", rank_offset=50
+    ).select("rn", "src", "item_id", "actor", "ts", "val")
+
+
+MERGED_TIMELINE_PAGE_SQL = f"""
+SELECT rn, src, item_id, actor, ts, val
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY ts, src, item_id) AS rn, *
+  FROM (
+    SELECT 'order' AS src, o_orderkey AS item_id, o_custkey AS actor,
+           o_orderdate AS ts, o_totalprice AS val
+    FROM orders
+    UNION ALL
+    SELECT 'event' AS src, event_id AS item_id, user_id AS actor, ts, value AS val
+    FROM {EVENTS_SQL} e
+  )
+)
+WHERE rn > 50 AND rn <= 150
+"""

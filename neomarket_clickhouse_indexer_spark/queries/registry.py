@@ -68,6 +68,10 @@ _SPECS: list[QuerySpec] = [
               "TPC-H Q2 shape: per-group min via decorrelated subquery"),
     QuerySpec("regional_rollup", R.regional_rollup, R.REGIONAL_ROLLUP_SQL,
               ("A1", "BONUS"), "ROLLUP grouping sets (beyond reference)"),
+    QuerySpec("supplier_share_having", R.supplier_share_having,
+              R.SUPPLIER_SHARE_HAVING_SQL, ("A9", "A1"),
+              "TPC-H Q11 shape: HAVING vs scalar-subquery threshold in "
+              "exact decimal space"),
     # Event-stream surface
     QuerySpec("latest_event_per_user", E.latest_event_per_user,
               E.LATEST_EVENT_PER_USER_SQL, ("W3",), "latest-by-key dedup view"),
@@ -122,6 +126,22 @@ _SPECS: list[QuerySpec] = [
               ("O3", "O1"),
               "PnL modes 1-2 (period-only / with-history) over FIFO "
               "slices vs time-filtered interval oracle"),
+    QuerySpec("fifo_daily_rollup", E.fifo_daily_rollup,
+              E.FIFO_DAILY_ROLLUP_SQL, ("O4", "O1"),
+              "wallet x exit-day realized rollup from the FIFO pair "
+              "decomposition vs day-regrouped interval oracle"),
+    QuerySpec("user_signed_balances", E.user_signed_balances,
+              E.USER_SIGNED_BALANCES_SQL, ("A10", "A11", "U1", "U2"),
+              "dedup-first signed heterogeneous union -> per-user balance "
+              "(SummingMergeTree shape)"),
+    QuerySpec("orders_latest_activity", E.orders_latest_activity,
+              E.ORDERS_LATEST_ACTIVITY_SQL, ("J3", "W3", "J1"),
+              "fact join against latest-by-key dedup subquery "
+              "(ReplacingMergeTree FINAL shape)"),
+    QuerySpec("merged_timeline_page", E.merged_timeline_page,
+              E.MERGED_TIMELINE_PAGE_SQL, ("T4", "U2", "T2", "T3"),
+              "heterogeneous union merged into one total order, paginated "
+              "via TakeOrdered (unified activity feed)"),
     # Training-data pipeline: documents
     QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
               ("DD1",), "exact dedup by content hash"),

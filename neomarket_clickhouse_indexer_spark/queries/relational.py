@@ -539,3 +539,43 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """
+
+
+# --- supplier_share_having: A9 HAVING with a scalar-subquery threshold
+#     (TPC-H Q11 shape; reference HAVING ladders, src/api.ts:348-364
+#     leaderboard minimum-volume cut). The share comparison happens in
+#     EXACT decimal space on both sides (sum*500 > total) — a double
+#     threshold could straddle the cut at ulp level (CLAUDE.md).
+#     Plan shape: one partial+final agg over the fact, the grand total is a
+#     1-row broadcast crossJoin — no second fact scan per group.
+
+
+def supplier_share_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).alias("v"), F.count(F.lit(1)).alias("n_items")
+    )
+    total = li.agg(F.sum(rev).alias("t"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 500 > F.col("t"))
+        .select(
+            "l_suppkey",
+            F.round(F.col("v"), 4).cast("double").alias("supp_value"),
+            "n_items",
+        )
+    )
+
+
+SUPPLIER_SHARE_HAVING_SQL = """
+SELECT l_suppkey,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 4) AS DOUBLE) AS supp_value,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 500 >
+       (SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) FROM lineitem)
+"""
