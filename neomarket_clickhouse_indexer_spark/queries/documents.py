@@ -17,6 +17,23 @@ from ..functions import text as TX
 from ..sources.tables import load_table
 from .util import sql_dsum
 
+
+def _spread(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition when the scan yields fewer splits than cores.
+
+    A small corpus arrives as ONE parquet split, so every downstream
+    CPU-heavy expression (md5 families, shingle transforms) runs on a
+    single core before the first shuffle — measured 5.5 s → ~0.7 s for the
+    LSH band build at sf0.1. At 100 TB the scan already has thousands of
+    splits and this is a no-op (the condition is false), so the extra
+    exchange only ever fires where it pays for itself.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 # --- docs_dedup_exact: exact duplicate collapse by content hash; keeps the
 #     lowest doc_id per hash (deterministic winner), reports cluster size.
 
@@ -173,7 +190,7 @@ NUM_BANDS = NUM_PERM // BAND_SIZE
 
 
 def _doc_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     # Two materialization boundaries: (1) the shingle array (else every
     # downstream column recomputes split+transform; measured 103s→13s at
     # sf0.1), then (2) the 4 md5 family arrays (each md5 digest yields 4
@@ -230,7 +247,10 @@ def doc_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = "/tmp/nmci_doc_bands_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.build{os.getpid()}"
-        _doc_bands(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+        # 4 rows/doc → tiny table: repartition(4) (NOT coalesce, which would
+        # collapse the upstream hash stage to 4 tasks) so the commit isn't
+        # 32 near-empty files; the band-key self-join reshuffles anyway
+        _doc_bands(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(tmp)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             shutil.rmtree(path, ignore_errors=True)
             os.rename(tmp, path)
@@ -380,7 +400,7 @@ SIMHASH_BITS = 16
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     exploded = docs.select(
         "doc_id",
         F.explode(TX.tokens(F.col("text"))).alias("w"),
@@ -435,11 +455,22 @@ JACCARD_THRESHOLD = 0.6
 
 def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # checkpoint: the shingle table feeds BOTH sides of the pair join
-    sh = docs.select(
-        "doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh")
-    ).localCheckpoint(eager=True)
     pairs = docs_near_dup_pairs(spark, sf_dir)
+    # Exact shingle sets ONLY for docs that appear in a candidate pair —
+    # the corpus-wide shingle pass the LSH stage exists to avoid (at 100 TB
+    # the candidate set is orders of magnitude smaller than the corpus).
+    # persist(): the tiny candidate-shingle table feeds BOTH sides of the
+    # pair join; unlike localCheckpoint it stays recomputable on loss.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, "doc_id")
+        .select("doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh"))
+        .persist()
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
