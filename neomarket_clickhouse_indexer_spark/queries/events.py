@@ -385,9 +385,16 @@ FIFO_USER_PNL_SQL = fifo_allocate_sql(
 #     distributed-vs-local differential in tests/test_ledger_spark.py.
 
 
-def _domain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _domain_events(
+    spark: SparkSession, sf_dir: str, integer_splits: bool = False
+) -> DataFrame:
     # rows with null props.k would yield null qty/usdc and silently poison
     # wallet books (ADVICE r1) — exclude them, mirroring _fifo_input
+    #
+    # integer_splits: split amounts become (k % 3) + 1 instead of value/10 —
+    # the snapshot gate's integer-quantity domain, where every lot qty stays
+    # an exactly-representable integer so clamped inventory replay is
+    # bit-exact under ANY association order (see wallet_snapshot_positions).
     ev = load_table(spark, sf_dir, "events").filter(
         F.get_json_object(F.col("props"), "$.k").isNotNull()
     )
@@ -431,7 +438,12 @@ def _domain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("condition_id"),
         F.when(typ.isin("trade", "transfer"), F.col("qd")).otherwise(F.lit(0.0)).alias("qty"),
         F.when(typ == "trade", F.col("value") / 100.0)
-        .when(typ == "split", F.col("value") / 10.0)
+        .when(
+            typ == "split",
+            ((F.col("k") % 3) + 1).cast("double")
+            if integer_splits
+            else F.col("value") / 10.0,
+        )
         .when(typ == "fee_refund", F.col("value") / 1000.0)
         .otherwise(F.lit(0.0))
         .alias("usdc"),
@@ -1051,4 +1063,120 @@ FROM (
   )
 )
 WHERE rn > 50 AND rn <= 150
+"""
+
+
+# --- wallet_snapshot_positions: O2 snapshot emitter as a gate query
+#     (reference snapshot emitter, src/ledger-engine.ts:1116-1152,1916-1935:
+#     at each crossed interval boundary, emit wallet state BEFORE applying
+#     the boundary-crossing event). The gate projects (wallet,
+#     snapshot_epoch, token_count) — the two outputs that are pure
+#     functions of the emission clock and the clamped inventory state.
+#
+#     Why this is oracle-expressible: the gate runs the engine over an
+#     INTEGER-quantity domain (integer_splits=True), so every lot quantity
+#     the FIFO book ever holds is an exactly-representable integer and
+#     consume()'s per-lot float arithmetic is exact. Under exact
+#     arithmetic, aggregate inventory follows the Lindley recursion
+#     q_t = max(0, q_{t-1} + delta_t), whose closed form is
+#     q_t = cum_t - min(0, running_min(cum_t)) — plain windowed SQL, no
+#     recursion, association-free. The oracle replays that, rebuilds the
+#     boundary grid from the event-time span, and ASOF-joins state to
+#     boundaries (strictly-before semantics matching the engine's
+#     snapshot-before-apply rule).
+
+SNAPSHOT_INTERVAL_S = 86400
+
+
+def wallet_snapshot_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ledger.build import build_wallet_snapshots
+
+    snaps = build_wallet_snapshots(
+        _domain_events(spark, sf_dir, integer_splits=True),
+        interval_s=SNAPSHOT_INTERVAL_S,
+    )
+    return snaps.select("wallet", "snapshot_epoch", "token_count")
+
+
+WALLET_SNAPSHOT_POSITIONS_SQL = f"""
+WITH base AS (
+  SELECT '0xw' || CAST(user_id AS VARCHAR) AS wallet,
+         ts, event_id, event_type,
+         (CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1 AS qd,
+         (CAST(json_extract_string(props, '$.k') AS INT) % 3) + 1 AS amt,
+         (CAST(json_extract_string(props, '$.k') AS INT) % 2) = 0 AS is_in,
+         'tok-yes-' || CAST(user_id % 10 AS VARCHAR) AS yes_tok,
+         'tok-no-' || CAST(user_id % 10 AS VARCHAR) AS no_tok
+  FROM {EVENTS_SQL} e
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+-- every event (incl. fee/error rows) advances the snapshot clock
+we AS (
+  SELECT wallet,
+         (CAST(FLOOR(epoch(MIN(ts)) / {SNAPSHOT_INTERVAL_S}) AS BIGINT) + 1)
+           * {SNAPSHOT_INTERVAL_S} AS b0,
+         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS emax
+  FROM base GROUP BY wallet
+),
+bounds AS (
+  SELECT wallet, unnest(generate_series(b0, emax, {SNAPSHOT_INTERVAL_S})) AS b
+  FROM we
+),
+deltas AS (
+  SELECT wallet, ts, event_id, yes_tok AS token, CAST(qd AS BIGINT) AS dq
+  FROM base WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT wallet, ts, event_id, yes_tok, -CAST(qd AS BIGINT)
+  FROM base WHERE event_type = 'click'
+  UNION ALL
+  SELECT wallet, ts, event_id, yes_tok,
+         CASE WHEN is_in THEN CAST(qd AS BIGINT) ELSE -CAST(qd AS BIGINT) END
+  FROM base WHERE event_type = 'view'
+  UNION ALL
+  SELECT wallet, ts, event_id, yes_tok, CAST(amt AS BIGINT)
+  FROM base WHERE event_type = 'signup'
+  UNION ALL
+  SELECT wallet, ts, event_id, no_tok, CAST(amt AS BIGINT)
+  FROM base WHERE event_type = 'signup'
+),
+c1 AS (
+  SELECT wallet, token, ts, event_id, epoch(ts) AS e,
+         SUM(dq) OVER (PARTITION BY wallet, token ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas
+),
+c2 AS (
+  SELECT wallet, token, e, event_id,
+         c - LEAST(0, MIN(c) OVER (PARTITION BY wallet, token
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS q
+  FROM c1
+),
+state AS (
+  SELECT wallet, token, e, q FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY wallet, token, e
+                                 ORDER BY event_id DESC) AS rn
+    FROM c2
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT bo.wallet, bo.b, t.token
+  FROM bounds bo
+  JOIN (SELECT DISTINCT wallet, token FROM deltas) t USING (wallet)
+),
+asf AS (
+  SELECT g.wallet, g.b, g.token, s.q
+  FROM grid g ASOF LEFT JOIN state s
+    ON g.wallet = s.wallet AND g.token = s.token
+   AND s.e < CAST(g.b AS DOUBLE)
+),
+cnt AS (
+  SELECT wallet, b, COUNT(*) FILTER (WHERE q > 0) AS token_count
+  FROM asf GROUP BY wallet, b
+)
+SELECT bo.wallet,
+       CAST(bo.b AS DOUBLE) AS snapshot_epoch,
+       CAST(COALESCE(cnt.token_count, 0) AS BIGINT) AS token_count
+FROM bounds bo
+LEFT JOIN cnt ON bo.wallet = cnt.wallet AND bo.b = cnt.b
 """

@@ -126,6 +126,10 @@ _SPECS: list[QuerySpec] = [
               ("O3", "O1"),
               "PnL modes 1-2 (period-only / with-history) over FIFO "
               "slices vs time-filtered interval oracle"),
+    QuerySpec("wallet_snapshot_positions", E.wallet_snapshot_positions,
+              E.WALLET_SNAPSHOT_POSITIONS_SQL, ("O2", "O1", "ST6"),
+              "snapshot emitter over an integer-quantity domain vs "
+              "Lindley-recursion + ASOF-boundary oracle"),
     QuerySpec("fifo_daily_rollup", E.fifo_daily_rollup,
               E.FIFO_DAILY_ROLLUP_SQL, ("O4", "O1"),
               "wallet x exit-day realized rollup from the FIFO pair "
