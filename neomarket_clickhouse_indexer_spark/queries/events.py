@@ -944,14 +944,20 @@ FIFO_DAILY_ROLLUP_SQL = _build_fifo_rollup_sql()
 def user_signed_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedupe_by_id
 
-    ev = dedupe_by_id(load_table(spark, sf_dir, "events"), "event_id")
+    ev = load_table(spark, sf_dir, "events")
     credits = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "event_id",
         "user_id", F.col("value").alias("amount"), F.lit("credit").alias("leg")
     )
     debits = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
         "user_id", (-F.col("value")).alias("amount"), F.lit("debit").alias("leg")
     )
-    merged = credits.unionByName(debits)
+    # Dedup AFTER the union: the branches' type filters are disjoint so the
+    # result is identical, but the plan pays ONE event_id shuffle instead of
+    # duplicating the dedup subtree into both branches (Spark does not share
+    # a referenced DataFrame between union arms).
+    merged = dedupe_by_id(credits.unionByName(debits), "event_id")
     return merged.groupBy("user_id").agg(
         dsum(F.col("amount"), "balance"),
         F.count(F.when(F.col("leg") == "credit", 1)).alias("n_credits"),

@@ -558,7 +558,9 @@ def supplier_share_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_suppkey").agg(
         F.sum(rev).alias("v"), F.count(F.lit(1)).alias("n_items")
     )
-    total = li.agg(F.sum(rev).alias("t"))
+    # grand total re-aggregated from the per-supplier partials (exact
+    # decimal sums are associative) — one fact scan, not two
+    total = per_supp.agg(F.sum("v").alias("t"))
     return (
         per_supp.crossJoin(F.broadcast(total))
         .filter(F.col("v") * 500 > F.col("t"))

@@ -5,7 +5,16 @@ from neomarket_clickhouse_indexer_spark.queries import REGISTRY
 from neomarket_clickhouse_indexer_spark.plans import explain_str
 spark = get_spark('audit', cores=8, shuffle_partitions=8)
 sf = '/root/testdata/sf0.01'
-INTENTIONAL_CROSS = {"knn_bruteforce", "near_dup_embeddings", "knn_ann_lsh", "knn_ivf"}
+# Broadcast-probe patterns where a nested-loop join is the DESIGNED plan:
+# the broadcast side is a bounded probe/threshold frame (query vectors,
+# centroid probes, or a 1-row grand total), so the "nested loop" is a
+# linear scan of the big side against an in-memory constant — the correct
+# shape at any scale.
+INTENTIONAL_CROSS = {
+    "knn_bruteforce", "near_dup_embeddings", "knn_ann_lsh", "knn_ivf",
+    "knn_ivf_nprobe2",  # same broadcast centroid-probe as knn_ivf
+    "supplier_share_having",  # 1-row broadcast grand-total threshold
+}
 for name in sorted(REGISTRY):
     if name == "domain_ledger_summary":  # triggers eager work; skip plan-only audit
         pass
