@@ -10,7 +10,7 @@ codegen; the only shuffles are the final groupBys/joins on hash keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -565,4 +565,107 @@ SELECT doc_id,
        ROUND(len(regexp_extract_all(text, '{BPE_ISH}'))
              / CAST(len({_TOKS}) AS BIGINT), 4) AS tokens_per_word
 FROM documents
+"""
+
+
+# --- docs_stratified_sample: deterministic hash-based stratified sampling
+#     (training-data mixing: keep an exact per-source fraction, reproducible
+#     across runs/engines — no RNG, the sample is a pure function of doc_id).
+#     Scale shape: a stateless filter over the scan — no shuffle at all;
+#     the per-source rates come from a broadcast map baked into the CASE.
+
+SAMPLE_RATES = {"web": 0.5, "books": 0.9, "code": 0.25, "wiki": 1.0}
+_SAMPLE_DEN = 10_000
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # bucket = first 8 hex chars of md5(doc_id) mod 10k — uniform and
+    # engine-portable; keep iff bucket < rate * 10k
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long") % _SAMPLE_DEN
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(int(r * _SAMPLE_DEN)))
+            for s, r in SAMPLE_RATES.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )
+
+
+_BUCKET_SQL = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000"
+)
+_RATE_SQL = (
+    "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {int(r * 10_000)}" for s, r in SAMPLE_RATES.items()
+    ) + " ELSE 0 END"
+)
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""
+SELECT source, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE {_BUCKET_SQL} < {_RATE_SQL}
+GROUP BY source
+"""
+
+
+# --- docs_pack_sequences: concatenation-style LM sequence packing — docs
+#     laid out contiguously per source in deterministic doc_id order and
+#     split into fixed-size context windows (the standard pretraining
+#     layout); each doc is attributed to the window containing its FIRST
+#     token. bin = floor(cum_before / C) is a pure window-cumsum closed
+#     form, identical in both engines over exact integers.
+#     Scale shape: one shuffle (partition by source) + in-partition sort;
+#     at 100 TB source-level skew would be salted into (source, shard) keys
+#     with shard-local offsets — the per-source fold stays associative.
+
+CONTEXT_TOKENS = 256
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(TX.tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = F.sum(toks).over(w) - toks
+    packed = docs.select(
+        "doc_id", "source", toks.alias("n_tok"),
+        F.floor(cum_before / CONTEXT_TOKENS).cast("long").alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
+    )
+
+
+DOCS_PACK_SEQUENCES_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, source, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok)
+           // {CONTEXT_TOKENS} AS bin_id
+  FROM sized
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM binned
+GROUP BY source, bin_id
 """

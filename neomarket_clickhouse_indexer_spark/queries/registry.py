@@ -176,6 +176,14 @@ _SPECS: list[QuerySpec] = [
               ("A6",), "groupArray+arraySort+arrayMap ordered collection"),
     QuerySpec("docs_word_filter", D.docs_word_filter, D.DOCS_WORD_FILTER_SQL,
               ("J4",), "array-membership semi-join filter"),
+    QuerySpec("docs_stratified_sample", D.docs_stratified_sample,
+              D.DOCS_STRATIFIED_SAMPLE_SQL, ("TX5", "BONUS"),
+              "deterministic hash-stratified per-source sampling "
+              "(shuffle-free mixing filter)"),
+    QuerySpec("docs_pack_sequences", D.docs_pack_sequences,
+              D.DOCS_PACK_SEQUENCES_SQL, ("TX6", "BONUS"),
+              "concatenation-style LM sequence packing into fixed context "
+              "windows (cumsum closed form)"),
     # Training-data pipeline: embeddings
     QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
               ("VS1",), "exact cosine top-k"),
