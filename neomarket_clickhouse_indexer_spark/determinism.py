@@ -28,24 +28,98 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(30,10)"
 
-# The exact decimal sum is ROUNDED IN DECIMAL SPACE (both engines round
-# decimals half-away-from-zero, exactly — no binary-repr ambiguity), then
+# The exact sum is ROUNDED IN INTEGER/DECIMAL SPACE (both engines round
+# half-away-from-zero there, exactly — no binary-repr ambiguity), then
 # cast to double. Rounding after the double cast is subtly wrong: an exact
 # decimal tie like -75.51265 casts to the binary -75.5126499…, which Spark's
 # shortest-repr F.round sends up while DuckDB's binary ROUND sends down
-# (caught at sf0.01 by domain_ledger_summary). The final decimal(·,4)→double
-# cast is a single correctly-rounded operation in both engines for
+# (caught at sf0.01 by domain_ledger_summary). The final exact-int/10^4
+# division is a single correctly-rounded operation in both engines for
 # |value| < 2^53/10^4 ≈ 9e11 — far above any sum here.
 DSUM_ROUND = 4
 
+# dsum quantization grain: 1e-10 units (matches the DECIMAL(30,10) scale the
+# slow path uses).
+_FSCALE = 10
+_R1 = 1_000_000  # low-field radix (1e6)
+_R2 = 1_000_000_000_000  # mid/high split radix (1e12)
+
 
 def dsum(col: Column, alias: str, scale: int = DSUM_ROUND) -> Column:
-    """Order-independent exact sum of a double expression, as double."""
-    return F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)
+    """Order-independent exact sum of a double expression, as double.
+
+    Fast path: quantize each value to 1e-10 units with ``floor(x * 1e10)`` —
+    pure IEEE double ops, bit-identical in Spark and DuckDB — then split the
+    scaled integer into three long fields at 1e6/1e12 radix so every
+    aggregation buffer stays long-backed. (A DECIMAL(30,10) sum's buffer has
+    precision > 18, is BigDecimal-backed in Tungsten rows, and benches ~6×
+    slower than a long sum; the split reaches whole-stage-codegen long adds.)
+    The three exact long sums are recombined in decimal space per GROUP (not
+    per row), rounded half-away-from-zero at ``scale``, and cast to double.
+
+    Exactness bounds (documented, asserted nowhere — far above our data):
+    |x| < 9.2e8 per value, ≤ ~9e11 rows per group. The per-field extractions
+    use only trunc-``%`` (sign of dividend in both engines) and exact
+    divisions of multiples, so every intermediate is engine-independent.
+    """
+    q = F.floor(col * F.lit(1e10)).cast("long")
+    lo = q % F.lit(_R1)
+    r12 = q % F.lit(_R2)
+    mid = ((r12 - lo) / F.lit(_R1)).cast("long")
+    hi = ((q - r12) / F.lit(_R2)).cast("long")
+    t = (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(_R2)
+        + F.sum(mid).cast("decimal(38,0)") * F.lit(_R1)
+        + F.sum(lo).cast("decimal(38,0)")
+    )
+    div = 10 ** (_FSCALE - scale)
+    if div == 1:
+        return (t.cast("double") / F.lit(float(10**_FSCALE))).alias(alias)
+    r = t % F.lit(div)
+    base = (t - r) / F.lit(div)
+    adj = (
+        F.when(r >= F.lit(div // 2), F.lit(1))
+        .when(r <= F.lit(-(div // 2)), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return ((base + adj).cast("double") / F.lit(float(10**scale))).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = DSUM_ROUND) -> str:
-    """DuckDB mirror of :func:`dsum`."""
+    """DuckDB mirror of :func:`dsum`.
+
+    DuckDB sums BIGINT into HUGEINT (int128) — already exact, so no field
+    split is needed; only the quantization (``FLOOR(x * 1e10)``) and the
+    half-away rounding in integer space must match Spark's op-for-op.
+    """
+    q = f"CAST(FLOOR(({expr}) * 1e10) AS BIGINT)"
+    t = f"SUM({q})"
+    div = 10 ** (_FSCALE - scale)
+    if div == 1:
+        return f"(CAST({t} AS DOUBLE) / 1e{_FSCALE}) AS {alias}"
+    r = f"({t} % {div})"
+    return (
+        f"(CAST(({t} - {r}) // {div} + "
+        f"(CASE WHEN {r} >= {div // 2} THEN 1 "
+        f"WHEN {r} <= -{div // 2} THEN -1 ELSE 0 END) "
+        f"AS DOUBLE) / 1e{scale}) AS {alias}"
+    )
+
+
+def dsum_dec(col: Column, alias: str, scale: int = DSUM_ROUND) -> Column:
+    """Slow-path exact sum through a DECIMAL(30,10) accumulator.
+
+    Kept for call sites whose oracle pairs with inline
+    ``SUM(CAST(… AS DECIMAL(30,10)))`` text (fifo interval SQL, window
+    running sums) — the quantization grain differs from :func:`dsum`'s
+    floor-based one (decimal cast rounds the shortest-decimal repr), so the
+    two are NOT interchangeable on one side of a differential pair.
+    """
+    return F.round(F.sum(col.cast(DEC)), scale).cast("double").alias(alias)
+
+
+def sql_dsum_dec(expr: str, alias: str, scale: int = DSUM_ROUND) -> str:
+    """DuckDB mirror of :func:`dsum_dec`."""
     return (
         f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(30,10))), {scale}) AS DOUBLE)"
         f" AS {alias}"

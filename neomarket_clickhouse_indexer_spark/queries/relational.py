@@ -47,9 +47,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_DSUM_QTY = "CAST(ROUND(SUM(CAST((l_quantity) AS DECIMAL(30,10))), 4) AS DOUBLE)"
-_DSUM_PRICE = "CAST(ROUND(SUM(CAST((l_extendedprice) AS DECIMAL(30,10))), 4) AS DOUBLE)"
-
 PRICING_SUMMARY_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum("l_quantity", "sum_qty")},
@@ -57,8 +54,8 @@ SELECT l_returnflag, l_linestatus,
        {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
        {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
        COUNT(*) AS count_order,
-       ROUND({_DSUM_QTY} / COUNT(*), 4) AS avg_qty,
-       ROUND({_DSUM_PRICE} / COUNT(*), 4) AS avg_price
+       ROUND(sum_qty / COUNT(*), 4) AS avg_qty,
+       ROUND(sum_base_price / COUNT(*), 4) AS avg_price
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
