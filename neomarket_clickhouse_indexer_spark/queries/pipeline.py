@@ -1,0 +1,229 @@
+"""Training-data curation queries: quality filtering, benchmark
+decontamination, and keyword extraction over the ``documents`` table.
+
+These extend the documents surface (queries/documents.py) with the
+filter-stage operators a large-scale LM data pipeline runs between dedup and
+packing. Every rule is expressed in EXACT integer arithmetic (counts and
+cross-multiplied rational thresholds — never a rounded ratio), so the DuckDB
+differential holds bit-for-bit with no float discipline needed at all.
+
+All row-path expressions are JVM-side Spark SQL (split/filter/aggregate
+lambdas through whole-stage codegen); the only shuffles are the final
+groupBys/joins. The contamination probe broadcasts the (small) benchmark
+gram set — the 100 TB-scale shape, where the training corpus streams and
+only the eval fingerprints sit in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.tables import load_table
+
+# --- docs_quality_filter: Gopher/C4-style document quality rules with a
+#     violation bitmask. Thresholds are exact rationals compared by
+#     cross-multiplication (50*stop_cnt >= n_tokens encodes "stopword
+#     fraction >= 2%") — integer-only, so no rounding rule can diverge.
+
+_QF_MIN_TOKENS = 20
+_QF_MAX_TOKENS = 100_000
+# mean token length in [3, 10]:  3*n <= total_chars <= 10*n
+_QF_MIN_MEAN_LEN = 3
+_QF_MAX_MEAN_LEN = 10
+# stopword fraction >= 2%:       50*stop_cnt >= n
+_QF_STOP_DEN = 50
+# alphabetic-token fraction >= 80%:  5*alpha_cnt >= 4*n
+_QF_ALPHA_NUM, _QF_ALPHA_DEN = 4, 5
+
+_ALPHA_RE = "^[a-z]+$"
+
+
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_cnt = TX.in_list_count(toks, TX.STOPWORDS)
+    alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike(_ALPHA_RE))).cast("long")
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        total_chars.alias("total_chars"),
+        stop_cnt.alias("stop_cnt"),
+        alpha_cnt.alias("alpha_cnt"),
+    )
+    nt = F.col("n_tokens")
+    r_len = (nt < _QF_MIN_TOKENS) | (nt > _QF_MAX_TOKENS)
+    r_mean = (F.col("total_chars") < _QF_MIN_MEAN_LEN * nt) | (
+        F.col("total_chars") > _QF_MAX_MEAN_LEN * nt
+    )
+    r_stop = _QF_STOP_DEN * F.col("stop_cnt") < nt
+    r_alpha = _QF_ALPHA_DEN * F.col("alpha_cnt") < _QF_ALPHA_NUM * nt
+    reasons = (
+        F.when(r_len, 1).otherwise(0)
+        + F.when(r_mean, 2).otherwise(0)
+        + F.when(r_stop, 4).otherwise(0)
+        + F.when(r_alpha, 8).otherwise(0)
+    ).cast("int")
+    return base.withColumn("reasons", reasons).withColumn(
+        "keep", F.col("reasons") == 0
+    )
+
+
+DOCS_QUALITY_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              AS BIGINT) AS total_chars,
+         CAST(len(list_filter(toks,
+              x -> list_contains({TX.STOPWORDS!r}, x))) AS BIGINT) AS stop_cnt,
+         CAST(len(list_filter(toks,
+              x -> regexp_matches(x, '{_ALPHA_RE}'))) AS BIGINT) AS alpha_cnt
+  FROM t
+)
+SELECT doc_id, source, n_tokens, total_chars, stop_cnt, alpha_cnt,
+       CAST((CASE WHEN n_tokens < {_QF_MIN_TOKENS}
+                   OR n_tokens > {_QF_MAX_TOKENS} THEN 1 ELSE 0 END)
+          + (CASE WHEN total_chars < {_QF_MIN_MEAN_LEN} * n_tokens
+                   OR total_chars > {_QF_MAX_MEAN_LEN} * n_tokens
+              THEN 2 ELSE 0 END)
+          + (CASE WHEN {_QF_STOP_DEN} * stop_cnt < n_tokens THEN 4 ELSE 0 END)
+          + (CASE WHEN {_QF_ALPHA_DEN} * alpha_cnt
+                       < {_QF_ALPHA_NUM} * n_tokens THEN 8 ELSE 0 END)
+         AS INT) AS reasons,
+       ((CASE WHEN n_tokens < {_QF_MIN_TOKENS}
+                   OR n_tokens > {_QF_MAX_TOKENS} THEN 1 ELSE 0 END)
+          + (CASE WHEN total_chars < {_QF_MIN_MEAN_LEN} * n_tokens
+                   OR total_chars > {_QF_MAX_MEAN_LEN} * n_tokens
+              THEN 2 ELSE 0 END)
+          + (CASE WHEN {_QF_STOP_DEN} * stop_cnt < n_tokens THEN 4 ELSE 0 END)
+          + (CASE WHEN {_QF_ALPHA_DEN} * alpha_cnt
+                       < {_QF_ALPHA_NUM} * n_tokens THEN 8 ELSE 0 END)) = 0
+         AS keep
+FROM m
+"""
+
+
+# --- docs_contamination: benchmark decontamination — flag training docs
+#     sharing any word 5-gram with the held-out eval slice (source =
+#     'src19'). The eval fingerprint set is tiny and BROADCAST; the
+#     training corpus is exploded to (doc, gram-hash) and hash-joined — at
+#     100 TB the corpus never shuffles for the probe, only the per-doc
+#     regroup does.
+
+_EVAL_SOURCE = "src19"
+_CONTAM_N = 5
+
+
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = TX.shingles(TX.tokens(F.col("text")), _CONTAM_N, distinct=True)
+
+    def _hashed(side: DataFrame) -> DataFrame:
+        # filter BEFORE shingling so each side only pays the transform for
+        # its own slice (the source predicate pushes down to the scan)
+        return side.select(
+            "doc_id", F.explode(F.transform(grams, F.md5)).alias("gram")
+        )
+
+    eval_grams = (
+        _hashed(docs.filter(F.col("source") == _EVAL_SOURCE))
+        .select("gram")
+        .distinct()
+    )
+    train = _hashed(docs.filter(F.col("source") != _EVAL_SOURCE))
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
+_TOKS5 = "string_split(text, ' ')"
+_GRAM5 = " || ' ' || ".join(f"{_TOKS5}[i+{k}]" for k in range(_CONTAM_N))
+_SHINGLES5 = (
+    f"CASE WHEN len({_TOKS5}) >= {_CONTAM_N} THEN "
+    f"list_distinct(list_transform("
+    f"generate_series(1, len({_TOKS5}) - {_CONTAM_N - 1}), i -> {_GRAM5})) "
+    f"ELSE [array_to_string({_TOKS5}, ' ')] END"
+)
+
+DOCS_CONTAMINATION_SQL = f"""
+WITH g AS (
+  SELECT doc_id, source,
+         unnest(list_transform({_SHINGLES5}, x -> md5(x))) AS gram
+  FROM documents
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE source = '{_EVAL_SOURCE}')
+SELECT g.doc_id,
+       COUNT(DISTINCT g.gram) AS n_shared_grams,
+       TRUE AS contaminated
+FROM g JOIN ev USING (gram)
+WHERE g.source <> '{_EVAL_SOURCE}'
+GROUP BY g.doc_id
+"""
+
+
+# --- docs_tf_keywords: per-document keyword extraction by (tf desc, df asc,
+#     token asc) — the TF-IDF ordering realized in exact integers (higher
+#     tf, then rarer across the corpus), no log() in sight so the rank is
+#     engine-independent. Corpus document frequencies are a small vocab
+#     aggregate, broadcast back onto the per-doc term counts.
+
+_KEYWORDS_K = 3
+
+
+def docs_tf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    tf = terms.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KEYWORDS_K)
+        .select("doc_id", "rank", "token", "tf", "df")
+    )
+
+
+DOCS_TF_KEYWORDS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+)
+SELECT doc_id, rank, token, tf, df
+FROM (
+  SELECT doc_id, token, tf, df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tf DESC, df, token) AS INT) AS rank
+  FROM tf JOIN df USING (token)
+)
+WHERE rank <= {_KEYWORDS_K}
+"""

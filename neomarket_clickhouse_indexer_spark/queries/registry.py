@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from . import documents as D
 from . import events as E
 from . import multimodal_q as M
+from . import ops_q as O
+from . import pipeline as PL
 from . import relational as R
 from . import vectors_q as V
 
@@ -184,6 +186,37 @@ _SPECS: list[QuerySpec] = [
               D.DOCS_PACK_SEQUENCES_SQL, ("TX6", "BONUS"),
               "concatenation-style LM sequence packing into fixed context "
               "windows (cumsum closed form)"),
+    QuerySpec("docs_quality_filter", PL.docs_quality_filter,
+              PL.DOCS_QUALITY_FILTER_SQL, ("TX1", "P5", "BONUS"),
+              "Gopher/C4-style quality rules with violation bitmask "
+              "(exact rational thresholds, integer-only)"),
+    QuerySpec("docs_contamination", PL.docs_contamination,
+              PL.DOCS_CONTAMINATION_SQL, ("TX7", "J1", "BONUS"),
+              "benchmark decontamination: 5-gram overlap vs broadcast "
+              "eval fingerprint set"),
+    QuerySpec("docs_tf_keywords", PL.docs_tf_keywords,
+              PL.DOCS_TF_KEYWORDS_SQL, ("TX8", "W4", "BONUS"),
+              "per-doc keywords by (tf desc, df asc) — integer TF-IDF "
+              "ordering, corpus DF broadcast"),
+    # Operational semantics (audit / invariants / re-ingest / sinks)
+    QuerySpec("leaderboard_parity_audit", O.leaderboard_parity_audit,
+              O.LEADERBOARD_PARITY_AUDIT_SQL, ("O6", "W4", "T1"),
+              "overlap + rank-delta audit between volume- and count-ranked "
+              "leaderboards (reference audit agent)"),
+    QuerySpec("inventory_invariant", O.inventory_invariant,
+              O.INVENTORY_INVARIANT_SQL, ("O7", "W2"),
+              "never-negative running inventory check, exact decimal window"),
+    QuerySpec("tx_group_correlation", O.tx_group_correlation,
+              O.TX_GROUP_CORRELATION_SQL, ("J7", "J8"),
+              "tx-group flags + skip-set classification vs correlated "
+              "EXISTS oracle"),
+    QuerySpec("reorg_replay_counts", O.reorg_replay_counts,
+              O.REORG_REPLAY_COUNTS_SQL, ("ST2", "S8", "U3"),
+              "hot-tail re-ingest with duplicate ids collapses to "
+              "exactly-once aggregates"),
+    QuerySpec("sink_round_trip_monthly", O.sink_round_trip_monthly,
+              O.SINK_ROUND_TRIP_MONTHLY_SQL, ("S3", "S4"),
+              "double partition-replace write + read-back == direct rollup"),
     # Training-data pipeline: embeddings
     QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
               ("VS1",), "exact cosine top-k"),
