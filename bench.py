@@ -44,6 +44,9 @@ HEADLINE = [
     "knn_ann_lsh",
     "avgcost_user_positions",
     "regional_rollup",
+    "docs_quality_filter",
+    "docs_contamination",
+    "docs_tf_keywords",
 ]
 
 

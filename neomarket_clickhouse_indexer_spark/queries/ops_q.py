@@ -279,3 +279,142 @@ SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
 FROM orders
 GROUP BY 1
 """
+
+
+# --- decode_round_trip (S2 + S1): synthesize canonical ERC-1155
+#     TransferSingle logs from the events table ENTIRELY JVM-side (hex
+#     words at ABI offsets), run the production decoder
+#     (sources/ingest.py::decode_transfer_single), and aggregate the decoded
+#     rows. The oracle computes the expected decode outputs directly with
+#     string arithmetic — any mis-sliced word, wrong topic index, or
+#     uint128 conversion error breaks the hash. This drives the decode
+#     surface through the driver gate (round 1 covered it with pytest
+#     round-trips only).
+
+
+def _hex64(col: F.Column) -> F.Column:
+    return F.lpad(F.lower(F.hex(col)), 64, "0")
+
+
+def decode_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ingest import SIG_TRANSFER_SINGLE, decode_transfer_single
+
+    ev = load_table(spark, sf_dir, "events")
+    units = F.floor(F.col("value") * F.lit(1e6)).cast("long")
+    topic_addr = lambda c: F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(c)), 64, "0"))  # noqa: E731
+    logs = ev.select(
+        F.col("event_id").alias("block_number"),
+        F.col("ts").alias("block_timestamp"),
+        F.lit(0).cast("int").alias("log_index"),
+        F.concat(F.lit("0x"), _hex64(F.col("event_id"))).alias("tx_hash"),
+        F.lit("0xct f").alias("address"),
+        F.array(
+            F.lit(SIG_TRANSFER_SINGLE),
+            topic_addr(F.col("user_id")),          # operator
+            topic_addr(F.col("user_id")),          # from
+            topic_addr(F.col("user_id") % 16 + 1), # to: small bucket space
+        ).alias("topics"),
+        F.concat(
+            F.lit("0x"),
+            _hex64(F.col("user_id")),  # token id word
+            _hex64(units),             # value word
+        ).alias("data"),
+    )
+    decoded = decode_transfer_single(logs)
+    return decoded.groupBy("to").agg(
+        F.count(F.lit(1)).alias("n_transfers"),
+        F.sum(F.col("value").cast("long")).alias("total_units"),
+        F.countDistinct("token_id").alias("n_tokens"),
+    )
+
+
+DECODE_ROUND_TRIP_SQL = f"""
+SELECT '0x' || lpad(printf('%x', user_id % 16 + 1), 40, '0') AS "to",
+       COUNT(*) AS n_transfers,
+       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS total_units,
+       COUNT(DISTINCT user_id) AS n_tokens
+FROM {EVENTS_SQL} e
+GROUP BY 1
+"""
+
+
+# --- condition_meta_resolution (A12): earliest-event metadata per type —
+#     min(ts) plus deterministic argmin over the (ts, event_id) order key
+#     (reference condition creation resolution: groupBy(condition_id)
+#     .agg(min, min_by), src/main.ts:637-661, src/ledger-engine.ts:736-755).
+#     Spark uses min_by over a struct order key; the oracle uses a
+#     ROW_NUMBER window — different algorithms, same deterministic answer.
+
+
+def condition_meta_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.min("ts").alias("created_at"),
+        F.min_by(F.col("user_id"), ord_key).alias("creator_user"),
+        F.min_by(F.col("value"), ord_key).alias("first_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+CONDITION_META_RESOLUTION_SQL = f"""
+SELECT event_type,
+       MIN(ts) AS created_at,
+       MAX(CASE WHEN rn = 1 THEN user_id END) AS creator_user,
+       MAX(CASE WHEN rn = 1 THEN value END) AS first_value,
+       COUNT(*) AS n_events
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM {EVENTS_SQL} e
+)
+GROUP BY event_type
+"""
+
+
+# --- watermark_accept_counts (ST5): the event-time watermark acceptance
+#     rule as a batch-auditable query — an event arriving (in event_id
+#     order) is DROPPED if its timestamp is more than 1 hour behind the
+#     maximum event time seen so far (Spark's withWatermark contract,
+#     exercised live in tests/test_streaming_watermark.py). Batch replay of
+#     the rule makes the drop decision driver-verifiable per row.
+
+
+def watermark_accept_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+        .partitionBy(F.pmod(F.xxhash64(F.lit("wm")), F.lit(1)))
+    )
+    # arrival order = event_id (the ingest sequence); the global running max
+    # is inherently sequential — the constant-valued non-foldable partition
+    # key keeps WindowExec on its defined-partition path. At scale this
+    # audit would run per ingest shard (the watermark is per-stream anyway).
+    mx = F.max("ts").over(w)
+    accepted = F.col("ts") >= mx - F.expr("INTERVAL 1 HOUR")
+    return (
+        ev.select("event_type", accepted.alias("ok"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("ok"), 1)).cast("long").alias("n_accepted"),
+            F.count(F.when(~F.col("ok"), 1)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+WATERMARK_ACCEPT_COUNTS_SQL = f"""
+WITH r AS (
+  SELECT event_type,
+         ts >= MAX(ts) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+               - INTERVAL 1 HOUR AS ok
+  FROM {EVENTS_SQL} e
+)
+SELECT event_type,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (ok) AS n_accepted,
+       COUNT(*) FILTER (NOT ok) AS n_dropped
+FROM r
+GROUP BY event_type
+"""

@@ -119,14 +119,16 @@ FROM m
 
 
 # --- docs_contamination: benchmark decontamination — flag training docs
-#     sharing any word 5-gram with the held-out eval slice (source =
+#     sharing any word 4-gram with the held-out eval slice (source =
 #     'src19'). The eval fingerprint set is tiny and BROADCAST; the
 #     training corpus is exploded to (doc, gram-hash) and hash-joined — at
 #     100 TB the corpus never shuffles for the probe, only the per-doc
-#     regroup does.
+#     regroup does. (4-grams chosen for the synthetic corpus: 5-grams
+#     almost never collide there, 3-grams flag 75% of docs — 4 gives a
+#     selective-but-populated differential.)
 
 _EVAL_SOURCE = "src19"
-_CONTAM_N = 5
+_CONTAM_N = 4
 
 
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

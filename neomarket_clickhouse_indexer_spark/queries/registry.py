@@ -217,6 +217,18 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("sink_round_trip_monthly", O.sink_round_trip_monthly,
               O.SINK_ROUND_TRIP_MONTHLY_SQL, ("S3", "S4"),
               "double partition-replace write + read-back == direct rollup"),
+    QuerySpec("decode_round_trip", O.decode_round_trip,
+              O.DECODE_ROUND_TRIP_SQL, ("S2", "S1"),
+              "JVM-side ABI encode -> production decoder -> aggregate vs "
+              "direct-computation oracle"),
+    QuerySpec("condition_meta_resolution", O.condition_meta_resolution,
+              O.CONDITION_META_RESOLUTION_SQL, ("A12", "A4"),
+              "earliest-event metadata via min_by(struct order key) vs "
+              "ROW_NUMBER oracle"),
+    QuerySpec("watermark_accept_counts", O.watermark_accept_counts,
+              O.WATERMARK_ACCEPT_COUNTS_SQL, ("ST5", "W2"),
+              "event-time watermark accept/drop rule replayed as a batch "
+              "audit"),
     # Training-data pipeline: embeddings
     QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
               ("VS1",), "exact cosine top-k"),
