@@ -1186,3 +1186,80 @@ SELECT bo.wallet,
 FROM bounds bo
 LEFT JOIN cnt ON bo.wallet = cnt.wallet AND bo.b = cnt.b
 """
+
+
+# --- streaming_positions_state: ST6 driver-gated. The stateful streaming
+#     operator (streaming/stateful.py applyInPandasWithState — the
+#     streaming-native upgrade of the reference's batch-rebuilt ledger,
+#     SURVEY ST6) runs a REAL Structured Streaming query over a 3-chunk
+#     file source (maxFilesPerTrigger=1, availableNow): per-key avg-cost
+#     state accumulates across microbatches in the state store. The final
+#     emitted state must equal the batch recursive-CTE oracle — the same
+#     oracle avgcost_user_positions uses, because the streaming fold
+#     replays the exact IEEE operation sequence of the batch core
+#     (operators/fifo.py::_avgcost_core) one microbatch at a time.
+
+
+def streaming_positions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from ..streaming.stateful import running_positions_stream
+
+    inp = _fifo_input(spark, sf_dir).select(
+        "key", "ts", "ord", "side", "qty", "price"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    src = f"/tmp/nmci_stream_pos_src_{tag}"
+    ckpt = f"/tmp/nmci_stream_pos_ckpt_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # ord-range chunks preserve cross-batch event-time order (ord follows
+    # ts in the fixture); within a batch the operator re-sorts by (ts, ord)
+    bounds = inp.approxQuantile("ord", [0.33, 0.66], 0.0)
+    chunks = [
+        inp.filter(F.col("ord") <= bounds[0]),
+        inp.filter((F.col("ord") > bounds[0]) & (F.col("ord") <= bounds[1])),
+        inp.filter(F.col("ord") > bounds[1]),
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(inp.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"positions_state_{tag}"
+    q = (
+        running_positions_stream(stream, ckpt)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode memory sink appends every per-batch emission; the row
+    # with the highest n per key is the final state
+    final = (
+        spark.table(name)
+        .groupBy("key")
+        .agg(
+            F.max_by("position", "n").alias("pos"),
+            F.max_by("avg_cost", "n").alias("avg"),
+            F.max_by("realized", "n").alias("real"),
+            F.max("n").alias("n"),
+        )
+    )
+    # identical final rounding to the batch core / recursive-CTE oracle
+    # (values are non-ties at these scales — CLAUDE.md rounding rule)
+    return final.select(
+        "key",
+        F.round("pos", 6).alias("position"),
+        F.round("avg", 6).alias("avg_cost"),
+        F.round("real", 4).alias("realized"),
+        "n",
+    )
+
+
+STREAMING_POSITIONS_STATE_SQL = AVGCOST_USER_POSITIONS_SQL

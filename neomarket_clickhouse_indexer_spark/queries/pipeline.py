@@ -132,13 +132,18 @@ _CONTAM_N = 4
 
 
 def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .documents import _spread
+
     docs = load_table(spark, sf_dir, "documents")
     grams = TX.shingles(TX.tokens(F.col("text")), _CONTAM_N, distinct=True)
 
     def _hashed(side: DataFrame) -> DataFrame:
-        # filter BEFORE shingling so each side only pays the transform for
-        # its own slice (the source predicate pushes down to the scan)
-        return side.select(
+        # filter BEFORE _spread: the source predicate pushes down to the
+        # scan, and the round-robin exchange (which must carry the full
+        # text column) only moves each side's own slice. _spread keeps the
+        # CPU-heavy shingle+md5 transform off the one split a small corpus
+        # scan yields (no-op at real scale).
+        return _spread(side, spark).select(
             "doc_id", F.explode(F.transform(grams, F.md5)).alias("gram")
         )
 

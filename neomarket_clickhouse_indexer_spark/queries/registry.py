@@ -229,6 +229,10 @@ _SPECS: list[QuerySpec] = [
               O.WATERMARK_ACCEPT_COUNTS_SQL, ("ST5", "W2"),
               "event-time watermark accept/drop rule replayed as a batch "
               "audit"),
+    QuerySpec("streaming_positions_state", E.streaming_positions_state,
+              E.STREAMING_POSITIONS_STATE_SQL, ("ST6", "ST1", "ST4"),
+              "applyInPandasWithState avg-cost positions across 3 real "
+              "microbatches == batch recursive-CTE oracle"),
     # Training-data pipeline: embeddings
     QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
               ("VS1",), "exact cosine top-k"),
