@@ -418,3 +418,77 @@ SELECT event_type,
 FROM r
 GROUP BY event_type
 """
+
+
+# --- rest_sync_incremental (S5 + S6): two full sync rounds of the
+#     paginated + checkpointed REST source against a deterministic fake
+#     "API" backed by the customer table (the reference syncs the Gamma
+#     catalog the same way: offset pages, since-watermark, change-detection
+#     anti-join; src/sync-metadata.ts:50-115, sync-indexer-metadata.ts:47-251).
+#
+#     Round 1 serves 2/3 of the catalog at version 1; round 2 serves the
+#     full catalog with the remaining third bumped to version 2 — the
+#     watermark must drop the unchanged v1 rows and the anti-join must
+#     no-op re-delivered (key, version) pairs. The gate reads the synced
+#     table through the latest-by-key view and aggregates; the oracle
+#     computes the expected end state directly from customer.
+
+
+def rest_sync_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import latest_by_key
+    from ..sources.rest import Checkpoint, sync_incremental
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    )  # driver-side by design: REST catalogs are driver-sized (S5 doctrine)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table = f"/tmp/nmci_rest_tbl_{tag}"
+    ckpt_path = f"/tmp/nmci_rest_ckpt_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
+
+    def snapshot(round2: bool) -> list[dict]:
+        out = []
+        for r in cust:
+            third = r["c_custkey"] % 3 == 0
+            if not round2 and third:
+                continue  # not yet published in round 1
+            out.append(
+                {
+                    "c_custkey": r["c_custkey"],
+                    "c_mktsegment": r["c_mktsegment"],
+                    "version": 2 if (round2 and third) else 1,
+                }
+            )
+        return out
+
+    schema = "c_custkey long, c_mktsegment string, version long"
+    ck = Checkpoint(ckpt_path)
+    for round2 in (False, True):
+        snap = snapshot(round2)
+        fetch = lambda off, lim, s=snap: s[off : off + lim]  # noqa: E731
+        sync_incremental(
+            spark, fetch, schema, table, ck, key="c_custkey",
+            version_col="version",
+        )
+    synced = latest_by_key(
+        sinks.read(spark, table), ["c_custkey"], ["version", "c_custkey"]
+    )
+    return synced.groupBy("c_mktsegment", "version").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c_custkey").cast("long").alias("custkey_sum"),
+    )
+
+
+REST_SYNC_INCREMENTAL_SQL = """
+SELECT c_mktsegment,
+       CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END AS version,
+       COUNT(*) AS n_customers,
+       CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
+FROM customer
+GROUP BY 1, 2
+"""

@@ -233,6 +233,10 @@ _SPECS: list[QuerySpec] = [
               E.STREAMING_POSITIONS_STATE_SQL, ("ST6", "ST1", "ST4"),
               "applyInPandasWithState avg-cost positions across 3 real "
               "microbatches == batch recursive-CTE oracle"),
+    QuerySpec("rest_sync_incremental", O.rest_sync_incremental,
+              O.REST_SYNC_INCREMENTAL_SQL, ("S5", "S6", "W3"),
+              "two paginated+checkpointed sync rounds (watermark + "
+              "change-detection anti-join) == direct end-state oracle"),
     # Training-data pipeline: embeddings
     QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
               ("VS1",), "exact cosine top-k"),

@@ -109,3 +109,52 @@ def test_select_top_wallets_take_ordered(spark):
     plan = _physical(df)
     assert "TakeOrderedAndProject" in plan
     assert df.count() <= 50
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    # the eval fingerprint set must be the broadcast side — the training
+    # corpus must never shuffle for the probe (100 TB shape)
+    df = _q("docs_contamination", spark)
+    problems = plan_asserts(df, broadcast_joins=1, partial_agg=True)
+    assert not problems, problems
+
+
+def test_quality_filter_single_scan_no_shuffle(spark):
+    import re
+
+    df = _q("docs_quality_filter", spark)
+    plan = explain_str(df)
+    # pure per-row rules: no Exchange at all (the filter streams through
+    # the scan — the shape that survives 100 TB untouched)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 0, (
+        "quality filter must be shuffle-free:\n" + plan
+    )
+
+
+def test_tf_keywords_broadcasts_df_and_partitions_window(spark):
+    df = _q("docs_tf_keywords", spark)
+    plan = explain_str(df)
+    problems = plan_asserts(df, broadcast_joins=1, partial_agg=True)
+    assert not problems, problems
+    assert "No Partition Defined" not in plan
+    # per-doc window must be partitioned by doc_id, never global
+    assert "partitionBy" not in plan or "doc_id" in plan
+
+
+def test_reorg_replay_no_cartesian_and_partial_agg(spark):
+    # the 1-row max-ts frame must join as a broadcast HASH join (a bare
+    # lit() key would constant-fold back into a nested-loop cartesian)
+    df = _q("reorg_replay_counts", spark)
+    problems = plan_asserts(df, broadcast_joins=1, partial_agg=True)
+    assert not problems, problems
+
+
+def test_parity_audit_take_ordered_not_global_window(spark):
+    import re
+
+    df = _q("leaderboard_parity_audit", spark)
+    plan = explain_str(df)
+    assert re.search(r"TakeOrderedAndProject", plan), (
+        "top-k sides must plan as TakeOrdered:\n" + plan
+    )
