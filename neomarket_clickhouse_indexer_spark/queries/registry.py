@@ -211,7 +211,7 @@ _SPECS: list[QuerySpec] = [
               "tx-group flags + skip-set classification vs correlated "
               "EXISTS oracle"),
     QuerySpec("reorg_replay_counts", O.reorg_replay_counts,
-              O.REORG_REPLAY_COUNTS_SQL, ("ST2", "S8", "U3"),
+              O.REORG_REPLAY_COUNTS_SQL, ("ST2", "S8", "U3", "A11"),
               "hot-tail re-ingest with duplicate ids collapses to "
               "exactly-once aggregates"),
     QuerySpec("sink_round_trip_monthly", O.sink_round_trip_monthly,

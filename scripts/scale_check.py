@@ -74,6 +74,56 @@ def main() -> None:
     )
     timed("fifo_allocate", fifo_allocate(fifo_in))
 
+    # curation ops at N× docs: replicate the documents table the same way
+    # and run the quality filter (pure per-row, shuffle-free) and the LSH
+    # band build (the shuffle-heavy half of near-dedup)
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    docs_path = f"/tmp/scale_check_docs_x{n}.parquet"
+    if not os.path.exists(docs_path):
+        reps = spark.range(n).withColumnRenamed("id", "rep")
+        (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                # suffix the text so replicas are not exact duplicates
+                F.concat_ws(" ", F.col("text"), F.col("rep")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+    big_docs = spark.read.parquet(docs_path)
+    print(f"docs: {big_docs.count():,}")
+
+    from neomarket_clickhouse_indexer_spark.functions import text as TX
+
+    # run quality rules directly over the scaled frame (same expressions as
+    # the gate query, without the sf_dir loader indirection)
+    toks = TX.tokens(F.col("text"))
+    timed(
+        "quality_rules",
+        big_docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            TX.in_list_count(toks, TX.STOPWORDS).alias("stop_cnt"),
+        ),
+    )
+    shingled = big_docs.select(
+        "doc_id", TX.shingles(TX.tokens(F.col("text")), 3, distinct=False).alias("sh")
+    )
+    n_fam = 16 // TX.PERMS_PER_MD5
+    hashed = shingled.select("doc_id", *TX.hash_families(F.col("sh"), n_fam))
+    timed(
+        "lsh_signature_build",
+        hashed.select(
+            "doc_id",
+            *TX.minhash_from_families([F.col(f"hf{b}") for b in range(n_fam)], 16),
+        ),
+    )
+
 
 if __name__ == "__main__":
     main()
