@@ -38,6 +38,9 @@ _QF_STOP_DEN = 50
 _QF_ALPHA_NUM, _QF_ALPHA_DEN = 4, 5
 
 _ALPHA_RE = "^[a-z]+$"
+# intra-doc repetition (Gopher duplicate-n-gram rule): distinct 3-gram
+# fraction < 50% → repetitive:  2*n_distinct_grams < n_grams
+_QF_REP_NUM = 2
 
 
 def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,6 +54,9 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_cnt = TX.in_list_count(toks, TX.STOPWORDS)
     alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike(_ALPHA_RE))).cast("long")
+    grams = TX.shingles(toks, 3, distinct=False)
+    n_grams = F.size(grams).cast("long")
+    n_distinct_grams = F.size(F.array_distinct(grams)).cast("long")
 
     base = docs.select(
         "doc_id",
@@ -59,6 +65,8 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_chars.alias("total_chars"),
         stop_cnt.alias("stop_cnt"),
         alpha_cnt.alias("alpha_cnt"),
+        n_grams.alias("n_grams"),
+        n_distinct_grams.alias("n_distinct_grams"),
     )
     nt = F.col("n_tokens")
     r_len = (nt < _QF_MIN_TOKENS) | (nt > _QF_MAX_TOKENS)
@@ -67,15 +75,26 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r_stop = _QF_STOP_DEN * F.col("stop_cnt") < nt
     r_alpha = _QF_ALPHA_DEN * F.col("alpha_cnt") < _QF_ALPHA_NUM * nt
+    r_rep = _QF_REP_NUM * F.col("n_distinct_grams") < F.col("n_grams")
     reasons = (
         F.when(r_len, 1).otherwise(0)
         + F.when(r_mean, 2).otherwise(0)
         + F.when(r_stop, 4).otherwise(0)
         + F.when(r_alpha, 8).otherwise(0)
+        + F.when(r_rep, 16).otherwise(0)
     ).cast("int")
     return base.withColumn("reasons", reasons).withColumn(
         "keep", F.col("reasons") == 0
     )
+
+
+_TOKS3 = "toks"
+_GRAM3 = " || ' ' || ".join(f"{_TOKS3}[i+{k}]" for k in range(3))
+_GRAMS3_RAW = (
+    f"CASE WHEN len({_TOKS3}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_TOKS3}) - 2), i -> {_GRAM3}) "
+    f"ELSE [array_to_string({_TOKS3}, ' ')] END"
+)
 
 
 DOCS_QUALITY_FILTER_SQL = f"""
@@ -92,29 +111,30 @@ m AS (
          CAST(len(list_filter(toks,
               x -> list_contains({TX.STOPWORDS!r}, x))) AS BIGINT) AS stop_cnt,
          CAST(len(list_filter(toks,
-              x -> regexp_matches(x, '{_ALPHA_RE}'))) AS BIGINT) AS alpha_cnt
+              x -> regexp_matches(x, '{_ALPHA_RE}'))) AS BIGINT) AS alpha_cnt,
+         CAST(len({_GRAMS3_RAW}) AS BIGINT) AS n_grams,
+         CAST(len(list_distinct({_GRAMS3_RAW})) AS BIGINT) AS n_distinct_grams
   FROM t
+),
+scored AS (
+  SELECT *,
+         CAST((CASE WHEN n_tokens < {_QF_MIN_TOKENS}
+                     OR n_tokens > {_QF_MAX_TOKENS} THEN 1 ELSE 0 END)
+            + (CASE WHEN total_chars < {_QF_MIN_MEAN_LEN} * n_tokens
+                     OR total_chars > {_QF_MAX_MEAN_LEN} * n_tokens
+                THEN 2 ELSE 0 END)
+            + (CASE WHEN {_QF_STOP_DEN} * stop_cnt < n_tokens
+                THEN 4 ELSE 0 END)
+            + (CASE WHEN {_QF_ALPHA_DEN} * alpha_cnt
+                         < {_QF_ALPHA_NUM} * n_tokens THEN 8 ELSE 0 END)
+            + (CASE WHEN {_QF_REP_NUM} * n_distinct_grams < n_grams
+                THEN 16 ELSE 0 END)
+           AS INT) AS reasons
+  FROM m
 )
 SELECT doc_id, source, n_tokens, total_chars, stop_cnt, alpha_cnt,
-       CAST((CASE WHEN n_tokens < {_QF_MIN_TOKENS}
-                   OR n_tokens > {_QF_MAX_TOKENS} THEN 1 ELSE 0 END)
-          + (CASE WHEN total_chars < {_QF_MIN_MEAN_LEN} * n_tokens
-                   OR total_chars > {_QF_MAX_MEAN_LEN} * n_tokens
-              THEN 2 ELSE 0 END)
-          + (CASE WHEN {_QF_STOP_DEN} * stop_cnt < n_tokens THEN 4 ELSE 0 END)
-          + (CASE WHEN {_QF_ALPHA_DEN} * alpha_cnt
-                       < {_QF_ALPHA_NUM} * n_tokens THEN 8 ELSE 0 END)
-         AS INT) AS reasons,
-       ((CASE WHEN n_tokens < {_QF_MIN_TOKENS}
-                   OR n_tokens > {_QF_MAX_TOKENS} THEN 1 ELSE 0 END)
-          + (CASE WHEN total_chars < {_QF_MIN_MEAN_LEN} * n_tokens
-                   OR total_chars > {_QF_MAX_MEAN_LEN} * n_tokens
-              THEN 2 ELSE 0 END)
-          + (CASE WHEN {_QF_STOP_DEN} * stop_cnt < n_tokens THEN 4 ELSE 0 END)
-          + (CASE WHEN {_QF_ALPHA_DEN} * alpha_cnt
-                       < {_QF_ALPHA_NUM} * n_tokens THEN 8 ELSE 0 END)) = 0
-         AS keep
-FROM m
+       n_grams, n_distinct_grams, reasons, reasons = 0 AS keep
+FROM scored
 """
 
 
