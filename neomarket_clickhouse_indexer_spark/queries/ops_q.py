@@ -492,3 +492,48 @@ SELECT c_mktsegment,
 FROM customer
 GROUP BY 1, 2
 """
+
+
+# --- reconcile_chain_balances (S7 + O5): ledger-vs-chain reconciliation
+#     with a mock RPC frame (reference balanceOfBatch point reads,
+#     src/reconcile-balances.ts:39-74 — the chain client itself is out of
+#     engine scope, SURVEY S7). The "chain" balances are the engine's own
+#     avg-cost positions with a KNOWN discrepancy injected on every
+#     key % 7 == 0 wallet; the tolerance compare must flag exactly those
+#     rows. The oracle recomputes the positions via the independent
+#     recursive-CTE walk and selects the perturbed keys directly.
+
+
+def reconcile_chain_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fifo import avg_cost_positions
+    from ..verify.invariants import reconcile_balances
+    from .events import _fifo_input
+
+    pos = avg_cost_positions(_fifo_input(spark, sf_dir)).select(
+        F.col("key").alias("wallet"),
+        F.lit("ctf").alias("token_id"),
+        F.col("position").alias("qty"),
+    )
+    chain = pos.withColumn(
+        "qty",
+        F.col("qty")
+        + F.when(F.col("wallet") % 7 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    return reconcile_balances(pos, chain, tolerance=1e-4)
+
+
+def _reconcile_sql() -> str:
+    from .events import AVGCOST_USER_POSITIONS_SQL
+
+    return f"""
+WITH positions AS ({AVGCOST_USER_POSITIONS_SQL})
+SELECT key AS wallet,
+       'ctf' AS token_id,
+       position AS ledger_qty,
+       position + 1.0 AS external_qty
+FROM positions
+WHERE key % 7 = 0
+"""
+
+
+RECONCILE_CHAIN_BALANCES_SQL = _reconcile_sql()

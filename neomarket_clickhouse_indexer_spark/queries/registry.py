@@ -237,6 +237,10 @@ _SPECS: list[QuerySpec] = [
               O.REST_SYNC_INCREMENTAL_SQL, ("S5", "S6", "W3"),
               "two paginated+checkpointed sync rounds (watermark + "
               "change-detection anti-join) == direct end-state oracle"),
+    QuerySpec("reconcile_chain_balances", O.reconcile_chain_balances,
+              O.RECONCILE_CHAIN_BALANCES_SQL, ("O5", "S7"),
+              "tolerance reconciliation flags exactly the injected "
+              "mock-chain discrepancies"),
     # Training-data pipeline: embeddings
     QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
               ("VS1",), "exact cosine top-k"),
