@@ -148,11 +148,14 @@ def main() -> None:
     )
     # the candle SLA is a steady-state serving read (the reference's <300ms
     # is a hot ClickHouse query, README.md:12): warm the plan once untimed,
-    # then time the read
+    # then best-of-2 like every other metric
     finalize(rebucket(state, 300)).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    finalize(rebucket(state, 300)).write.format("noop").mode("overwrite").save()
-    timings["candles_preagg_5m_read"] = round(time.perf_counter() - t0, 3)
+    reads = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        finalize(rebucket(state, 300)).write.format("noop").mode("overwrite").save()
+        reads.append(round(time.perf_counter() - t0, 3))
+    timings["candles_preagg_5m_read"] = min(reads)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

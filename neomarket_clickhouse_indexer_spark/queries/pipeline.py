@@ -44,7 +44,12 @@ _QF_REP_NUM = 2
 
 
 def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from .documents import _spread
+
+    # _spread: the gram-building rules are CPU-heavy per row; a small
+    # corpus arrives as one split and would run them on one core (no-op at
+    # real scale — see documents._spread)
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     toks = TX.tokens(F.col("text"))
     n = F.size(toks).cast("long")
     total_chars = F.aggregate(
@@ -54,19 +59,28 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_cnt = TX.in_list_count(toks, TX.STOPWORDS)
     alpha_cnt = F.size(F.filter(toks, lambda t: t.rlike(_ALPHA_RE))).cast("long")
-    grams = TX.shingles(toks, 3, distinct=False)
-    n_grams = F.size(grams).cast("long")
-    n_distinct_grams = F.size(F.array_distinct(grams)).cast("long")
 
-    base = docs.select(
+    # materialize the 3-gram array ONCE in its own projection — size() and
+    # size(array_distinct()) both consume it; inlining the shingle
+    # expression twice doubles the dominant per-row cost
+    staged = docs.select(
         "doc_id",
         "source",
         n.alias("n_tokens"),
         total_chars.alias("total_chars"),
         stop_cnt.alias("stop_cnt"),
         alpha_cnt.alias("alpha_cnt"),
-        n_grams.alias("n_grams"),
-        n_distinct_grams.alias("n_distinct_grams"),
+        TX.shingles(toks, 3, distinct=False).alias("g3"),
+    )
+    base = staged.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "total_chars",
+        "stop_cnt",
+        "alpha_cnt",
+        F.size("g3").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("g3")).cast("long").alias("n_distinct_grams"),
     )
     nt = F.col("n_tokens")
     r_len = (nt < _QF_MIN_TOKENS) | (nt > _QF_MAX_TOKENS)
