@@ -537,3 +537,84 @@ WHERE key % 7 = 0
 
 
 RECONCILE_CHAIN_BALANCES_SQL = _reconcile_sql()
+
+
+# --- token_id_derivation (§2.8 crypto/domain): the CTF keccak token-id
+#     derivation chain (collectionId = keccak(parent ++ conditionId ++
+#     indexSet) with the alt-bn128 curve adjustment, positionId =
+#     keccak(collateral ++ collectionId); reference ledger-engine.ts:
+#     441-491) executed distributed via mapInPandas over md5-derived
+#     condition ids. keccak-256 is not SQL-expressible, so the oracle pins
+#     GOLDEN outputs: the condition-id construction is differential
+#     (md5 in both engines) and the 16 token ids are constants produced by
+#     the keccak implementation that tests/test_multimodal_keccak.py
+#     validates against the official Keccak test vectors — the gate makes
+#     any regression in the derivation chain driver-visible.
+
+_TID_COLLATERAL = "0x" + "11" * 20
+_TID_GOLDEN = [
+    ("60536405395016479241566577422810448419372305372317293952032729722276908227709",
+     "15097969350625128446933989106626531640877438470292332462271880144213451434540"),
+    ("34352876297080996529304873769781081671077418487507817094117715902347208068120",
+     "43267046620115163871784768217982380966399713448123249444646435023865455012403"),
+    ("15551099201898218136201529553621459865127711043978923313249913506131514284065",
+     "26576100639010829750459407187469139314601160576238091414988192661771852637436"),
+    ("81898879061482635212517858645017312198144502606405232138368248486270456806636",
+     "108788057374358746026391826616164475876306922160521007994851989632947770761890"),
+    ("109195416837218733299496470323372814244408221585271589794772497615863580903285",
+     "56429249291356294253712569813507666389529870935348874126183741264702152264136"),
+    ("87246876534500238894887162256363275923256623836783553789592712283878253570717",
+     "10896215262819028860220013519895309737637152336832203334333095543547312888490"),
+    ("78026685187403522230774373744183086241204897032870161106712372575876942855666",
+     "57177548889492867711203555595314681267411389069902593777687214763105531840542"),
+    ("83950944304597723359163139887448681901494553214897724061190227986368864279520",
+     "66788799117330887243054434342477266707943727631107030820890658512634311096122"),
+]
+
+
+def token_id_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def derive(batches):
+        from ..functions.keccak import outcome_token_ids
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for outcome, tok in enumerate(
+                    outcome_token_ids(_TID_COLLATERAL, r.condition_id, 2)
+                ):
+                    rows.append(
+                        (int(r.cond_idx), r.condition_id, outcome, tok)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["cond_idx", "condition_id", "outcome_index",
+                         "token_id"],
+            )
+
+    base = spark.range(8).select(
+        F.col("id").cast("int").alias("cond_idx"),
+        F.concat(
+            F.lit("0x"),
+            F.md5(F.concat(F.lit("cond-"), F.col("id"))),
+            F.lit("0" * 32),
+        ).alias("condition_id"),
+    )
+    return base.repartition(4).mapInPandas(
+        derive,
+        "cond_idx int, condition_id string, outcome_index int, token_id string",
+    )
+
+
+TOKEN_ID_DERIVATION_SQL = (
+    "SELECT i AS cond_idx,\n"
+    "       '0x' || md5('cond-' || i) || repeat('0', 32) AS condition_id,\n"
+    "       outcome_index, token_id\n"
+    "FROM (VALUES\n"
+    + ",\n".join(
+        f"  ({i}, 0, '{yes}'), ({i}, 1, '{no}')"
+        for i, (yes, no) in enumerate(_TID_GOLDEN)
+    )
+    + "\n) AS v(i, outcome_index, token_id)"
+)

@@ -241,6 +241,10 @@ _SPECS: list[QuerySpec] = [
               O.RECONCILE_CHAIN_BALANCES_SQL, ("O5", "S7"),
               "tolerance reconciliation flags exactly the injected "
               "mock-chain discrepancies"),
+    QuerySpec("token_id_derivation", O.token_id_derivation,
+              O.TOKEN_ID_DERIVATION_SQL, ("CRYPTO", "S2"),
+              "keccak CTF collection/position-id chain via mapInPandas vs "
+              "golden-vector oracle"),
     # Training-data pipeline: embeddings
     QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
               ("VS1",), "exact cosine top-k"),
