@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from . import documents as D
+from . import access_q as AC
 from . import events as E
 from . import multimodal_q as M
 from . import ops_q as O
@@ -44,8 +45,9 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("shipping_priority", R.shipping_priority, R.SHIPPING_PRIORITY_SQL,
               ("J1", "A1", "T1"), "TPC-H Q3 shape: join + agg + top-k"),
     QuerySpec("regional_supplier_volume", R.regional_supplier_volume,
-              R.REGIONAL_SUPPLIER_VOLUME_SQL, ("J1", "A1"),
-              "TPC-H Q5 shape: 6-way broadcast-dim join"),
+              R.REGIONAL_SUPPLIER_VOLUME_SQL, ("J1", "J5", "A1"),
+              "TPC-H Q5 shape: 6-way broadcast-dim join (the reference's "
+              "app-side hash-map join done as broadcast hash joins)"),
     QuerySpec("late_order_priority", R.late_order_priority,
               R.LATE_ORDER_PRIORITY_SQL, ("J1", "A1", "P7"),
               "TPC-H Q4 shape: EXISTS semi-join"),
@@ -241,6 +243,21 @@ _SPECS: list[QuerySpec] = [
               O.RECONCILE_CHAIN_BALANCES_SQL, ("O5", "S7"),
               "tolerance reconciliation flags exactly the injected "
               "mock-chain discrepancies"),
+    QuerySpec("wallet_event_scans", AC.wallet_event_scans,
+              AC.WALLET_EVENT_SCANS_SQL, ("S9", "W4"),
+              "per-wallet keyset scans inverted into one window pass"),
+    QuerySpec("optional_filter_trades", AC.optional_filter_trades,
+              AC.OPTIONAL_FILTER_TRADES_SQL, ("P6", "T1"),
+              "present-only optional-filter composition, two param sets"),
+    QuerySpec("validation_quarantine", AC.validation_quarantine,
+              AC.VALIDATION_QUARANTINE_SQL, ("P9",),
+              "row validation guards vs injected deterministic corruption"),
+    QuerySpec("clustered_scan_skipping", AC.clustered_scan_skipping,
+              AC.CLUSTERED_SCAN_SKIPPING_SQL, ("P8", "P3", "S4"),
+              "partition-pruned + clustered-layout read == raw-table oracle"),
+    QuerySpec("adaptive_window_trades", AC.adaptive_window_trades,
+              AC.ADAPTIVE_WINDOW_TRADES_SQL, ("T6", "P7"),
+              "adaptive widening window decision for all users in one pass"),
     QuerySpec("token_id_derivation", O.token_id_derivation,
               O.TOKEN_ID_DERIVATION_SQL, ("CRYPTO", "S2"),
               "keccak CTF collection/position-id chain via mapInPandas vs "
