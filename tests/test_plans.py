@@ -160,3 +160,58 @@ def test_parity_audit_take_ordered_not_global_window(spark):
     assert re.search(r"TakeOrderedAndProject", plan), (
         "top-k sides must plan as TakeOrdered:\n" + plan
     )
+
+
+def test_wallet_event_scans_partitioned_window(spark):
+    # S9: the per-wallet scan is one window pass PARTITIONED by wallet —
+    # a global (unpartitioned) window here would funnel every event
+    # through one task at scale
+    import re
+
+    df = _q("wallet_event_scans", spark)
+    plan = explain_str(df)
+    # the Window detail's partition-spec list must be [user_id ...]
+    m = re.search(
+        r"\(\d+\) Window\n(?:Input[^\n]*\n)?Arguments: \[[^\n]*\], \[user_id",
+        plan,
+    )
+    assert m, "window must partition by user_id:\n" + plan
+    # WindowGroupLimit = the rank<=k predicate pushed below the shuffle
+    assert "WindowGroupLimit" in plan, plan
+    problems = plan_asserts(df, pushed_filters=["user_id"])
+    assert not problems, problems
+
+
+def test_optional_filter_pages_take_ordered(spark):
+    # P6: each parameter set's page must compile to TakeOrderedAndProject
+    # with its filters pushed to the scan — no global sort, no post-scan
+    # filtering of unpushed conjuncts
+    import re
+
+    df = _q("optional_filter_trades", spark)
+    plan = explain_str(df)
+    tree = plan.split("\n\n(1)")[0]
+    assert len(re.findall(r"TakeOrderedAndProject", tree)) == 2, plan
+    problems = plan_asserts(df, pushed_filters=["event_type", "value"])
+    assert not problems, problems
+
+
+def test_adaptive_window_single_scan_partial_agg(spark):
+    # T6: both candidate windows fold in ONE conditional aggregation pass
+    # over ONE scan — the serve layer's retry loop becomes a single job
+    import re
+
+    df = _q("adaptive_window_trades", spark)
+    plan = explain_str(df)
+    tree = plan.split("\n\n(1)")[0]
+    assert len(re.findall(r"Scan parquet", tree)) == 1, plan
+    problems = plan_asserts(df, pushed_filters=["event_type"],
+                            partial_agg=True)
+    assert not problems, problems
+
+
+def test_validation_quarantine_single_pass(spark):
+    # P9: all guard counters fold in one partial-aggregated pass
+    df = _q("validation_quarantine", spark)
+    problems = plan_asserts(df, partial_agg=True)
+    assert not problems, problems
