@@ -333,3 +333,43 @@ SELECT user_id,
          AS trade_value
 FROM per_user
 """
+
+
+# --- skewed_type_volume (A1 + skew mitigation): salted two-phase
+#     aggregation driven through the gate. event_type has cardinality 5 over
+#     the whole table — the textbook hot-key shape where a plain groupBy
+#     funnels each key's entire mass through one reducer. `salted_agg`
+#     spreads each key over 32 deterministic subkeys, partially aggregates
+#     at (key, salt), then merges at (key). Exactness: both phases sum in
+#     DECIMAL(30,10) (associative and exact), final half-away ROUND(4) in
+#     decimal space — the dsum_dec discipline, so the salting is invisible
+#     to the oracle.
+
+def skewed_type_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+    from .util import DEC
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs=lambda: [
+            F.sum(F.col("value").cast(DEC)).alias("__sum"),
+            F.count(F.lit(1)).alias("__n"),
+        ],
+        final_aggs=lambda: [
+            F.round(F.sum("__sum"), 4).cast("double").alias("sum_value"),
+            F.sum("__n").cast("long").alias("n_rows"),
+        ],
+        salt_col="event_id",
+    )
+
+
+SKEWED_TYPE_VOLUME_SQL = """
+SELECT event_type,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+         AS sum_value,
+       COUNT(*) AS n_rows
+FROM events
+GROUP BY event_type
+"""

@@ -258,6 +258,9 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("adaptive_window_trades", AC.adaptive_window_trades,
               AC.ADAPTIVE_WINDOW_TRADES_SQL, ("T6", "P7"),
               "adaptive widening window decision for all users in one pass"),
+    QuerySpec("skewed_type_volume", AC.skewed_type_volume,
+              AC.SKEWED_TYPE_VOLUME_SQL, ("A1",),
+              "salted two-phase hot-key aggregation == plain groupBy oracle"),
     QuerySpec("token_id_derivation", O.token_id_derivation,
               O.TOKEN_ID_DERIVATION_SQL, ("CRYPTO", "S2"),
               "keccak CTF collection/position-id chain via mapInPandas vs "

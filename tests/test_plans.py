@@ -215,3 +215,15 @@ def test_validation_quarantine_single_pass(spark):
     df = _q("validation_quarantine", spark)
     problems = plan_asserts(df, partial_agg=True)
     assert not problems, problems
+
+
+def test_skewed_agg_two_phase_salted(spark):
+    # hot-key mitigation: first Exchange must hash on (event_type, __salt),
+    # the final merge on event_type alone
+    import re
+
+    df = _q("skewed_type_volume", spark)
+    plan = explain_str(df)
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in e and "event_type" in e for e in exchanges), plan
+    assert any("__salt" not in e and "event_type" in e for e in exchanges), plan
