@@ -38,21 +38,33 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; normalizes the events table's nanosecond timestamps.
+    """Load one table; normalizes the events table's timestamp encoding.
 
-    Spark 4 rejects parquet INT64 TIMESTAMP(NANOS) by default; we read them
-    as raw longs (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
-    microsecond timestamps with exact integer division (``ts div 1000`` —
-    double division would lose precision at 1.7e18 ns). DuckDB truncates
-    ns→µs the same way on CAST(ts AS TIMESTAMP), so both engines see
-    identical instants.
+    The events table's ``ts`` column has shipped in two parquet encodings:
+
+    - INT64 TIMESTAMP(NANOS): Spark 4 rejects these by default; we read them
+      as raw longs (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+      microsecond timestamps with exact integer division (``ts div 1000`` —
+      double division would lose precision at 1.7e18 ns). DuckDB truncates
+      ns→µs the same way on CAST(ts AS TIMESTAMP).
+    - timestamp[us] (TIMESTAMP_NTZ): loads natively; no conversion.
+
+    We dispatch on the *loaded* dtype rather than assuming an encoding, so a
+    driver-side re-encode of the testdata cannot break the loader (the ts
+    contract is pinned at this boundary, like the reference's typed column
+    maps — src/tables/index.ts:1-458; clickhouse/init/001_create_tables.sql:16
+    keeps event timestamps DateTime64, encoding-stable).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # legacy int64-ns files
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

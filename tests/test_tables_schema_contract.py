@@ -1,0 +1,118 @@
+"""Schema-drift guard for the testdata boundary (``sources/tables.py``).
+
+Round-3 postmortem: the driver re-encoded ``events.ts`` from INT64
+TIMESTAMP(NANOS) to timestamp[us] between rounds and the loader's hard-coded
+ns assumption killed 25 driver queries, ``entry()``, ``bench.py``, and 79
+tests. These tests pin the contract: ``load_table`` must yield identical
+instants for BOTH encodings, so a driver-side re-encode can never again
+silently break the gate.
+
+Reference analog: the indexer pins schemas at the boundary with typed column
+maps (src/tables/index.ts:1-458); event timestamps are DateTime64 and
+encoding-stable (clickhouse/init/001_create_tables.sql:16).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from neomarket_clickhouse_indexer_spark.sources.tables import (
+    TABLE_NAMES,
+    load_table,
+)
+
+# A few instants spanning sub-ms precision and round values (µs precision —
+# the common denominator of both encodings).
+_INSTANTS_US = [
+    1_700_000_000_000_000,  # 2023-11-14T22:13:20Z
+    1_700_000_000_123_456,  # sub-ms fraction survives both paths
+    1_750_000_000_000_001,
+    0,  # epoch
+]
+
+
+def _events_batch():
+    n = len(_INSTANTS_US)
+    return {
+        "event_id": list(range(1, n + 1)),
+        "user_id": [7] * n,
+        "event_type": ["trade"] * n,
+        "value": [1.5] * n,
+        "props": ["{}"] * n,
+    }
+
+
+def _write_events(path, ts_array: pa.Array) -> str:
+    cols = _events_batch()
+    table = pa.table(
+        {
+            "event_id": pa.array(cols["event_id"], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array(cols["user_id"], pa.int64()),
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            "value": pa.array(cols["value"], pa.float64()),
+            "props": pa.array(cols["props"], pa.string()),
+        }
+    )
+    pq.write_table(table, str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    """Two sf-dir lookalikes: events.parquet as int64-ns and as timestamp[us]."""
+    ns_dir = tmp_path_factory.mktemp("enc_ns")
+    us_dir = tmp_path_factory.mktemp("enc_us")
+    _write_events(
+        ns_dir / "events.parquet",
+        pa.array([t * 1000 for t in _INSTANTS_US], pa.timestamp("ns")),
+    )
+    _write_events(
+        us_dir / "events.parquet",
+        pa.array(_INSTANTS_US, pa.timestamp("us")),
+    )
+    return str(ns_dir), str(us_dir)
+
+
+def _collect_ts(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    rows = df.select("event_id", "ts").orderBy("event_id").collect()
+    return [(r["event_id"], r["ts"]) for r in rows]
+
+
+def test_both_encodings_yield_identical_instants(spark, encoded_dirs):
+    ns_dir, us_dir = encoded_dirs
+    assert _collect_ts(spark, ns_dir) == _collect_ts(spark, us_dir)
+
+
+def test_us_encoding_exact_values(spark, encoded_dirs):
+    _, us_dir = encoded_dirs
+    got = dict(_collect_ts(spark, us_dir))
+    want = datetime.datetime(2023, 11, 14, 22, 13, 20)
+    # TIMESTAMP_NTZ / naive-timestamp equality on the known instant
+    assert got[1].replace(tzinfo=None) == want
+    assert got[2].microsecond == 123456
+
+
+def test_ts_column_is_timestamp_type(spark, encoded_dirs):
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    for d in encoded_dirs:
+        dt = load_table(spark, d, "events").schema["ts"].dataType
+        assert isinstance(dt, (TimestampType, TimestampNTZType)), dt
+
+
+def test_driver_testdata_loads_all_tables(spark):
+    """The real driver testdata must load with a timestamp-typed events.ts."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        assert len(df.schema.fields) > 0, name
+    dt = load_table(spark, sf_dir, "events").schema["ts"].dataType
+    assert isinstance(dt, (TimestampType, TimestampNTZType)), dt
