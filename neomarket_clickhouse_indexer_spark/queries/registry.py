@@ -39,80 +39,40 @@ class QuerySpec:
 
 
 _SPECS: list[QuerySpec] = [
-    # Relational / star-schema surface
+    # ------------------------------------------------------------------
+    # ORDERING CONTRACT: the external driver gates only the FIRST 50
+    # entries. The first 50 below are a minimum set cover of every
+    # SURVEY.md §2 operator id (plus DD/VS/TX/MM/CRYPTO pipeline ids),
+    # so each id gets at least one externally-checked gate per round.
+    # The remaining entries add depth on already-covered ids and are
+    # still oracle-checked locally by tests/test_correctness.py.
+    # tests/test_registry_cover.py asserts this invariant.
+    # ------------------------------------------------------------------
     QuerySpec("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL,
               ("A1", "A2", "P1", "P2"), "TPC-H Q1 shape: wide hash agg"),
-    QuerySpec("shipping_priority", R.shipping_priority, R.SHIPPING_PRIORITY_SQL,
-              ("J1", "A1", "T1"), "TPC-H Q3 shape: join + agg + top-k"),
     QuerySpec("regional_supplier_volume", R.regional_supplier_volume,
               R.REGIONAL_SUPPLIER_VOLUME_SQL, ("J1", "J5", "A1"),
               "TPC-H Q5 shape: 6-way broadcast-dim join (the reference's "
               "app-side hash-map join done as broadcast hash joins)"),
-    QuerySpec("late_order_priority", R.late_order_priority,
-              R.LATE_ORDER_PRIORITY_SQL, ("J1", "A1", "P7"),
-              "TPC-H Q4 shape: EXISTS semi-join"),
-    QuerySpec("customers_without_orders", R.customers_without_orders,
-              R.CUSTOMERS_WITHOUT_ORDERS_SQL, ("J8", "A1"), "anti-join"),
     QuerySpec("returns_conditional", R.returns_conditional,
               R.RETURNS_CONDITIONAL_SQL, ("A2", "P4", "P5"), "sumIf/countIf"),
     QuerySpec("part_price_fallback", R.part_price_fallback,
               R.PART_PRICE_FALLBACK_SQL, ("J9", "P5"),
               "left-join fallback ladder with coalesce"),
-    QuerySpec("segment_top_customers", R.segment_top_customers,
-              R.SEGMENT_TOP_CUSTOMERS_SQL, ("W4",), "ranked window top-k per group"),
-    QuerySpec("lineitem_page", R.lineitem_page, R.LINEITEM_PAGE_SQL,
-              ("T2", "T3"), "deterministic LIMIT/OFFSET pagination"),
-    QuerySpec("orders_monthly", R.orders_monthly, R.ORDERS_MONTHLY_SQL,
-              ("A1",), "date_trunc month rollup"),
-    QuerySpec("party_volume_union", R.party_volume_union,
-              R.PARTY_VOLUME_UNION_SQL, ("U1", "W4", "J1"),
-              "union-relabel view + per-role top-k (wallet_trades shape)"),
-    QuerySpec("cheapest_supplier_per_part", R.cheapest_supplier_per_part,
-              R.CHEAPEST_SUPPLIER_PER_PART_SQL, ("J1", "A1", "W4"),
-              "TPC-H Q2 shape: per-group min via decorrelated subquery"),
-    QuerySpec("regional_rollup", R.regional_rollup, R.REGIONAL_ROLLUP_SQL,
-              ("A1", "BONUS"), "ROLLUP grouping sets (beyond reference)"),
-    QuerySpec("supplier_share_having", R.supplier_share_having,
-              R.SUPPLIER_SHARE_HAVING_SQL, ("A9", "A1"),
-              "TPC-H Q11 shape: HAVING vs scalar-subquery threshold in "
-              "exact decimal space"),
-    # Event-stream surface
-    QuerySpec("latest_event_per_user", E.latest_event_per_user,
-              E.LATEST_EVENT_PER_USER_SQL, ("W3",), "latest-by-key dedup view"),
-    QuerySpec("user_running_value", E.user_running_value,
-              E.USER_RUNNING_VALUE_SQL, ("W2",), "running cumulative sum"),
-    QuerySpec("candles_1m", E.candles_1m, E.CANDLES_1M_SQL,
-              ("A7", "A4"), "OHLCV 1m pre-aggregation"),
     QuerySpec("candles_5m_rebucketed", E.candles_5m_rebucketed, E.CANDLES_5M_SQL,
               ("A8", "A7"), "partial-state re-bucketing 1m→5m"),
     QuerySpec("market_overview", E.market_overview, E.MARKET_OVERVIEW_SQL,
               ("J2", "A1", "A4"), "3-way left join: volume x last price x users"),
-    QuerySpec("hourly_type_volume", E.hourly_type_volume,
-              E.HOURLY_TYPE_VOLUME_SQL, ("A1",), "hourly volume rollup"),
     QuerySpec("user_stats", E.user_stats, E.USER_STATS_SQL,
               ("A1", "A3", "A4", "A5"), "per-user profile agg"),
-    QuerySpec("top_users_by_volume", E.top_users_by_volume,
-              E.TOP_USERS_BY_VOLUME_SQL, ("T1", "W4", "A1"), "leaderboard"),
     QuerySpec("last_view_before_purchase", E.last_view_before_purchase,
               E.LAST_VIEW_BEFORE_PURCHASE_SQL, ("J6",),
               "as-of join (oracle: native ASOF JOIN)"),
-    QuerySpec("signup_intervals", E.signup_intervals, E.SIGNUP_INTERVALS_SQL,
-              ("W1",), "SCD2 lead-window valid_to"),
     QuerySpec("hour_bucket_last", E.hour_bucket_last, E.HOUR_BUCKET_LAST_SQL,
               ("W5", "A4"), "last value per time bucket"),
-    QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
-              ("A1",), "JSON extraction + agg"),
     QuerySpec("user_type_winloss", E.user_type_winloss,
               E.USER_TYPE_WINLOSS_SQL, ("A13", "A2", "W4"),
               "two-level win/loss/best/worst fold"),
-    QuerySpec("recent_window_activity", E.recent_window_activity,
-              E.RECENT_WINDOW_ACTIVITY_SQL, ("P7", "A1"),
-              "now()-relative window with injected clock"),
-    QuerySpec("fifo_user_pnl", E.fifo_user_pnl, E.FIFO_USER_PNL_SQL,
-              ("O1", "O3"), "FIFO-lot allocation (applyInPandas vs interval SQL)"),
-    QuerySpec("avgcost_user_positions", E.avgcost_user_positions,
-              E.AVGCOST_USER_POSITIONS_SQL, ("O1", "ST6"),
-              "sequential avg-cost state machine vs recursive-CTE oracle"),
     QuerySpec("domain_ledger_summary", E.domain_ledger_summary,
               E.DOMAIN_LEDGER_SUMMARY_SQL, ("O1", "O2", "O7"),
               "full domain FIFO ledger replay → oracle-checked cashflow "
@@ -130,10 +90,6 @@ _SPECS: list[QuerySpec] = [
               ("O3", "O1"),
               "PnL modes 1-2 (period-only / with-history) over FIFO "
               "slices vs time-filtered interval oracle"),
-    QuerySpec("wallet_snapshot_positions", E.wallet_snapshot_positions,
-              E.WALLET_SNAPSHOT_POSITIONS_SQL, ("O2", "O1", "ST6"),
-              "snapshot emitter over an integer-quantity domain vs "
-              "Lindley-recursion + ASOF-boundary oracle"),
     QuerySpec("fifo_daily_rollup", E.fifo_daily_rollup,
               E.FIFO_DAILY_ROLLUP_SQL, ("O4", "O1"),
               "wallet x exit-day realized rollup from the FIFO pair "
@@ -142,28 +98,18 @@ _SPECS: list[QuerySpec] = [
               E.USER_SIGNED_BALANCES_SQL, ("A10", "A11", "U1", "U2"),
               "dedup-first signed heterogeneous union -> per-user balance "
               "(SummingMergeTree shape)"),
-    QuerySpec("orders_latest_activity", E.orders_latest_activity,
-              E.ORDERS_LATEST_ACTIVITY_SQL, ("J3", "W3", "J1"),
-              "fact join against latest-by-key dedup subquery "
-              "(ReplacingMergeTree FINAL shape)"),
     QuerySpec("merged_timeline_page", E.merged_timeline_page,
               E.MERGED_TIMELINE_PAGE_SQL, ("T4", "U2", "T2", "T3"),
               "heterogeneous union merged into one total order, paginated "
               "via TakeOrdered (unified activity feed)"),
-    # Training-data pipeline: documents
     QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
               ("DD1",), "exact dedup by content hash"),
     QuerySpec("docs_text_stats", D.docs_text_stats, D.DOCS_TEXT_STATS_SQL,
-              ("TX1",), "token/quality statistics"),
+              ("TX1", "TX3"), "token/quality statistics (whitespace token counts)"),
     QuerySpec("docs_lang_id", D.docs_lang_id, D.DOCS_LANG_ID_SQL,
               ("TX2",), "marker-based language ID"),
-    QuerySpec("docs_token_count_by_source", D.docs_token_count_by_source,
-              D.DOCS_TOKEN_COUNT_BY_SOURCE_SQL, ("TX3",), "corpus token accounting"),
     QuerySpec("docs_fingerprint", D.docs_fingerprint, D.DOCS_FINGERPRINT_SQL,
               ("TX4",), "rolling-hash document fingerprint"),
-    QuerySpec("docs_near_dup_pairs", D.docs_near_dup_pairs,
-              D.DOCS_NEAR_DUP_PAIRS_SQL, ("DD2",),
-              "MinHash+LSH near-dup candidate pairs"),
     QuerySpec("docs_dup_clusters", D.docs_dup_clusters,
               D.DOCS_DUP_CLUSTERS_SQL, ("DD2", "DD6"),
               "connected-components dedup clusters (label propagation vs "
@@ -171,9 +117,6 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("docs_jaccard_pairs", D.docs_jaccard_pairs,
               D.DOCS_JACCARD_PAIRS_SQL, ("DD2", "DD4"),
               "exact n-gram Jaccard verification of LSH candidates"),
-    QuerySpec("docs_bpe_token_count", D.docs_bpe_token_count,
-              D.DOCS_BPE_TOKEN_COUNT_SQL, ("TX3",),
-              "BPE-ish regex tokenization vs whitespace"),
     QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
               ("DD5",), "16-bit SimHash document signatures"),
     QuerySpec("docs_top_by_lang", D.docs_top_by_lang, D.DOCS_TOP_BY_LANG_SQL,
@@ -188,10 +131,6 @@ _SPECS: list[QuerySpec] = [
               D.DOCS_PACK_SEQUENCES_SQL, ("TX6", "BONUS"),
               "concatenation-style LM sequence packing into fixed context "
               "windows (cumsum closed form)"),
-    QuerySpec("docs_quality_filter", PL.docs_quality_filter,
-              PL.DOCS_QUALITY_FILTER_SQL, ("TX1", "P5", "BONUS"),
-              "Gopher/C4-style quality rules with violation bitmask "
-              "(exact rational thresholds, integer-only)"),
     QuerySpec("docs_contamination", PL.docs_contamination,
               PL.DOCS_CONTAMINATION_SQL, ("TX7", "J1", "BONUS"),
               "benchmark decontamination: 5-gram overlap vs broadcast "
@@ -200,14 +139,10 @@ _SPECS: list[QuerySpec] = [
               PL.DOCS_TF_KEYWORDS_SQL, ("TX8", "W4", "BONUS"),
               "per-doc keywords by (tf desc, df asc) — integer TF-IDF "
               "ordering, corpus DF broadcast"),
-    # Operational semantics (audit / invariants / re-ingest / sinks)
     QuerySpec("leaderboard_parity_audit", O.leaderboard_parity_audit,
               O.LEADERBOARD_PARITY_AUDIT_SQL, ("O6", "W4", "T1"),
               "overlap + rank-delta audit between volume- and count-ranked "
               "leaderboards (reference audit agent)"),
-    QuerySpec("inventory_invariant", O.inventory_invariant,
-              O.INVENTORY_INVARIANT_SQL, ("O7", "W2"),
-              "never-negative running inventory check, exact decimal window"),
     QuerySpec("tx_group_correlation", O.tx_group_correlation,
               O.TX_GROUP_CORRELATION_SQL, ("J7", "J8"),
               "tx-group flags + skip-set classification vs correlated "
@@ -258,18 +193,10 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("adaptive_window_trades", AC.adaptive_window_trades,
               AC.ADAPTIVE_WINDOW_TRADES_SQL, ("T6", "P7"),
               "adaptive widening window decision for all users in one pass"),
-    QuerySpec("skewed_type_volume", AC.skewed_type_volume,
-              AC.SKEWED_TYPE_VOLUME_SQL, ("A1",),
-              "salted two-phase hot-key aggregation == plain groupBy oracle"),
     QuerySpec("token_id_derivation", O.token_id_derivation,
               O.TOKEN_ID_DERIVATION_SQL, ("CRYPTO", "S2"),
               "keccak CTF collection/position-id chain via mapInPandas vs "
               "golden-vector oracle"),
-    # Training-data pipeline: embeddings
-    QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
-              ("VS1",), "exact cosine top-k"),
-    QuerySpec("label_centroids", V.label_centroids, V.LABEL_CENTROIDS_SQL,
-              ("VS2",), "per-label centroid (IVF seed)"),
     QuerySpec("near_dup_embeddings", V.near_dup_embeddings,
               V.NEAR_DUP_EMBEDDINGS_SQL, ("DD3", "VS1"),
               "embedding-cosine near-dup pairs"),
@@ -277,12 +204,90 @@ _SPECS: list[QuerySpec] = [
               ("VS3",), "random-hyperplane LSH ANN with exact re-rank"),
     QuerySpec("knn_ivf", V.knn_ivf, V.KNN_IVF_SQL, ("VS4", "VS2"),
               "IVF ANN: centroid coarse quantizer, nprobe=1, exact re-rank"),
-    QuerySpec("knn_ivf_nprobe2", V.knn_ivf_nprobe2, V.KNN_IVF_NPROBE2_SQL,
-              ("VS4",), "IVF ANN with nprobe=2 (recall/cost knob)"),
     QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
               M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
               "binary payload -> executor-side frame fan-out -> per-source "
               "aggregate (Arrow mapInPandas vs substring/sha256 oracle)"),
+    # ---- past the driver cutoff: depth on already-covered ids ----
+    QuerySpec("shipping_priority", R.shipping_priority, R.SHIPPING_PRIORITY_SQL,
+              ("J1", "A1", "T1"), "TPC-H Q3 shape: join + agg + top-k"),
+    QuerySpec("late_order_priority", R.late_order_priority,
+              R.LATE_ORDER_PRIORITY_SQL, ("J1", "A1", "P7"),
+              "TPC-H Q4 shape: EXISTS semi-join"),
+    QuerySpec("customers_without_orders", R.customers_without_orders,
+              R.CUSTOMERS_WITHOUT_ORDERS_SQL, ("J8", "A1"), "anti-join"),
+    QuerySpec("segment_top_customers", R.segment_top_customers,
+              R.SEGMENT_TOP_CUSTOMERS_SQL, ("W4",), "ranked window top-k per group"),
+    QuerySpec("lineitem_page", R.lineitem_page, R.LINEITEM_PAGE_SQL,
+              ("T2", "T3"), "deterministic LIMIT/OFFSET pagination"),
+    QuerySpec("orders_monthly", R.orders_monthly, R.ORDERS_MONTHLY_SQL,
+              ("A1",), "date_trunc month rollup"),
+    QuerySpec("party_volume_union", R.party_volume_union,
+              R.PARTY_VOLUME_UNION_SQL, ("U1", "W4", "J1"),
+              "union-relabel view + per-role top-k (wallet_trades shape)"),
+    QuerySpec("cheapest_supplier_per_part", R.cheapest_supplier_per_part,
+              R.CHEAPEST_SUPPLIER_PER_PART_SQL, ("J1", "A1", "W4"),
+              "TPC-H Q2 shape: per-group min via decorrelated subquery"),
+    QuerySpec("regional_rollup", R.regional_rollup, R.REGIONAL_ROLLUP_SQL,
+              ("A1", "BONUS"), "ROLLUP grouping sets (beyond reference)"),
+    QuerySpec("supplier_share_having", R.supplier_share_having,
+              R.SUPPLIER_SHARE_HAVING_SQL, ("A9", "A1"),
+              "TPC-H Q11 shape: HAVING vs scalar-subquery threshold in "
+              "exact decimal space"),
+    QuerySpec("latest_event_per_user", E.latest_event_per_user,
+              E.LATEST_EVENT_PER_USER_SQL, ("W3",), "latest-by-key dedup view"),
+    QuerySpec("user_running_value", E.user_running_value,
+              E.USER_RUNNING_VALUE_SQL, ("W2",), "running cumulative sum"),
+    QuerySpec("candles_1m", E.candles_1m, E.CANDLES_1M_SQL,
+              ("A7", "A4"), "OHLCV 1m pre-aggregation"),
+    QuerySpec("hourly_type_volume", E.hourly_type_volume,
+              E.HOURLY_TYPE_VOLUME_SQL, ("A1",), "hourly volume rollup"),
+    QuerySpec("top_users_by_volume", E.top_users_by_volume,
+              E.TOP_USERS_BY_VOLUME_SQL, ("T1", "W4", "A1"), "leaderboard"),
+    QuerySpec("signup_intervals", E.signup_intervals, E.SIGNUP_INTERVALS_SQL,
+              ("W1",), "SCD2 lead-window valid_to"),
+    QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
+              ("A1",), "JSON extraction + agg"),
+    QuerySpec("recent_window_activity", E.recent_window_activity,
+              E.RECENT_WINDOW_ACTIVITY_SQL, ("P7", "A1"),
+              "now()-relative window with injected clock"),
+    QuerySpec("fifo_user_pnl", E.fifo_user_pnl, E.FIFO_USER_PNL_SQL,
+              ("O1", "O3"), "FIFO-lot allocation (applyInPandas vs interval SQL)"),
+    QuerySpec("avgcost_user_positions", E.avgcost_user_positions,
+              E.AVGCOST_USER_POSITIONS_SQL, ("O1", "ST6"),
+              "sequential avg-cost state machine vs recursive-CTE oracle"),
+    QuerySpec("wallet_snapshot_positions", E.wallet_snapshot_positions,
+              E.WALLET_SNAPSHOT_POSITIONS_SQL, ("O2", "O1", "ST6"),
+              "snapshot emitter over an integer-quantity domain vs "
+              "Lindley-recursion + ASOF-boundary oracle"),
+    QuerySpec("orders_latest_activity", E.orders_latest_activity,
+              E.ORDERS_LATEST_ACTIVITY_SQL, ("J3", "W3", "J1"),
+              "fact join against latest-by-key dedup subquery "
+              "(ReplacingMergeTree FINAL shape)"),
+    QuerySpec("docs_token_count_by_source", D.docs_token_count_by_source,
+              D.DOCS_TOKEN_COUNT_BY_SOURCE_SQL, ("TX3",), "corpus token accounting"),
+    QuerySpec("docs_near_dup_pairs", D.docs_near_dup_pairs,
+              D.DOCS_NEAR_DUP_PAIRS_SQL, ("DD2",),
+              "MinHash+LSH near-dup candidate pairs"),
+    QuerySpec("docs_bpe_token_count", D.docs_bpe_token_count,
+              D.DOCS_BPE_TOKEN_COUNT_SQL, ("TX3",),
+              "BPE-ish regex tokenization vs whitespace"),
+    QuerySpec("docs_quality_filter", PL.docs_quality_filter,
+              PL.DOCS_QUALITY_FILTER_SQL, ("TX1", "P5", "BONUS"),
+              "Gopher/C4-style quality rules with violation bitmask "
+              "(exact rational thresholds, integer-only)"),
+    QuerySpec("inventory_invariant", O.inventory_invariant,
+              O.INVENTORY_INVARIANT_SQL, ("O7", "W2"),
+              "never-negative running inventory check, exact decimal window"),
+    QuerySpec("skewed_type_volume", AC.skewed_type_volume,
+              AC.SKEWED_TYPE_VOLUME_SQL, ("A1",),
+              "salted two-phase hot-key aggregation == plain groupBy oracle"),
+    QuerySpec("knn_bruteforce", V.knn_bruteforce, V.KNN_BRUTEFORCE_SQL,
+              ("VS1",), "exact cosine top-k"),
+    QuerySpec("label_centroids", V.label_centroids, V.LABEL_CENTROIDS_SQL,
+              ("VS2",), "per-label centroid (IVF seed)"),
+    QuerySpec("knn_ivf_nprobe2", V.knn_ivf_nprobe2, V.KNN_IVF_NPROBE2_SQL,
+              ("VS4",), "IVF ANN with nprobe=2 (recall/cost knob)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
