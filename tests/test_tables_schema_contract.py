@@ -116,3 +116,76 @@ def test_driver_testdata_loads_all_tables(spark):
         assert len(df.schema.fields) > 0, name
     dt = load_table(spark, sf_dir, "events").schema["ts"].dataType
     assert isinstance(dt, (TimestampType, TimestampNTZType)), dt
+
+
+# Column-name + type-family contract for every driver table, loosely typed
+# the way the queries actually consume them: any integer width satisfies
+# "int", either timestamp flavor satisfies "ts". This catches a driver-side
+# schema change at test time (one clear failure here) instead of as 25
+# opaque analysis errors in the external gate.
+_TYPE_FAMILIES = {
+    "int": ("ByteType", "ShortType", "IntegerType", "LongType"),
+    "double": ("DoubleType", "FloatType"),
+    "string": ("StringType",),
+    "ts": ("TimestampType", "TimestampNTZType"),
+    "array<float>": ("ArrayType",),  # element checked separately
+}
+
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "int", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "ts",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string", "l_shipdate": "ts",
+    },
+    "events": {
+        "event_id": "int", "ts": "ts", "user_id": "int",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "int", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "int",
+    },
+    "embeddings": {
+        "vec_id": "int", "embedding": "array<float>", "label": "int",
+    },
+}
+
+
+def test_driver_testdata_full_column_contract(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    problems = []
+    for name, want in EXPECTED_COLUMNS.items():
+        schema = {f.name: f.dataType for f in load_table(spark, sf_dir, name).schema}
+        for col, family in want.items():
+            if col not in schema:
+                problems.append(f"{name}.{col}: MISSING (have {sorted(schema)})")
+                continue
+            dt = schema[col]
+            if type(dt).__name__ not in _TYPE_FAMILIES[family]:
+                problems.append(f"{name}.{col}: {dt} not in family {family}")
+            elif family == "array<float>":
+                el = type(dt.elementType).__name__
+                if el not in ("FloatType", "DoubleType"):
+                    problems.append(f"{name}.{col}: array element {el}")
+    assert not problems, "\n".join(problems)
