@@ -268,3 +268,110 @@ FROM (
 )
 WHERE rank <= {_KEYWORDS_K}
 """
+
+
+# --- docs_repetition_signals: Gopher-style intra-document repetition
+#     measures (Rae et al. 2021 §A1.1: "fraction of characters in the most
+#     common n-gram"-family rules, adapted to this corpus's whitespace
+#     token streams). All counts are exact integers and every threshold is
+#     an exact cross-multiplied rational, so the DuckDB differential holds
+#     bit-for-bit. The mode counts are computed per-row with array HOFs
+#     (O(distinct × tokens) per doc, JVM codegen, shuffle-free) — the
+#     100 TB-correct shape: no explode/groupBy shuffle of the token stream
+#     just to find a per-doc mode.
+
+# top token > 20% of tokens:      5*top_token_cnt > n_tokens
+_REP_TOK_DEN = 5
+# top bigram > 15% of bigrams:    20*top_bigram_cnt > 3*n_bigrams
+_REP_BG_NUM, _REP_BG_DEN = 3, 20
+# distinct tokens < 40% of tokens: 5*n_distinct < 2*n_tokens
+_REP_DIV_NUM, _REP_DIV_DEN = 2, 5
+
+
+def _mode_count(arr):
+    # occurrences of the most frequent element: for each distinct value,
+    # count its occurrences in the full array, take the max (0 for empty)
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda t: F.size(F.filter(arr, lambda x: x == t)).cast("long"),
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0).cast("long"))
+
+
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .documents import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = TX.tokens(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        toks.alias("toks"),
+        TX.shingles(toks, 2, distinct=False).alias("g2"),
+    )
+    base = staged.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        _mode_count(F.col("toks")).alias("top_token_cnt"),
+        F.size("g2").cast("long").alias("n_bigrams"),
+        _mode_count(F.col("g2")).alias("top_bigram_cnt"),
+    )
+    r_tok = _REP_TOK_DEN * F.col("top_token_cnt") > F.col("n_tokens")
+    r_bg = _REP_BG_DEN * F.col("top_bigram_cnt") > _REP_BG_NUM * F.col("n_bigrams")
+    r_div = _REP_DIV_DEN * F.col("n_distinct_tokens") < _REP_DIV_NUM * F.col(
+        "n_tokens"
+    )
+    reasons = (
+        F.when(r_tok, 1).otherwise(0)
+        + F.when(r_bg, 2).otherwise(0)
+        + F.when(r_div, 4).otherwise(0)
+    ).cast("int")
+    return base.withColumn("reasons", reasons).withColumn(
+        "keep", F.col("reasons") == 0
+    )
+
+
+_BG2 = "toks[i] || ' ' || toks[i+1]"
+_GRAMS2_RAW = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    f"list_transform(generate_series(1, len(toks) - 1), i -> {_BG2}) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+_MODE = (
+    "COALESCE(list_max(list_transform(list_distinct({a}), "
+    "t -> CAST(len(list_filter({a}, x -> x = t)) AS BIGINT))), 0)"
+)
+
+DOCS_REPETITION_SIGNALS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source, toks, {_GRAMS2_RAW} AS g2 FROM t
+),
+m AS (
+  SELECT doc_id, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST({_MODE.format(a="toks")} AS BIGINT) AS top_token_cnt,
+         CAST(len(g2) AS BIGINT) AS n_bigrams,
+         CAST({_MODE.format(a="g2")} AS BIGINT) AS top_bigram_cnt
+  FROM g
+),
+scored AS (
+  SELECT *,
+         CAST((CASE WHEN {_REP_TOK_DEN} * top_token_cnt > n_tokens
+                THEN 1 ELSE 0 END)
+            + (CASE WHEN {_REP_BG_DEN} * top_bigram_cnt
+                         > {_REP_BG_NUM} * n_bigrams THEN 2 ELSE 0 END)
+            + (CASE WHEN {_REP_DIV_DEN} * n_distinct_tokens
+                         < {_REP_DIV_NUM} * n_tokens THEN 4 ELSE 0 END)
+           AS INT) AS reasons
+  FROM m
+)
+SELECT doc_id, source, n_tokens, n_distinct_tokens, top_token_cnt,
+       n_bigrams, top_bigram_cnt, reasons, reasons = 0 AS keep
+FROM scored
+"""

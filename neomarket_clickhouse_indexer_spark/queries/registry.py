@@ -288,6 +288,14 @@ _SPECS: list[QuerySpec] = [
               ("VS2",), "per-label centroid (IVF seed)"),
     QuerySpec("knn_ivf_nprobe2", V.knn_ivf_nprobe2, V.KNN_IVF_NPROBE2_SQL,
               ("VS4",), "IVF ANN with nprobe=2 (recall/cost knob)"),
+    QuerySpec("docs_repetition_signals", PL.docs_repetition_signals,
+              PL.DOCS_REPETITION_SIGNALS_SQL, ("TX1", "BONUS"),
+              "Gopher-style intra-doc repetition measures (top token/bigram "
+              "fraction, distinct-token ratio) — per-row HOFs, shuffle-free"),
+    QuerySpec("kmeans_lloyd_step", V.kmeans_lloyd_step,
+              V.KMEANS_LLOYD_STEP_SQL, ("VS2", "VS4", "BONUS"),
+              "one Lloyd k-means iteration: broadcast seeds, rounded-L2 "
+              "argmin assign, (cluster, dim) exact-decimal mean"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

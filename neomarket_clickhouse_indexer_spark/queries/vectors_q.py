@@ -403,3 +403,107 @@ def knn_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_IVF_NPROBE2_SQL = _ivf_sql(2)
+
+
+# --- kmeans_lloyd_step: one Lloyd iteration of k-means over the embedding
+#     corpus — the building block of the iterative clustering loop a
+#     training-data pipeline runs for corpus balancing / IVF codebook
+#     training (the full loop is this step applied k times; each iteration
+#     is the same job on the previous step's centroid output). Seeds are
+#     the K lowest vec_ids (deterministic). Assignment: squared-L2 to each
+#     broadcast seed, rounded to 6dp (the repo's cross-engine float
+#     discipline for per-row sequential folds), argmin with seed_id
+#     tiebreak via min_by — a single scan of the corpus, no shuffle until
+#     the (cluster, dim) mean regroup. The corpus never shuffles for
+#     scoring: K centroids broadcast, same scale shape as knn_ivf.
+
+KMEANS_K = 8
+
+
+def _sq_l2(a, b):  # sequential in-order fold — deterministic IEEE chain
+    return VX._fold_sum(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+    )
+
+
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("s_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "seed_id",
+        F.round(_sq_l2(F.col("embedding"), F.col("s_emb")), 6).alias("d2"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct(F.col("seed_id"), F.col("embedding")),
+            F.struct(F.col("d2"), F.col("seed_id")),
+        ).alias("a")
+    ).select(F.col("a.seed_id").alias("cluster_id"), F.col("a.embedding").alias("embedding"))
+    ex = assigned.select(
+        "cluster_id", F.posexplode(F.col("embedding")).alias("dim", "v")
+    )
+    return (
+        ex.groupBy("cluster_id", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_v"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("dim").cast("long").alias("dim"),
+            "mean_v",
+            "n_members",
+        )
+    )
+
+
+_SQL2 = (
+    "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.s_emb[i] AS DOUBLE)) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - CAST(s.s_emb[i] AS DOUBLE))))"
+)
+
+KMEANS_LLOYD_STEP_SQL = f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS s_emb FROM embeddings
+  WHERE vec_id < {KMEANS_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, s.seed_id, ROUND({_SQL2}, 6) AS d2
+  FROM embeddings e, seeds s
+),
+assigned AS (
+  SELECT vec_id, embedding, seed_id AS cluster_id
+  FROM (
+    SELECT vec_id, embedding, seed_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, seed_id) AS rn
+    FROM scored
+  )
+  WHERE rn = 1
+),
+ex AS (
+  SELECT cluster_id, unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM assigned
+)
+SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim,
+       ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_v,
+       COUNT(*) AS n_members
+FROM ex
+GROUP BY 1, 2
+"""
