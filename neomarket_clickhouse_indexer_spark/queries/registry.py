@@ -296,6 +296,11 @@ _SPECS: list[QuerySpec] = [
               V.KMEANS_LLOYD_STEP_SQL, ("VS2", "VS4", "BONUS"),
               "one Lloyd k-means iteration: broadcast seeds, rounded-L2 "
               "argmin assign, (cluster, dim) exact-decimal mean"),
+    QuerySpec("kmeans_train", V.kmeans_train, V.KMEANS_TRAIN_SQL,
+              ("VS2", "VS4", "BONUS"),
+              "3-iteration Lloyd k-means loop (iterative algorithm): each "
+              "pass re-broadcasts the rounded centroid state; oracle = the "
+              "same recursion unrolled as generated per-iteration CTEs"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

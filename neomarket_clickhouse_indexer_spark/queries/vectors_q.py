@@ -507,3 +507,164 @@ SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim,
 FROM ex
 GROUP BY 1, 2
 """
+
+
+# --- kmeans_train: the ITERATIVE clustering loop — KMEANS_ITERS Lloyd
+#     iterations, each consuming the previous iteration's centroids. The
+#     driver loop lives in Python but every iteration is the same
+#     declarative job (broadcast centroids → rounded-L2 argmin assign →
+#     exact-decimal (cluster, dim) mean), so at 100 TB each pass is one
+#     corpus scan + one 512-group shuffle; the centroid state (K×64 rows)
+#     never leaves the cluster except as a broadcast. Cross-engine
+#     determinism: centroid means are rounded to 6dp EVERY iteration —
+#     the rounding quantizes the carried float state so divergence cannot
+#     accumulate across iterations — and the oracle is the same recursion
+#     unrolled as generated CTEs (one scored/assigned/centroid trio per
+#     iteration), a genuinely different evaluation strategy.
+
+KMEANS_ITERS = 3
+
+
+def _centroid_arrays(assigned: DataFrame) -> DataFrame:
+    """(cluster_id, embedding) rows -> (cluster_id, c_emb array, n_members)."""
+    ex = assigned.select(
+        "cluster_id", F.posexplode(F.col("embedding")).alias("dim", "v")
+    )
+    per_dim = ex.groupBy("cluster_id", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
+            lambda s: s["mean_v"],
+        ).alias("c_emb"),
+        F.max("n_members").alias("n_members"),
+    )
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c_emb"),
+    )
+    for it in range(KMEANS_ITERS):
+        if it > 0:
+            # materialize the K×64-double centroid state on the driver and
+            # re-broadcast it as a literal frame: without this, iteration N's
+            # lazy lineage recomputes iterations 1..N-1 (O(iters²) corpus
+            # scans). The state is driver-sized by construction (K rows) —
+            # the same clamped-collect doctrine as serve/api.py — and each
+            # iteration becomes exactly one corpus scan.
+            cents = spark.createDataFrame(cents.collect(), schema=cents.schema)
+        scored = emb.crossJoin(F.broadcast(cents.select("cluster_id", "c_emb"))).select(
+            "vec_id",
+            "embedding",
+            "cluster_id",
+            F.round(_sq_l2(F.col("embedding"), F.col("c_emb")), 6).alias("d2"),
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cluster_id"), F.col("embedding")),
+                    F.struct(F.col("d2"), F.col("cluster_id")),
+                ).alias("a")
+            )
+            .select(
+                F.col("a.cluster_id").alias("cluster_id"),
+                F.col("a.embedding").alias("embedding"),
+            )
+        )
+        cents = _centroid_arrays(assigned)
+    return (
+        cents.select(
+            "cluster_id",
+            F.posexplode(F.col("c_emb")).alias("dim", "mean_v"),
+            "n_members",
+        )
+        .select(
+            "cluster_id",
+            F.col("dim").cast("long").alias("dim"),
+            "mean_v",
+            "n_members",
+        )
+    )
+
+
+def _kmeans_train_sql() -> str:
+    """Unroll KMEANS_ITERS Lloyd iterations as generated CTE trios."""
+    d2 = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c_emb[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.c_emb[i]))), 6)"
+    )
+    ctes = [
+        (
+            "cent0 AS (\n"
+            f"  SELECT vec_id AS cluster_id,\n"
+            f"         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb\n"
+            f"  FROM embeddings WHERE vec_id < {KMEANS_K}\n"
+            ")"
+        )
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(
+            f"scored{it} AS (\n"
+            f"  SELECT e.vec_id, e.embedding, c.cluster_id, {d2} AS d2\n"
+            f"  FROM embeddings e, {prev} c\n"
+            ")"
+        )
+        ctes.append(
+            f"assigned{it} AS (\n"
+            f"  SELECT vec_id, embedding, cluster_id FROM (\n"
+            f"    SELECT vec_id, embedding, cluster_id,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY vec_id\n"
+            f"                              ORDER BY d2, cluster_id) AS rn\n"
+            f"    FROM scored{it}\n"
+            f"  ) WHERE rn = 1\n"
+            ")"
+        )
+        ctes.append(
+            f"ex{it} AS (\n"
+            f"  SELECT cluster_id, unnest(embedding) AS v,\n"
+            f"         unnest(generate_series(1, len(embedding))) AS i\n"
+            f"  FROM assigned{it}\n"
+            ")"
+        )
+        ctes.append(
+            f"dims{it} AS (\n"
+            f"  SELECT cluster_id, i,\n"
+            f"         ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12)))\n"
+            f"                    AS DOUBLE) / COUNT(*), 6) AS mean_v,\n"
+            f"         COUNT(*) AS n_members\n"
+            f"  FROM ex{it} GROUP BY 1, 2\n"
+            ")"
+        )
+        ctes.append(
+            f"cent{it} AS (\n"
+            f"  SELECT cluster_id, list(mean_v ORDER BY i) AS c_emb,\n"
+            f"         MAX(n_members) AS n_members\n"
+            f"  FROM dims{it} GROUP BY cluster_id\n"
+            ")"
+        )
+    last = KMEANS_ITERS
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim, mean_v, n_members
+FROM (
+  SELECT cluster_id, unnest(c_emb) AS mean_v,
+         unnest(generate_series(1, len(c_emb))) AS i, n_members
+  FROM cent{last}
+)
+"""
+    )
+
+
+KMEANS_TRAIN_SQL = _kmeans_train_sql()

@@ -14,6 +14,7 @@ INTENTIONAL_CROSS = {
     "knn_bruteforce", "near_dup_embeddings", "knn_ann_lsh", "knn_ivf",
     "knn_ivf_nprobe2",  # same broadcast centroid-probe as knn_ivf
     "kmeans_lloyd_step",  # broadcast seed-probe, corpus-linear by design
+    "kmeans_train",  # same broadcast centroid-probe, iterated
     "supplier_share_having",  # 1-row broadcast grand-total threshold
 }
 for name in sorted(REGISTRY):
