@@ -669,3 +669,65 @@ SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
 FROM binned
 GROUP BY source, bin_id
 """
+
+
+# --- docs_hybrid_near_dup: two-modality near-dedup — the LSH text
+#     candidates (DD2's banded MinHash, never O(n²)) verified by embedding
+#     cosine (DD3). This is the production fuzzy-dedup shape for a training
+#     corpus: the cheap text-signature pass proposes, the semantic pass
+#     disposes. The embedding join is a plain key-partitioned hash join on
+#     doc id (both sides shuffle on the key once — no broadcast assumption:
+#     at 100 TB both tables are huge but the candidate set is already
+#     LSH-pruned, so only candidates' embeddings move).
+
+# synthetic embeddings are near-orthogonal (cosine ~N(0, 0.11) on the
+# candidate set), so the flag threshold is 0: positive semantic
+# correlation. With real embeddings this would sit at ~0.9 (see
+# vectors_q.SIM_THRESHOLD) — the pipeline shape is what's under test.
+HYBRID_SIM_THRESHOLD = 0.0
+
+
+def docs_hybrid_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as VX
+
+    pairs = docs_near_dup_pairs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            VX.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6).alias("cosine_sim"),
+        )
+        .withColumn(
+            "is_semantic_dup", F.col("cosine_sim") >= HYBRID_SIM_THRESHOLD
+        )
+    )
+
+
+_HY_DOT = (
+    "list_sum(list_transform(generate_series(1, len(ea.embedding)), "
+    "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))"
+)
+_HY_NA = (
+    "sqrt(list_sum(list_transform(ea.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_HY_NB = (
+    "sqrt(list_sum(list_transform(eb.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+DOCS_HYBRID_NEAR_DUP_SQL = f"""
+WITH cand AS ({DOCS_NEAR_DUP_PAIRS_SQL})
+SELECT cand.doc_a, cand.doc_b,
+       ROUND({_HY_DOT} / ({_HY_NA} * {_HY_NB}), 6) AS cosine_sim,
+       ROUND({_HY_DOT} / ({_HY_NA} * {_HY_NB}), 6)
+         >= {HYBRID_SIM_THRESHOLD} AS is_semantic_dup
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.doc_a
+JOIN embeddings eb ON eb.vec_id = cand.doc_b
+"""

@@ -301,6 +301,10 @@ _SPECS: list[QuerySpec] = [
               "3-iteration Lloyd k-means loop (iterative algorithm): each "
               "pass re-broadcasts the rounded centroid state; oracle = the "
               "same recursion unrolled as generated per-iteration CTEs"),
+    QuerySpec("docs_hybrid_near_dup", D.docs_hybrid_near_dup,
+              D.DOCS_HYBRID_NEAR_DUP_SQL, ("DD2", "DD3", "BONUS"),
+              "two-modality fuzzy dedup: LSH text candidates verified by "
+              "embedding cosine — propose/dispose, candidates-only join"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
