@@ -1263,3 +1263,63 @@ def streaming_positions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_POSITIONS_STATE_SQL = AVGCOST_USER_POSITIONS_SQL
+
+
+# --- user_sessions: inactivity-gap sessionization of the event stream via
+#     Spark's NATIVE session_window (merge-on-overlap session assignment
+#     inside the aggregation operator — the Structured-Streaming-ready
+#     shape: the same expression works under readStream with a watermark).
+#     The oracle is the classic gaps-and-islands rewrite (lag → gap flag →
+#     running flag-sum as session id → group), a genuinely different
+#     algorithm. Boundary semantics: a session covers [first_event,
+#     last_event + gap), so an event exactly GAP after its predecessor
+#     starts a NEW session — the oracle's flag is therefore `>=`, matching
+#     session_window's exclusive end.
+
+# gap calibrated to the synthetic stream's inter-arrival distribution
+# (median per-user gap ~7.3h): 12h merges ~2/3 of successive events
+SESSION_GAP_MIN = 720
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "volume"),
+        F.max("ts").alias("last_ts"),
+    )
+    return sess.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        "last_ts",
+        "n_events",
+        "volume",
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {EVENTS_SQL} e
+),
+flagged AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS last_ts,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "volume")}
+FROM flagged
+GROUP BY user_id, sess_id
+"""

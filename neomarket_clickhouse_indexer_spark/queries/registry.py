@@ -305,6 +305,10 @@ _SPECS: list[QuerySpec] = [
               D.DOCS_HYBRID_NEAR_DUP_SQL, ("DD2", "DD3", "BONUS"),
               "two-modality fuzzy dedup: LSH text candidates verified by "
               "embedding cosine — propose/dispose, candidates-only join"),
+    QuerySpec("user_sessions", E.user_sessions, E.USER_SESSIONS_SQL,
+              ("A1", "W1", "ST5", "BONUS"),
+              "inactivity-gap sessionization via native session_window vs "
+              "gaps-and-islands oracle (lag → flag → running sum → group)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
