@@ -244,3 +244,36 @@ def test_watermark_window_partitioned_by_stream(spark):
     )
     assert m, "watermark window must partition by event_type:\n" + plan
     assert "pmod" not in plan, "single-partition pmod key resurfaced:\n" + plan
+
+
+def test_kmeans_step_broadcasts_seeds_partial_agg(spark):
+    # VS2+: the Lloyd scoring pass must broadcast the K seeds against the
+    # corpus (BroadcastNestedLoopJoin over a tiny broadcast side — the
+    # designed linear-scan probe, same shape as knn_ivf) and the
+    # (cluster, dim) mean must be a two-phase aggregate
+    df = _q("kmeans_lloyd_step", spark)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    problems = plan_asserts(df, partial_agg=True, forbid_cartesian=False)
+    assert not problems, problems
+
+
+def test_hybrid_near_dup_no_cartesian(spark):
+    # DD2+DD3: the cosine verification joins only the LSH candidate set to
+    # embeddings — keyed joins throughout, never a pair blow-up
+    df = _q("docs_hybrid_near_dup", spark)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_user_sessions_partial_agg_single_shuffle(spark):
+    # ST5+: session_window agg shuffles once on user_id and keeps the
+    # two-phase aggregate (partial session assembly map-side)
+    import re
+
+    df = _q("user_sessions", spark)
+    plan = explain_str(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, "sessionization should shuffle once:\n" + plan
