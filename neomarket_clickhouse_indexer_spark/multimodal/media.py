@@ -192,3 +192,53 @@ def binary_frames(
             )
 
     return df.select(id_col, *carry, payload_col).mapInPandas(run, schema)
+
+
+def pcm_window_energy(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    window: int = 64,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Audio-style DSP plumbing: treat the binary payload as an 8-bit PCM
+    sample stream and emit per-window INTEGER energy (sum of squared sample
+    values) — the windowed feature-extraction shape (RMS/VAD/loudness) over
+    Arrow batches. Integer energies keep the kernel bit-exact across
+    engines (no float accumulation), so the gate can oracle-check the full
+    fan-out. A real audio kernel would np.frombuffer(int16) and window at
+    the sample rate; the batch shape, fan-out locality, and schema are
+    identical.
+    """
+    carry = list(carry_cols)
+    schema = (
+        f"{id_col} bigint, "
+        + "".join(f"{c} string, " for c in carry)
+        + "window_idx int, n_samples int, energy bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for tup in pdf[[id_col, *carry, payload_col]].itertuples(index=False):
+                mid, *extra, payload = tup
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for w in range(0, max(1, len(samples)), window):
+                    chunk = samples[w : w + window].astype(np.int64)
+                    rows.append(
+                        (
+                            mid,
+                            *extra,
+                            w // window,
+                            int(chunk.size),
+                            int(np.dot(chunk, chunk)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, *carry, "window_idx", "n_samples", "energy"],
+            )
+
+    return df.select(id_col, *carry, payload_col).mapInPandas(run, schema)

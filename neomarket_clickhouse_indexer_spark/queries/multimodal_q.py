@@ -60,3 +60,62 @@ SELECT source,
 FROM sized
 GROUP BY source
 """
+
+
+# --- multimodal_audio_energy: the audio half of the media mandate —
+#     windowed energy extraction over a PCM-style sample stream, fanned out
+#     inside the executor (multimodal/media.py::pcm_window_energy). Sample
+#     values are payload bytes (ASCII corpus → byte == code point), window
+#     energies are exact integers, so the DuckDB oracle replays the same
+#     windows via char-code lists and matches bit-for-bit.
+
+ENERGY_WINDOW = 64
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import pcm_window_energy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    wins = pcm_window_energy(
+        docs, "doc_id", "payload", window=ENERGY_WINDOW, carry_cols=("source",)
+    )
+    # per-doc loudness profile: window count, peak- and total-energy
+    return wins.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.max("energy").alias("peak_energy"),
+        F.sum("energy").cast("long").alias("total_energy"),
+        F.sum("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = f"""
+WITH codes AS (
+  SELECT doc_id, source,
+         list_transform(string_split_regex(text, ''), c -> unicode(c)) AS cs
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, source, cs,
+         unnest(generate_series(0,
+           CAST(ceil(len(cs) / {ENERGY_WINDOW}.0) AS INT) - 1)) AS w
+  FROM codes
+),
+energies AS (
+  SELECT doc_id, source,
+         len(list_slice(cs, w * {ENERGY_WINDOW} + 1,
+                        (w + 1) * {ENERGY_WINDOW})) AS n_samples,
+         list_sum(list_transform(
+           list_slice(cs, w * {ENERGY_WINDOW} + 1, (w + 1) * {ENERGY_WINDOW}),
+           x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS energy
+  FROM wins
+)
+SELECT doc_id, source,
+       COUNT(*) AS n_windows,
+       CAST(MAX(energy) AS BIGINT) AS peak_energy,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       CAST(SUM(n_samples) AS BIGINT) AS n_samples
+FROM energies
+GROUP BY doc_id, source
+"""

@@ -309,6 +309,10 @@ _SPECS: list[QuerySpec] = [
               ("A1", "W1", "ST5", "BONUS"),
               "inactivity-gap sessionization via native session_window vs "
               "gaps-and-islands oracle (lag → flag → running sum → group)"),
+    QuerySpec("multimodal_audio_energy", M.multimodal_audio_energy,
+              M.MULTIMODAL_AUDIO_ENERGY_SQL, ("MM", "BONUS"),
+              "PCM-style windowed energy extraction (audio DSP shape): "
+              "integer-exact Arrow kernel fan-out vs char-code-list oracle"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
