@@ -1,0 +1,62 @@
+"""Mergeable cardinality sketches (A7's -State/-Merge discipline applied to
+distinct counts): per-partition HLL sketch states union-merge to the global
+estimate — the scale path for uniqExact-style columns when exact re-count
+is too expensive (SURVEY §1.2: "uniqExact state ≈ keep key set or use
+approx_count_distinct sketch"). Approximate algorithms have no cross-engine
+oracle, so this is pytest-gated: estimates must land within 5% of exact and
+the merge must be grouping-invariant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_sketch_merges_match_direct_estimate(spark):
+    ev = load_table(spark, SF, "events")
+
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+
+    # direct whole-table sketch
+    direct = ev.select(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est")
+    ).collect()[0]["est"]
+
+    # partial states per day, merged — the AggregatingMergeTree shape:
+    # daily sketch rows persist, the total is a cheap union of states
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0]["est"]
+
+    # a DIFFERENT partitioning must merge to the same estimate (the sketch
+    # is grouping-invariant, so incremental/partial builds are safe)
+    by_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged2 = by_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0]["est"]
+
+    assert merged == direct == merged2, (merged, direct, merged2)
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+def test_hll_estimate_tracks_exact_per_group(spark):
+    ev = load_table(spark, SF, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["est"] - r["exact"]) / max(r["exact"], 1) < 0.05, r
