@@ -834,13 +834,23 @@ def streaming_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     state_dir = f"/tmp/nmci_stream_state_{tag}"
     shutil.rmtree(state_dir, ignore_errors=True)
-    for i in range(4):
-        _fold_batch(
-            ev.filter(F.col("event_id") % 4 == i),
-            state_dir,
-            key="event_type", ts="ts", price="value", ord_col="event_id",
-            bucket_seconds=60,
-        )
+    # Scope shuffle parallelism to the microbatch loop: a plain driver
+    # session's 200 partitions mean every per-batch fold (groupBy + merge +
+    # partitioned rewrite) runs 200 near-empty tasks, ×4 batches — pure
+    # scheduler overhead at gate scale. Restored right after (same
+    # conf-scoping doctrine as streaming_positions_state).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i in range(4):
+            _fold_batch(
+                ev.filter(F.col("event_id") % 4 == i),
+                state_dir,
+                key="event_type", ts="ts", price="value", ord_col="event_id",
+                bucket_seconds=60,
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     state = spark.read.parquet(state_dir)
     return (
         finalize(state)
@@ -1231,14 +1241,26 @@ def streaming_positions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     name = f"positions_state_{tag}"
-    q = (
-        running_positions_stream(stream, ckpt)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # Scope the state-store partition count to this stream: a plain driver
+    # session carries shuffle.partitions=200, and the stateful operator
+    # spawns that many state-store tasks EVERY microbatch (600 tiny tasks
+    # for 3 batches of 150 keys — pure overhead). The conf is pinned into
+    # the NEW checkpoint at stream start and restored right after, so no
+    # other query sees it (CLAUDE.md loader-scoped-conf doctrine; at real
+    # scale the job would set this to match the key cardinality anyway).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_positions_stream(stream, ckpt)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update-mode memory sink appends every per-batch emission; the row
     # with the highest n per key is the final state
     final = (
