@@ -120,15 +120,32 @@ SIM_THRESHOLD = 0.9
 
 
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Norms are factored out PER ROW before the pair join: higher-order
+    # array expressions are interpreted (not codegen'd), so recomputing
+    # both norms per PAIR tripled the quadratic term's constant. The
+    # factored arithmetic is bit-identical (dot / (na * nb), same values,
+    # same op order), so the oracle is untouched.
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        VX.norm(F.col("embedding")).alias("norm_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        VX.norm(F.col("embedding")).alias("norm_b"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            VX.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6).alias("cosine_sim"),
+            F.round(
+                VX.dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= SIM_THRESHOLD)
     )
