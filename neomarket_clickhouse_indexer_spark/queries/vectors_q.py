@@ -25,17 +25,27 @@ TOP_K = 10
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms factored out per row (interpreted HOFs — see near_dup_embeddings);
+    # dot / (nq * nc) is bit-identical to the unfactored cosine
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        VX.norm(F.col("embedding")).alias("q_norm"),
     )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        VX.norm(F.col("embedding")).alias("c_norm"),
     )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "neighbor_id",
-        VX.cosine_rounded(F.col("q_emb"), F.col("c_emb"), 6).alias("cosine_sim"),
+        F.round(
+            VX.dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
