@@ -191,6 +191,13 @@ NUM_BANDS = NUM_PERM // BAND_SIZE
 
 def _doc_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    return _bands_of(docs)
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """Shingle→minhash→band pipeline over an arbitrary documents frame —
+    factored out so the incremental-maintenance path can run it on just an
+    arriving batch (docs_bands_incremental)."""
     # Two materialization boundaries: (1) the shingle array (else every
     # downstream column recomputes split+transform; measured 103s→13s at
     # sf0.1), then (2) the 4 md5 family arrays (each md5 digest yields 4
@@ -731,3 +738,54 @@ FROM cand
 JOIN embeddings ea ON ea.vec_id = cand.doc_a
 JOIN embeddings eb ON eb.vec_id = cand.doc_b
 """
+
+
+# --- docs_bands_incremental: incremental maintenance of the LSH signature
+#     MV — the property that makes banded MinHash viable at 100 TB: when a
+#     batch of documents arrives, ONLY the batch runs the shingle→minhash→
+#     band pipeline and its rows are appended to the persisted band table
+#     (sources/sinks.py append sink, S3); nothing existing is recomputed
+#     or rewritten. The gate then derives the near-dup pairs from the
+#     incrementally-built table and must match the full-rebuild oracle
+#     (DOCS_NEAR_DUP_PAIRS_SQL) exactly — signature building is per-doc
+#     (embarrassingly parallel), so append == rebuild, bit-for-bit.
+#     Reference analog: the candles_1m materialized view is maintained by
+#     inserting only each new block's partial states
+#     (clickhouse/init/001_create_tables.sql:418-430), never by rebuild.
+
+
+def docs_bands_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from ..sources.sinks import append
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    # deterministic "arriving batch": every 5th doc is the new data
+    is_new = F.pmod(F.col("doc_id"), F.lit(5)) == 4
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table = f"/tmp/nmci_bands_incr_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    _bands_of(docs.filter(~is_new)).write.mode("overwrite").parquet(table)
+    append(_bands_of(docs.filter(is_new)), table)  # ONLY the batch is hashed
+
+    b = spark.read.parquet(table)
+    b2 = b.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    return (
+        b.join(
+            b2,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("doc_id") < F.col("doc_id_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+        .distinct()
+    )
+
+
+# incremental append must equal the full rebuild — same oracle
+DOCS_BANDS_INCREMENTAL_SQL = DOCS_NEAR_DUP_PAIRS_SQL

@@ -313,6 +313,10 @@ _SPECS: list[QuerySpec] = [
               M.MULTIMODAL_AUDIO_ENERGY_SQL, ("MM", "BONUS"),
               "PCM-style windowed energy extraction (audio DSP shape): "
               "integer-exact Arrow kernel fan-out vs char-code-list oracle"),
+    QuerySpec("docs_bands_incremental", D.docs_bands_incremental,
+              D.DOCS_BANDS_INCREMENTAL_SQL, ("DD2", "S3", "BONUS"),
+              "incremental LSH signature-MV maintenance: only the arriving "
+              "batch is hashed + appended; pairs == full-rebuild oracle"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
