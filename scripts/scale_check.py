@@ -124,6 +124,75 @@ def main() -> None:
         ),
     )
 
+    # vector surface at N× embeddings: the broadcast-probe patterns must
+    # stay corpus-linear (one scan, no corpus shuffle) as the corpus grows
+    from neomarket_clickhouse_indexer_spark.functions import vectors as VX
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    emb_path = f"/tmp/scale_check_emb_x{n}.parquet"
+    if not os.path.exists(emb_path):
+        reps = spark.range(n).withColumnRenamed("id", "rep")
+        (
+            emb.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(emb_path)
+        )
+    big_emb = spark.read.parquet(emb_path)
+    print(f"embeddings: {big_emb.count():,}")
+
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c_emb"),
+    )
+    scored = big_emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cluster_id",
+        F.round(
+            VX._fold_sum(
+                F.zip_with(
+                    F.col("embedding"), F.col("c_emb"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                )
+            ),
+            6,
+        ).alias("d2"),
+    )
+    timed(
+        "kmeans_assign_pass",
+        scored.groupBy("vec_id").agg(
+            F.min_by("cluster_id", F.struct("d2", "cluster_id")).alias("c")
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        VX.norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = big_emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        VX.norm(F.col("embedding")).alias("c_norm"),
+    )
+    timed(
+        "knn_bruteforce_scan",
+        corpus.crossJoin(F.broadcast(queries)).select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                VX.dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine_sim"),
+        ),
+    )
+
 
 if __name__ == "__main__":
     main()
