@@ -1345,3 +1345,36 @@ SELECT user_id,
 FROM flagged
 GROUP BY user_id, sess_id
 """
+
+
+# --- type_value_percentiles: exact linear-interpolated quantiles (type-7,
+#     the definition both Spark `percentile` and DuckDB `quantile_cont`
+#     implement — verified on shared fixtures) of trade value per event
+#     type. Exact percentile is a full-sort-per-group aggregate; at 100 TB
+#     the approximate sketch (percentile_approx / t-digest) replaces it,
+#     but approx algorithms differ across engines so the EXACT form is the
+#     oracle-checkable gate (the sketch path is pytest-gated in
+#     tests/test_sketches.py like HLL).
+
+_PCTS = (0.5, 0.9, 0.99)
+
+
+def type_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr(f"percentile(value, array{_PCTS})")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(pct.getItem(0), 6).alias("p50"),
+        F.round(pct.getItem(1), 6).alias("p90"),
+        F.round(pct.getItem(2), 6).alias("p99"),
+    )
+
+
+TYPE_VALUE_PERCENTILES_SQL = f"""
+SELECT event_type, COUNT(*) AS n,
+       ROUND(quantile_cont(value, {_PCTS[0]}), 6) AS p50,
+       ROUND(quantile_cont(value, {_PCTS[1]}), 6) AS p90,
+       ROUND(quantile_cont(value, {_PCTS[2]}), 6) AS p99
+FROM {EVENTS_SQL} e
+GROUP BY event_type
+"""

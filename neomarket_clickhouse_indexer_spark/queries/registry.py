@@ -317,6 +317,10 @@ _SPECS: list[QuerySpec] = [
               D.DOCS_BANDS_INCREMENTAL_SQL, ("DD2", "S3", "BONUS"),
               "incremental LSH signature-MV maintenance: only the arriving "
               "batch is hashed + appended; pairs == full-rebuild oracle"),
+    QuerySpec("type_value_percentiles", E.type_value_percentiles,
+              E.TYPE_VALUE_PERCENTILES_SQL, ("A1", "BONUS"),
+              "exact type-7 quantiles per group (p50/p90/p99) — the "
+              "oracle-checkable form; the sketch path is pytest-gated"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
