@@ -60,3 +60,21 @@ def test_hll_estimate_tracks_exact_per_group(spark):
     assert rows
     for r in rows:
         assert abs(r["est"] - r["exact"]) / max(r["exact"], 1) < 0.05, r
+
+
+def test_percentile_approx_tracks_exact(spark):
+    """The sketch path for type_value_percentiles: percentile_approx
+    (Greenwald-Khanna at accuracy 10000) must land within 1% relative
+    error of the exact type-7 percentile per group."""
+    ev = load_table(spark, SF, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.9)").alias("exact"),
+            F.expr("percentile_approx(value, 0.9, 10000)").alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / abs(r["exact"]) < 0.01, r
