@@ -266,17 +266,32 @@ def doc_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # read the persisted band table (tiny: 4 rows/doc) for the self-join —
-    # joining on the unmaterialized pipeline would recompute the whole
-    # signature computation on both branches (measured 2× the wall time)
-    b = doc_bands_table(spark, sf_dir)
+# Skew guard: a band bucket with B members contributes B(B-1)/2 candidate
+# pairs, so one hot key (boilerplate, empty docs) turns the self-join
+# quadratic at corpus scale. Buckets above the cap are dropped BEFORE the
+# join — standard banded-LSH practice: an over-full bucket carries no
+# near-dup signal (its members are exact/boilerplate duplicates, DD1's
+# job, or a degenerate signature). The hot-key set is tiny and broadcasts.
+# Fixture buckets max out at 3 members, so the gate differential is
+# unchanged; the drop path is exercised by tests/test_lsh_bucket_cap.py.
+BAND_BUCKET_CAP = 32
+
+
+def _pairs_from_bands(b: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) → candidate pairs, hot buckets dropped."""
+    hot = (
+        b.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > BAND_BUCKET_CAP)
+        .select("band_idx", "band_key")
+    )
+    b = b.join(F.broadcast(hot), ["band_idx", "band_key"], "left_anti")
     b2 = b.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_key").alias("band_key_b"),
     )
-    pairs = (
+    return (
         b.join(
             b2,
             (F.col("band_idx") == F.col("band_idx_b"))
@@ -286,7 +301,13 @@ def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
         .distinct()
     )
-    return pairs
+
+
+def docs_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # read the persisted band table (tiny: 4 rows/doc) for the self-join —
+    # joining on the unmaterialized pipeline would recompute the whole
+    # signature computation on both branches (measured 2× the wall time)
+    return _pairs_from_bands(doc_bands_table(spark, sf_dir))
 
 
 _N_FAM = NUM_PERM // 4
@@ -318,9 +339,16 @@ sigs AS (
 ),
 bands AS (
   {_BAND_SELECTS}
+),
+bands_ok AS (
+  -- skew guard in lockstep with _pairs_from_bands: drop over-full buckets
+  SELECT bb.* FROM bands bb
+  JOIN (SELECT band_idx, band_key FROM bands GROUP BY 1, 2
+        HAVING COUNT(*) <= {BAND_BUCKET_CAP}) ok
+    USING (band_idx, band_key)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM bands_ok a JOIN bands_ok b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
@@ -769,22 +797,7 @@ def docs_bands_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     _bands_of(docs.filter(~is_new)).write.mode("overwrite").parquet(table)
     append(_bands_of(docs.filter(is_new)), table)  # ONLY the batch is hashed
 
-    b = spark.read.parquet(table)
-    b2 = b.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("band_idx").alias("band_idx_b"),
-        F.col("band_key").alias("band_key_b"),
-    )
-    return (
-        b.join(
-            b2,
-            (F.col("band_idx") == F.col("band_idx_b"))
-            & (F.col("band_key") == F.col("band_key_b"))
-            & (F.col("doc_id") < F.col("doc_id_b")),
-        )
-        .select(F.col("doc_id").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
-        .distinct()
-    )
+    return _pairs_from_bands(spark.read.parquet(table))
 
 
 # incremental append must equal the full rebuild — same oracle
