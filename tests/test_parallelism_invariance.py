@@ -1,0 +1,44 @@
+"""Results must not depend on physical parallelism: the same query at
+shuffle.partitions=3 and =32 must produce identical rows. Catches hidden
+order dependence (first()/head-of-partition semantics, float accumulation
+order) — the classic way a query that passes single-threaded breaks on a
+1000-executor cluster. Queries chosen for order-sensitive internals:
+running windows, FIFO matching, argMin/argMax candles, merge-paginate,
+salted aggregation."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from neomarket_clickhouse_indexer_spark.queries.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "user_running_value",
+    "fifo_user_pnl",
+    "candles_1m",
+    "merged_timeline_page",
+    "skewed_type_volume",
+    "user_sessions",
+]
+
+
+def _run_sorted(spark, name):
+    df = REGISTRY[name].fn(spark, SF).toPandas()
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_to_shuffle_partitioning(name, spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = _run_sorted(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        high = _run_sorted(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    pd.testing.assert_frame_equal(low, high)
