@@ -321,6 +321,10 @@ _SPECS: list[QuerySpec] = [
               E.TYPE_VALUE_PERCENTILES_SQL, ("A1", "BONUS"),
               "exact type-7 quantiles per group (p50/p90/p99) — the "
               "oracle-checkable form; the sketch path is pytest-gated"),
+    QuerySpec("knn_bruteforce_batched", V.knn_bruteforce_batched,
+              V.KNN_BRUTEFORCE_BATCHED_SQL, ("VS1", "BONUS"),
+              "query-batched exact top-k: bounded broadcast per batch, "
+              "same rows as the unbatched gate (oracle shared)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
