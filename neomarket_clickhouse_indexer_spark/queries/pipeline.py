@@ -375,3 +375,58 @@ SELECT doc_id, source, n_tokens, n_distinct_tokens, top_token_cnt,
        n_bigrams, top_bigram_cnt, reasons, reasons = 0 AS keep
 FROM scored
 """
+
+
+# --- docs_curation_pipeline: the WHOLE curation pass as one declarative
+#     plan — the chain a training-data build runs per snapshot: drop the
+#     held-out eval shard, keep only quality survivors (Gopher rules),
+#     collapse exact duplicates to their lowest-id winner, remove
+#     benchmark-contaminated docs, and account the surviving corpus per
+#     source. Each stage reuses the SAME logic as its standalone gate, so
+#     the composition is differentially tested end-to-end; Catalyst fuses
+#     the stages into one DAG (semi/anti hash joins on doc_id — no stage
+#     materializes an intermediate corpus).
+
+
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quality_keep = (
+        docs_quality_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    )
+    contaminated = docs_contamination(spark, sf_dir).select("doc_id")
+    dedup_winners = (
+        docs.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = (
+        docs.filter(F.col("source") != _EVAL_SOURCE)
+        .join(quality_keep, "doc_id")
+        .join(dedup_winners, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    toks = F.size(TX.tokens(F.col("text"))).cast("long")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+    )
+
+
+DOCS_CURATION_PIPELINE_SQL = f"""
+WITH q AS ({DOCS_QUALITY_FILTER_SQL}),
+c AS ({DOCS_CONTAMINATION_SQL}),
+w AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+kept AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id AND q.keep
+  JOIN w ON w.doc_id = d.doc_id
+  WHERE d.source != '{_EVAL_SOURCE}'
+    AND d.doc_id NOT IN (SELECT doc_id FROM c)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM kept
+GROUP BY source
+"""

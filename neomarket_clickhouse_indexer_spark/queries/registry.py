@@ -325,6 +325,12 @@ _SPECS: list[QuerySpec] = [
               V.KNN_BRUTEFORCE_BATCHED_SQL, ("VS1", "BONUS"),
               "query-batched exact top-k: bounded broadcast per batch, "
               "same rows as the unbatched gate (oracle shared)"),
+    QuerySpec("docs_curation_pipeline", PL.docs_curation_pipeline,
+              PL.DOCS_CURATION_PIPELINE_SQL,
+              ("TX1", "TX7", "DD1", "J8", "BONUS"),
+              "the whole curation pass fused into one plan: eval-shard "
+              "drop -> quality -> exact-dedup winners -> decontamination "
+              "-> per-source token accounting"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
