@@ -11,7 +11,8 @@ sf = '/root/testdata/sf0.01'
 # linear scan of the big side against an in-memory constant — the correct
 # shape at any scale.
 INTENTIONAL_CROSS = {
-    "knn_bruteforce", "near_dup_embeddings", "knn_ann_lsh", "knn_ivf",
+    "knn_bruteforce", "knn_bruteforce_batched", "near_dup_embeddings",
+    "knn_ann_lsh", "knn_ivf",
     "knn_ivf_nprobe2",  # same broadcast centroid-probe as knn_ivf
     "kmeans_lloyd_step",  # broadcast seed-probe, corpus-linear by design
     "kmeans_train",  # same broadcast centroid-probe, iterated
