@@ -55,17 +55,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     maps — src/tables/index.ts:1-458; clickhouse/init/001_create_tables.sql:16
     keeps event timestamps DateTime64, encoding-stable).
     """
-    if name == "events":
+    ts_cols = _TS_COLUMNS.get(name)
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # legacy int64-ns files
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        for c in ts_cols:
+            if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+                # legacy int64-ns files
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+# Timestamp-bearing columns per table: every one dispatches on the LOADED
+# dtype (see docstring above), so any of them can flip encodings without
+# breaking the engine. events.ts actually flipped between rounds; the
+# orders/lineitem date columns are guarded against the same drift class.
+_TS_COLUMNS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -189,3 +189,38 @@ def test_driver_testdata_full_column_contract(spark):
                 if el not in ("FloatType", "DoubleType"):
                     problems.append(f"{name}.{col}: array element {el}")
     assert not problems, "\n".join(problems)
+
+
+def test_orders_lineitem_ns_encoding_also_dispatches(spark, tmp_path):
+    """The same drift class that broke events.ts must not break the other
+    timestamp-bearing tables: an int64-ns o_orderdate loads to the same
+    instants as the native timestamp[us] encoding."""
+    us = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F"], pa.string()),
+        "o_totalprice": pa.array([1.0, 2.0], pa.float64()),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+    }
+    ns_dir = tmp_path / "ns"
+    us_dir = tmp_path / "us"
+    for d, arr in [
+        (ns_dir, pa.array([t * 1000 for t in us], pa.timestamp("ns"))),
+        (us_dir, pa.array(us, pa.timestamp("us"))),
+    ]:
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "o_orderdate": arr}), str(d / "orders.parquet")
+        )
+
+    def dates(sf):
+        rows = (
+            load_table(spark, str(sf), "orders")
+            .select("o_orderkey", "o_orderdate")
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        return [(r["o_orderkey"], r["o_orderdate"]) for r in rows]
+
+    assert dates(ns_dir) == dates(us_dir)
