@@ -331,6 +331,10 @@ _SPECS: list[QuerySpec] = [
               "the whole curation pass fused into one plan: eval-shard "
               "drop -> quality -> exact-dedup winners -> decontamination "
               "-> per-source token accounting"),
+    QuerySpec("knn_ivf_trained", V.knn_ivf_trained,
+              V.KNN_IVF_TRAINED_SQL, ("VS4", "VS2", "BONUS"),
+              "IVF over the kmeans_train codebook: the full train->assign->"
+              "probe->re-rank ANN pipeline in one gate"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

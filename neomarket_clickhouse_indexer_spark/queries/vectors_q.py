@@ -580,6 +580,32 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cluster_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c_emb"),
     )
+    # Scope shuffle parallelism to the iteration loop: the per-iteration
+    # groupBys key on ~K×dim groups, and a plain driver session's 200
+    # partitions spend more on task scheduling than on work, ×3 iterations
+    # (streaming-gate conf-scoping doctrine; restored in the finally).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        cents = _kmeans_iterate(spark, emb, cents)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        cents.select(
+            "cluster_id",
+            F.posexplode(F.col("c_emb")).alias("dim", "mean_v"),
+            "n_members",
+        )
+        .select(
+            "cluster_id",
+            F.col("dim").cast("long").alias("dim"),
+            "mean_v",
+            "n_members",
+        )
+    )
+
+
+def _kmeans_iterate(spark: SparkSession, emb: DataFrame, cents: DataFrame) -> DataFrame:
     for it in range(KMEANS_ITERS):
         if it > 0:
             # materialize the K×64-double centroid state on the driver and
@@ -609,19 +635,10 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         cents = _centroid_arrays(assigned)
-    return (
-        cents.select(
-            "cluster_id",
-            F.posexplode(F.col("c_emb")).alias("dim", "mean_v"),
-            "n_members",
-        )
-        .select(
-            "cluster_id",
-            F.col("dim").cast("long").alias("dim"),
-            "mean_v",
-            "n_members",
-        )
-    )
+    # materialize the FINAL state too, so it executes inside the scoped
+    # conf and downstream consumers (posexplode here, the IVF probe joins)
+    # get a literal K-row frame instead of replaying the last iteration
+    return spark.createDataFrame(cents.collect(), schema=cents.schema)
 
 
 def _kmeans_train_sql() -> str:
@@ -746,3 +763,137 @@ def knn_bruteforce_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_BRUTEFORCE_BATCHED_SQL = KNN_BRUTEFORCE_SQL
+
+
+# --- knn_ivf_trained: the IVF training→serving loop closed — the coarse
+#     quantizer is the kmeans_train codebook (not the fixture labels), so
+#     the gate covers the full production ANN pipeline: train centroids →
+#     assign corpus to cells → probe the query's nearest cell → exact
+#     cosine re-rank inside it. Cell assignment uses the same rounded-d2 /
+#     lowest-id discipline as training; the oracle embeds the unrolled
+#     training CTEs and replays assignment + probe + re-rank in SQL.
+
+
+def _trained_centroid_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = kmeans_train(spark, sf_dir)
+    cents = t.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
+            lambda s: s["mean_v"],
+        ).alias("c_emb")
+    )
+    # materialize the K-row codebook once: both the query-probe and the
+    # corpus-assignment joins consume it, and a lazy lineage would replay
+    # the final training iteration (a corpus scan) for each — same
+    # driver-sized-state doctrine as kmeans_train's inter-iteration collect
+    return spark.createDataFrame(cents.collect(), schema=cents.schema)
+
+
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroid_arrays(spark, sf_dir)
+
+    def nearest_cell(side: DataFrame, id_alias: str) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            F.col("vec_id").alias(id_alias),
+            "embedding",
+            "cluster_id",
+            F.round(_sq_l2(F.col("embedding"), F.col("c_emb")), 6).alias("d2"),
+        )
+        return (
+            scored.groupBy(id_alias)
+            .agg(
+                F.min_by(
+                    F.struct(F.col("cluster_id"), F.col("embedding")),
+                    F.struct(F.col("d2"), F.col("cluster_id")),
+                ).alias("a")
+            )
+            .select(
+                id_alias,
+                F.col("a.cluster_id").alias("cell"),
+                F.col("a.embedding").alias("embedding"),
+            )
+        )
+
+    probes = nearest_cell(
+        emb.filter(F.col("vec_id") < N_QUERIES), "query_id"
+    ).select(
+        "query_id",
+        "cell",
+        F.col("embedding").alias("q_emb"),
+        VX.norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus_cells = nearest_cell(
+        emb.filter(F.col("vec_id") >= N_QUERIES), "neighbor_id"
+    ).select(
+        "neighbor_id",
+        "cell",
+        F.col("embedding").alias("c_emb"),
+        VX.norm(F.col("embedding")).alias("c_norm"),
+    )
+    cands = corpus_cells.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            VX.dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+_TRAINED_D2 = (
+    "ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - c.c_emb[i]) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - c.c_emb[i]))), 6)"
+)
+_RERANK_DOT = (
+    "list_sum(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))"
+)
+_RERANK_QN = (
+    "sqrt(list_sum(list_transform(q.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_RERANK_NN = (
+    "sqrt(list_sum(list_transform(n.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+KNN_IVF_TRAINED_SQL = f"""
+WITH trained AS (SELECT * FROM ({KMEANS_TRAIN_SQL}) t),
+tcentroids AS (
+  SELECT cluster_id, list(mean_v ORDER BY dim) AS c_emb
+  FROM trained GROUP BY cluster_id
+),
+cells AS (
+  SELECT vec_id, embedding, cluster_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_TRAINED_D2}, c.cluster_id) AS rn
+    FROM embeddings e, tcentroids c
+  ) WHERE rn = 1
+),
+cands AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ROUND({_RERANK_DOT} / ({_RERANK_QN} * {_RERANK_NN}), 6) AS cosine_sim
+  FROM cells q JOIN cells n ON q.cell = n.cell
+  WHERE q.vec_id < {N_QUERIES} AND n.vec_id >= {N_QUERIES}
+)
+SELECT query_id, rank, neighbor_id, cosine_sim
+FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM cands
+)
+WHERE rank <= 3
+"""

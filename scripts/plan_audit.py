@@ -16,6 +16,7 @@ INTENTIONAL_CROSS = {
     "knn_ivf_nprobe2",  # same broadcast centroid-probe as knn_ivf
     "kmeans_lloyd_step",  # broadcast seed-probe, corpus-linear by design
     "kmeans_train",  # same broadcast centroid-probe, iterated
+    "knn_ivf_trained",  # trained-codebook probe, same broadcast shape
     "supplier_share_having",  # 1-row broadcast grand-total threshold
 }
 for name in sorted(REGISTRY):
