@@ -802,3 +802,109 @@ def docs_bands_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # incremental append must equal the full rebuild — same oracle
 DOCS_BANDS_INCREMENTAL_SQL = DOCS_NEAR_DUP_PAIRS_SQL
+
+
+# --- docs_lang_id_ngram: character-trigram language ID — the classic
+#     n-gram-profile heuristic (Cavnar & Trenkle shape): each language's
+#     profile is the set of space-padded character trigrams of its marker
+#     words; a document scores one point per text trigram occurring in the
+#     profile, argmax with the same fixed precedence as the marker-word
+#     variant (docs_lang_id). Profiles are deterministic literals embedded
+#     in both engines; the scan is one pass of per-row JVM expressions.
+
+
+def _lang_trigram_profiles() -> dict[str, list[str]]:
+    profiles: dict[str, list[str]] = {}
+    for lang, words in TX.LANG_MARKERS.items():
+        grams: list[str] = []
+        for w in words:
+            padded = f" {w} "
+            for i in range(len(padded) - 2):
+                g = padded[i : i + 3]
+                if g not in grams:
+                    grams.append(g)
+        profiles[lang] = grams
+    return profiles
+
+
+_TRI_PROFILES = _lang_trigram_profiles()
+
+
+def _tri_score(lang: str):
+    profile = F.array(*[F.lit(g) for g in _TRI_PROFILES[lang]])
+    trigs = F.expr(
+        "CASE WHEN length(text) >= 3 THEN "
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) "
+        "ELSE array() END"
+    )
+    return F.size(F.filter(trigs, lambda t: F.array_contains(profile, t))).cast(
+        "long"
+    )
+
+
+def docs_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    scores = {lang: _tri_score(lang) for lang in TX.LANG_ORDER}
+    # first lang (in precedence order) achieving the max score
+    best = None
+    pred = None
+    for lang in TX.LANG_ORDER:
+        s = scores[lang]
+        if best is None:
+            best, pred = s, F.lit(lang)
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.greatest(best, s)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in TX.LANG_ORDER],
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("hit"),
+    )
+
+
+def _tri_profile_lit(lang: str) -> str:
+    lits = ", ".join("'" + g.replace("'", "''") + "'" for g in _TRI_PROFILES[lang])
+    return f"[{lits}]"
+
+
+def _tri_case_over_cols() -> str:
+    cols = {lang: f"score_{lang}" for lang in TX.LANG_ORDER}
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {cols[lang]} = GREATEST({', '.join(cols.values())}) "
+            f"THEN '{lang}'"
+            for lang in TX.LANG_ORDER
+        )
+        + " END"
+    )
+
+
+# trigrams extracted ONCE per doc, each profile scored ONCE (as a column),
+# the argmax CASE chain then reads the score COLUMNS — without this the
+# oracle re-ran the trigram extraction ~12x per row (13.6s -> ~2s)
+DOCS_LANG_ID_NGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(text) >= 3 THEN
+           list_transform(generate_series(1, length(text) - 2),
+                          i -> text[i:i+2])
+         ELSE [] END AS trigs
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         {", ".join(
+            f"CAST(len(list_filter(trigs, g -> list_contains("
+            f"{_tri_profile_lit(lang)}, g))) AS BIGINT) AS score_{lang}"
+            for lang in TX.LANG_ORDER)}
+  FROM t
+)
+SELECT doc_id, lang,
+       {", ".join(f"score_{lang}" for lang in TX.LANG_ORDER)},
+       {_tri_case_over_cols()} AS pred_lang,
+       ({_tri_case_over_cols()} = lang) AS hit
+FROM s
+"""

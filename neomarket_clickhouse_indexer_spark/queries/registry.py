@@ -335,6 +335,10 @@ _SPECS: list[QuerySpec] = [
               V.KNN_IVF_TRAINED_SQL, ("VS4", "VS2", "BONUS"),
               "IVF over the kmeans_train codebook: the full train->assign->"
               "probe->re-rank ANN pipeline in one gate"),
+    QuerySpec("docs_lang_id_ngram", D.docs_lang_id_ngram,
+              D.DOCS_LANG_ID_NGRAM_SQL, ("TX2", "BONUS"),
+              "char-trigram-profile language ID (Cavnar-Trenkle shape) with "
+              "per-lang scores; fixed-precedence argmax"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
