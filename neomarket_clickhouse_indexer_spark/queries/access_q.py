@@ -204,15 +204,19 @@ WITH c AS (
         FROM events)
 )
 SELECT
-  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
-  SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_negative_value,
-  SUM(CASE WHEN event_type NOT IN {tuple(_ALLOWED_TYPES)!r} THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_value,
+  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_negative_value,
+  CAST(SUM(CASE WHEN event_type NOT IN {tuple(_ALLOWED_TYPES)!r}
+               THEN 1 ELSE 0 END) AS BIGINT)
     AS n_bad_type,
-  SUM(CASE WHEN ts < TIMESTAMP '2020-01-01' THEN 1 ELSE 0 END) AS n_stale_ts,
-  SUM(CASE WHEN NOT (value IS NULL OR value < 0
-                     OR event_type NOT IN {tuple(_ALLOWED_TYPES)!r}
-                     OR ts < TIMESTAMP '2020-01-01')
-           THEN 1 ELSE 0 END) AS n_accepted,
+  CAST(SUM(CASE WHEN ts < TIMESTAMP '2020-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_stale_ts,
+  CAST(SUM(CASE WHEN NOT (value IS NULL OR value < 0
+                          OR event_type NOT IN {tuple(_ALLOWED_TYPES)!r}
+                          OR ts < TIMESTAMP '2020-01-01')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
   {sql_dsum("CASE WHEN NOT (value IS NULL OR value < 0 "
             f"OR event_type NOT IN {tuple(_ALLOWED_TYPES)!r} "
             "OR ts < TIMESTAMP '2020-01-01') THEN value ELSE 0.0 END",
@@ -327,8 +331,8 @@ SELECT user_id,
        n_narrow < {_MIN_ROWS} AS window_widened,
        CAST(CASE WHEN n_narrow < {_MIN_ROWS} THEN {_WIDE_D}
                  ELSE {_NARROW_D} END AS INTEGER) AS window_days,
-       CASE WHEN n_narrow < {_MIN_ROWS} THEN n_wide ELSE n_narrow END
-         AS n_trades,
+       CAST(CASE WHEN n_narrow < {_MIN_ROWS} THEN n_wide ELSE n_narrow END
+            AS BIGINT) AS n_trades,
        CASE WHEN n_narrow < {_MIN_ROWS} THEN v_wide ELSE v_narrow END
          AS trade_value
 FROM per_user

@@ -95,8 +95,9 @@ SELECT COUNT(*) FILTER (rank_vol IS NOT NULL AND rank_cnt IS NOT NULL)
          AS n_overlap,
        COUNT(*) FILTER (rank_cnt IS NULL) AS n_only_vol,
        COUNT(*) FILTER (rank_vol IS NULL) AS n_only_cnt,
-       COALESCE(SUM(ABS(rank_vol - rank_cnt))
-                FILTER (rank_vol IS NOT NULL AND rank_cnt IS NOT NULL), 0)
+       CAST(COALESCE(SUM(ABS(rank_vol - rank_cnt))
+                     FILTER (rank_vol IS NOT NULL AND rank_cnt IS NOT NULL),
+                     0) AS BIGINT)
          AS sum_abs_rank_delta
 FROM by_vol FULL OUTER JOIN by_cnt USING (user_id)
 """
@@ -331,7 +332,7 @@ def decode_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECODE_ROUND_TRIP_SQL = f"""
 SELECT '0x' || lpad(printf('%x', user_id % 16 + 1), 40, '0') AS "to",
        COUNT(*) AS n_transfers,
-       SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS total_units,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS total_units,
        COUNT(DISTINCT user_id) AS n_tokens
 FROM {EVENTS_SQL} e
 GROUP BY 1

@@ -23,6 +23,7 @@ assert not missing, f"oracle keys not in queries: {missing}"
 
 # 3) differential at sf0.01, driver-style: sort cols by name, compare values
 import duckdb, pandas as pd
+from tests.compare import assert_kinds_match
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
@@ -34,8 +35,16 @@ for name in sorted(qs):
     if name not in os_:
         print(f"{name}: rows-only {len(sp)}")
         continue
-    du = con.execute(os_[name]).df()
+    du_tbl = con.execute(os_[name]).arrow()
+    du = du_tbl.to_pandas(date_as_object=False)
     ok = len(sp) == len(du) and sorted(sp.columns) == sorted(du.columns)
+    if ok:
+        # the driver's value-hash is dtype-sensitive (r4: HUGEINT vs int64)
+        try:
+            assert_kinds_match(sdf.schema, du_tbl.schema, name)
+        except AssertionError as e:
+            print("  ", e)
+            ok = False
     if ok:
         a = sp[sorted(sp.columns)].sort_values(by=sorted(sp.columns), kind="mergesort").reset_index(drop=True)
         b = du[sorted(du.columns)].sort_values(by=sorted(du.columns), kind="mergesort").reset_index(drop=True)
