@@ -60,11 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     ss = sub.add_parser("snapshot-scheduler", help="snapshot top-N wallets")
     ss.add_argument("--wallet-limit", type=int, default=2000)
     ss.add_argument("--interval-s", type=int, default=86400)
-    cp = sub.add_parser("calculate-pnl", help="realized PnL by mode")
+    cp = sub.add_parser("calculate-pnl", help="PnL by mode (1-4)")
     cp.add_argument("--start", required=True)
     cp.add_argument("--end", required=True)
-    cp.add_argument("--mode", default="with_history",
-                    choices=["with_history", "period_only"])
+    cp.add_argument("--mode", default="total",
+                    choices=["period_only", "with_history",
+                             "period_plus_unrealized", "total"])
     sub.add_parser("build-rollup-1d", help="wallet x condition x day rollup")
 
     args = p.parse_args(argv)
@@ -105,12 +106,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"snapshot-scheduler: {n} snapshots"
               f"{' (dry run)' if args.dry_run else ''}")
     elif args.cmd == "calculate-pnl":
-        from .ledger.build import build_realized_events
-        from .ledger.pnl import realized_pnl_by_mode
+        from .ledger.pnl import pnl_by_mode
 
-        out_df = realized_pnl_by_mode(
-            build_realized_events(ev), args.start, args.end, args.mode
-        )
+        out_df = pnl_by_mode(ev, args.start, args.end, args.mode)
         n = _write_or_count(out_df, args.out, ["wallet"], args.dry_run)
         print(f"calculate-pnl [{args.mode}]: {n} wallets"
               f"{' (dry run)' if args.dry_run else ''}")

@@ -112,6 +112,55 @@ def build_wallet_snapshots(events: DataFrame, interval_s: int = 86400) -> DataFr
     )
 
 
+MARKS_SCHEMA = (
+    "wallet string, unrealized_pnl double, open_positions_cost double, "
+    "open_positions_value double"
+)
+
+
+def build_pnl_marks(
+    events: DataFrame,
+    end: str,
+    entry_start: str | None = None,
+    entry_end: str | None = None,
+) -> DataFrame:
+    """Per-wallet open-position mark at ``end`` (reference calculatePnl's
+    unrealized leg, ledger-engine.ts:2018-2031): replay each wallet's
+    events with ts <= end — buildLedger(wallet, endTs) truncation — then
+    price the open lots, optionally restricted to lots entered inside
+    [entry_start, entry_end] (PnL mode 3). One replay per wallet, same
+    repartition-by-wallet shape as the other builders."""
+    import pandas as pd
+
+    e_start = pd.Timestamp(entry_start) if entry_start is not None else None
+    e_end = pd.Timestamp(entry_end) if entry_end is not None else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        rows = []
+        for wallet, g in pdf.groupby("wallet", sort=False):
+            eng = _replay_wallet(wallet, g, None)
+            unreal, cost, value = eng.open_positions_report(e_start, e_end)
+            rows.append((wallet, unreal, cost, value))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "wallet", "unrealized_pnl", "open_positions_cost",
+                "open_positions_value",
+            ],
+        )
+
+    from pyspark.sql import functions as F
+
+    truncated = events.filter(F.col("ts") <= F.lit(end).cast("timestamp"))
+    return _prepared(truncated).mapInPandas(run, MARKS_SCHEMA)
+
+
 def build_realized_events(events: DataFrame) -> DataFrame:
     """Normalized events → per-slice realized PnL events (feeds the O3 PnL
     modes, ledger-engine.ts:1955-2055)."""

@@ -382,6 +382,36 @@ class LedgerEngine:
             self.take_snapshot(self._next_snapshot_epoch)
             self._next_snapshot_epoch += interval
 
+    def open_positions_report(
+        self, entry_start=None, entry_end=None
+    ) -> tuple[float, float, float]:
+        """Open-position mark with the reference's lot-entry filter
+        (getOpenPositionsCost/Value + isLotInRange,
+        ledger-engine.ts:111-135,~1990): cost counts every open lot whose
+        entry timestamp falls in [entry_start, entry_end] (None = open
+        bound); value prices in-range lots at the wallet's last trade
+        price, contributing 0 for tokens with no (or zero) last price.
+        Returns (unrealized, cost, value)."""
+
+        def _in_range(entry_ts) -> bool:
+            if entry_ts is not None:
+                if entry_start is not None and entry_ts < entry_start:
+                    return False
+                if entry_end is not None and entry_ts > entry_end:
+                    return False
+            return True
+
+        cost = value = 0.0
+        for token in self.book.open_tokens():
+            price = self.last_price.get(token, 0.0)
+            for lot in self.book.lots.get(token, []):
+                if lot.qty <= EPS or not _in_range(lot.entry_ts):
+                    continue
+                cost += lot.qty * lot.unit_cost
+                if price != 0.0:
+                    value += lot.qty * price
+        return value - cost, cost, value
+
     def take_snapshot(self, epoch: float) -> None:
         unreal, cost, value = self._unrealized()
         self.snapshots.append(

@@ -225,7 +225,11 @@ def pcm_window_energy(
             for tup in pdf[[id_col, *carry, payload_col]].itertuples(index=False):
                 mid, *extra, payload = tup
                 samples = np.frombuffer(bytes(payload), dtype=np.uint8)
-                for w in range(0, max(1, len(samples)), window):
+                # empty payload → ZERO windows, matching the oracle's
+                # generate_series over ceil(len/window) (ADVICE r4: the old
+                # max(1, ...) emitted one degenerate window the SQL side
+                # never produced)
+                for w in range(0, len(samples), window):
                     chunk = samples[w : w + window].astype(np.int64)
                     rows.append(
                         (

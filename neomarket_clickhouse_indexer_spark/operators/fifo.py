@@ -491,6 +491,217 @@ LEFT JOIN magg ON k.key = magg.key
 """
 
 
+# --- PnL modes 3-4 (O3, ± unrealized): reference src/calculate-pnl.ts:4-10,
+#     src/ledger-engine.ts:2018-2031 — modes 3/4 add an unrealized mark over
+#     the OPEN lots at period end: unrealized = Σ open_qty·(last_px −
+#     lot_unit_cost), where mode 3 restricts to lots *entered* within the
+#     period and mode 4 marks all open lots. Replay is truncated at the
+#     period end (reference buildLedger(wallet, endTs):1965), so events
+#     after ``end`` never enter the book. The oracle re-derives open lots
+#     from the cumulative-interval formulation (consumed per buy =
+#     clamp(total_sold − cum_start, 0, qty)) and the last price via a
+#     ROW_NUMBER window — independent algorithms.
+
+PNL_UNREALIZED_SCHEMA = (
+    "key bigint, realized_with_history double, realized_period_only double, "
+    "open_qty bigint, unrealized_all double, unrealized_period double, "
+    "pnl_total double, pnl_period double"
+)
+
+
+def _unreal_core(ts, side, qty, price, start, end) -> tuple:
+    """FIFO walk over one key's events (pre-filtered to ts < end): realized
+    units under modes 1-2 plus the open-lot unrealized mark at period end.
+    All sums in exact 1e-10 integer units (see _q10)."""
+    is_buy = side == 1
+    b_qty, b_px, b_ts = qty[is_buy], price[is_buy], ts[is_buy]
+    s_qty, s_px = qty[~is_buy], price[~is_buy]
+    s_ts = ts[~is_buy]
+
+    wh_u = po_u = 0
+    bi = 0
+    b_rem = b_qty[0] if len(b_qty) else 0
+    for j in range(len(s_qty)):
+        need = s_qty[j]
+        exit_in = start <= s_ts[j] < end
+        while need > 0 and bi < len(b_qty):
+            take = min(need, b_rem)
+            u = _q10(take * (s_px[j] - b_px[bi]))
+            if exit_in:
+                wh_u += u
+                if b_ts[bi] >= start:
+                    po_u += u
+            need -= take
+            b_rem -= take
+            if b_rem == 0:
+                bi += 1
+                b_rem = b_qty[bi] if bi < len(b_qty) else 0
+        if bi >= len(b_qty) and need > 0:
+            break
+
+    # open lots: buys [0, bi) fully consumed; buy bi has b_rem left; > bi
+    # untouched. Mark every remaining unit at the key's last trade price.
+    open_q = 0
+    un_all_u = un_per_u = 0
+    if len(ts):
+        last_px = price[-1]  # input sorted by (ts, ord); replay ends < end
+        for i in range(bi, len(b_qty)):
+            rem = b_rem if i == bi else b_qty[i]
+            if rem <= 0:
+                continue
+            open_q += int(rem)
+            u = _q10(rem * (last_px - b_px[i]))
+            un_all_u += u
+            if b_ts[i] >= start:
+                un_per_u += u
+    return (
+        _units_round4(wh_u),
+        _units_round4(po_u),
+        open_q,
+        _units_round4(un_all_u),
+        _units_round4(un_per_u),
+        _units_round4(wh_u + un_all_u),
+        _units_round4(po_u + un_per_u),
+    )
+
+
+def fifo_unrealized_modes(df: DataFrame, start: str, end: str) -> DataFrame:
+    """PnL modes 3-4: realized (modes 1-2 filters) + unrealized mark of the
+    open lots at period end. Input columns as :func:`fifo_allocate`."""
+    import numpy as np
+
+    start64 = np.datetime64(start)
+    end64 = np.datetime64(end)
+
+    def _part(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        keys = pdf["key"].to_numpy()
+        ts = pdf["ts"].to_numpy()
+        side = pdf["side"].to_numpy()
+        qty = pdf["qty"].to_numpy()
+        price = pdf["price"].to_numpy()
+        boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        rows = []
+        for s_i, e_i in zip(boundaries[:-1], boundaries[1:]):
+            rows.append(
+                (
+                    keys[s_i],
+                    *_unreal_core(
+                        ts[s_i:e_i], side[s_i:e_i], qty[s_i:e_i],
+                        price[s_i:e_i], start64, end64,
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "key", "realized_with_history", "realized_period_only",
+                "open_qty", "unrealized_all", "unrealized_period",
+                "pnl_total", "pnl_period",
+            ],
+        )
+
+    prepared = (
+        df.filter(F.col("ts") < F.lit(end).cast("timestamp"))
+        .select("key", "ts", "ord", "side", "qty", "price")
+        .repartition("key")
+        .sortWithinPartitions("key", "ts", "ord")
+    )
+    return prepared.mapInPandas(_part, schema=PNL_UNREALIZED_SCHEMA)
+
+
+def fifo_unrealized_modes_sql(events_rel: str, start: str, end: str) -> str:
+    """Interval-overlap oracle for :func:`fifo_unrealized_modes` — open lot
+    remainder per buy = qty − clamp(total_sold − cum_start, 0, qty)."""
+    return f"""
+WITH src AS (SELECT * FROM {events_rel} WHERE ts < TIMESTAMP '{end}'),
+b AS (
+  SELECT key, ts, ord, qty, price,
+         SUM(qty) OVER (PARTITION BY key ORDER BY ts, ord
+                        ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM src WHERE side = 1
+),
+b2 AS (SELECT *, cum_end - qty AS cum_start FROM b),
+s AS (
+  SELECT key, ts, qty, price,
+         SUM(qty) OVER (PARTITION BY key ORDER BY ts, ord
+                        ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM src WHERE side = -1
+),
+s2 AS (SELECT *, cum_end - qty AS cum_start FROM s),
+m AS (
+  SELECT b2.key,
+         LEAST(b2.cum_end, s2.cum_end) - GREATEST(b2.cum_start, s2.cum_start) AS mqty,
+         s2.price - b2.price AS unit_pnl,
+         b2.ts AS entry_ts, s2.ts AS exit_ts
+  FROM b2 JOIN s2 ON b2.key = s2.key
+   AND b2.cum_start < s2.cum_end AND s2.cum_start < b2.cum_end
+),
+magg AS (
+  SELECT key,
+         COALESCE(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10)))
+             FILTER (WHERE exit_ts >= TIMESTAMP '{start}'
+                       AND exit_ts < TIMESTAMP '{end}'), 0) AS wh_d,
+         COALESCE(SUM(CAST(mqty * unit_pnl AS DECIMAL(30,10)))
+             FILTER (WHERE exit_ts >= TIMESTAMP '{start}'
+                       AND exit_ts < TIMESTAMP '{end}'
+                       AND entry_ts >= TIMESTAMP '{start}'), 0) AS po_d
+  FROM m GROUP BY key
+),
+sold AS (
+  SELECT key, SUM(qty) AS total_sold FROM src WHERE side = -1 GROUP BY key
+),
+lastpx AS (
+  SELECT key, price AS last_px FROM (
+    SELECT key, price,
+           ROW_NUMBER() OVER (PARTITION BY key
+                              ORDER BY ts DESC, ord DESC) AS rn
+    FROM src
+  ) WHERE rn = 1
+),
+open_lots AS (
+  SELECT b2.key, b2.ts AS entry_ts, b2.price,
+         b2.qty - LEAST(b2.qty,
+                        GREATEST(0, COALESCE(sold.total_sold, 0)
+                                    - b2.cum_start)) AS open_qty
+  FROM b2 LEFT JOIN sold ON b2.key = sold.key
+),
+uagg AS (
+  SELECT o.key,
+         CAST(SUM(o.open_qty) AS BIGINT) AS open_qty,
+         SUM(CAST(o.open_qty * (l.last_px - o.price)
+                  AS DECIMAL(30,10))) AS un_all_d,
+         COALESCE(SUM(CAST(o.open_qty * (l.last_px - o.price)
+                           AS DECIMAL(30,10)))
+             FILTER (WHERE o.entry_ts >= TIMESTAMP '{start}'), 0) AS un_per_d
+  FROM open_lots o JOIN lastpx l ON o.key = l.key
+  WHERE o.open_qty > 0
+  GROUP BY o.key
+)
+SELECT k.key,
+       CAST(ROUND(COALESCE(magg.wh_d, 0), 4) AS DOUBLE)
+         AS realized_with_history,
+       CAST(ROUND(COALESCE(magg.po_d, 0), 4) AS DOUBLE)
+         AS realized_period_only,
+       COALESCE(uagg.open_qty, 0) AS open_qty,
+       CAST(ROUND(COALESCE(uagg.un_all_d, 0), 4) AS DOUBLE) AS unrealized_all,
+       CAST(ROUND(COALESCE(uagg.un_per_d, 0), 4) AS DOUBLE)
+         AS unrealized_period,
+       CAST(ROUND(COALESCE(magg.wh_d, 0) + COALESCE(uagg.un_all_d, 0), 4)
+            AS DOUBLE) AS pnl_total,
+       CAST(ROUND(COALESCE(magg.po_d, 0) + COALESCE(uagg.un_per_d, 0), 4)
+            AS DOUBLE) AS pnl_period
+FROM (SELECT DISTINCT key FROM src) k
+LEFT JOIN magg ON k.key = magg.key
+LEFT JOIN uagg ON k.key = uagg.key
+"""
+
+
 # --- daily realized rollup (O4; reference src/build-rollup-1d.ts:56-87 —
 #     wallet × day buckets of realized PnL, idempotently rebuilt). The FIFO
 #     pair decomposition attributes each matched (buy, sell) portion to the

@@ -41,6 +41,46 @@ def write_clustered(
     )
 
 
+def clustered_events_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/read-many clustered layout for the events table (hive
+    partition by event_date, rows sorted by (event_type, ts) in-file) —
+    the MergeTree-analog derived tier, built like the candle tier: ONCE
+    per source version, then served read-only. A token file records the
+    source parquet's (mtime_ns, size); any testdata re-encode invalidates
+    the layout and triggers one rebuild. Queries against the layout
+    (clustered_scan_skipping) therefore measure the READ path, not a
+    per-call rewrite (r4 verdict design note)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table, table_path
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    token = f"{st.st_mtime_ns}:{st.st_size}"
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"clustered_scan_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_BUILD_TOKEN")
+    try:
+        with open(marker) as fh:
+            if fh.read() == token:
+                return out_dir
+    except OSError:
+        pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_clustered(ev, out_dir, partition_by=["event_date"],
+                    cluster_by=["event_type", "ts"])
+    with open(marker, "w") as fh:
+        fh.write(token)
+    return out_dir
+
+
 def month_col(ts: str) -> F.Column:
     """toYYYYMM analog for partition columns (reference 001:44)."""
     return F.date_format(F.col(ts), "yyyyMM").alias("year_month")

@@ -27,10 +27,6 @@ listing, skipping = row-group min/max).
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -232,36 +228,22 @@ FROM c
 #     physical optimization with identical results.
 
 def clustered_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.layout import write_clustered
+    from ..plans.layout import clustered_events_layout
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "event_date", F.date_format("ts", "yyyy-MM-dd")
-    )
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"clustered_scan_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    try:
-        write_clustered(ev, out_dir, partition_by=["event_date"],
-                        cluster_by=["event_type", "ts"])
-        scan = (
-            spark.read.parquet(out_dir)
-            # partition-pruning predicate (directory level) + clustered-key
-            # predicate (row-group min/max skipping)
-            .filter(F.col("event_date").between("2024-01-10", "2024-01-16"))
-            .filter(F.col("event_type") == "purchase")
-            .groupBy("event_date")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                dsum(F.col("value"), "day_value"),
-            )
+    out_dir = clustered_events_layout(spark, sf_dir)
+    return (
+        spark.read.parquet(out_dir)
+        # partition-pruning predicate (directory level) + clustered-key
+        # predicate (row-group min/max skipping)
+        .filter(F.col("event_date").between("2024-01-10", "2024-01-16"))
+        .filter(F.col("event_type") == "purchase")
+        # partition-column type inference may read event_date back as a
+        # DATE; pin the output to the oracle's string dtype
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "day_value"),
         )
-        rows = scan.collect()
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "event_date string, n_events bigint, day_value double"
     )
 
 

@@ -179,6 +179,53 @@ FROM documents
 """
 
 
+# --- docs_profile: fused per-document analysis pass — quality stats (TX1),
+#     language id (TX2), token counting (TX3) and the rolling-shingle
+#     fingerprint (TX4) in ONE projection. This is how the pass runs at
+#     100 TB: the per-row text kernels share a single scan and a single
+#     Catalyst stage instead of four reads of the corpus. Componentwise it
+#     is exactly docs_text_stats + docs_lang_id + docs_fingerprint (kept in
+#     the registry for the local differential); this compound form is the
+#     driver-gated one so all four TX ids share one external gate slot.
+
+
+def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    stop_n = TX.in_list_count(toks, TX.STOPWORDS)
+    pred = TX.predict_lang(toks)
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        TX.avg_token_len(toks).alias("avg_token_len"),
+        F.round(stop_n / n_tokens, 4).alias("stop_ratio"),
+        ((n_tokens >= 10) & (stop_n / n_tokens < 0.5)).alias("is_quality"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("hit"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+DOCS_PROFILE_SQL = f"""
+SELECT doc_id, source, lang,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       ROUND(CAST(list_sum(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT))) AS BIGINT)
+             / CAST(len({_TOKS}) AS BIGINT), 4) AS avg_token_len,
+       ROUND(CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
+             / CAST(len({_TOKS}) AS BIGINT), 4) AS stop_ratio,
+       (len({_TOKS}) >= 10 AND
+        CAST(len(list_filter({_TOKS}, t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
+             / CAST(len({_TOKS}) AS BIGINT) < 0.5) AS is_quality,
+       {_lang_case_sql()} AS pred_lang,
+       ({_lang_case_sql()} = lang) AS hit,
+       list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min') AS fingerprint
+FROM documents
+"""
+
+
 # --- docs_near_dup_pairs: MinHash + LSH banding (16 perms, 4 bands × 4 rows).
 #     Shingle → per-permutation min-hash → band keys → self-join on band key.
 #     This is the scale path for near-dedup: candidate pairs come from equal

@@ -907,6 +907,21 @@ def _build_fifo_modes_sql() -> str:
 FIFO_PNL_MODES_SQL = _build_fifo_modes_sql()
 
 
+# --- fifo_pnl_modes_unrealized: O3 modes 3-4 (reference
+#     src/calculate-pnl.ts:7-8, ledger-engine.ts:2018-2031) — mode-1/2
+#     realized filters plus the unrealized mark over open lots at period
+#     end (mode 3 restricts the mark to lots entered in-period; mode 4
+#     marks all open lots). Same fixed period as fifo_pnl_modes.
+
+
+def fifo_pnl_modes_unrealized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fifo import fifo_unrealized_modes
+
+    return fifo_unrealized_modes(
+        _fifo_input(spark, sf_dir), PNL_PERIOD_START, PNL_PERIOD_END
+    )
+
+
 # The shared FIFO input relation (DuckDB side), used by every FIFO-family
 # oracle above; factored here for the daily rollup gate.
 _FIFO_INPUT_SQL = f"""(
@@ -918,6 +933,17 @@ _FIFO_INPUT_SQL = f"""(
   WHERE event_type IN ('purchase', 'click')
     AND json_extract_string(props, '$.k') IS NOT NULL
 )"""
+
+
+def _build_fifo_unrealized_sql() -> str:
+    from ..operators.fifo import fifo_unrealized_modes_sql
+
+    return fifo_unrealized_modes_sql(
+        _FIFO_INPUT_SQL, PNL_PERIOD_START, PNL_PERIOD_END
+    )
+
+
+FIFO_PNL_MODES_UNREALIZED_SQL = _build_fifo_unrealized_sql()
 
 
 # --- fifo_daily_rollup: O4 daily realized rollup (reference
@@ -1356,25 +1382,72 @@ GROUP BY user_id, sess_id
 #     oracle-checkable gate (the sketch path is pytest-gated in
 #     tests/test_sketches.py like HLL).
 
-_PCTS = (0.5, 0.9, 0.99)
+#     Determinism (ADVICE r4): interpolated-then-ROUND(6) output was
+#     data-fragile (the two engines' interpolation expressions can differ
+#     by an ulp, and F.round vs DuckDB ROUND disagree on exact .xxxxx5).
+#     The gate therefore emits the EXACT type-7 components instead: the
+#     two bracketing order statistics (raw data doubles, bit-identical on
+#     both engines) and the interpolation fraction as an integer in
+#     hundredths — quantile = lo + (hi - lo) * frac / 100, reconstructable
+#     by any consumer without cross-engine float drift.
+
+_PCTS_100 = (50, 90, 99)
 
 
 def type_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    pct = F.expr(f"percentile(value, array{_PCTS})")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(pct.getItem(0), 6).alias("p50"),
-        F.round(pct.getItem(1), 6).alias("p90"),
-        F.round(pct.getItem(2), 6).alias("p99"),
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    order_w = Window.partitionBy("event_type").orderBy("value")
+    type_w = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(order_w)).withColumn(
+        "n", F.count(F.lit(1)).over(type_w)
     )
+    h = {p: (F.col("n") - 1) * p for p in _PCTS_100}  # type-7 rank*100
+    k_lo = {p: F.floor(h[p] / 100) + 1 for p in _PCTS_100}
+    k_hi = {
+        p: k_lo[p] + F.when(h[p] % 100 > 0, 1).otherwise(0)
+        for p in _PCTS_100
+    }
+    keep = None
+    for p in _PCTS_100:
+        cond = (F.col("rn") == k_lo[p]) | (F.col("rn") == k_hi[p])
+        keep = cond if keep is None else (keep | cond)
+    picked = ranked.filter(keep)
+    aggs = [F.max("n").alias("n")]
+    for p in _PCTS_100:
+        aggs += [
+            F.max(F.when(F.col("rn") == k_lo[p], F.col("value")))
+            .alias(f"p{p}_lo"),
+            F.max(F.when(F.col("rn") == k_hi[p], F.col("value")))
+            .alias(f"p{p}_hi"),
+        ]
+    out = picked.groupBy("event_type").agg(*aggs)
+    for p in _PCTS_100:
+        out = out.withColumn(
+            f"p{p}_frac", ((F.col("n") - 1) * p % 100).cast("long")
+        )
+    return out
+
+
+def _pct_components_sql() -> str:
+    cols = []
+    for p in _PCTS_100:
+        cols.append(f"vs[CAST((n-1)*{p}//100 + 1 AS INT)] AS p{p}_lo")
+        cols.append(
+            f"vs[CAST((n-1)*{p}//100 + 1 + "
+            f"CASE WHEN (n-1)*{p} % 100 > 0 THEN 1 ELSE 0 END AS INT)] "
+            f"AS p{p}_hi"
+        )
+        cols.append(f"CAST((n-1)*{p} % 100 AS BIGINT) AS p{p}_frac")
+    return ",\n       ".join(cols)
 
 
 TYPE_VALUE_PERCENTILES_SQL = f"""
-SELECT event_type, COUNT(*) AS n,
-       ROUND(quantile_cont(value, {_PCTS[0]}), 6) AS p50,
-       ROUND(quantile_cont(value, {_PCTS[1]}), 6) AS p90,
-       ROUND(quantile_cont(value, {_PCTS[2]}), 6) AS p99
-FROM {EVENTS_SQL} e
-GROUP BY event_type
+WITH per AS (
+  SELECT event_type, list_sort(list(value)) AS vs, COUNT(*) AS n
+  FROM {EVENTS_SQL} e
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       {_pct_components_sql()}
+FROM per
 """

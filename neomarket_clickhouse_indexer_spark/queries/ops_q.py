@@ -376,10 +376,14 @@ GROUP BY event_type
 # --- watermark_accept_counts (ST5): the event-time watermark acceptance
 #     rule as a batch-auditable query — an event arriving (in event_id
 #     order) is DROPPED if its timestamp is more than 1 hour behind the
-#     maximum event time seen so far ON ITS STREAM (Spark's withWatermark
-#     contract, exercised live in tests/test_streaming_watermark.py). The
-#     watermark is tracked per event_type: watermarks are per-stream state,
-#     and sharding the running max by the stream key keeps WindowExec
+#     maximum event time seen so far ON ITS STREAM. NOTE a deliberate
+#     divergence from Spark's engine semantics (documented in
+#     DIVERGENCES.md): a real Structured Streaming watermark is GLOBAL per
+#     query — one max across all keys — which is what the live test
+#     (tests/test_streaming_watermark.py, single withWatermark) exercises.
+#     This batch audit instead tracks the watermark per event_type, the
+#     rule a per-stream ingest deployment (one query per topic) would
+#     apply. Sharding the running max by the stream key also keeps WindowExec
 #     parallel — each stream's sequential scan runs in its own task instead
 #     of funneling the whole table through one partition (round-3 verdict:
 #     the forced single-partition window was the repo's last scale-killer).

@@ -86,10 +86,11 @@ _SPECS: list[QuerySpec] = [
               E.STREAMING_CANDLES_1M_SQL, ("ST1", "ST2", "ST3", "A7"),
               "foreachBatch incremental candle fold over 4 interleaved "
               "microbatches == direct batch aggregation"),
-    QuerySpec("fifo_pnl_modes", E.fifo_pnl_modes, E.FIFO_PNL_MODES_SQL,
-              ("O3", "O1"),
-              "PnL modes 1-2 (period-only / with-history) over FIFO "
-              "slices vs time-filtered interval oracle"),
+    QuerySpec("fifo_pnl_modes_unrealized", E.fifo_pnl_modes_unrealized,
+              E.FIFO_PNL_MODES_UNREALIZED_SQL, ("O3", "O1"),
+              "PnL modes 1-4: realized period filters PLUS the open-lot "
+              "unrealized mark at period end (mode 3 = in-period lots, "
+              "mode 4 = all open lots) vs interval-overlap oracle"),
     QuerySpec("fifo_daily_rollup", E.fifo_daily_rollup,
               E.FIFO_DAILY_ROLLUP_SQL, ("O4", "O1"),
               "wallet x exit-day realized rollup from the FIFO pair "
@@ -104,12 +105,20 @@ _SPECS: list[QuerySpec] = [
               "via TakeOrdered (unified activity feed)"),
     QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
               ("DD1",), "exact dedup by content hash"),
-    QuerySpec("docs_text_stats", D.docs_text_stats, D.DOCS_TEXT_STATS_SQL,
-              ("TX1", "TX3"), "token/quality statistics (whitespace token counts)"),
-    QuerySpec("docs_lang_id", D.docs_lang_id, D.DOCS_LANG_ID_SQL,
-              ("TX2",), "marker-based language ID"),
-    QuerySpec("docs_fingerprint", D.docs_fingerprint, D.DOCS_FINGERPRINT_SQL,
-              ("TX4",), "rolling-hash document fingerprint"),
+    QuerySpec("docs_profile", D.docs_profile, D.DOCS_PROFILE_SQL,
+              ("TX1", "TX2", "TX3", "TX4"),
+              "fused per-document analysis pass: quality stats + lang-id + "
+              "token counts + rolling fingerprint in ONE scan (the r5 "
+              "gate-window rotation: the three component gates moved past "
+              "the cutoff, freeing slots for never-gated entries)"),
+    QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
+              ("A1",), "JSON extraction + agg (§2.8 JSON, rotated into the "
+              "gate window in r5)"),
+    QuerySpec("wallet_snapshot_positions", E.wallet_snapshot_positions,
+              E.WALLET_SNAPSHOT_POSITIONS_SQL, ("O2", "O1", "ST6"),
+              "snapshot emitter over an integer-quantity domain vs "
+              "Lindley-recursion + ASOF-boundary oracle (rotated into the "
+              "gate window in r5)"),
     QuerySpec("docs_dup_clusters", D.docs_dup_clusters,
               D.DOCS_DUP_CLUSTERS_SQL, ("DD2", "DD6"),
               "connected-components dedup clusters (label propagation vs "
@@ -246,8 +255,16 @@ _SPECS: list[QuerySpec] = [
               E.TOP_USERS_BY_VOLUME_SQL, ("T1", "W4", "A1"), "leaderboard"),
     QuerySpec("signup_intervals", E.signup_intervals, E.SIGNUP_INTERVALS_SQL,
               ("W1",), "SCD2 lead-window valid_to"),
-    QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
-              ("A1",), "JSON extraction + agg"),
+    QuerySpec("docs_text_stats", D.docs_text_stats, D.DOCS_TEXT_STATS_SQL,
+              ("TX1", "TX3"), "token/quality statistics (whitespace token counts)"),
+    QuerySpec("docs_lang_id", D.docs_lang_id, D.DOCS_LANG_ID_SQL,
+              ("TX2",), "marker-based language ID"),
+    QuerySpec("docs_fingerprint", D.docs_fingerprint, D.DOCS_FINGERPRINT_SQL,
+              ("TX4",), "rolling-hash document fingerprint"),
+    QuerySpec("fifo_pnl_modes", E.fifo_pnl_modes, E.FIFO_PNL_MODES_SQL,
+              ("O3", "O1"),
+              "PnL modes 1-2 (period-only / with-history) over FIFO "
+              "slices vs time-filtered interval oracle"),
     QuerySpec("recent_window_activity", E.recent_window_activity,
               E.RECENT_WINDOW_ACTIVITY_SQL, ("P7", "A1"),
               "now()-relative window with injected clock"),
@@ -256,10 +273,6 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("avgcost_user_positions", E.avgcost_user_positions,
               E.AVGCOST_USER_POSITIONS_SQL, ("O1", "ST6"),
               "sequential avg-cost state machine vs recursive-CTE oracle"),
-    QuerySpec("wallet_snapshot_positions", E.wallet_snapshot_positions,
-              E.WALLET_SNAPSHOT_POSITIONS_SQL, ("O2", "O1", "ST6"),
-              "snapshot emitter over an integer-quantity domain vs "
-              "Lindley-recursion + ASOF-boundary oracle"),
     QuerySpec("orders_latest_activity", E.orders_latest_activity,
               E.ORDERS_LATEST_ACTIVITY_SQL, ("J3", "W3", "J1"),
               "fact join against latest-by-key dedup subquery "

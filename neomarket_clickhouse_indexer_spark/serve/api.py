@@ -185,19 +185,41 @@ class ServeContext:
         return {"userId": user_id, "trades": rows, "windowWidened": widened}
 
     # /pnl (src/api.ts: ledger-backed; modes in src/calculate-pnl.ts:4-10)
-    def pnl(self, user_id: int) -> dict:
-        df = EQ.fifo_user_pnl(self.spark, self.sf_dir).filter(
+    def pnl(self, user_id: int, mode: str = "total",
+            start: str | None = None, end: str | None = None) -> dict:
+        """All four reference PnL modes (src/calculate-pnl.ts:4-10; CLI
+        default mode 4 = total). Modes 1-2 are realized-only filters;
+        modes 3-4 add the open-lot unrealized mark at the period end."""
+        from ..ledger.pnl import _canonical_mode
+        from ..operators.fifo import fifo_unrealized_modes
+        from ..queries.events import FIXED_NOW, _fifo_input
+
+        mode = _canonical_mode(mode)
+        start = start or "1970-01-01 00:00:00"
+        end = end or FIXED_NOW
+        base = _fifo_input(self.spark, self.sf_dir).filter(
             F.col("key") == user_id
         )
+        df = fifo_unrealized_modes(base, start, end)
         rows = _rows(df, 1)
         if not rows:
-            return {"userId": user_id, "realizedPnl": 0.0}
+            return {"userId": user_id, "mode": mode, "realizedPnl": 0.0,
+                    "unrealizedPnl": 0.0, "totalPnl": 0.0}
         r = rows[0]
+        realized = (r["realized_period_only"]
+                    if mode in ("period_only", "period_plus_unrealized")
+                    else r["realized_with_history"])
+        unrealized = {"period_plus_unrealized": r["unrealized_period"],
+                      "total": r["unrealized_all"]}.get(mode, 0.0)
+        total = {"period_plus_unrealized": r["pnl_period"],
+                 "total": r["pnl_total"]}.get(mode, realized)
         return {
             "userId": user_id,
-            "realizedPnl": r["realized_pnl"],
+            "mode": mode,
+            "realizedPnl": realized,
+            "unrealizedPnl": unrealized,
+            "totalPnl": total,
             "openQty": r["open_qty"],
-            "openCost": r["open_cost"],
         }
 
     # /leaderboard/explain (src/api.ts:1560-1667): per-wallet ledger entries

@@ -64,10 +64,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         for c in ts_cols:
             if c in df.columns and isinstance(df.schema[c].dataType, LongType):
-                # legacy int64-ns files
+                # legacy int64-ns files — but fail loudly if the magnitude
+                # says the encoding drifted to epoch-millis/-seconds/-days
+                # (ADVICE r4): a silent misconvert here poisons every
+                # downstream date predicate.
+                _assert_ns_magnitude(table_path(sf_dir, name), c)
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+# int64 nanoseconds for 1973-01-01 .. 2096-01-01 — any genuine ns epoch
+# falls inside; epoch-micros/millis/seconds/days all fall far below.
+_NS_MIN, _NS_MAX = int(1e17), int(4e18)
+
+
+def _assert_ns_magnitude(path: str, col: str) -> None:
+    """Driver-side footer check (no Spark job): row-group min/max statistics
+    for ``col`` must look like int64 *nanoseconds*. Missing stats skip the
+    check (conversion proceeds as before)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path)
+    except Exception:
+        return
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    if col not in idx:
+        return
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx[col]).statistics
+        if st is None or not st.has_min_max:
+            continue
+        for v in (st.min, st.max):
+            # TIMESTAMP(NANOS)-annotated int64 surfaces stats as datetimes —
+            # the annotation already pins the ns meaning, nothing to check
+            if v is not None and isinstance(v, int) \
+                    and not (_NS_MIN <= v <= _NS_MAX):
+                raise ValueError(
+                    f"{path}:{col} is int64 but value {v} is outside the "
+                    f"nanosecond-epoch range [{_NS_MIN}, {_NS_MAX}] — the "
+                    "testdata encoding drifted (epoch millis/seconds/days?); "
+                    "refusing to silently convert as nanoseconds"
+                )
 
 
 # Timestamp-bearing columns per table: every one dispatches on the LOADED

@@ -224,3 +224,20 @@ def test_orders_lineitem_ns_encoding_also_dispatches(spark, tmp_path):
         return [(r["o_orderkey"], r["o_orderdate"]) for r in rows]
 
     assert dates(ns_dir) == dates(us_dir)
+
+
+def test_int64_non_ns_magnitude_fails_loudly(spark, tmp_path):
+    """ADVICE r4: an int64 date column whose magnitude is NOT nanoseconds
+    (epoch-millis here) must raise, not silently misconvert."""
+    ms = [1_700_000_000_000, 1_700_000_123_456]  # epoch millis
+    d = tmp_path / "ms"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array(ms, pa.int64()),
+        }),
+        str(d / "orders.parquet"),
+    )
+    with pytest.raises(ValueError, match="nanosecond-epoch range"):
+        load_table(spark, str(d), "orders").collect()
