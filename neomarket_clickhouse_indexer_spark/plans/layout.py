@@ -81,6 +81,57 @@ def clustered_events_layout(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
+def normalized_table_layout(
+    spark: SparkSession, sf_dir: str, name: str, rows_per_file: int = 50_000
+) -> str:
+    """Ingest-normalization tier: re-write a source table into multi-file
+    parquet so scans parallelize. The driver testdata ships each table as
+    ONE parquet row group, and a row group is an indivisible Spark split —
+    every raw scan runs as a single task no matter how many cores exist.
+    A real engine never queries raw uploads: ClickHouse rewrites inserts
+    into MergeTree parts (reference clickhouse/init/001_create_tables.sql
+    PARTITION BY/ORDER BY); this is the parquet analog, built ONCE per
+    source version (mtime/size token, like clustered_events_layout) and
+    read-only afterwards. Timestamp normalization (sources/tables.py ns
+    dispatch) happens BEFORE the write, so tier files are always native
+    timestamp[us]."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table, table_path
+
+    src = table_path(sf_dir, name)
+    st = os.stat(src)
+    token = f"{st.st_mtime_ns}:{st.st_size}"
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"nmci_tier_{os.path.basename(os.path.normpath(sf_dir))}",
+        name,
+    )
+    marker = os.path.join(out_dir, "_BUILD_TOKEN")
+    try:
+        with open(marker) as fh:
+            if fh.read() == token:
+                return out_dir
+    except OSError:
+        pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    df = load_table(spark, sf_dir, name)
+    try:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.read_metadata(src).num_rows
+    except Exception:
+        n_rows = df.count()
+    n_files = max(1, min(32, math.ceil(n_rows / rows_per_file)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    with open(marker, "w") as fh:
+        fh.write(token)
+    return out_dir
+
+
 def month_col(ts: str) -> F.Column:
     """toYYYYMM analog for partition columns (reference 001:44)."""
     return F.date_format(F.col(ts), "yyyyMM").alias("year_month")

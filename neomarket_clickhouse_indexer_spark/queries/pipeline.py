@@ -155,9 +155,13 @@ FROM scored
 # --- docs_contamination: benchmark decontamination — flag training docs
 #     sharing any word 4-gram with the held-out eval slice (source =
 #     'src19'). The eval fingerprint set is tiny and BROADCAST; the
-#     training corpus is exploded to (doc, gram-hash) and hash-joined — at
+#     training corpus is exploded to (doc, gram) and hash-joined — at
 #     100 TB the corpus never shuffles for the probe, only the per-doc
-#     regroup does. (4-grams chosen for the synthetic corpus: 5-grams
+#     regroup does. Grams join RAW (no md5): shared-gram counts are
+#     computed within each engine, so a digest buys nothing semantically
+#     and cost ~0.5s/run at sf0.1; at real scale a fixed-width digest
+#     (xxhash64) would shrink the broadcast, an engine-internal choice
+#     that leaves the counts identical. (4-grams chosen: 5-grams
 #     almost never collide there, 3-grams flag 75% of docs — 4 gives a
 #     selective-but-populated differential.)
 
@@ -178,7 +182,7 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # CPU-heavy shingle+md5 transform off the one split a small corpus
         # scan yields (no-op at real scale).
         return _spread(side, spark).select(
-            "doc_id", F.explode(F.transform(grams, F.md5)).alias("gram")
+            "doc_id", F.explode(grams).alias("gram")
         )
 
     eval_grams = (
@@ -207,7 +211,7 @@ _SHINGLES5 = (
 DOCS_CONTAMINATION_SQL = f"""
 WITH g AS (
   SELECT doc_id, source,
-         unnest(list_transform({_SHINGLES5}, x -> md5(x))) AS gram
+         unnest({_SHINGLES5}) AS gram
   FROM documents
 ),
 ev AS (SELECT DISTINCT gram FROM g WHERE source = '{_EVAL_SOURCE}')

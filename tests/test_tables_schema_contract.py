@@ -241,3 +241,28 @@ def test_int64_non_ns_magnitude_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="nanosecond-epoch range"):
         load_table(spark, str(d), "orders").collect()
+
+
+def test_normalized_tier_read_equals_raw(spark):
+    """Ingest-normalization tier (bench path): multi-file layout must be a
+    pure physical rewrite — same rows, same schema, same values."""
+    from neomarket_clickhouse_indexer_spark.sources.tables import (
+        enable_normalized_tier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    raw = load_table(spark, sf, "events")
+    raw_rows = sorted(
+        tuple(r) for r in raw.select("event_id", "ts", "value").collect()
+    )
+    enable_normalized_tier(True)
+    try:
+        tier = load_table(spark, sf, "events")
+        assert tier.schema == raw.schema
+        tier_rows = sorted(
+            tuple(r) for r in tier.select("event_id", "ts", "value").collect()
+        )
+    finally:
+        enable_normalized_tier(False)
+    assert tier_rows == raw_rows
+    assert tier.rdd.getNumPartitions() >= 1
