@@ -38,12 +38,27 @@ class ServeContext:
     """Bind a SparkSession + sf_dir once; each method is one endpoint."""
 
     def __init__(self, spark: SparkSession, sf_dir: str,
-                 candle_state: DataFrame | None = None):
+                 candle_state: DataFrame | None = None,
+                 snapshot_state: DataFrame | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
         # pre-aggregated candle tier (ladder step 1); None → recompute raw
         self.candle_state = candle_state
+        # O2 snapshot tier (wallet_pnl_snapshots analog); None → built
+        # lazily ONCE from the domain ledger and cached on the context
+        self.snapshot_state = snapshot_state
         self._freshness_checked: bool | None = None
+
+    def _snapshots(self) -> DataFrame:
+        if self.snapshot_state is None:
+            from ..ledger.build import build_wallet_snapshots
+            from ..queries.events import SNAPSHOT_INTERVAL_S, _domain_events
+
+            self.snapshot_state = build_wallet_snapshots(
+                _domain_events(self.spark, self.sf_dir, integer_splits=True),
+                interval_s=SNAPSHOT_INTERVAL_S,
+            ).localCheckpoint(eager=True)
+        return self.snapshot_state
 
     def _candle_state_fresh(self, lag_seconds: int = 3600) -> bool:
         """The tier is fresh if its max bucket is within ``lag_seconds`` of
@@ -148,16 +163,35 @@ class ServeContext:
         page = ev.offset(offset) if offset else ev
         return {"userId": user_id, "events": _rows(page, limit)}
 
-    # /portfolio/history (src/api.ts:993-1009): last value per bucket
-    def portfolio_history(self, user_id: int, interval: str = "1h") -> dict:
+    # /portfolio/history (src/api.ts:993-1009): snapshot-FIRST — the
+    # interval marks come from the O2 snapshot tier (wallet_pnl_snapshots
+    # analog: argMax(open_positions_value / token_count / realized +
+    # unrealized, snapshot_time) per requested bucket), never recomputed
+    # from raw events. Mirrors the reference's prebuilt-table read; the
+    # tier is injected (snapshot_state) or built once per context.
+    def portfolio_history(self, user_id: int, interval: str = "1d") -> dict:
+        secs = INTERVALS[interval]
+        wallet = f"0xw{user_id}"
+        snaps = self._snapshots().filter(F.col("wallet") == wallet)
+        bucket = (F.floor(F.col("snapshot_epoch") / secs) * secs).cast("long")
         df = (
-            EQ.hour_bucket_last(self.spark, self.sf_dir)
-            .filter(F.col("user_id") == user_id)
-            .orderBy("hour")
-            .select(F.unix_timestamp("hour").alias("time"),
-                    F.col("last_value").alias("value"))
+            snaps.groupBy(bucket.alias("timestamp"))
+            .agg(
+                F.max_by("open_positions_value", "snapshot_epoch")
+                .alias("totalValue"),
+                F.max_by("token_count", "snapshot_epoch").alias("positions"),
+                F.max_by(
+                    F.col("realized_pnl") + F.col("unrealized_pnl"),
+                    "snapshot_epoch",
+                ).alias("pnl"),
+            )
+            .orderBy("timestamp")
         )
-        return {"userId": user_id, "history": _rows(df, 10000)}
+        return {
+            "userId": user_id,
+            "interval": interval,
+            "snapshots": _rows(df, 10000),
+        }
 
     # /trades recent window with adaptive widening (T6: retry with a 365d
     # window when the 30d window returns <10 rows, src/api.ts:1188-1192)

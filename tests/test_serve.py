@@ -83,3 +83,40 @@ def test_pnl_envelope(spark):
 
 def test_user_stats_missing_user_empty(spark):
     assert _ctx(spark).user_stats(user_id=10**9) == {}
+
+
+def test_portfolio_history_snapshot_first(spark):
+    """Snapshot-first ladder (src/api.ts:993-1009): interval marks come
+    from the O2 snapshot tier; second call reuses the cached tier."""
+    ctx = _ctx(spark)
+    out = ctx.portfolio_history(user_id=12, interval="1d")
+    assert out["userId"] == 12 and out["interval"] == "1d"
+    times = [s["timestamp"] for s in out["snapshots"]]
+    assert times == sorted(times)
+    for s in out["snapshots"]:
+        assert s["timestamp"] % 86400 == 0
+        assert set(s) == {"timestamp", "totalValue", "positions", "pnl"}
+    # the tier is cached on the context after the first call
+    assert ctx.snapshot_state is not None
+    state_before = ctx.snapshot_state
+    ctx.portfolio_history(user_id=12, interval="1w")
+    assert ctx.snapshot_state is state_before
+
+
+def test_portfolio_history_marks_match_snapshot_rows(spark):
+    """Each 1d bucket's mark equals the LAST raw snapshot in the bucket."""
+    ctx = _ctx(spark)
+    out = ctx.portfolio_history(user_id=12, interval="1d")
+    raw = {
+        r["snapshot_epoch"]: r
+        for r in ctx.snapshot_state.filter("wallet = '0xw12'").collect()
+    }
+    for s in out["snapshots"]:
+        in_bucket = [
+            e for e in raw
+            if s["timestamp"] <= e < s["timestamp"] + 86400
+        ]
+        last = raw[max(in_bucket)]
+        assert s["totalValue"] == last["open_positions_value"]
+        assert s["positions"] == last["token_count"]
+        assert s["pnl"] == last["realized_pnl"] + last["unrealized_pnl"]
