@@ -434,3 +434,100 @@ SELECT source, COUNT(*) AS n_docs,
 FROM kept
 GROUP BY source
 """
+
+
+# --- docs_pii_scrub (TX10, beyond-ref): PII redaction pass — the standard
+#     training-data hygiene step (emails / phone numbers stripped before
+#     tokenization). The synthetic corpus contains no PII, so the gate
+#     INJECTS it deterministically (md5(doc_id)-keyed, the
+#     validation_quarantine injected-discrepancy doctrine: both engines
+#     derive identical victims and payloads), scrubs with conservative
+#     character-class regexes that mean the same thing under Java regex
+#     (Spark) and RE2 (DuckDB), and accounts the redactions per source.
+#     Per-row and shuffle-free except the final source rollup — at 100 TB
+#     the scrub rides the same single scan as the rest of the curation
+#     pipeline.
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .documents import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long")
+    email = F.concat(F.lit(" contact user"), (h % 100).cast("string"),
+                     F.lit("@example.com"))
+    phone = F.concat(F.lit(" call 555-"),
+                     F.lpad((h % 10000).cast("string"), 4, "0"))
+    injected = F.concat(
+        F.col("text"),
+        F.when(h % 7 == 0, email).otherwise(F.lit("")),
+        F.when(h % 5 == 0, phone).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", "source", injected.alias("txt"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("txt"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    per_doc = staged.select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("txt"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("txt"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.length("txt").alias("len_in"),
+        F.length(scrubbed).alias("len_out"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_emails") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_email_docs"),
+        F.sum(F.when(F.col("n_phones") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_phone_docs"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_phones").cast("long").alias("total_phones"),
+        F.sum("len_in").cast("long").alias("chars_in"),
+        F.sum("len_out").cast("long").alias("chars_out"),
+    )
+
+
+DOCS_PII_SCRUB_SQL = f"""
+WITH inj AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN h % 7 = 0
+                 THEN ' contact user' || CAST(h % 100 AS VARCHAR)
+                      || '@example.com' ELSE '' END
+         || CASE WHEN h % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(h % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS txt
+  FROM (SELECT *,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) AS h
+        FROM documents)
+),
+per_doc AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(txt, '{_PHONE_RE}')) AS n_phones,
+         length(txt) AS len_in,
+         length(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>',
+                                              'g'),
+                               '{_PHONE_RE}', '<PHONE>', 'g')) AS len_out
+  FROM inj
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_email_docs,
+       CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_phone_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       CAST(SUM(len_in) AS BIGINT) AS chars_in,
+       CAST(SUM(len_out) AS BIGINT) AS chars_out
+FROM per_doc
+GROUP BY source
+"""

@@ -352,6 +352,11 @@ _SPECS: list[QuerySpec] = [
               D.DOCS_LANG_ID_NGRAM_SQL, ("TX2", "BONUS"),
               "char-trigram-profile language ID (Cavnar-Trenkle shape) with "
               "per-lang scores; fixed-precedence argmax"),
+    QuerySpec("docs_pii_scrub", PL.docs_pii_scrub, PL.DOCS_PII_SCRUB_SQL,
+              ("TX1", "BONUS"),
+              "PII redaction pass (TX10 in COVERAGE.md): deterministic "
+              "md5-keyed email/phone injection, regex scrub identical "
+              "under Java regex and RE2, per-source redaction accounting"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
