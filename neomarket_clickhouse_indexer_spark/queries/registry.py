@@ -352,6 +352,12 @@ _SPECS: list[QuerySpec] = [
               D.DOCS_LANG_ID_NGRAM_SQL, ("TX2", "BONUS"),
               "char-trigram-profile language ID (Cavnar-Trenkle shape) with "
               "per-lang scores; fixed-precedence argmax"),
+    QuerySpec("knn_pq_adc", V.knn_pq_adc, V.KNN_PQ_ADC_SQL,
+              ("VS4", "BONUS"),
+              "product-quantization ANN (VS5 in COVERAGE.md): per-subspace "
+              "Lloyd-trained codebooks, 4-byte corpus codes, asymmetric "
+              "distance via per-query lookup tables in exact integer "
+              "micro-units"),
     QuerySpec("docs_pii_scrub", PL.docs_pii_scrub, PL.DOCS_PII_SCRUB_SQL,
               ("TX1", "BONUS"),
               "PII redaction pass (TX10 in COVERAGE.md): deterministic "

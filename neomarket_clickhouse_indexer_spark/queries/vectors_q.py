@@ -897,3 +897,298 @@ FROM (
 )
 WHERE rank <= 3
 """
+
+
+# --- knn_pq_adc (VS5 in COVERAGE.md, beyond-ref): product-quantization ANN
+#     with asymmetric distance computation and exact re-rank — the
+#     memory-scale path the IVF/LSH variants don't cover. 64-dim vectors
+#     split into M=16 4-dim subspaces; per subspace a K=16 codebook is
+#     Lloyd-trained (2 unrolled iterations, deterministic init = first K
+#     corpus sub-vectors, the kmeans_train doctrine) and every corpus
+#     vector is encoded as 16 one-byte codes (16× compression at scale).
+#     A query scores the corpus WITHOUT touching the vectors: per (query,
+#     sub, code) a 16-entry lookup table of squared distances is built
+#     against the codebooks, the ADC distance is the sum of 16 table hits,
+#     and only the top-RERANK shortlist is re-ranked against the raw
+#     embeddings (measured recall@10 vs exact L2 on the sf0.01 corpus:
+#     0.50 ADC-only → 0.96 after re-rank — asserted in tests/test_pq.py).
+#     All distances live in exact integer micro-units
+#     (FLOOR(ROUND(d2,6)*1e6 + 0.5) — half-up on the stable 6dp value, so
+#     the cross-engine sum has no float association order at all).
+#     Scale: codebook state is M*K*4 doubles (driver-bounded, the k-means
+#     clamped-collect doctrine); corpus codes are 16 bytes/vector and
+#     never carry embeddings; the ADC join is code-table broadcast vs
+#     skinny (vec, sub, code) rows; only RERANK×queries raw vectors are
+#     ever gathered.
+
+_PQ_M = 16
+_PQ_SUB = 4
+_PQ_K = 16
+_PQ_ITERS = 2
+_PQ_RERANK = 50
+
+
+def _pq_subs(df: DataFrame, id_alias: str) -> DataFrame:
+    """(vec_id, embedding) -> (id, sub, sv) with sv = the sub-th 16-dim
+    slice as double[]."""
+    pieces = F.array(*[
+        F.struct(
+            F.lit(s).cast("int").alias("sub"),
+            F.transform(
+                F.slice(F.col("embedding"), s * _PQ_SUB + 1, _PQ_SUB),
+                lambda x: x.cast("double"),
+            ).alias("sv"),
+        )
+        for s in range(_PQ_M)
+    ])
+    return df.select(
+        F.col("vec_id").alias(id_alias), F.explode(pieces).alias("x")
+    ).select(id_alias, F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+
+
+def _pq_sub_centroids(assigned: DataFrame) -> DataFrame:
+    """(sub, code, sv) rows -> (sub, code, c_sv) — per-dim means with the
+    _centroid_arrays decimal/ROUND(6) discipline, keyed by subspace."""
+    ex = assigned.select(
+        "sub", "code", F.posexplode(F.col("sv")).alias("dim", "v")
+    )
+    per_dim = ex.groupBy("sub", "code", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_v"),
+    )
+    return per_dim.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
+            lambda s: s["mean_v"],
+        ).alias("c_sv"),
+    )
+
+
+def _d2u(a, b):
+    """Exact integer micro-unit squared distance: half-up on the stable
+    ROUND(d2, 6) value (always >= 0)."""
+    return F.floor(F.round(_sq_l2(a, b), 6) * 1e6 + F.lit(0.5)).cast("long")
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    csubs = _pq_subs(corpus, "vec_id")
+    cents = _pq_subs(
+        corpus.filter(F.col("vec_id") < N_QUERIES + _PQ_K), "cid"
+    ).select(
+        "sub", (F.col("cid") - N_QUERIES).cast("int").alias("code"),
+        F.col("sv").alias("c_sv"),
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        assigned = None
+        for it in range(_PQ_ITERS):
+            if it > 0:
+                # clamp the M*K codebook on the driver per iteration —
+                # without this, lineage recomputes earlier Lloyd passes
+                cents = spark.createDataFrame(cents.collect(), cents.schema)
+            scored = csubs.join(F.broadcast(cents), "sub").select(
+                "vec_id", "sub", "sv", "code",
+                F.round(_sq_l2(F.col("sv"), F.col("c_sv")), 6).alias("d2"),
+            )
+            assigned = (
+                scored.groupBy("vec_id", "sub")
+                .agg(
+                    F.min_by(
+                        F.struct(F.col("code"), F.col("sv")),
+                        F.struct(F.col("d2"), F.col("code")),
+                    ).alias("a")
+                )
+                .select(
+                    "vec_id", "sub",
+                    F.col("a.code").alias("code"), F.col("a.sv").alias("sv"),
+                )
+            )
+            cents = _pq_sub_centroids(assigned)
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+        # final encode against the trained codebook
+        codes = (
+            csubs.join(F.broadcast(cents), "sub")
+            .select(
+                "vec_id", "sub", "code",
+                F.round(_sq_l2(F.col("sv"), F.col("c_sv")), 6).alias("d2"),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code")))
+                .alias("code")
+            )
+        )
+
+        # ADC lookup table: per (query, sub, code) the micro-unit distance
+        lut = (
+            _pq_subs(queries, "query_id")
+            .join(F.broadcast(cents), "sub")
+            .select(
+                "query_id", "sub", "code",
+                _d2u(F.col("sv"), F.col("c_sv")).alias("d2u"),
+            )
+        )
+        adc = (
+            codes.join(F.broadcast(lut), ["sub", "code"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.sum("d2u").cast("long").alias("adc_d2u"))
+        )
+        aw = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_d2u"), F.asc("neighbor_id")
+        )
+        shortlist = (
+            adc.withColumn("arank", F.row_number().over(aw))
+            .filter(F.col("arank") <= _PQ_RERANK)
+            .select("query_id", "neighbor_id", "adc_d2u")
+        )
+        # exact re-rank: gather raw vectors ONLY for the shortlist
+        exact = (
+            shortlist.join(
+                corpus.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("n_emb"),
+                ),
+                "neighbor_id",
+            )
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("q_emb"),
+                    )
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id", "neighbor_id", "adc_d2u",
+                _d2u(F.col("q_emb"), F.col("n_emb")).alias("d2u"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("d2u"), F.asc("neighbor_id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "neighbor_id", "d2u", "adc_d2u")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _pq_sql() -> str:
+    S, M, K, NQ = _PQ_SUB, _PQ_M, _PQ_K, N_QUERIES
+    slice_ = (
+        f"list_transform(generate_series(1, {S}), "
+        f"i -> CAST(embedding[sub * {S} + i] AS DOUBLE))"
+    )
+    d2 = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {S}), "
+        "i -> (s.sv[i] - c.c_sv[i]) * (s.sv[i] - c.c_sv[i]))), 6)"
+    )
+    qd2 = d2.replace("s.sv", "q.sv")
+    it_ctes = []
+    prev = "cent0"
+    for t in range(1, _PQ_ITERS + 1):
+        it_ctes.append(f"""
+scored{t} AS (
+  SELECT s.vec_id, s.sub, s.sv, c.code, {d2} AS d2
+  FROM subs s JOIN {prev} c ON s.sub = c.sub
+),
+assigned{t} AS (
+  SELECT vec_id, sub, code, sv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) AS rn
+    FROM scored{t}
+  ) WHERE rn = 1
+),
+ex{t} AS (
+  SELECT sub, code, unnest(sv) AS v,
+         unnest(generate_series(1, {S})) AS dim
+  FROM assigned{t}
+),
+dims{t} AS (
+  SELECT sub, code, dim,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_v
+  FROM ex{t} GROUP BY 1, 2, 3
+),
+cent{t} AS (
+  SELECT sub, code, list(mean_v ORDER BY dim) AS c_sv
+  FROM dims{t} GROUP BY sub, code
+)""")
+        prev = f"cent{t}"
+    return f"""
+WITH subs AS (
+  SELECT vec_id, sub, {slice_} AS sv
+  FROM embeddings, (SELECT unnest(generate_series(0, {M - 1})) AS sub)
+  WHERE vec_id >= {NQ}
+),
+cent0 AS (
+  SELECT sub, CAST(vec_id - {NQ} AS INT) AS code, sv AS c_sv
+  FROM subs WHERE vec_id < {NQ} + {K}
+),{",".join(it_ctes)},
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {d2}, c.code) AS rn
+    FROM subs s JOIN {prev} c ON s.sub = c.sub
+  ) WHERE rn = 1
+),
+qsubs AS (
+  SELECT vec_id AS query_id, sub, {slice_} AS sv
+  FROM embeddings, (SELECT unnest(generate_series(0, {M - 1})) AS sub)
+  WHERE vec_id < {NQ}
+),
+lut AS (
+  SELECT q.query_id, q.sub, c.code,
+         CAST(FLOOR({qd2} * 1e6 + 0.5) AS BIGINT) AS d2u
+  FROM qsubs q JOIN {prev} c ON q.sub = c.sub
+),
+adc AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(l.d2u) AS BIGINT) AS adc_d2u
+  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+  GROUP BY 1, 2
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, adc_d2u FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2u, neighbor_id) AS arank
+    FROM adc
+  ) WHERE arank <= {_PQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_d2u,
+         CAST(FLOOR(ROUND(list_sum(list_transform(
+                generate_series(1, {M * S}),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.embedding[i] AS DOUBLE))
+                     * (CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.embedding[i] AS DOUBLE)))), 6) * 1e6 + 0.5)
+              AS BIGINT) AS d2u
+  FROM shortlist s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+)
+SELECT query_id, rank, neighbor_id, d2u, adc_d2u FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2u, neighbor_id) AS BIGINT)
+              AS rank
+  FROM exact
+) WHERE rank <= {TOP_K}
+"""
+
+
+KNN_PQ_ADC_SQL = _pq_sql()
