@@ -352,6 +352,11 @@ _SPECS: list[QuerySpec] = [
               D.DOCS_LANG_ID_NGRAM_SQL, ("TX2", "BONUS"),
               "char-trigram-profile language ID (Cavnar-Trenkle shape) with "
               "per-lang scores; fixed-precedence argmax"),
+    QuerySpec("docs_shuffle_shards", D.docs_shuffle_shards,
+              D.DOCS_SHUFFLE_SHARDS_SQL, ("TX5", "BONUS"),
+              "deterministic training-order shuffle (TX11 in COVERAGE.md): "
+              "md5-keyed permutation, hash-assigned shards, per-shard "
+              "position windows (no global sort)"),
     QuerySpec("knn_pq_adc", V.knn_pq_adc, V.KNN_PQ_ADC_SQL,
               ("VS4", "BONUS"),
               "product-quantization ANN (VS5 in COVERAGE.md): per-subspace "
