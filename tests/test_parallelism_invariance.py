@@ -22,6 +22,12 @@ QUERIES = [
     "merged_timeline_page",
     "skewed_type_volume",
     "user_sessions",
+    # r5 additions, chosen for order-sensitive internals: FIFO open-lot
+    # walk + last-price mark; per-subspace Lloyd -> codes -> ADC top-k;
+    # per-shard position windows
+    "fifo_pnl_modes_unrealized",
+    "knn_pq_adc",
+    "docs_shuffle_shards",
 ]
 
 
