@@ -88,10 +88,15 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    enable_normalized_tier(True)
-    for t in TABLE_NAMES:
-        load_table(spark, sf_dir, t).limit(1).collect()
-    ingest_sec = round(time.perf_counter() - t0, 3)
+    try:
+        enable_normalized_tier(True)
+        for t in TABLE_NAMES:
+            load_table(spark, sf_dir, t).limit(1).collect()
+        ingest_sec = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # tier is an optimization — never fail the bench
+        print(f"ingest tier unavailable, timing raw scans: {e}", file=sys.stderr)
+        enable_normalized_tier(False)
+        ingest_sec = -1.0
 
     # warm the full execution stack once — vectorized parquet scan, whole-
     # stage codegen compile, shuffle write/fetch, broadcast exchange, and the
