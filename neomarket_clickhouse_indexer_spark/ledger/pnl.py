@@ -78,12 +78,30 @@ def realized_pnl_by_mode(
         )
     else:
         cond = in_period
+    # per-type realized components (formatResult's report buckets,
+    # calculate-pnl.ts:36-42: sells / redemptions / merges / resolution
+    # losses / fee refunds). NOTE: realized_pnl sums ALL realized events;
+    # adapter-conversion realizations fall outside the five named buckets
+    # (as in the reference's switch default), so the components need not
+    # sum to the total when conversions realize.
+    et = F.col("event_type")
+
+    def comp(cnd: Column, name: str) -> Column:
+        return dsum(
+            F.when(cnd, F.col("realized_pnl")).otherwise(F.lit(0.0)), name
+        )
+
     out = (
         realized.filter(cond)
         .groupBy("wallet")
         .agg(
             dsum(F.col("realized_pnl"), "realized_pnl"),
             F.count(F.lit(1)).alias("n_events"),
+            comp(et == "trade_sell", "realized_from_sells"),
+            comp(et.endswith("redemption"), "realized_from_redemptions"),
+            comp(et.endswith("merge"), "realized_from_merges"),
+            comp(et == "resolution", "realized_from_resolution_losses"),
+            comp(et.startswith("fee_"), "realized_from_fees"),
         )
     )
     if mode in ("period_plus_unrealized", "total"):
@@ -92,21 +110,20 @@ def realized_pnl_by_mode(
                 f"mode {mode!r} needs the open-position marks DataFrame "
                 "(ledger.build.build_pnl_marks)"
             )
-        out = (
-            out.join(marks, "wallet", "full")
-            .select(
-                "wallet",
-                F.coalesce("realized_pnl", F.lit(0.0)).alias("realized_pnl"),
-                F.coalesce("n_events", F.lit(0)).alias("n_events"),
-                F.coalesce("unrealized_pnl", F.lit(0.0)).alias("unrealized_pnl"),
-                F.coalesce("open_positions_cost", F.lit(0.0))
-                .alias("open_positions_cost"),
-                F.coalesce("open_positions_value", F.lit(0.0))
-                .alias("open_positions_value"),
+        joined = out.join(marks, "wallet", "full")
+        fills = [
+            F.coalesce(c, F.lit(0.0)).alias(c)
+            for c in out.columns
+            if c not in ("wallet", "n_events")
+        ] + [F.coalesce("n_events", F.lit(0)).alias("n_events")] + [
+            F.coalesce(c, F.lit(0.0)).alias(c)
+            for c in (
+                "unrealized_pnl", "open_positions_cost",
+                "open_positions_value",
             )
-            .withColumn(
-                "total_pnl", F.col("realized_pnl") + F.col("unrealized_pnl")
-            )
+        ]
+        out = joined.select("wallet", *fills).withColumn(
+            "total_pnl", F.col("realized_pnl") + F.col("unrealized_pnl")
         )
     return out
 

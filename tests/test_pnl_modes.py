@@ -128,3 +128,33 @@ def test_serve_pnl_modes(spark):
     assert out1["mode"] == "period_only"
     assert out1["unrealizedPnl"] == 0.0
     assert out1["totalPnl"] == out1["realizedPnl"]
+
+
+def test_realized_components_by_type(spark):
+    """Reference report buckets (calculate-pnl.ts:36-42): the sell-only
+    scenario lands entirely in realized_from_sells."""
+    import pandas as pd
+
+    from neomarket_clickhouse_indexer_spark.ledger.pnl import pnl_by_mode
+
+    rows = []
+    for i, e in enumerate([
+        dict(type="trade", is_buy=True, qty=10.0, usdc=4.0),
+        dict(type="trade", is_buy=False, qty=5.0, usdc=4.0, minutes=30),
+    ]):
+        m = e.pop("minutes", i)
+        rows.append(dict(
+            wallet="w1", ts=T0 + dt.timedelta(minutes=m),
+            block_number=100 + i, log_index=i, type=e["type"],
+            token_id="tokA", condition_id="cond1", qty=e["qty"],
+            usdc=e["usdc"], fee=0.0, is_buy=e["is_buy"], is_in=False,
+            outcome_token_ids=[], payout_ratios=[],
+        ))
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    end = (T0 + dt.timedelta(hours=1)).isoformat(sep=" ")
+    r = pnl_by_mode(sdf, T0.isoformat(sep=" "), end, 2).collect()[0]
+    assert r["realized_from_sells"] == pytest.approx(2.0)
+    assert r["realized_pnl"] == pytest.approx(2.0)
+    for c in ("realized_from_redemptions", "realized_from_merges",
+              "realized_from_resolution_losses", "realized_from_fees"):
+        assert r[c] == 0.0
