@@ -368,6 +368,12 @@ _SPECS: list[QuerySpec] = [
               "PII redaction pass (TX10 in COVERAGE.md): deterministic "
               "md5-keyed email/phone injection, regex scrub identical "
               "under Java regex and RE2, per-source redaction accounting"),
+    QuerySpec("semdedup_prune", V.semdedup_prune, V.SEMDEDUP_PRUNE_SQL,
+              ("DD3", "VS4", "BONUS"),
+              "semantic deduplication (SemDeDup shape): coarse-quantizer "
+              "cluster assignment bounds the near-dup pair join to "
+              "within-cluster pairs (n²/k); prune = lower-id cluster-mate "
+              "with cosine ≥ τ"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

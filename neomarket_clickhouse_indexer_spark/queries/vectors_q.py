@@ -1192,3 +1192,155 @@ SELECT query_id, rank, neighbor_id, d2u, adc_d2u FROM (
 
 
 KNN_PQ_ADC_SQL = _pq_sql()
+
+
+# --- semdedup_prune: semantic deduplication (SemDeDup shape: cluster the
+#     corpus with a coarse quantizer, then look for near-duplicate pairs
+#     ONLY inside a cluster — the pair join is bounded at n²/k instead of
+#     n², and each cluster's pairs compute independently). The reference
+#     has no semantic layer (its dedup is key-based ReplacingMergeTree —
+#     clickhouse/init/001_create_tables.sql:406-425); this is the
+#     embedding-space analog a training-data pipeline runs before mixing.
+#
+#     Semantics: assign every vector to its max-cosine label-mean centroid
+#     (lowest label on ties); within a cluster, a vector is PRUNED when a
+#     lower-id cluster-mate has cosine ≥ SEM_TAU; `dup_of` is the lowest
+#     such id and `max_sim` the strongest qualifying similarity — both
+#     order-free aggregates, so the result is partitioning-invariant.
+#
+#     100 TB: centroids are a k×dim broadcast (same discipline as knn_ivf);
+#     the corpus shuffles ONCE on cluster id; within-cluster pair work is
+#     quadratic only in cluster size, which the pipeline controls by raising
+#     k (SemDeDup's published setting: k = 11k clusters for 600M points).
+#     A hot-cluster cap like the LSH band cap (operators/dedup.py) applies
+#     unchanged if the clusterer degenerates.
+
+SEM_TAU = 0.9
+
+
+def _all_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-mean centroids over the WHOLE corpus (no query/corpus split) —
+    exact decimal per-dim means, same arithmetic as :func:`_centroids`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    per_dim = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_v")
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mean_v"))),
+            lambda s: s.getField("mean_v"),
+        ).alias("centroid")
+    )
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _all_centroids(spark, sf_dir).select(
+        F.col("label").alias("cent_label"), "centroid"
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_label",
+        VX.cosine_rounded(F.col("embedding"), F.col("centroid"), 6).alias("csim"),
+    )
+    # argmax centroid per vector: max (csim, -label) struct → lowest label
+    # wins ties; embedding rides along in the grouping key (constant per id)
+    assigned = scored.groupBy("vec_id", "embedding").agg(
+        F.max_by(
+            F.col("cent_label"),
+            F.struct(F.col("csim"), (-F.col("cent_label")).alias("nl")),
+        ).alias("cluster")
+    )
+    a = assigned.select(
+        F.col("cluster").alias("cl_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        VX.norm(F.col("embedding")).alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("cl_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        VX.norm(F.col("embedding")).alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            F.col("cl_a").alias("cluster"),
+            "vec_a",
+            "vec_b",
+            F.round(
+                VX.dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= SEM_TAU)
+    )
+    return pairs.groupBy("cluster", "vec_b").agg(
+        F.min("vec_a").alias("dup_of"), F.max("sim").alias("max_sim")
+    ).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("vec_b").alias("vec_id"),
+        "dup_of",
+        "max_sim",
+    )
+
+
+_E_DOT_CENT = (
+    "list_sum(list_transform(generate_series(1, len(e.embedding)), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * centroid[i]))"
+)
+_ENORM = (
+    "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH centroid_dims AS (
+  SELECT label, i - 1 AS dim,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+           / COUNT(*) AS mean_v
+  FROM (
+    SELECT label, unnest(embedding) AS v,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+  )
+  GROUP BY 1, 2
+),
+centroids AS (
+  SELECT label, list(mean_v ORDER BY dim) AS centroid
+  FROM centroid_dims GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, c.label,
+         ROUND({_E_DOT_CENT} / ({_ENORM} * {_CENT_NORM}), 6) AS csim
+  FROM embeddings e CROSS JOIN centroids c
+),
+assigned AS (
+  SELECT vec_id, label AS cluster FROM (
+    SELECT vec_id, label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, label) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+pairs AS (
+  SELECT aa.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({_DOT_AB} / ({_ANORM} * {_BNORM}), 6) AS sim
+  FROM assigned aa
+  JOIN embeddings a ON a.vec_id = aa.vec_id
+  JOIN assigned bb ON bb.cluster = aa.cluster
+  JOIN embeddings b ON b.vec_id = bb.vec_id
+  WHERE a.vec_id < b.vec_id
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, vec_b AS vec_id,
+       MIN(vec_a) AS dup_of, MAX(sim) AS max_sim
+FROM pairs
+WHERE sim >= {SEM_TAU}
+GROUP BY 1, 2
+"""
