@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import determinism as DET
 from ..functions import text as TX
 from ..sources.tables import load_table
 
@@ -530,4 +531,209 @@ SELECT source,
        CAST(SUM(len_out) AS BIGINT) AS chars_out
 FROM per_doc
 GROUP BY source
+"""
+
+
+# --- docs_bm25_search: BM25-shaped lexical retrieval (the keyword-search
+#     counterpart of the vector knn_* family — together they form the
+#     hybrid-retrieval pair a data pipeline uses for corpus triage). The
+#     reference's closest surface is token-filtered discovery
+#     (src/api.ts discover handler); this generalizes it to ranked
+#     multi-term scoring.
+#
+#     Determinism: the classic BM25 idf is ln((N-df+0.5)/(df+0.5)+1) — a
+#     transcendental whose last ulp differs between the JVM and DuckDB's
+#     libm, so we use the LN-FREE RATIONAL SURROGATE
+#     idf = (2N-2df+1)/(2df+1) (the ln argument itself, cross-multiplied;
+#     strictly monotone in df, so per-term ordering is preserved). Every
+#     per-term component is a chain of IEEE double ops on exact-integer
+#     inputs written op-for-op identically in both engines; the per-doc sum
+#     over matched terms goes through determinism.dsum (order-free exact
+#     quantized sum), and ranking tiebreaks on doc_id.
+#
+#     100 TB: tf/df are the standard inverted-index aggregates (one shuffle
+#     each, map-side combined); the query-term table and the vocab-sized df
+#     table broadcast; the corpus is scanned once and never re-shuffled
+#     except the final (query_id, doc_id) partial-agg. Top-k is TakeOrdered
+#     per query.
+
+_BM25_K = 10
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark"), (0, "join"), (0, "stream"),
+    (1, "table"), (1, "scan"), (1, "merge"),
+    (2, "slow"), (2, "query"), (2, "window"),
+]
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", TX.token_count(F.col("text")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    qterms = spark.createDataFrame(_BM25_QUERIES, "query_id long, token string")
+    m = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    dfd = F.col("df").cast("double")
+    nd = F.col("n_docs").cast("double")
+    # op-for-op mirror of the SQL below — do not refactor one side alone
+    sat = (tfd * (F.lit(1.2) + F.lit(1.0))) / (
+        tfd + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * dld / F.col("avgdl"))
+    )
+    idf = (F.lit(2.0) * nd - F.lit(2.0) * dfd + F.lit(1.0)) / (
+        F.lit(2.0) * dfd + F.lit(1.0)
+    )
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        DET.dsum(idf * sat, "score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("query_id", "rank", "doc_id", "n_terms", "score")
+    )
+
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+_BM25_COMPONENT = (
+    "((2.0 * n_docs - 2.0 * df + 1.0) / (2.0 * df + 1.0))"
+    " * ((tf * (1.2 + 1.0)) / "
+    "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))"
+)
+
+DOCS_BM25_SEARCH_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+),
+qterms(query_id, token) AS (VALUES {_BM25_VALUES}),
+m AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(tf.tf AS DOUBLE) AS tf, CAST(dfreq.df AS DOUBLE) AS df,
+         CAST(dl.dl AS DOUBLE) AS dl,
+         CAST(s.n_docs AS DOUBLE) AS n_docs, s.avgdl AS avgdl
+  FROM tf
+  JOIN qterms q USING (token)
+  JOIN dfreq USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_terms,
+         {{DSUM}}
+  FROM m GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, n_terms, score
+FROM (
+  SELECT query_id, doc_id, n_terms, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM scored
+)
+WHERE rank <= {_BM25_K}
+""".replace("{DSUM}", DET.sql_dsum(_BM25_COMPONENT, "score"))
+
+
+# --- docs_mixture_weights: per-source sampling weights for training-data
+#     mixing — the "how much of each corpus shard goes into the run"
+#     step downstream of curation (temperature-scaled sampling à la
+#     multilingual LM training: w_s ∝ n_tokens^α with α = 1/2 flattens
+#     the head sources and boosts the tail vs proportional sampling).
+#
+#     Determinism: n_tokens^0.5 is a single correctly-rounded IEEE sqrt
+#     (identical in both engines), immediately floor-quantized to integer
+#     micro-units; normalization happens entirely in integer space
+#     (exact sums, integer division to ppm), so the output is bit-exact
+#     with no float-sum discipline needed. Spark `div` on DECIMAL(38,0)
+#     and DuckDB HUGEINT `//` agree for the non-negative operands here;
+#     the decimal/hugeint widening keeps the ppm scale-up overflow-safe
+#     at 100 TB token counts (sqrt(1e15)·1e6·1e6 > int64).
+#
+#     Scale: one groupBy(source) over the corpus (map-side combined), a
+#     scalar total broadcast back — the output is sources-sized.
+
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    q = per_src.withColumn(
+        "sqrt_tokens_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6)).cast("long"),
+    )
+    totals = q.agg(
+        F.sum("sqrt_tokens_micro").cast("long").alias("total_q"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        q.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "weight_ppm",
+            F.expr(
+                "CAST(sqrt_tokens_micro AS DECIMAL(38,0)) * 1000000 div total_q"
+            ).cast("long"),
+        )
+        .withColumn(
+            "prop_ppm",
+            F.expr(
+                "CAST(n_tokens AS DECIMAL(38,0)) * 1000000 div total_tokens"
+            ).cast("long"),
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "sqrt_tokens_micro",
+            "weight_ppm", "prop_ppm",
+        )
+    )
+
+
+DOCS_MIXTURE_WEIGHTS_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+           AS sqrt_tokens_micro
+  FROM per_src
+),
+totals AS (
+  SELECT CAST(SUM(sqrt_tokens_micro) AS BIGINT) AS total_q,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM q
+)
+SELECT source, n_docs, n_tokens, sqrt_tokens_micro,
+       CAST((CAST(sqrt_tokens_micro AS HUGEINT) * 1000000) // total_q
+            AS BIGINT) AS weight_ppm,
+       CAST((CAST(n_tokens AS HUGEINT) * 1000000) // total_tokens
+            AS BIGINT) AS prop_ppm
+FROM q CROSS JOIN totals
 """
