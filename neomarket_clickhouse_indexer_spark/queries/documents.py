@@ -1004,3 +1004,116 @@ SELECT doc_id, shuffle_key, shard,
          AS shard_pos
 FROM staged
 """
+
+
+# --- docs_dup_ngram_spans: cross-document duplicated-substring detection —
+#     the exact-substring dedup signal (Lee et al., "Deduplicating Training
+#     Data Makes Language Models Better": remove verbatim spans repeated
+#     across the corpus; the reference's dedup is key-level only —
+#     clickhouse/init/001_create_tables.sql:406-425 — this is the
+#     content-level analog at sub-document granularity).
+#
+#     A token position p is DUPLICATED when its W-token n-gram occurs in
+#     ≥ 2 distinct documents. Per document we report the duplicated-gram
+#     count, the covered token mass, and the number of maximal contiguous
+#     covered spans. All-integer output → bit-exact differential.
+#
+#     The two engines find spans by DIFFERENT algorithms: Spark merges
+#     positions with a lag-window island scan (new span when the gap
+#     between consecutive dup positions exceeds W); the oracle explodes
+#     each dup position into its covered token indices and counts islands
+#     as covered indices with no predecessor (a self-anti-join — no
+#     windows at all). Agreement is therefore structural, not textual.
+#
+#     100 TB: the (gram → n_docs ≥ 2) dup set is NOT broadcast (unlike the
+#     eval set in docs_contamination it is corpus-sized in the worst case)
+#     — it shuffle-joins on the gram hash; per-doc island scans partition
+#     by doc_id. At real scale grams would carry a fixed-width xxhash64
+#     digest instead of raw text (engine-internal; counts identical).
+
+_DUP_W = 6
+
+
+def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = _spread(docs, spark).select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("dl"),
+        F.posexplode(TX.shingles(TX.tokens(F.col("text")), _DUP_W, distinct=False))
+        .alias("p", "gram"),
+    )
+    dup_grams = (
+        base.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    duppos = base.join(dup_grams, "gram").select("doc_id", "dl", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = (
+        duppos.withColumn("prev_p", F.lag("p").over(w))
+        .withColumn(
+            "is_start",
+            (F.col("prev_p").isNull() | (F.col("p") - F.col("prev_p") > _DUP_W))
+            .cast("long"),
+        )
+        .withColumn("span_id", F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    per_span = spans.groupBy("doc_id", "dl", "span_id").agg(
+        F.min("p").alias("s_start"),
+        F.least(F.max("p") + F.lit(_DUP_W), F.max("dl")).alias("s_end"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    return per_span.groupBy("doc_id").agg(
+        F.sum("n_pos").cast("long").alias("n_dup_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("s_end") - F.col("s_start")).cast("long").alias("dup_tokens"),
+        F.max("dl").alias("dl"),
+    )
+
+
+_DTOKS = "string_split(text, ' ')"
+_DGRAM = " || ' ' || ".join(f"{_DTOKS}[i+{k}]" for k in range(_DUP_W))
+_DSHINGLES = (
+    f"CASE WHEN len({_DTOKS}) >= {_DUP_W} THEN "
+    f"list_transform(generate_series(1, len({_DTOKS}) - {_DUP_W - 1}), "
+    f"i -> {_DGRAM}) "
+    f"ELSE [array_to_string({_DTOKS}, ' ')] END"
+)
+
+DOCS_DUP_NGRAM_SPANS_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, len({_DTOKS}) AS dl,
+         unnest({_DSHINGLES}) AS gram,
+         unnest(generate_series(0, len({_DSHINGLES}) - 1)) AS p
+  FROM documents
+),
+dup AS (
+  SELECT gram FROM pos GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+duppos AS (
+  SELECT doc_id, dl, p FROM pos JOIN dup USING (gram)
+),
+covered AS (
+  SELECT DISTINCT doc_id, dl, u AS idx
+  FROM duppos, unnest(generate_series(p, least(p + {_DUP_W}, dl) - 1)) AS t(u)
+),
+gcount AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams FROM duppos GROUP BY doc_id
+),
+spanstats AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN prev.idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_spans,
+         COUNT(*) AS dup_tokens,
+         MAX(c.dl) AS dl
+  FROM covered c
+  LEFT JOIN covered prev
+    ON prev.doc_id = c.doc_id AND prev.idx = c.idx - 1
+  GROUP BY c.doc_id
+)
+SELECT g.doc_id, g.n_dup_grams, s.n_spans, s.dup_tokens, s.dl
+FROM gcount g JOIN spanstats s USING (doc_id)
+"""
