@@ -368,6 +368,22 @@ _SPECS: list[QuerySpec] = [
               "PII redaction pass (TX10 in COVERAGE.md): deterministic "
               "md5-keyed email/phone injection, regex scrub identical "
               "under Java regex and RE2, per-source redaction accounting"),
+    QuerySpec("docs_mixture_weights", PL.docs_mixture_weights,
+              PL.DOCS_MIXTURE_WEIGHTS_SQL, ("TX5", "A1", "BONUS"),
+              "per-source training-mix weights: temperature-scaled "
+              "(α=1/2) vs proportional sampling, normalized entirely in "
+              "integer space (sqrt micro-units, ppm integer division)"),
+    QuerySpec("docs_dup_ngram_spans", D.docs_dup_ngram_spans,
+              D.DOCS_DUP_NGRAM_SPANS_SQL, ("DD1", "W2", "BONUS"),
+              "cross-document duplicated-substring spans (exact-substring "
+              "dedup signal): positions whose 6-gram repeats across docs, "
+              "merged into maximal spans — Spark lag-window islands vs "
+              "oracle coverage-set anti-join, all-integer output"),
+    QuerySpec("docs_bm25_search", PL.docs_bm25_search, PL.DOCS_BM25_SEARCH_SQL,
+              ("TX8", "W4", "BONUS"),
+              "BM25-shaped lexical retrieval (ln-free rational idf for "
+              "cross-engine determinism); inverted-index tf/df aggregates, "
+              "broadcast query terms, per-query top-k"),
     QuerySpec("semdedup_prune", V.semdedup_prune, V.SEMDEDUP_PRUNE_SQL,
               ("DD3", "VS4", "BONUS"),
               "semantic deduplication (SemDeDup shape): coarse-quantizer "
