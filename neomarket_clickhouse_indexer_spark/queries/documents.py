@@ -656,7 +656,14 @@ FROM documents
 #     Scale shape: a stateless filter over the scan — no shuffle at all;
 #     the per-source rates come from a broadcast map baked into the CASE.
 
-SAMPLE_RATES = {"web": 0.5, "books": 0.9, "code": 0.25, "wiki": 1.0}
+# Per-source keep rates over the corpus's actual source shards (src0..src19
+# — TESTDATA.md). The original placeholder map keyed on {"web","books",...}
+# matched NO source, silently sampling zero rows: a gate that verifies
+# nothing. Unlisted sources keep the default rate (mirroring a mixing
+# config where only head sources are tuned).
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.9,
+                "src4": 0.1, "src19": 0.0}
+_SAMPLE_DEFAULT_RATE = 0.3
 _SAMPLE_DEN = 10_000
 
 
@@ -671,7 +678,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("source") == s, F.lit(int(r * _SAMPLE_DEN)))
             for s, r in SAMPLE_RATES.items()
         ],
-        F.lit(0),
+        F.lit(int(_SAMPLE_DEFAULT_RATE * _SAMPLE_DEN)),
     )
     return (
         docs.filter(bucket < rate)
@@ -689,7 +696,7 @@ _BUCKET_SQL = (
 _RATE_SQL = (
     "CASE " + " ".join(
         f"WHEN source = '{s}' THEN {int(r * 10_000)}" for s, r in SAMPLE_RATES.items()
-    ) + " ELSE 0 END"
+    ) + f" ELSE {int(_SAMPLE_DEFAULT_RATE * 10_000)} END"
 )
 
 DOCS_STRATIFIED_SAMPLE_SQL = f"""
@@ -1116,4 +1123,127 @@ spanstats AS (
 )
 SELECT g.doc_id, g.n_dup_grams, s.n_spans, s.dup_tokens, s.dl
 FROM gcount g JOIN spanstats s USING (doc_id)
+"""
+
+
+# --- docs_sample_pack: FUSED TX5→TX6 — the actual pipeline order: first
+#     the deterministic hash-stratified per-source sample, then
+#     concatenation-style packing of the SAMPLED docs into fixed context
+#     windows. One Catalyst DAG; any sampling divergence shifts every
+#     downstream bin boundary, so this compound gate checks both stages
+#     harder than the two standalone gates did (gate-window fusion per
+#     the docs_profile precedent — frees a driver slot).
+#     Scale: stateless sample filter on the scan (no shuffle) feeding the
+#     single partition-by-source packing exchange.
+
+
+def docs_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) \
+        .cast("long") % _SAMPLE_DEN
+    rate = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(int(r * _SAMPLE_DEN)))
+            for s, r in SAMPLE_RATES.items()
+        ],
+        F.lit(int(_SAMPLE_DEFAULT_RATE * _SAMPLE_DEN)),
+    )
+    sampled = docs.filter(bucket < rate)
+    toks = F.size(TX.tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_before = F.sum(toks).over(w) - toks
+    packed = sampled.select(
+        "doc_id", "source", toks.alias("n_tok"),
+        F.floor(cum_before / CONTEXT_TOKENS).cast("long").alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("bin_tokens"),
+    )
+
+
+DOCS_SAMPLE_PACK_SQL = f"""
+WITH sampled AS (
+  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+  WHERE {{BUCKET}} < {{RATE}}
+),
+binned AS (
+  SELECT doc_id, source, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok)
+           // {CONTEXT_TOKENS} AS bin_id
+  FROM sampled
+)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM binned
+GROUP BY source, bin_id
+""".replace("{BUCKET}", _BUCKET_SQL).replace("{RATE}", _RATE_SQL)
+
+
+# --- docs_word_filter_top: FUSED J4→A6 — array-membership semi-join
+#     filter feeding the groupArray+arraySort+arrayMap ordered-collection
+#     shape: of the docs containing any filter word, the 3 longest per
+#     lang as positioned rows, alongside the filtered per-lang totals.
+#     The filter runs BEFORE the collect, so a membership divergence
+#     changes both the arrays and the totals.
+
+
+def docs_word_filter_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    hit = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _FILTER_WORDS]))
+    filtered = docs.filter(hit)
+    collected = filtered.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n_chars")).alias("neg"),
+                                        F.col("doc_id").alias("doc_id")))
+            ),
+            1, 3,
+        ).alias("top"),
+    )
+    arrays = collected.select(
+        "lang", "n_docs", "total_chars",
+        F.transform(F.col("top"), lambda s: s.getField("doc_id")).alias("top_doc_ids"),
+    )
+    return arrays.select(
+        "lang", "n_docs", "total_chars",
+        F.posexplode("top_doc_ids").alias("pos", "doc_id"),
+    ).select(
+        "lang", "n_docs", "total_chars",
+        F.col("pos").cast("long").alias("pos"), "doc_id",
+    )
+
+
+DOCS_WORD_FILTER_TOP_SQL = f"""
+WITH filtered AS (
+  SELECT lang, doc_id, n_chars FROM documents
+  WHERE len(list_intersect({_TOKS}, {_FW})) > 0
+),
+tops AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         (list_transform(
+            list_sort(list(struct_pack(neg := -n_chars, doc_id := doc_id))),
+            s -> s.doc_id))[1:3] AS top_doc_ids
+  FROM filtered
+  GROUP BY lang
+),
+ex AS (
+  SELECT lang, n_docs, total_chars,
+         unnest(generate_series(1, len(top_doc_ids))) AS i,
+         unnest(top_doc_ids) AS doc_id
+  FROM tops
+)
+SELECT lang, n_docs, total_chars, CAST(i - 1 AS BIGINT) AS pos, doc_id FROM ex
 """

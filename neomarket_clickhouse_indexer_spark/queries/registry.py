@@ -128,22 +128,34 @@ _SPECS: list[QuerySpec] = [
               "exact n-gram Jaccard verification of LSH candidates"),
     QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
               ("DD5",), "16-bit SimHash document signatures"),
-    QuerySpec("docs_top_by_lang", D.docs_top_by_lang, D.DOCS_TOP_BY_LANG_SQL,
-              ("A6",), "groupArray+arraySort+arrayMap ordered collection"),
-    QuerySpec("docs_word_filter", D.docs_word_filter, D.DOCS_WORD_FILTER_SQL,
-              ("J4",), "array-membership semi-join filter"),
-    QuerySpec("docs_stratified_sample", D.docs_stratified_sample,
-              D.DOCS_STRATIFIED_SAMPLE_SQL, ("TX5", "BONUS"),
-              "deterministic hash-stratified per-source sampling "
-              "(shuffle-free mixing filter)"),
-    QuerySpec("docs_pack_sequences", D.docs_pack_sequences,
-              D.DOCS_PACK_SEQUENCES_SQL, ("TX6", "BONUS"),
-              "concatenation-style LM sequence packing into fixed context "
-              "windows (cumsum closed form)"),
-    QuerySpec("docs_contamination", PL.docs_contamination,
-              PL.DOCS_CONTAMINATION_SQL, ("TX7", "J1", "BONUS"),
-              "benchmark decontamination: 5-gram overlap vs broadcast "
-              "eval fingerprint set"),
+    QuerySpec("docs_word_filter_top", D.docs_word_filter_top,
+              D.DOCS_WORD_FILTER_TOP_SQL, ("J4", "A6"),
+              "FUSED J4→A6: array-membership semi-join filter feeding the "
+              "groupArray+arraySort+arrayMap ordered collection (gate-window "
+              "fusion — standalone forms stay past the cutoff)"),
+    QuerySpec("docs_sample_pack", D.docs_sample_pack,
+              D.DOCS_SAMPLE_PACK_SQL, ("TX5", "TX6"),
+              "FUSED TX5→TX6: hash-stratified per-source sample feeding "
+              "context-window sequence packing — any sampling divergence "
+              "shifts every bin boundary"),
+    QuerySpec("docs_curation_pipeline", PL.docs_curation_pipeline,
+              PL.DOCS_CURATION_PIPELINE_SQL,
+              ("TX1", "TX7", "DD1", "J8", "BONUS"),
+              "the WHOLE curation pass as one declarative DAG: eval-drop → "
+              "quality → exact-dedup → decontamination → per-source "
+              "accounting (stages share their standalone gates' logic)"),
+    QuerySpec("semdedup_prune", V.semdedup_prune, V.SEMDEDUP_PRUNE_SQL,
+              ("DD3", "VS4", "BONUS"),
+              "semantic deduplication (SemDeDup shape): coarse-quantizer "
+              "cluster assignment bounds the near-dup pair join to "
+              "within-cluster pairs (n²/k); prune = lower-id cluster-mate "
+              "with cosine ≥ τ"),
+    QuerySpec("docs_dup_ngram_spans", D.docs_dup_ngram_spans,
+              D.DOCS_DUP_NGRAM_SPANS_SQL, ("DD1", "W2", "BONUS"),
+              "cross-document duplicated-substring spans (exact-substring "
+              "dedup signal): positions whose 6-gram repeats across docs, "
+              "merged into maximal spans — Spark lag-window islands vs "
+              "oracle coverage-set anti-join, all-integer output"),
     QuerySpec("docs_tf_keywords", PL.docs_tf_keywords,
               PL.DOCS_TF_KEYWORDS_SQL, ("TX8", "W4", "BONUS"),
               "per-doc keywords by (tf desc, df asc) — integer TF-IDF "
@@ -338,12 +350,6 @@ _SPECS: list[QuerySpec] = [
               V.KNN_BRUTEFORCE_BATCHED_SQL, ("VS1", "BONUS"),
               "query-batched exact top-k: bounded broadcast per batch, "
               "same rows as the unbatched gate (oracle shared)"),
-    QuerySpec("docs_curation_pipeline", PL.docs_curation_pipeline,
-              PL.DOCS_CURATION_PIPELINE_SQL,
-              ("TX1", "TX7", "DD1", "J8", "BONUS"),
-              "the whole curation pass fused into one plan: eval-shard "
-              "drop -> quality -> exact-dedup winners -> decontamination "
-              "-> per-source token accounting"),
     QuerySpec("knn_ivf_trained", V.knn_ivf_trained,
               V.KNN_IVF_TRAINED_SQL, ("VS4", "VS2", "BONUS"),
               "IVF over the kmeans_train codebook: the full train->assign->"
@@ -373,23 +379,31 @@ _SPECS: list[QuerySpec] = [
               "per-source training-mix weights: temperature-scaled "
               "(α=1/2) vs proportional sampling, normalized entirely in "
               "integer space (sqrt micro-units, ppm integer division)"),
-    QuerySpec("docs_dup_ngram_spans", D.docs_dup_ngram_spans,
-              D.DOCS_DUP_NGRAM_SPANS_SQL, ("DD1", "W2", "BONUS"),
-              "cross-document duplicated-substring spans (exact-substring "
-              "dedup signal): positions whose 6-gram repeats across docs, "
-              "merged into maximal spans — Spark lag-window islands vs "
-              "oracle coverage-set anti-join, all-integer output"),
     QuerySpec("docs_bm25_search", PL.docs_bm25_search, PL.DOCS_BM25_SEARCH_SQL,
               ("TX8", "W4", "BONUS"),
               "BM25-shaped lexical retrieval (ln-free rational idf for "
               "cross-engine determinism); inverted-index tf/df aggregates, "
               "broadcast query terms, per-query top-k"),
-    QuerySpec("semdedup_prune", V.semdedup_prune, V.SEMDEDUP_PRUNE_SQL,
-              ("DD3", "VS4", "BONUS"),
-              "semantic deduplication (SemDeDup shape): coarse-quantizer "
-              "cluster assignment bounds the near-dup pair join to "
-              "within-cluster pairs (n²/k); prune = lower-id cluster-mate "
-              "with cosine ≥ τ"),
+    QuerySpec("docs_top_by_lang", D.docs_top_by_lang, D.DOCS_TOP_BY_LANG_SQL,
+              ("A6", "BONUS"),
+              "groupArray+arraySort+arrayMap ordered collection "
+              "(standalone form of the fused window gate)"),
+    QuerySpec("docs_word_filter", D.docs_word_filter, D.DOCS_WORD_FILTER_SQL,
+              ("J4", "BONUS"),
+              "array-membership semi-join filter (standalone form)"),
+    QuerySpec("docs_stratified_sample", D.docs_stratified_sample,
+              D.DOCS_STRATIFIED_SAMPLE_SQL, ("TX5", "BONUS"),
+              "deterministic hash-stratified per-source sampling "
+              "(standalone form)"),
+    QuerySpec("docs_pack_sequences", D.docs_pack_sequences,
+              D.DOCS_PACK_SEQUENCES_SQL, ("TX6", "BONUS"),
+              "concatenation-style LM sequence packing into fixed context "
+              "windows (standalone form)"),
+    QuerySpec("docs_contamination", PL.docs_contamination,
+              PL.DOCS_CONTAMINATION_SQL, ("TX7", "J1", "BONUS"),
+              "benchmark decontamination: 5-gram overlap vs broadcast "
+              "eval fingerprint set (standalone form; also runs inside "
+              "docs_curation_pipeline)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
