@@ -47,6 +47,11 @@ HEADLINE = [
     "docs_quality_filter",
     "docs_contamination",
     "docs_tf_keywords",
+    # r5 additions: retrieval + dedup-family depth
+    "docs_bm25_search",
+    "docs_dup_ngram_spans",
+    "docs_sample_pack",
+    "semdedup_prune",
 ]
 
 

@@ -125,8 +125,16 @@ GROUP BY 1, 2
 
 # --- near_dup_embeddings: embedding-cosine near-duplicate pairs (dedup by
 #     semantic similarity). Threshold filter over the pair scores.
+#
+#     The synthetic embeddings are near-orthogonal (max pairwise cosine
+#     ≈ 0.51 at sf0.01), so the production-style 0.9 threshold matched
+#     NOTHING and the gate compared two empty frames — a differential that
+#     verifies only the schema. 0.4 sits at the far tail of the actual
+#     distribution (~60 pairs at sf0.01), so the gate now exercises the
+#     pair arithmetic end-to-end; with real embeddings this constant goes
+#     back to ~0.9 (same honesty note as HYBRID_SIM_THRESHOLD below).
 
-SIM_THRESHOLD = 0.9
+SIM_THRESHOLD = 0.4
 
 
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,7 +1223,10 @@ KNN_PQ_ADC_SQL = _pq_sql()
 #     A hot-cluster cap like the LSH band cap (operators/dedup.py) applies
 #     unchanged if the clusterer degenerates.
 
-SEM_TAU = 0.9
+# 0.3 for the synthetic near-orthogonal corpus (production value ~0.9 —
+# see the SIM_THRESHOLD note above): low enough that the within-cluster
+# pair scan and the prune aggregates produce a populated differential.
+SEM_TAU = 0.3
 
 
 def _all_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,9 @@ INTENTIONAL_CROSS = {
     "kmeans_train",  # same broadcast centroid-probe, iterated
     "knn_ivf_trained",  # trained-codebook probe, same broadcast shape
     "supplier_share_having",  # 1-row broadcast grand-total threshold
+    "semdedup_prune",  # k-row broadcast centroid probe (same as knn_ivf)
+    "docs_bm25_search",  # 1-row broadcast corpus stats (N, avgdl)
+    "docs_mixture_weights",  # 1-row broadcast normalization totals
 }
 for name in sorted(REGISTRY):
     if name == "domain_ledger_summary":  # triggers eager work; skip plan-only audit

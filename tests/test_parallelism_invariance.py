@@ -28,6 +28,13 @@ QUERIES = [
     "fifo_pnl_modes_unrealized",
     "knn_pq_adc",
     "docs_shuffle_shards",
+    # r5b additions: max_by cluster argmax + pair-scan prune; dsum'd BM25
+    # term sums + ranked top-k; lag-window island merge; window cumsum
+    # packing over a sampled subset
+    "semdedup_prune",
+    "docs_bm25_search",
+    "docs_dup_ngram_spans",
+    "docs_sample_pack",
 ]
 
 
