@@ -1247,3 +1247,257 @@ ex AS (
 )
 SELECT lang, n_docs, total_chars, CAST(i - 1 AS BIGINT) AS pos, doc_id FROM ex
 """
+
+
+# --- docs_setsim_join: DD6 — EXACT set-similarity self-join via prefix
+#     filtering (PPJoin family: Xiao et al., "Efficient Similarity Joins
+#     for Near Duplicate Detection", WWW'08). The exact-recall complement
+#     to the MinHash-LSH path: LSH (docs_near_dup_pairs) trades recall for
+#     speed; prefix filtering guarantees EVERY pair with token-set Jaccard
+#     >= tau is emitted, while still avoiding the all-pairs join. The
+#     differential vs a full inverted-index oracle therefore PROVES 100%
+#     recall at sf0.01, not just precision.
+#
+#     Scale story (100 TB): tokens are canonically ordered rarest-first
+#     (global df ASC, token ASC), and only the first
+#     p = |x| - ceil(tau*|x|) + 1 tokens of each doc are indexed — any
+#     qualifying pair must share at least one of these prefix tokens. The
+#     candidate join keys on RARE tokens by construction, so bucket sizes
+#     stay small exactly where a naive token inverted index explodes
+#     (stopword buckets). The df table is vocabulary-sized → broadcast.
+#     All thresholds are exact integer cross-multiplications; no floats
+#     until the final reported quotient.
+
+SETSIM_TAU_NUM, SETSIM_TAU_DEN = 4, 5  # tau = 0.8 token-set Jaccard
+
+
+def docs_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(
+        "doc_id",
+        F.array_distinct(TX.tokens(F.col("text"))).alias("tok"),
+    ).withColumn("sz", F.size("tok").cast("long")).persist()
+
+    ix = tok.select("doc_id", "sz", F.explode("tok").alias("token"))
+    df_tbl = ix.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    # canonical rarest-first order; (df, token) is a total order because
+    # tokens are distinct within a doc
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "token")
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({SETSIM_TAU_NUM}*sz + {SETSIM_TAU_DEN - 1}) div {SETSIM_TAU_DEN}")
+        + F.lit(1)
+    )
+    prefix = (
+        ix.join(F.broadcast(df_tbl), "token")
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "sz", "token")
+    )
+
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "token"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "token"
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: tau*|x| <= |y| <= |x|/tau, integer cross-mult
+            & (F.col("sz_b") * SETSIM_TAU_DEN >= F.col("sz_a") * SETSIM_TAU_NUM)
+            & (F.col("sz_a") * SETSIM_TAU_DEN >= F.col("sz_b") * SETSIM_TAU_NUM)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    inter = F.size(F.array_intersect("tok_a", "tok_b")).cast("long")
+    union = (
+        F.size("tok_a").cast("long") + F.size("tok_b").cast("long") - F.col("inter_n")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("inter_n", inter)
+        .withColumn("union_n", union)
+        .filter(
+            F.col("inter_n") * SETSIM_TAU_DEN >= F.col("union_n") * SETSIM_TAU_NUM
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_n",
+            "union_n",
+            F.round(F.col("inter_n") / F.col("union_n"), 4).alias("jaccard"),
+        )
+    )
+
+
+_DTOK = "list_distinct(string_split(text, ' '))"
+
+DOCS_SETSIM_JOIN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_DTOK} AS tok, CAST(len({_DTOK}) AS BIGINT) AS sz
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, unnest(tok) AS token FROM tok
+),
+pairs AS (
+  -- full inverted index, NO prefix filter: an independent algorithm whose
+  -- agreement proves the Spark side's prefix filter loses no pairs
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM ix a JOIN ix b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_n,
+       CAST(sa.sz + sb.sz - inter_n AS BIGINT) AS union_n,
+       ROUND(inter_n / (sa.sz + sb.sz - inter_n), 4) AS jaccard
+FROM pairs
+JOIN tok sa ON pairs.doc_a = sa.doc_id
+JOIN tok sb ON pairs.doc_b = sb.doc_id
+WHERE inter_n * {SETSIM_TAU_DEN} >= (sa.sz + sb.sz - inter_n) * {SETSIM_TAU_NUM}
+"""
+
+
+# --- docs_weighted_sample: TX5+ — weighted systematic sampling without
+#     replacement (the deterministic, all-integer alternative to
+#     Efraimidis-Spirakis u^(1/w) keys, whose pow()/ln() floats would not
+#     hash-match across engines). Per source, documents are laid on a
+#     weight axis (w = n_chars) in doc_id order; K equi-spaced boundaries
+#     b_i = i * (total div K) each select the document whose cumulative
+#     weight interval covers the boundary — P(selected) proportional to
+#     weight, exactly K picks (with replacement collapsed per boundary).
+#
+#     Spark: per-row crossing test — each doc emits the boundary indices
+#     inside (cum - w, cum]. Oracle: per-BOUNDARY argmin — arg_min(doc,
+#     cum) over docs with cum >= b_i. Equivalent because cum is strictly
+#     increasing (w > 0), but computed by independent algorithms.
+#
+#     Scale note: the per-source running sum is a bounded-cardinality
+#     window (sources are an enum); at 100 TB the same plan holds because
+#     the window is the two-phase per-partition-cumsum + offset pattern
+#     Spark already uses, and the boundary fan-out is a per-row O(1)
+#     sequence explode. Pairs with docs_mixture_weights: that op decides
+#     per-source RATES, this op materializes the per-source PICKS.
+
+DOCS_SYSSAMPLE_K = 8  # picks per source
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    win_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    win_all = Window.partitionBy("source")
+    d = (
+        docs.select("source", "doc_id", F.col("n_chars").cast("long").alias("w"))
+        # zero-weight docs are never sampled AND must not blur the strictly-
+        # increasing cum the oracle's arg_min tie-breaking relies on
+        .filter(F.col("w") > 0)
+        .withColumn("cum", F.sum("w").over(win_cum))
+        .withColumn("total", F.sum("w").over(win_all))
+        .withColumn(
+            "step",
+            F.greatest(F.lit(1).cast("long"), F.expr(f"total div {DOCS_SYSSAMPLE_K}")),
+        )
+    )
+    i_lo = F.expr("(cum - w) div step") + F.lit(1).cast("long")
+    i_hi = F.least(F.expr("cum div step"), F.lit(DOCS_SYSSAMPLE_K).cast("long"))
+    return (
+        d.withColumn(
+            "idxs",
+            F.when(i_hi >= i_lo, F.sequence(i_lo, i_hi)).otherwise(
+                F.lit(None).cast("array<long>")
+            ),
+        )
+        .select(
+            "source",
+            F.explode("idxs").alias("boundary_idx"),
+            "doc_id",
+            F.col("cum").alias("sel_cum"),
+        )
+    )
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = f"""
+WITH w AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum,
+         CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM documents
+  WHERE n_chars > 0
+),
+st AS (
+  SELECT DISTINCT source, GREATEST(1, total // {DOCS_SYSSAMPLE_K}) AS step FROM w
+),
+bnd AS (
+  SELECT source, step,
+         unnest(generate_series(1, {DOCS_SYSSAMPLE_K})) AS boundary_idx
+  FROM st
+)
+SELECT b.source, CAST(b.boundary_idx AS BIGINT) AS boundary_idx,
+       arg_min(w.doc_id, w.cum) AS doc_id,
+       CAST(MIN(w.cum) AS BIGINT) AS sel_cum
+FROM bnd b
+JOIN w ON w.source = b.source AND w.cum >= b.boundary_idx * b.step
+GROUP BY 1, 2
+"""
+
+
+# --- docs_dedup_keep_best: DD1+ — duplicate-cluster representative
+#     SELECTION. docs_dedup_exact keeps min doc_id per exact-content hash;
+#     real curation keeps the BEST copy. Cluster key = bag-of-words
+#     signature (md5 of the sorted distinct token set), which groups
+#     reordered / repeated-token variants whose n_chars genuinely differ;
+#     winner = longest text, doc_id as the deterministic tiebreak.
+#
+#     Spark: one hash-groupBy with max_by over a (n_chars, -doc_id) struct
+#     order key — A4's tuple-argmax applied to curation. Oracle: arg_min
+#     over an ENCODED integer key (-n_chars * 1e9 + doc_id) — an
+#     independent mechanism for the same lexicographic order (doc_id <
+#     1e9 in every fixture). Per-cluster dropped_chars quantifies what
+#     dedup discards.
+#
+#     Scale: single shuffle on the signature hash, map-side partial
+#     aggregation; no window, no join. Same shape as docs_dedup_exact.
+
+
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(TX.tokens(F.col("text")))))
+    )
+    d = docs.select(
+        sig.alias("bow_sig"), "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    order_key = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    return d.groupBy("bow_sig").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max_by("doc_id", order_key).alias("keep_doc_id"),
+        F.max("n_chars").alias("kept_n_chars"),
+        (F.sum("n_chars") - F.max("n_chars")).alias("dropped_chars"),
+    )
+
+
+DOCS_DEDUP_KEEP_BEST_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS bow_sig,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       arg_min(doc_id, -CAST(n_chars AS BIGINT) * 1000000000 + doc_id)
+         AS keep_doc_id,
+       CAST(MAX(n_chars) AS BIGINT) AS kept_n_chars,
+       CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS dropped_chars
+FROM documents
+GROUP BY 1
+"""

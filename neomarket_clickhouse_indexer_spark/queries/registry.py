@@ -404,6 +404,23 @@ _SPECS: list[QuerySpec] = [
               "benchmark decontamination: 5-gram overlap vs broadcast "
               "eval fingerprint set (standalone form; also runs inside "
               "docs_curation_pipeline)"),
+    QuerySpec("docs_setsim_join", D.docs_setsim_join, D.DOCS_SETSIM_JOIN_SQL,
+              ("DD6", "J1", "U3", "BONUS"),
+              "EXACT prefix-filtered set-similarity self-join (PPJoin "
+              "family): rarest-first canonical token order, integer "
+              "threshold arithmetic; oracle = full inverted index, so the "
+              "differential proves 100% recall of the prefix filter"),
+    QuerySpec("docs_weighted_sample", D.docs_weighted_sample,
+              D.DOCS_WEIGHTED_SAMPLE_SQL, ("TX5", "W2", "BONUS"),
+              "weighted systematic sampling (all-integer boundary crossing; "
+              "oracle = per-boundary arg_min — independent algorithm); "
+              "materializes the picks that docs_mixture_weights' rates call "
+              "for"),
+    QuerySpec("docs_dedup_keep_best", D.docs_dedup_keep_best,
+              D.DOCS_DEDUP_KEEP_BEST_SQL, ("DD1", "A4", "BONUS"),
+              "duplicate-cluster representative selection: bag-of-words "
+              "signature clusters, keep the longest copy (struct max_by vs "
+              "encoded-integer arg_min oracle); quantifies dropped chars"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

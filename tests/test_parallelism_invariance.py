@@ -35,6 +35,11 @@ QUERIES = [
     "docs_bm25_search",
     "docs_dup_ngram_spans",
     "docs_sample_pack",
+    # r5c additions: rarest-first row_number prefix ranking (window over a
+    # broadcast-joined df table); per-source cumulative-weight boundary
+    # crossing (window cumsum + sequence explode)
+    "docs_setsim_join",
+    "docs_weighted_sample",
 ]
 
 
