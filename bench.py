@@ -52,6 +52,8 @@ HEADLINE = [
     "docs_dup_ngram_spans",
     "docs_sample_pack",
     "semdedup_prune",
+    # r5c: exact-recall similarity join (the prefix-filter flagship)
+    "docs_setsim_join",
 ]
 
 

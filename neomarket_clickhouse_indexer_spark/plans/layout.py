@@ -171,3 +171,79 @@ def write_bucketed(
         .mode("overwrite")
         .saveAsTable(table_name)
     )
+
+
+# --- Z-order (multi-dimension interleaved) layout ------------------------
+
+ZORDER_FILES = 16
+
+
+def _zvalue(type_code, user_bucket) -> F.Column:
+    """Bit-interleave an 8-bit user bucket with a 3-bit type code into one
+    sortable key: user bit i → position 2i, type bit i → position 2i+1.
+    Sorting by this key gives RANGE LOCALITY ON BOTH DIMENSIONS at once —
+    the property a single-column sort key cannot provide (a (type, user)
+    sort prunes user predicates only within one type). The Delta/Iceberg
+    ZORDER analog of ClickHouse's multi-column MergeTree ORDER BY."""
+    # ((ub >> i) & 1) << 2i  |  ((tc >> i) & 1) << 2i+1 — pure integer ops
+    z = F.lit(0).cast("long")
+    for i in range(8):
+        z = z + F.shiftleft(F.shiftright(F.col(user_bucket), i).bitwiseAND(F.lit(1)), 2 * i)
+    for i in range(3):
+        z = z + F.shiftleft(F.shiftright(F.col(type_code), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder_events_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/read-many Z-ordered layout of the events table: rows
+    range-partitioned and sorted by the interleaved (user_id, event_type)
+    key, so parquet row-group min/max statistics are selective for
+    predicates on EITHER OR BOTH dimensions. Same build-token discipline
+    as clustered_events_layout (rebuilds only when the source parquet
+    changes). The distinct event-type list is collected once — a bounded
+    enum (S5 driver-side-catalog doctrine), embedded as a literal array so
+    the type→code map is deterministic."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table, table_path
+
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    token = f"{st.st_mtime_ns}:{st.st_size}"
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"zorder_scan_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(out_dir, "_BUILD_TOKEN")
+    try:
+        with open(marker) as fh:
+            if fh.read() == token:
+                return out_dir
+    except OSError:
+        pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    tcode = (
+        F.array_position(
+            F.array(*[F.lit(t) for t in types]), F.col("event_type")
+        ).cast("long")
+        - 1
+    )
+    zed = (
+        ev.withColumn("type_code", tcode)
+        .withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(256)).cast("long"))
+        .withColumn("zv", _zvalue("type_code", "user_bucket"))
+        .drop("type_code", "user_bucket")
+    )
+    (
+        zed.repartitionByRange(ZORDER_FILES, "zv")
+        .sortWithinPartitions("zv")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    with open(marker, "w") as fh:
+        fh.write(token)
+    return out_dir

@@ -359,3 +359,48 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# --- zorder_scan_skipping (P8 depth): two-dimension data skipping. The
+#     clustered layout (above) sorts on (event_type, ts) — selective for
+#     the LEADING key only. The Z-ordered layout interleaves (user_id,
+#     event_type) bits (plans/layout.py::zorder_events_layout), so a
+#     conjunctive predicate on BOTH dims maps to a small number of zv
+#     ranges and parquet row-group min/max stats skip everything else —
+#     the multi-dim analog of ClickHouse's MergeTree ORDER BY tuple
+#     (clickhouse/init/001_create_tables.sql:43-44) that a single sort key
+#     cannot provide. The differential checks the rewritten layout serves
+#     EXACTLY the raw table's answer; test_layout asserts both predicates
+#     reach the scan as PushedFilters.
+
+
+def zorder_scan_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.layout import zorder_events_layout
+
+    out_dir = zorder_events_layout(spark, sf_dir)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").between(16, 47)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            dsum(F.col("value"), "user_value"),
+        )
+    )
+
+
+ZORDER_SCAN_SKIPPING_SQL = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event,
+       {sql_dsum("value", "user_value")}
+FROM events
+WHERE event_type = 'purchase' AND user_id BETWEEN 16 AND 47
+GROUP BY user_id
+"""

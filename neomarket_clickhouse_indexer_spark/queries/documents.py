@@ -1049,10 +1049,13 @@ def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(TX.shingles(TX.tokens(F.col("text")), _DUP_W, distinct=False))
         .alias("p", "gram"),
     )
+    # "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id): exact,
+    # and min/max partial-aggregate map-side where countDistinct would
+    # carry per-gram doc-id sets through the shuffle
     dup_grams = (
         base.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("gram")
     )
     duppos = base.join(dup_grams, "gram").select("doc_id", "dl", "p")

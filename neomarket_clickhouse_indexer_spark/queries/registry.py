@@ -421,6 +421,11 @@ _SPECS: list[QuerySpec] = [
               "duplicate-cluster representative selection: bag-of-words "
               "signature clusters, keep the longest copy (struct max_by vs "
               "encoded-integer arg_min oracle); quantifies dropped chars"),
+    QuerySpec("zorder_scan_skipping", AC.zorder_scan_skipping,
+              AC.ZORDER_SCAN_SKIPPING_SQL, ("P8", "P3", "BONUS"),
+              "two-dimension data skipping: Z-order bit-interleaved "
+              "(user_id, event_type) layout serves a conjunctive predicate "
+              "on both dims; differential vs the raw table"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

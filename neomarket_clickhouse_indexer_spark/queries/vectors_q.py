@@ -1227,6 +1227,8 @@ KNN_PQ_ADC_SQL = _pq_sql()
 # see the SIM_THRESHOLD note above): low enough that the within-cluster
 # pair scan and the prune aggregates produce a populated differential.
 SEM_TAU = 0.3
+# pair-join salt fan-out: parallelism = n_clusters × _SEM_SALTS (see below)
+_SEM_SALTS = 8
 
 
 def _all_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,27 +1262,41 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         VX.cosine_rounded(F.col("embedding"), F.col("centroid"), 6).alias("csim"),
     )
     # argmax centroid per vector: max (csim, -label) struct → lowest label
-    # wins ties; embedding rides along in the grouping key (constant per id)
-    assigned = scored.groupBy("vec_id", "embedding").agg(
+    # wins ties; embedding is constant per vec_id so F.first is exact
+    assigned = scored.groupBy("vec_id").agg(
         F.max_by(
             F.col("cent_label"),
             F.struct(F.col("csim"), (-F.col("cent_label")).alias("nl")),
-        ).alias("cluster")
+        ).alias("cluster"),
+        F.first("embedding").alias("embedding"),
     )
+    # The within-cluster pair join's parallelism is otherwise bounded by the
+    # NUMBER OF CLUSTERS (k partitions carry all the quadratic work, so 10
+    # clusters use 10 cores no matter the executor count). Salt it: the a
+    # side hashes vec_a into one of _SEM_SALTS sub-keys, the b side is
+    # replicated across all of them — identical pair set, k×_SEM_SALTS-way
+    # parallelism, replication cost only on the (small) per-cluster rows.
     a = assigned.select(
         F.col("cluster").alias("cl_a"),
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         VX.norm(F.col("embedding")).alias("norm_a"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_SEM_SALTS)).alias("salt_a"),
     )
     b = assigned.select(
         F.col("cluster").alias("cl_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         VX.norm(F.col("embedding")).alias("norm_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALTS - 1))).alias("salt_b"),
     )
     pairs = (
-        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cl_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .select(
             F.col("cl_a").alias("cluster"),
             "vec_a",

@@ -92,3 +92,48 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_zorder_layout_skips_on_both_dims(spark):
+    """The Z-ordered layout must (a) push BOTH dimension predicates down to
+    the parquet scan, (b) concentrate any (type, user-range) slice into few
+    files — the two-dimensional locality a single-column sort cannot give —
+    and (c) serve exactly the raw table's rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from neomarket_clickhouse_indexer_spark.plans.layout import (
+        zorder_events_layout,
+    )
+
+    out = zorder_events_layout(spark, SF_SMOKE)
+    scan = (
+        spark.read.parquet(out)
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").between(16, 47))
+        .select("event_id")
+    )
+    plan = explain_str(scan, "formatted")
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "event_type" in pushed and "user_id" in pushed
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) > 4, "z-layout should split into multiple zv-ranged files"
+    # two-dim locality: the slice's rows live in a strict subset of files
+    touching = 0
+    for f in files:
+        t = pq.read_table(f, columns=["event_type", "user_id"])
+        et, uid = t.column("event_type").to_pylist(), t.column("user_id").to_pylist()
+        if any(e == "purchase" and 16 <= u <= 47 for e, u in zip(et, uid)):
+            touching += 1
+    assert touching < len(files), (
+        f"slice touches all {len(files)} files — no z-locality"
+    )
+
+    raw = load_table(spark, SF_SMOKE, "events")
+    assert (
+        scan.count()
+        == raw.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").between(16, 47)
+        ).count()
+    )
