@@ -1043,7 +1043,13 @@ _DUP_W = 6
 
 def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = _spread(docs, spark).select(
+    return dup_ngram_spans_frame(_spread(docs, spark))
+
+
+def dup_ngram_spans_frame(docs: DataFrame) -> DataFrame:
+    """Core pass over any (doc_id, text) frame — split out so
+    scripts/scale_check.py can drive it at N× corpus scale."""
+    base = docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("dl"),
         F.posexplode(TX.shingles(TX.tokens(F.col("text")), _DUP_W, distinct=False))
@@ -1276,6 +1282,13 @@ SETSIM_TAU_NUM, SETSIM_TAU_DEN = 4, 5  # tau = 0.8 token-set Jaccard
 
 def docs_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    return setsim_pairs(docs)
+
+
+def setsim_pairs(docs: DataFrame) -> DataFrame:
+    """Core prefix-filtered join over any (doc_id, text) frame — split out
+    so the hypothesis property test can drive it with adversarial corpora
+    (tests/test_setsim_property.py: result == all-pairs brute force)."""
     tok = docs.select(
         "doc_id",
         F.array_distinct(TX.tokens(F.col("text"))).alias("tok"),

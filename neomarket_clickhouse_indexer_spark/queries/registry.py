@@ -103,8 +103,11 @@ _SPECS: list[QuerySpec] = [
               E.MERGED_TIMELINE_PAGE_SQL, ("T4", "U2", "T2", "T3"),
               "heterogeneous union merged into one total order, paginated "
               "via TakeOrdered (unified activity feed)"),
-    QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
-              ("DD1",), "exact dedup by content hash"),
+    QuerySpec("docs_dedup_keep_best", D.docs_dedup_keep_best,
+              D.DOCS_DEDUP_KEEP_BEST_SQL, ("DD1", "A4", "BONUS"),
+              "duplicate-cluster representative selection: bag-of-words "
+              "signature clusters, keep the longest copy (struct max_by vs "
+              "encoded-integer arg_min oracle); quantifies dropped chars"),
     QuerySpec("docs_profile", D.docs_profile, D.DOCS_PROFILE_SQL,
               ("TX1", "TX2", "TX3", "TX4"),
               "fused per-document analysis pass: quality stats + lang-id + "
@@ -208,9 +211,11 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("validation_quarantine", AC.validation_quarantine,
               AC.VALIDATION_QUARANTINE_SQL, ("P9",),
               "row validation guards vs injected deterministic corruption"),
-    QuerySpec("clustered_scan_skipping", AC.clustered_scan_skipping,
-              AC.CLUSTERED_SCAN_SKIPPING_SQL, ("P8", "P3", "S4"),
-              "partition-pruned + clustered-layout read == raw-table oracle"),
+    QuerySpec("zorder_scan_skipping", AC.zorder_scan_skipping,
+              AC.ZORDER_SCAN_SKIPPING_SQL, ("P8", "P3", "BONUS"),
+              "two-dimension data skipping: Z-order bit-interleaved "
+              "(user_id, event_type) layout serves a conjunctive predicate "
+              "on both dims; differential vs the raw table"),
     QuerySpec("adaptive_window_trades", AC.adaptive_window_trades,
               AC.ADAPTIVE_WINDOW_TRADES_SQL, ("T6", "P7"),
               "adaptive widening window decision for all users in one pass"),
@@ -416,16 +421,11 @@ _SPECS: list[QuerySpec] = [
               "oracle = per-boundary arg_min — independent algorithm); "
               "materializes the picks that docs_mixture_weights' rates call "
               "for"),
-    QuerySpec("docs_dedup_keep_best", D.docs_dedup_keep_best,
-              D.DOCS_DEDUP_KEEP_BEST_SQL, ("DD1", "A4", "BONUS"),
-              "duplicate-cluster representative selection: bag-of-words "
-              "signature clusters, keep the longest copy (struct max_by vs "
-              "encoded-integer arg_min oracle); quantifies dropped chars"),
-    QuerySpec("zorder_scan_skipping", AC.zorder_scan_skipping,
-              AC.ZORDER_SCAN_SKIPPING_SQL, ("P8", "P3", "BONUS"),
-              "two-dimension data skipping: Z-order bit-interleaved "
-              "(user_id, event_type) layout serves a conjunctive predicate "
-              "on both dims; differential vs the raw table"),
+    QuerySpec("docs_dedup_exact", D.docs_dedup_exact, D.DOCS_DEDUP_EXACT_SQL,
+              ("DD1",), "exact dedup by content hash"),
+    QuerySpec("clustered_scan_skipping", AC.clustered_scan_skipping,
+              AC.CLUSTERED_SCAN_SKIPPING_SQL, ("P8", "P3", "S4"),
+              "partition-pruned + clustered-layout read == raw-table oracle"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -124,6 +124,16 @@ def main() -> None:
         ),
     )
 
+    # duplicated-span detection at N× docs: the corpus-wide dup-gram index
+    # (the heaviest bench query) — gram cardinality grows ~linearly, the
+    # min/max dup test partial-aggregates map-side, and the span-merge
+    # window is per-doc; work should scale ~linearly with the corpus
+    from neomarket_clickhouse_indexer_spark.queries.documents import (
+        dup_ngram_spans_frame,
+    )
+
+    timed("dup_ngram_spans", dup_ngram_spans_frame(big_docs))
+
     # vector surface at N× embeddings: the broadcast-probe patterns must
     # stay corpus-linear (one scan, no corpus shuffle) as the corpus grows
     from neomarket_clickhouse_indexer_spark.functions import vectors as VX

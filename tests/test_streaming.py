@@ -78,3 +78,46 @@ def test_merge_is_idempotent_under_replay(spark, tmpdir):
     # already-merged state replaces those buckets with identical content
     again = merge_candle_states(once)
     assert _final(once).equals(_final(again))
+
+
+def test_drop_duplicates_within_watermark(spark, tmpdir):
+    """Native streaming dedup (ST2/ST4): re-delivered event_ids inside the
+    watermark horizon are dropped by Spark's own
+    ``dropDuplicatesWithinWatermark`` state store, so the downstream count
+    equals the distinct batch count — the engine-level alternative to the
+    date-partition overwrite replay path (streaming/incremental.py), with
+    state bounded by the watermark instead of growing forever (the property
+    that matters at 100 TB/day: dedup state is O(events-per-horizon), not
+    O(history)). Reference parity: ReplacingMergeTree dedup-by-id
+    (clickhouse/init/001_create_tables.sql:406-425) under at-least-once
+    delivery."""
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+
+    src_dir = os.path.join(tmpdir, "dup_src")
+    # deliver everything twice (at-least-once replay), split across files
+    # so multiple microbatches carry the duplicates
+    for i in range(2):
+        ev.write.mode("append" if i else "overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        # watermarks require TIMESTAMP (LTZ); the table ships TIMESTAMP_NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out_dir = os.path.join(tmpdir, "dup_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tmpdir, "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count()
