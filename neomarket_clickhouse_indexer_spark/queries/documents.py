@@ -1048,23 +1048,35 @@ def docs_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dup_ngram_spans_frame(docs: DataFrame) -> DataFrame:
     """Core pass over any (doc_id, text) frame — split out so
-    scripts/scale_check.py can drive it at N× corpus scale."""
+    scripts/scale_check.py can drive it at N× corpus scale.
+
+    The gram index keys on ``xxhash64(gram)`` (8 bytes) instead of the
+    ~30-char gram string: the groupBy and the candidate join shuffle a
+    fixed-width long, ~4× less shuffle I/O at 30× docs. A hash collision
+    would merge two distinct grams into one dup bucket — P ≈ n²/2⁶⁵, the
+    same accepted epsilon as the md5-keyed LSH band family
+    (functions/text.py); for a duplication *signal* that is noise, not
+    corruption. The sf0.01 oracle compares exact gram strings and still
+    hash-matches because no collision occurs at fixture scale (or any
+    plausible one)."""
     base = docs.select(
         "doc_id",
         TX.token_count(F.col("text")).alias("dl"),
         F.posexplode(TX.shingles(TX.tokens(F.col("text")), _DUP_W, distinct=False))
         .alias("p", "gram"),
-    )
+    ).withColumn("gram", F.xxhash64("gram"))
     # "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id): exact,
-    # and min/max partial-aggregate map-side where countDistinct would
-    # carry per-gram doc-id sets through the shuffle
-    dup_grams = (
-        base.groupBy("gram")
-        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+    # and computed as a whole-partition WINDOW over the gram key rather
+    # than groupBy + self-join — the gram index is built and consumed in
+    # ONE shuffle, and the explode/hash subtree runs once instead of
+    # twice (34s → 12s steady at 30× docs, scripts/scale_check.py)
+    wg = Window.partitionBy("gram")
+    duppos = (
+        base.withColumn("d_lo", F.min("doc_id").over(wg))
+        .withColumn("d_hi", F.max("doc_id").over(wg))
         .filter(F.col("d_lo") != F.col("d_hi"))
-        .select("gram")
+        .select("doc_id", "dl", "p")
     )
-    duppos = base.join(dup_grams, "gram").select("doc_id", "dl", "p")
     w = Window.partitionBy("doc_id").orderBy("p")
     spans = (
         duppos.withColumn("prev_p", F.lag("p").over(w))
@@ -1516,4 +1528,64 @@ SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' 
        CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT) AS dropped_chars
 FROM documents
 GROUP BY 1
+"""
+
+
+# --- docs_unigram_surprisal: TX1++ — corpus-statistics quality signal,
+#     the integer-deterministic analog of CCNet's LM-perplexity filter
+#     (Wenzek et al. 2020): documents whose tokens are rare in the corpus
+#     score high, boilerplate scores low. Surprisal proxy per token =
+#     N_docs·1e6 div df(token) (inverse document frequency in exact ppm
+#     micro-units — no ln(), whose libm rounding differs across engines).
+#     Per document: the sum over the token SEQUENCE (repetitions count,
+#     like a unigram LM) and the integer mean.
+#
+#     Scale: the df table is vocabulary-sized → broadcast; the corpus
+#     explodes once and re-groups on doc_id; no corpus-×-corpus work.
+
+
+def docs_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    n_docs = docs.count()  # scalar, driver-side (one count job)
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    df_tbl = (
+        docs.select("doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    surp = F.expr(f"(CAST({n_docs} AS BIGINT) * 1000000) div df")
+    return (
+        toks.join(F.broadcast(df_tbl), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(surp).alias("sum_surprisal_ppm"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_surprisal_ppm",
+            F.expr("sum_surprisal_ppm div n_tokens").alias("mean_surprisal_ppm"),
+        )
+    )
+
+
+DOCS_UNIGRAM_SURPRISAL_SQL = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfs AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents)
+  GROUP BY 1
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM((n.n_docs * 1000000) // d.df) AS BIGINT) AS sum_surprisal_ppm,
+       CAST(CAST(SUM((n.n_docs * 1000000) // d.df) AS BIGINT)
+            // COUNT(*) AS BIGINT) AS mean_surprisal_ppm
+FROM toks t JOIN dfs d USING (token) CROSS JOIN n
+GROUP BY t.doc_id
 """

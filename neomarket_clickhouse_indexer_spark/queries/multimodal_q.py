@@ -119,3 +119,76 @@ SELECT doc_id, source,
 FROM energies
 GROUP BY doc_id, source
 """
+
+
+# --- multimodal_scene_cuts: the video half of the media mandate — shot-
+#     boundary detection over the per-window energy stream (the classic
+#     frame-difference cut detector, run on the same windowed features the
+#     audio gate extracts). A window is a CUT when its energy moved by at
+#     least 1/CUT_DEN of the previous window's energy — an all-integer
+#     rational test, so both engines agree bit-for-bit. A real pipeline
+#     would difference decoded frame histograms; the windowing, lag state,
+#     per-doc ordering, and cut accounting are identical (decode itself is
+#     the one env-stubbed step, multimodal/media.py:61).
+
+CUT_DEN = 5  # cut when |Δenergy| ≥ 20% of the previous window's energy
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..multimodal.media import pcm_window_energy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    wins = pcm_window_energy(
+        docs, "doc_id", "payload", window=ENERGY_WINDOW, carry_cols=("source",)
+    )
+    w = Window.partitionBy("doc_id").orderBy("window_idx")
+    lagged = wins.withColumn("prev_e", F.lag("energy").over(w))
+    is_cut = F.col("prev_e").isNotNull() & (
+        F.abs(F.col("energy") - F.col("prev_e")) * CUT_DEN >= F.col("prev_e")
+    )
+    return lagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(is_cut.cast("long")).alias("n_cuts"),
+        F.min(F.when(is_cut, F.col("window_idx"))).cast("long").alias("first_cut_idx"),
+    )
+
+
+MULTIMODAL_SCENE_CUTS_SQL = f"""
+WITH codes AS (
+  SELECT doc_id, source,
+         list_transform(string_split_regex(text, ''), c -> unicode(c)) AS cs
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, source, cs,
+         unnest(generate_series(0,
+           CAST(ceil(len(cs) / {ENERGY_WINDOW}.0) AS INT) - 1)) AS w
+  FROM codes
+),
+energies AS (
+  SELECT doc_id, source, w,
+         list_sum(list_transform(
+           list_slice(cs, w * {ENERGY_WINDOW} + 1, (w + 1) * {ENERGY_WINDOW}),
+           x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS energy
+  FROM wins
+),
+lagged AS (
+  SELECT doc_id, source, w, energy,
+         LAG(energy) OVER (PARTITION BY doc_id ORDER BY w) AS prev_e
+  FROM energies
+)
+SELECT doc_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN prev_e IS NOT NULL
+                      AND abs(energy - prev_e) * {CUT_DEN} >= prev_e
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(MIN(CASE WHEN prev_e IS NOT NULL
+                      AND abs(energy - prev_e) * {CUT_DEN} >= prev_e
+                     THEN w END) AS BIGINT) AS first_cut_idx
+FROM lagged
+GROUP BY doc_id, source
+"""

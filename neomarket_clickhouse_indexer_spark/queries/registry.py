@@ -426,6 +426,16 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("clustered_scan_skipping", AC.clustered_scan_skipping,
               AC.CLUSTERED_SCAN_SKIPPING_SQL, ("P8", "P3", "S4"),
               "partition-pruned + clustered-layout read == raw-table oracle"),
+    QuerySpec("docs_unigram_surprisal", D.docs_unigram_surprisal,
+              D.DOCS_UNIGRAM_SURPRISAL_SQL, ("TX1", "J5", "BONUS"),
+              "CCNet-style corpus-statistics quality signal: inverse-df "
+              "surprisal in exact integer ppm (no ln()), vocabulary-sized "
+              "broadcast, one corpus explode"),
+    QuerySpec("multimodal_scene_cuts", M.multimodal_scene_cuts,
+              M.MULTIMODAL_SCENE_CUTS_SQL, ("MM", "W2", "BONUS"),
+              "video-style shot-boundary detection: all-integer rational "
+              "energy-delta test over the Arrow windowed-feature kernel, "
+              "per-doc lag state; char-code oracle"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
