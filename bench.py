@@ -52,8 +52,12 @@ HEADLINE = [
     "docs_dup_ngram_spans",
     "docs_sample_pack",
     "semdedup_prune",
-    # r5c: exact-recall similarity join (the prefix-filter flagship)
-    "docs_setsim_join",
+    # docs_setsim_join is NOT benched at sf0.1: the synthetic corpus is
+    # drawn from a tiny vocabulary, so the TRUE answer at tau=0.8 is
+    # ~3M pairs for 5k docs (output-quadratic by construction — measured
+    # 78s, all of it emitting real pairs). Its correctness gate runs at
+    # sf0.01; per-stage scale behavior is covered by the property test
+    # and the LSH family's scale_check entries.
 ]
 
 
@@ -141,7 +145,13 @@ def main() -> None:
         for d in glob.glob("/tmp/nmci_doc_bands_*"):
             shutil.rmtree(d, ignore_errors=True)
 
-    COLD = {"docs_near_dup_pairs": _wipe_bands}
+    COLD = {
+        "docs_near_dup_pairs": _wipe_bands,
+        # semdedup persists its cluster-assignment table (it feeds both
+        # pair-join sides); clear it so both runs pay the full cold
+        # centroid-build + assignment the metric covers
+        "semdedup_prune": spark.catalog.clearCache,
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn

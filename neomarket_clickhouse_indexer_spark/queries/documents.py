@@ -1422,6 +1422,13 @@ DOCS_SYSSAMPLE_K = 8  # picks per source
 
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_frame(docs)
+
+
+def weighted_sample_frame(docs: DataFrame) -> DataFrame:
+    """Core pass over any (source, doc_id, n_chars) frame — split out so
+    the hypothesis property test can drive it with adversarial weight
+    distributions (tests/test_weighted_sample_property.py)."""
     win_cum = (
         Window.partitionBy("source")
         .orderBy("doc_id")
