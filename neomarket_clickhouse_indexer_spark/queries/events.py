@@ -1451,3 +1451,90 @@ SELECT event_type, n,
        {_pct_components_sql()}
 FROM per
 """
+
+
+# --- events_window_funnel: ClickHouse windowFunnel() analog — per user,
+#     the deepest stage of the signup → view → purchase sequence reached
+#     IN ORDER, each step within FUNNEL_WINDOW of the FIRST step (the
+#     windowFunnel contract: the chain anchors at the earliest possible
+#     first step, strict event-time ordering between steps). Spark: a
+#     chain of conditional-min aggregations (t1 = earliest signup; t2 =
+#     earliest later view inside the window; t3 = earliest later purchase
+#     inside the window) — three hash aggs + joins on the user dimension,
+#     no per-user sort. Oracle: the same semantics via CTE joins over the
+#     raw table. All comparisons stay on naive (NTZ) timestamps with
+#     INTERVAL arithmetic — no epoch conversion, so the result cannot
+#     depend on the driver session's timezone.
+
+FUNNEL_WINDOW_DAYS = 7
+
+
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    limit = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= limit))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.join(s1, "user_id"), "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= limit))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).cast("long").alias("stage"),
+            "t1",
+            "t2",
+            "t3",
+        )
+    )
+
+
+EVENTS_WINDOW_FUNNEL_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM base
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT b.user_id, MIN(b.ts) AS t2
+  FROM base b JOIN s1 USING (user_id)
+  WHERE b.event_type = 'view'
+    AND b.ts > s1.t1 AND b.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAYS
+  GROUP BY 1
+),
+s3 AS (
+  SELECT b.user_id, MIN(b.ts) AS t3
+  FROM base b JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE b.event_type = 'purchase'
+    AND b.ts > s2.t2 AND b.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_DAYS} DAYS
+  GROUP BY 1
+)
+SELECT s1.user_id,
+       CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+            AS BIGINT) AS stage,
+       s1.t1, s2.t2, s3.t3
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""

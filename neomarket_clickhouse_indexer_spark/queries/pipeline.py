@@ -737,3 +737,92 @@ SELECT source, n_docs, n_tokens, sqrt_tokens_micro,
             AS BIGINT) AS prop_ppm
 FROM q CROSS JOIN totals
 """
+
+
+# --- docs_training_mix: TX12+TX11 capstone — MATERIALIZE the temperature-
+#     mixed training set the mixture-weights op only rates. Per source,
+#     the α=1/2 weight (sqrt-token share in exact ppm, same arithmetic as
+#     docs_mixture_weights) buys n_pick = max(1, weight_ppm·B div 1e6)
+#     slots of a fixed budget B; the slots are filled in the md5-keyed
+#     reproducible shuffle order (same key discipline as
+#     docs_shuffle_shards, its own salt), so the materialized mix is a
+#     pure function of the corpus. One agg + one broadcast of the ~20-row
+#     quota table + one per-source rank window — no corpus×corpus work.
+
+MIX_BUDGET = 200
+_MIX_SALT = "training-mix-r5"
+
+
+def docs_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    q = per_src.withColumn(
+        "q_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6)).cast("long"),
+    )
+    totals = q.agg(F.sum("q_micro").cast("long").alias("total_q"))
+    quota = (
+        q.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "weight_ppm",
+            F.expr("CAST(q_micro AS DECIMAL(38,0)) * 1000000 div total_q").cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "n_pick",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"weight_ppm * {MIX_BUDGET} div 1000000"),
+            ),
+        )
+        .select("source", "n_pick")
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))).alias(
+            "mix_key"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("mix_key"), F.asc("doc_id"))
+    ranked = keyed.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("pick_rank") <= F.col("n_pick"))
+        .select("source", "pick_rank", "doc_id", "n_pick")
+    )
+
+
+DOCS_TRAINING_MIX_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source,
+         CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS q_micro
+  FROM per_src
+),
+totals AS (SELECT CAST(SUM(q_micro) AS BIGINT) AS total_q FROM q),
+quota AS (
+  SELECT source,
+         GREATEST(1, CAST((CAST(q_micro AS HUGEINT) * 1000000) // total_q
+                          AS BIGINT) * {MIX_BUDGET} // 1000000) AS n_pick
+  FROM q CROSS JOIN totals
+),
+ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_MIX_SALT}'), doc_id
+         ) AS pick_rank
+  FROM documents
+)
+SELECT r.source, CAST(r.pick_rank AS BIGINT) AS pick_rank, r.doc_id,
+       CAST(q.n_pick AS BIGINT) AS n_pick
+FROM ranked r JOIN quota q USING (source)
+WHERE r.pick_rank <= q.n_pick
+"""

@@ -436,6 +436,23 @@ _SPECS: list[QuerySpec] = [
               "video-style shot-boundary detection: all-integer rational "
               "energy-delta test over the Arrow windowed-feature kernel, "
               "per-doc lag state; char-code oracle"),
+    QuerySpec("docs_training_mix", PL.docs_training_mix,
+              PL.DOCS_TRAINING_MIX_SQL, ("TX5", "W4", "BONUS"),
+              "materialized temperature mix: alpha=1/2 ppm quotas buy "
+              "slots of a fixed budget, filled in md5-keyed reproducible "
+              "shuffle order — the capstone composing mixture weights + "
+              "training-order shuffle"),
+    QuerySpec("knn_recall_report", V.knn_recall_report,
+              V.KNN_RECALL_REPORT_SQL, ("VS1", "VS3", "BONUS"),
+              "evaluation-as-a-query: recall@k of the LSH index vs the "
+              "exact scan, integer overlap counts + ppm recall, both "
+              "pipelines recomputed by the oracle"),
+    QuerySpec("events_window_funnel", E.events_window_funnel,
+              E.EVENTS_WINDOW_FUNNEL_SQL, ("A2", "J1", "P7", "BONUS"),
+              "ClickHouse windowFunnel analog: deepest in-order funnel "
+              "stage within a 7-day window of the first step — chained "
+              "conditional-min aggs, NTZ interval arithmetic (timezone-"
+              "proof)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1373,3 +1373,58 @@ FROM pairs
 WHERE sim >= {SEM_TAU}
 GROUP BY 1, 2
 """
+
+
+# --- knn_recall_report: evaluation-as-a-query — the ANN quality metric
+#     (recall@k of the LSH index vs the exact scan) computed inside the
+#     engine as one plan, the way a production pipeline monitors its index
+#     health. Exact integer overlap counts and ppm recall (no float
+#     division), so the whole report is oracle-checkable; the oracle
+#     recomputes BOTH pipelines (brute force + hyperplane LSH) in SQL and
+#     takes the same intersection. tests/test_pq.py-style recall floors
+#     stay in pytest; this gate pins the exact per-query numbers.
+
+
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = knn_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    nb = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    na = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    ov = (
+        bf.join(ann, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        nb.join(na, "query_id", "left")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_ann"), F.lit(0).cast("long")).alias("n_ann"),
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+        )
+        .withColumn("recall_ppm", F.expr("n_overlap * 1000000 div n_exact"))
+    )
+
+
+KNN_RECALL_REPORT_SQL = f"""
+WITH bf AS ({KNN_BRUTEFORCE_SQL}),
+ann AS ({KNN_ANN_LSH_SQL}),
+nb AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM bf GROUP BY 1),
+na AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_ann FROM ann GROUP BY 1),
+ov AS (
+  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM bf b JOIN ann a
+    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT nb.query_id, nb.n_exact,
+       CAST(COALESCE(na.n_ann, 0) AS BIGINT) AS n_ann,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) * 1000000 // nb.n_exact AS BIGINT)
+         AS recall_ppm
+FROM nb
+LEFT JOIN na ON nb.query_id = na.query_id
+LEFT JOIN ov ON nb.query_id = ov.query_id
+"""

@@ -40,6 +40,8 @@ QUERIES = [
     # crossing (window cumsum + sequence explode)
     "docs_setsim_join",
     "docs_weighted_sample",
+    # md5-ranked quota fill over a broadcast quota table
+    "docs_training_mix",
 ]
 
 
