@@ -1538,3 +1538,61 @@ FROM s1
 LEFT JOIN s2 ON s1.user_id = s2.user_id
 LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
+
+
+# --- events_retention_cohorts: weekly cohort retention matrix — the
+#     second classic sequential-analytics shape next to windowFunnel
+#     (ClickHouse ships retention() for the same job). Cohort = ISO week
+#     of the user's first signup event; for every later activity event
+#     the week offset is exact integer floor(datediff / 7); cell value =
+#     distinct active users. Spark: one min-agg for cohorts (broadcast-
+#     sized user dim), one join, one countDistinct — no per-user sort.
+#     Oracle: identical semantics as CTEs; both engines truncate weeks to
+#     ISO Monday and the datediff is calendar-day integer arithmetic on
+#     naive timestamps (timezone-proof).
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd")
+            .alias("cohort_week")
+        )
+    )
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("d"))
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(F.col("d") >= F.to_date("cohort_week"))
+        .withColumn(
+            "week_n",
+            (F.datediff(F.col("d"), F.to_date("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EVENTS_RETENTION_COHORTS_SQL = """
+WITH cohorts AS (
+  SELECT user_id,
+         strftime(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))), '%Y-%m-%d')
+           AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+activity AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+)
+SELECT c.cohort_week,
+       CAST((a.d - CAST(c.cohort_week AS DATE)) // 7 AS BIGINT) AS week_n,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM activity a JOIN cohorts c USING (user_id)
+WHERE a.d >= CAST(c.cohort_week AS DATE)
+GROUP BY 1, 2
+"""

@@ -453,6 +453,11 @@ _SPECS: list[QuerySpec] = [
               "stage within a 7-day window of the first step — chained "
               "conditional-min aggs, NTZ interval arithmetic (timezone-"
               "proof)"),
+    QuerySpec("events_retention_cohorts", E.events_retention_cohorts,
+              E.EVENTS_RETENTION_COHORTS_SQL, ("A3", "J1", "BONUS"),
+              "ClickHouse retention() analog: weekly cohort x week-offset "
+              "distinct-active matrix; calendar-integer week arithmetic on "
+              "naive timestamps (timezone-proof)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
