@@ -1323,14 +1323,29 @@ def setsim_pairs(docs: DataFrame) -> DataFrame:
         ix.join(F.broadcast(df_tbl), "token")
         .withColumn("pos", pos)
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "sz", "token")
+        .select("doc_id", "sz", "pos", "token")
     )
 
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "token"
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"), "token",
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "token"
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"), "token",
+    )
+    # PPJoin positional filter: a pair meeting Jaccard >= tau needs overlap
+    # alpha = ceil(tau/(1+tau) * (|x|+|y|)); matching at canonical
+    # positions (i, j) leaves at most min(|x|-i, |y|-j) + 1 tokens that
+    # can still match, so any candidate below alpha is provably out —
+    # strictly fewer candidates, zero recall loss (Xiao et al. WWW'08,
+    # Lemma 2; the property test + full-index oracle pin the claim).
+    # Measured: 66.3k → 61.6k candidates at sf0.01 (the synthetic corpus
+    # is uniformly similar, so most candidates are true pairs — the
+    # filter's leverage grows with realistic similarity skew).
+    alpha = F.expr(
+        f"({SETSIM_TAU_NUM}*(sz_a + sz_b) + {SETSIM_TAU_NUM + SETSIM_TAU_DEN - 1})"
+        f" div {SETSIM_TAU_NUM + SETSIM_TAU_DEN}"
     )
     cand = (
         a.join(b, "token")
@@ -1339,6 +1354,12 @@ def setsim_pairs(docs: DataFrame) -> DataFrame:
             # length filter: tau*|x| <= |y| <= |x|/tau, integer cross-mult
             & (F.col("sz_b") * SETSIM_TAU_DEN >= F.col("sz_a") * SETSIM_TAU_NUM)
             & (F.col("sz_a") * SETSIM_TAU_DEN >= F.col("sz_b") * SETSIM_TAU_NUM)
+            & (
+                F.least(F.col("sz_a") - F.col("pos_a"),
+                        F.col("sz_b") - F.col("pos_b"))
+                + F.lit(1)
+                >= alpha
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()
