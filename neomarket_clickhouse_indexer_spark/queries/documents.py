@@ -1617,3 +1617,111 @@ SELECT t.doc_id,
 FROM toks t JOIN dfs d USING (token) CROSS JOIN n
 GROUP BY t.doc_id
 """
+
+
+# --- docs_cms_counts: count-min sketch — the DETERMINISTIC mergeable
+#     frequency sketch (Cormode-Muthukrishnan): d=3 md5-derived hash rows
+#     × w=64 counters; a point estimate is the min over rows and can only
+#     OVERcount (collision mass), never under. Unlike Misra-Gries/topK,
+#     the sketch is a pure sum over (row, bucket) cells, so it is
+#     partition-order invariant and partial/merge comes free from hash
+#     aggregation — the property that lets 1000 executors build shard
+#     sketches and OR them together. The gate builds the sketch over the
+#     whole corpus token stream, then reports estimate vs true count for
+#     fixed probe tokens (hot, medium, rare, and absent) — over_n >= 0 is
+#     the CMS guarantee, checked exactly by the differential.
+
+CMS_W, CMS_D = 64, 3
+CMS_PROBES = ["join", "hash", "the", "dup", "zzz_absent"]
+
+
+def docs_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    buckets = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{i}:"), F.col("token"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+            for i in range(CMS_D)
+        ]
+    )
+    cms = (
+        toks.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_rows = []
+    for t in CMS_PROBES:
+        for i in range(CMS_D):
+            b = int(hashlib.md5(f"cms{i}:{t}".encode()).hexdigest()[:8], 16) % CMS_W
+            probe_rows.append((t, i, b))
+    probes = spark.createDataFrame(probe_rows, "token string, row int, bucket long")
+    est = (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est_n"))
+    )
+    true_n = (
+        toks.filter(F.col("token").isin(CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return (
+        est.join(true_n, "token", "left")
+        .select(
+            "token",
+            F.coalesce(F.col("true_n"), F.lit(0).cast("long")).alias("true_n"),
+            "est_n",
+            (F.col("est_n") - F.coalesce(F.col("true_n"), F.lit(0).cast("long"))).alias(
+                "over_n"
+            ),
+        )
+    )
+
+
+_CMS_PROBE_LIST = "[" + ", ".join(f"'{t}'" for t in CMS_PROBES) + "]"
+_CMS_BUCKET = (
+    "CAST(CAST('0x' || substring(md5('cms' || CAST(i AS VARCHAR) || ':' || token), 1, 8)"
+    f" AS BIGINT) % {CMS_W} AS BIGINT)"
+)
+
+DOCS_CMS_COUNTS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+rows_i AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i),
+cms AS (
+  SELECT i, {_CMS_BUCKET} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks CROSS JOIN rows_i
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT unnest({_CMS_PROBE_LIST}) AS token
+),
+pb AS (
+  SELECT token, i, {_CMS_BUCKET} AS bucket FROM probes CROSS JOIN rows_i
+),
+est AS (
+  SELECT pb.token, CAST(MIN(COALESCE(cms.c, 0)) AS BIGINT) AS est_n
+  FROM pb LEFT JOIN cms ON pb.i = cms.i AND pb.bucket = cms.bucket
+  GROUP BY 1
+),
+truec AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM toks WHERE list_contains({_CMS_PROBE_LIST}, token)
+  GROUP BY 1
+)
+SELECT est.token,
+       CAST(COALESCE(truec.true_n, 0) AS BIGINT) AS true_n,
+       est.est_n,
+       CAST(est.est_n - COALESCE(truec.true_n, 0) AS BIGINT) AS over_n
+FROM est LEFT JOIN truec ON est.token = truec.token
+"""

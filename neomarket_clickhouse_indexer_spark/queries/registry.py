@@ -458,6 +458,12 @@ _SPECS: list[QuerySpec] = [
               "ClickHouse retention() analog: weekly cohort x week-offset "
               "distinct-active matrix; calendar-integer week arithmetic on "
               "naive timestamps (timezone-proof)"),
+    QuerySpec("docs_cms_counts", D.docs_cms_counts, D.DOCS_CMS_COUNTS_SQL,
+              ("A3", "BONUS"),
+              "count-min sketch: deterministic mergeable frequency sketch "
+              "(d=3 md5 rows x w=64), point estimates vs true counts for "
+              "hot/medium/rare/absent probes — over_n >= 0 is the CMS "
+              "guarantee, pinned exactly by the differential"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

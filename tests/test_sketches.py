@@ -78,3 +78,51 @@ def test_percentile_approx_tracks_exact(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / abs(r["exact"]) < 0.01, r
+
+
+def test_cms_shard_sketches_merge_to_whole(spark):
+    """Count-min mergeability: sketches built independently on disjoint
+    corpus shards, merged by summing (row, bucket) cells, must equal the
+    whole-corpus sketch EXACTLY — the property that lets 1000 executors
+    sketch their shards and OR the results. Holds exactly (not
+    approximately) because a CMS cell is a plain sum."""
+    from neomarket_clickhouse_indexer_spark.functions import text as TX
+    from neomarket_clickhouse_indexer_spark.queries.documents import CMS_D, CMS_W
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def sketch(frame):
+        toks = frame.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        buckets = F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"cms{i}:"), F.col("token"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_W
+                for i in range(CMS_D)
+            ]
+        )
+        return (
+            toks.select(F.posexplode(buckets).alias("row", "bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    whole = sketch(docs).toPandas().set_index(["row", "bucket"]).sort_index()
+    shard_a = sketch(docs.filter(F.col("doc_id") % 2 == 0))
+    shard_b = sketch(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        shard_a.unionByName(shard_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .toPandas()
+        .set_index(["row", "bucket"])
+        .sort_index()
+    )
+    assert merged.equals(whole)
