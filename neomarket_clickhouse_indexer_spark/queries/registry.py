@@ -464,6 +464,12 @@ _SPECS: list[QuerySpec] = [
               "(d=3 md5 rows x w=64), point estimates vs true counts for "
               "hot/medium/rare/absent probes — over_n >= 0 is the CMS "
               "guarantee, pinned exactly by the differential"),
+    QuerySpec("bloom_semijoin_filter", R.bloom_semijoin_filter,
+              R.BLOOM_SEMIJOIN_FILTER_SQL, ("P8", "J8", "BONUS"),
+              "deterministic Bloom filter (k=3 md5 hashes, m=4096 bits) "
+              "over keys-with-orders probed by every customer; exact "
+              "hit/false-positive accounting — the bloom skip-index / "
+              "runtime-filter analog as an auditable operator"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

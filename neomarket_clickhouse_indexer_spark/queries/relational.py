@@ -578,3 +578,114 @@ GROUP BY l_suppkey
 HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) * 500 >
        (SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) FROM lineitem)
 """
+
+
+# --- bloom_semijoin_filter: the bloom skip-index analog (P8's other
+#     half, next to min/max layout skipping): a DETERMINISTIC Bloom
+#     filter (k=3 md5-derived hashes into m=4096 bits) built over the
+#     keys that HAVE orders, probed by every customer — the runtime-
+#     filter shape Spark injects on shuffle joins, materialized as an
+#     auditable operator. Reports exact membership accounting: hits =
+#     customers whose k bits are all set; false positives = hits minus
+#     true members (a Bloom filter can only overcount, never miss — the
+#     same one-sided guarantee family as the CMS gate, and the
+#     differential pins the exact value because the hash family is
+#     fixed). fp ppm is integer arithmetic. At 100 TB the set-bit table
+#     is at most m rows — broadcast — while the probe side streams.
+
+BLOOM_M, BLOOM_K = 4096, 3
+
+
+def bloom_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def bits(key_col):
+        return [
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{i}:"), key_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+
+    # build over EARLY-window buyers only, so the all-customer probe has
+    # real non-members and the false-positive accounting is a populated
+    # differential (~45% membership at sf0.01, fp ≈ 6% with these m, k)
+    members = orders.filter(
+        F.col("o_orderdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+    set_bits = (
+        members.select(F.explode(F.array(*bits(F.col("o_custkey")))).alias("bit"))
+        .distinct()
+    )
+    probe = customer.select(
+        "c_custkey", F.posexplode(F.array(*bits(F.col("c_custkey")))).alias("i", "bit")
+    )
+    hits = (
+        probe.join(F.broadcast(set_bits), "bit")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .select("c_custkey")
+    )
+    actual = members.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    n_cust = customer.select(F.count(F.lit(1)).alias("n_customers"))
+    n_actual = actual.agg(F.count(F.lit(1)).alias("n_actual"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_cust.crossJoin(n_actual)
+        .crossJoin(n_hits)
+        .select(
+            "n_customers",
+            "n_actual",
+            "n_hits",
+            (F.col("n_hits") - F.col("n_actual")).alias("n_false_pos"),
+            F.expr("(n_hits - n_actual) * 1000000 div n_customers").alias(
+                "fp_ppm"
+            ),
+        )
+    )
+
+
+_BLOOM_BIT = (
+    "CAST(CAST('0x' || substring(md5('bloom' || CAST(i AS VARCHAR) || ':' "
+    f"|| CAST(k AS VARCHAR)), 1, 8) AS BIGINT) % {BLOOM_M} AS BIGINT)"
+)
+
+BLOOM_SEMIJOIN_FILTER_SQL = f"""
+WITH rows_i AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
+set_bits AS (
+  SELECT DISTINCT {_BLOOM_BIT} AS bit
+  FROM (SELECT o_custkey AS k FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-06-01') CROSS JOIN rows_i
+),
+probe AS (
+  SELECT k AS c_custkey, {_BLOOM_BIT} AS bit
+  FROM (SELECT c_custkey AS k FROM customer) CROSS JOIN rows_i
+),
+hits AS (
+  SELECT c_custkey
+  FROM probe JOIN set_bits USING (bit)
+  GROUP BY c_custkey
+  HAVING COUNT(*) = {BLOOM_K}
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM customer) AS n_customers,
+         (SELECT COUNT(DISTINCT o_custkey) FROM orders
+          WHERE o_orderdate < TIMESTAMP '1995-06-01') AS n_actual,
+         (SELECT COUNT(*) FROM hits) AS n_hits
+)
+SELECT CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_actual AS BIGINT) AS n_actual,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits - n_actual AS BIGINT) AS n_false_pos,
+       CAST((n_hits - n_actual) * 1000000 // n_customers AS BIGINT) AS fp_ppm
+FROM counts
+"""
