@@ -24,6 +24,7 @@ from . import multimodal_q as M
 from . import ops_q as O
 from . import pipeline as PL
 from . import relational as R
+from . import timeseries_q as TS
 from . import vectors_q as V
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -470,6 +471,29 @@ _SPECS: list[QuerySpec] = [
               "over keys-with-orders probed by every customer; exact "
               "hit/false-positive accounting — the bloom skip-index / "
               "runtime-filter analog as an auditable operator"),
+    QuerySpec("events_sequence_match", TS.events_sequence_match,
+              TS.EVENTS_SEQUENCE_MATCH_SQL, ("A2", "W2", "BONUS"),
+              "ClickHouse sequenceMatch/sequenceCount analog: ordered "
+              "signup->view->purchase match (+1-day adjacent-step window) "
+              "and GREEDY non-overlapping view->purchase pair count via "
+              "the Lindley-reflection closed form — the oracle runs the "
+              "literal greedy automaton as a recursive CTE, proving the "
+              "closed form equals sequential semantics"),
+    QuerySpec("events_gap_fill", TS.events_gap_fill,
+              TS.EVENTS_GAP_FILL_SQL, ("A8", "W5", "BONUS"),
+              "WITH FILL + INTERPOLATE(prev) analog: per-type hourly "
+              "spine via distributed sequence() explode, missing buckets "
+              "materialized with carry-forward of the last observed "
+              "total (last ignorenulls window)"),
+    QuerySpec("events_value_histogram", TS.events_value_histogram,
+              TS.EVENTS_VALUE_HISTOGRAM_SQL, ("A1", "W2", "BONUS"),
+              "histogram()/width_bucket analog: exact integer $25 bins "
+              "with per-type counts, cents mass and cumulative CDF"),
+    QuerySpec("events_moving_stats", TS.events_moving_stats,
+              TS.EVENTS_MOVING_STATS_SQL, ("W2", "A8", "BONUS"),
+              "groupArrayMovingSum/runningDifference analog: 3-bucket "
+              "moving sums, previous-bucket delta, exact ppm moving "
+              "average over observed hourly buckets"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1,0 +1,385 @@
+"""ClickHouse sequential/time-series analytics analogs.
+
+The reference's ClickHouse tier makes the sequential-analytics family
+(sequenceMatch / sequenceCount, WITH FILL gap filling, histogram,
+groupArrayMovingSum / runningDifference) available to every dashboard
+query (clickhouse/init/001_create_tables.sql keeps event streams ordered
+for exactly these; src/api.ts's activity/candles endpoints lean on
+bucketed time series). This module re-expresses that family Spark-first:
+window functions + closed forms instead of per-row sequential state, so
+every operator is one or two shuffles on the natural key and survives a
+100× scale-up.
+
+Determinism: event amounts are integerized to cents with
+``floor(value*100 + 0.5)`` (pure IEEE double ops, bit-identical in Spark
+and DuckDB — `value` ships with 2-decimal magnitudes far below 2^53/100),
+every ordering carries the (ts, event_id) unique tiebreak, and timestamps
+stay naive (NTZ) end-to-end with calendar/INTERVAL arithmetic only — no
+epoch extraction, so results cannot depend on the driver session's
+timezone (CLAUDE.md NTZ rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# exact integer cents from the 2-decimal double `value`
+_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", F.expr(_CENTS).alias("cents")
+    )
+
+
+# --- events_sequence_match: ClickHouse sequenceMatch()/sequenceCount()
+#     analog. Per user over the (ts, event_id)-ordered event stream:
+#
+#     m_full   = sequenceMatch('(?1).*(?2).*(?3)') — a signup, then a
+#                strictly later view, then a strictly later purchase.
+#     m_window = same chain with the adjacent-step time constraint
+#                (?2)(?t<=1d)(?3): the purchase lands within 1 day of
+#                the matched (earliest-eligible) view.
+#     n_pairs  = sequenceCount('(?1).*(?2)') over view→purchase: the
+#                number of GREEDY NON-OVERLAPPING view→purchase pairs,
+#                each event consumed at most once.
+#
+#     Spark computes n_pairs with the Lindley/reflection closed form
+#     instead of a per-user sequential scan: treating view as '(' and
+#     purchase as ')', the greedy matcher's unmatched-purchase count
+#     equals the maximum prefix exceedance max(0, max_p(#P_p - #V_p)),
+#     so  n_pairs = #P_total - max(0, max_p(cumP - cumV))  — two window
+#     cumsums + one hash agg, no sequential state. The DuckDB oracle
+#     runs the literal greedy automaton as a recursive CTE (pending
+#     counter stepping row-by-row), so the differential PROVES the
+#     closed form equals the sequential semantics on real data.
+
+
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(key).alias("k1"))
+    )
+    v2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(key > F.col("k1"))
+        .groupBy("user_id")
+        .agg(F.min(key).alias("k2"))
+    )
+    p3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v2, "user_id")
+        .filter(key > F.col("k2"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.lit(True)).alias("m_full"),
+            F.max(
+                F.col("ts") <= F.col("k2.ts") + F.expr("INTERVAL 1 DAY")
+            ).alias("m_window"),
+        )
+    )
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "view").cast("long").alias("is_v"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    exceed = flagged.select(
+        "user_id",
+        (F.sum("is_p").over(w) - F.sum("is_v").over(w)).alias("exceed"),
+        "is_p",
+    )
+    pairs = exceed.groupBy("user_id").agg(
+        (
+            F.sum("is_p") - F.greatest(F.lit(0), F.max("exceed"))
+        ).cast("long").alias("n_pairs")
+    )
+
+    return (
+        pairs.join(p3, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("m_full", F.lit(False)).alias("m_full"),
+            F.coalesce("m_window", F.lit(False)).alias("m_window"),
+            "n_pairs",
+        )
+    )
+
+
+EVENTS_SEQUENCE_MATCH_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+),
+ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_rows
+  FROM base
+),
+scan AS (
+  -- the literal greedy view→purchase automaton, row by row
+  SELECT user_id, 0 AS rn, 0 AS pending, 0 AS pairs
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT o.user_id, o.rn,
+         CASE WHEN o.event_type = 'view' THEN s.pending + 1
+              WHEN o.event_type = 'purchase' AND s.pending > 0
+                THEN s.pending - 1
+              ELSE s.pending END,
+         CASE WHEN o.event_type = 'purchase' AND s.pending > 0
+                THEN s.pairs + 1
+              ELSE s.pairs END
+  FROM scan s
+  JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+),
+pairs_final AS (
+  SELECT s.user_id, CAST(s.pairs AS BIGINT) AS n_pairs
+  FROM scan s
+  JOIN (SELECT user_id, MAX(rn) AS n_rows FROM ordered GROUP BY 1) t
+    ON s.user_id = t.user_id AND s.rn = t.n_rows
+),
+s1 AS (
+  SELECT user_id, MIN({'ts': ts, 'eid': event_id}) AS k1
+  FROM base WHERE event_type = 'signup' GROUP BY 1
+),
+v2 AS (
+  SELECT b.user_id, MIN({'ts': b.ts, 'eid': b.event_id}) AS k2
+  FROM base b JOIN s1 ON b.user_id = s1.user_id
+  WHERE b.event_type = 'view' AND {'ts': b.ts, 'eid': b.event_id} > s1.k1
+  GROUP BY 1
+),
+p3 AS (
+  SELECT b.user_id,
+         TRUE AS m_full,
+         MAX(b.ts <= (v2.k2).ts + INTERVAL 1 DAY) AS m_window
+  FROM base b JOIN v2 ON b.user_id = v2.user_id
+  WHERE b.event_type = 'purchase' AND {'ts': b.ts, 'eid': b.event_id} > v2.k2
+  GROUP BY 1
+)
+SELECT pf.user_id,
+       COALESCE(p3.m_full, FALSE) AS m_full,
+       COALESCE(p3.m_window, FALSE) AS m_window,
+       pf.n_pairs
+FROM pairs_final pf
+LEFT JOIN p3 ON pf.user_id = p3.user_id
+"""
+
+
+# --- events_gap_fill: ClickHouse `ORDER BY ... WITH FILL STEP 1 HOUR
+#     INTERPOLATE (x AS prev)` analog. Hourly per-type buckets with every
+#     missing hour materialized between that type's first and last
+#     observed bucket; filled rows carry n_events = 0 and the
+#     carry-forward of the last observed cents total (the INTERPOLATE
+#     'prev' rule). Spark: agg → per-type min/max → sequence() explode
+#     for the spine (the spine is generated DISTRIBUTED, per type-row —
+#     never a driver-side loop) → left join → last(ignorenulls) window.
+#     The spine join is broadcast-safe (spine cardinality = hours in
+#     range × #types) and the carry-forward is one window over the
+#     natural (type, bucket) order — at 100 TB the same plan holds with
+#     the spine still tiny relative to the fact table.
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    agg = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("c"),
+        )
+    )
+    spine = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("cents"),
+            F.col("n").isNull().alias("filled"),
+            F.last("c", ignorenulls=True).over(w).cast("long").alias("carry_cents"),
+        )
+    )
+
+
+EVENTS_GAP_FILL_SQL = f"""
+WITH agg AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         COUNT(*) AS n,
+         SUM({_CENTS}) AS c
+  FROM events
+  GROUP BY 1, 2
+),
+rng AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM rng
+)
+SELECT s.event_type,
+       s.bucket,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(a.c, 0) AS BIGINT) AS cents,
+       (a.n IS NULL) AS filled,
+       CAST(LAST_VALUE(a.c IGNORE NULLS) OVER (
+              PARTITION BY s.event_type ORDER BY s.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS carry_cents
+FROM spine s
+LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+"""
+
+
+# --- events_value_histogram: ClickHouse histogram()/width_bucket analog
+#     with exact integer bins: bin = cents DIV 2500 ($25-wide), per
+#     (event_type, bin) count + exact cents mass, plus the per-type
+#     cumulative count (the CDF the adaptive histogram() feeds) — one
+#     hash agg + one window over the (type, bin) order, all integers.
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("event_type", F.expr("cents DIV 2500").alias("bin"), "cents")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 2500).alias("bin_lo_cents"),
+            "n",
+            "sum_cents",
+            F.sum("n").over(w).alias("cum_n"),
+        )
+    )
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         {_CENTS} // 2500 AS bin,
+         {_CENTS} AS cents
+  FROM events
+),
+hist AS (
+  SELECT event_type, bin, COUNT(*) AS n, SUM(cents) AS sum_cents
+  FROM binned GROUP BY 1, 2
+)
+SELECT event_type,
+       bin,
+       bin * 2500 AS bin_lo_cents,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_n
+FROM hist
+"""
+
+
+# --- events_moving_stats: groupArrayMovingSum / runningDifference /
+#     moving-average analog. Per (event_type, observed hourly bucket):
+#     3-bucket moving sums (ROWS 2 PRECEDING), the previous-bucket delta
+#     (runningDifference — NULL on each type's first bucket, like
+#     neighbor()'s default), and the moving average in exact ppm integer
+#     division. Buckets are the OBSERVED ones (no spine — gap filling is
+#     events_gap_fill's job); all outputs integer-exact.
+
+
+def events_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    wl = Window.partitionBy("event_type").orderBy("bucket")
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "n",
+        "cents",
+        F.sum("n").over(w3).alias("mov3_n"),
+        F.sum("cents").over(w3).alias("mov3_cents"),
+        (F.col("n") - F.lag("n").over(wl)).alias("delta_n"),
+        F.expr(
+            "sum(cents) over (partition by event_type order by bucket "
+            "rows between 2 preceding and current row) * 1000000 "
+            "DIV count(*) over (partition by event_type order by bucket "
+            "rows between 2 preceding and current row)"
+        ).alias("mov3_avg_ppm"),
+    )
+
+
+EVENTS_MOVING_STATS_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         COUNT(*) AS n,
+         SUM({_CENTS}) AS cents
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       bucket,
+       CAST(n AS BIGINT) AS n,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(SUM(n) OVER w3 AS BIGINT) AS mov3_n,
+       CAST(SUM(cents) OVER w3 AS BIGINT) AS mov3_cents,
+       CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY bucket)
+            AS BIGINT) AS delta_n,
+       CAST(SUM(cents) OVER w3 AS BIGINT) * 1000000
+         // CAST(COUNT(*) OVER w3 AS BIGINT) AS mov3_avg_ppm
+FROM hourly
+WINDOW w3 AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
