@@ -494,6 +494,12 @@ _SPECS: list[QuerySpec] = [
               "groupArrayMovingSum/runningDifference analog: 3-bucket "
               "moving sums, previous-bucket delta, exact ppm moving "
               "average over observed hourly buckets"),
+    QuerySpec("events_lttb_downsample", TS.events_lttb_downsample,
+              TS.EVENTS_LTTB_DOWNSAMPLE_SQL, ("ST6", "A8", "BONUS"),
+              "largestTriangleThreeBuckets analog: sequential per-series "
+              "LTTB downsampling to 24 points — applyInPandas kernel with "
+              "exact integer cross-product areas vs a recursive-CTE "
+              "NOT-EXISTS argmax oracle in HUGEINT"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -383,3 +383,179 @@ FROM hourly
 WINDOW w3 AS (PARTITION BY event_type ORDER BY bucket
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
+
+
+# --- events_lttb_downsample: ClickHouse largestTriangleThreeBuckets()
+#     analog — downsample each type's hourly (x = minutes, y = cents)
+#     series to B = 24 visually-representative points. LTTB is genuinely
+#     SEQUENTIAL (each bucket's pick depends on the previous pick), so
+#     this is the applyInPandas case: one Arrow-batched kernel per
+#     event_type group (series count = partition count; each series'
+#     points fit one task — at 100 TB you'd pre-bucket each series to a
+#     bounded candidate set first, same contract as the reference's
+#     candle ladder). All arithmetic is exact: x = calendar-integer
+#     minutes since 2024-01-01 (NTZ-safe, no epoch), y = integer cents,
+#     triangle areas compared as exact cross products scaled by the
+#     next-bucket size m (Python bigints in the kernel, HUGEINT in the
+#     oracle — no doubles anywhere). Ties break to the smallest x.
+#     Interior bucket of point i (1..n-2) is (i-1)*(B-2) div (n-2) —
+#     every bucket non-empty since n-2 >= B-2. The DuckDB oracle replays
+#     the same selection as a recursive CTE whose argmax step is a
+#     NOT-EXISTS anti-join — an independent execution strategy.
+
+_LTTB_B = 24
+
+
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _events_cents(spark, sf_dir)
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.sum("cents").alias("y"))
+        .select(
+            "event_type",
+            (
+                F.datediff("bucket", F.lit("2024-01-01").cast("date")) * 1440
+                + F.hour("bucket") * 60
+            ).cast("long").alias("x"),
+            "y",
+        )
+    )
+
+    B = _LTTB_B
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("x").reset_index(drop=True)
+        n = len(pdf)
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        if n <= B:
+            sel = list(range(n))
+        else:
+            nb = B - 2
+            buckets: list[list[int]] = [[] for _ in range(nb)]
+            for i in range(1, n - 1):
+                buckets[(i - 1) * nb // (n - 2)].append(i)
+            sel = [0]
+            a = 0
+            for k in range(nb):
+                if k + 1 < nb:
+                    nxt = buckets[k + 1]
+                    m = len(nxt)
+                    sx = sum(xs[j] for j in nxt)
+                    sy = sum(ys[j] for j in nxt)
+                else:
+                    m, sx, sy = 1, xs[n - 1], ys[n - 1]
+                best, best_s = -1, -1
+                for i in buckets[k]:
+                    # 2*area of triangle (prev, candidate, next-centroid),
+                    # scaled by m to stay integer
+                    s = abs(
+                        (xs[a] * m - sx) * (ys[i] - ys[a])
+                        - (xs[a] - xs[i]) * (sy - ys[a] * m)
+                    )
+                    if s > best_s:
+                        best_s, best = s, i
+                sel.append(best)
+                a = best
+            sel.append(n - 1)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[:1].repeat(len(sel)).values,
+                "pos": range(len(sel)),
+                "x_min": [xs[i] for i in sel],
+                "cents": [ys[i] for i in sel],
+            }
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        kernel, "event_type string, pos long, x_min long, cents long"
+    )
+
+
+EVENTS_LTTB_DOWNSAMPLE_SQL = f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01',
+                  CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE)) * 1440
+           + EXTRACT(hour FROM date_trunc('hour', CAST(ts AS TIMESTAMP))) * 60
+           AS x,
+         SUM({_CENTS}) AS y
+  FROM events
+  GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+buck AS (
+  SELECT event_type, x, y, i, n,
+         CASE WHEN i >= 1 AND i <= n - 2
+              THEN ((i - 1) * ({_LTTB_B} - 2)) // (n - 2) END AS k
+  FROM pts
+),
+cent AS (
+  SELECT event_type, k,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         COUNT(*) AS m
+  FROM buck WHERE k IS NOT NULL GROUP BY 1, 2
+),
+lastp AS (
+  SELECT event_type, x, y FROM pts WHERE i = n - 1
+),
+anchor AS (
+  -- the "next" anchor for interior bucket k: centroid of bucket k+1,
+  -- or the last point (m=1) for the final interior bucket
+  SELECT b.event_type, b.k,
+         COALESCE(c.sx, CAST(lp.x AS HUGEINT)) AS sx,
+         COALESCE(c.sy, CAST(lp.y AS HUGEINT)) AS sy,
+         COALESCE(c.m, 1) AS m
+  FROM (SELECT DISTINCT event_type, k FROM buck WHERE k IS NOT NULL) b
+  LEFT JOIN cent c ON c.event_type = b.event_type AND c.k = b.k + 1
+  JOIN lastp lp ON lp.event_type = b.event_type
+),
+sel AS (
+  SELECT event_type, -1 AS k,
+         CAST(x AS HUGEINT) AS ax, CAST(y AS HUGEINT) AS ay,
+         x AS x_min, y AS cents, 0 AS pos
+  FROM pts WHERE i = 0 AND n > {_LTTB_B}
+  UNION ALL
+  SELECT s.event_type, s.k + 1,
+         CAST(b.x AS HUGEINT), CAST(b.y AS HUGEINT),
+         b.x, b.y, s.pos + 1
+  FROM sel s
+  JOIN anchor a ON a.event_type = s.event_type AND a.k = s.k + 1
+  JOIN buck b ON b.event_type = s.event_type AND b.k = s.k + 1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM buck b2
+    WHERE b2.event_type = s.event_type AND b2.k = s.k + 1
+      AND (
+        ABS((s.ax * a.m - a.sx) * (b2.y - s.ay)
+            - (s.ax - b2.x) * (a.sy - s.ay * a.m))
+          > ABS((s.ax * a.m - a.sx) * (b.y - s.ay)
+                - (s.ax - b.x) * (a.sy - s.ay * a.m))
+        OR (
+          ABS((s.ax * a.m - a.sx) * (b2.y - s.ay)
+              - (s.ax - b2.x) * (a.sy - s.ay * a.m))
+            = ABS((s.ax * a.m - a.sx) * (b.y - s.ay)
+                  - (s.ax - b.x) * (a.sy - s.ay * a.m))
+          AND b2.x < b.x
+        )
+      )
+  )
+)
+SELECT event_type, CAST(pos AS BIGINT) AS pos,
+       CAST(x_min AS BIGINT) AS x_min, CAST(cents AS BIGINT) AS cents
+FROM sel
+UNION ALL
+SELECT event_type, CAST({_LTTB_B} - 1 AS BIGINT),
+       CAST(x AS BIGINT), CAST(y AS BIGINT)
+FROM pts WHERE i = n - 1 AND n > {_LTTB_B}
+UNION ALL
+SELECT event_type, CAST(i AS BIGINT), CAST(x AS BIGINT), CAST(y AS BIGINT)
+FROM pts WHERE n <= {_LTTB_B}
+"""
