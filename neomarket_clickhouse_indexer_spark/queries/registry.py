@@ -500,6 +500,12 @@ _SPECS: list[QuerySpec] = [
               "LTTB downsampling to 24 points — applyInPandas kernel with "
               "exact integer cross-product areas vs a recursive-CTE "
               "NOT-EXISTS argmax oracle in HUGEINT"),
+    QuerySpec("semantic_decontam", V.semantic_decontam,
+              V.SEMANTIC_DECONTAM_SQL, ("DD3", "TX7", "BONUS"),
+              "embedding-space benchmark decontamination: md5-bucket eval "
+              "split broadcast with norms, training vectors flagged by "
+              "cosine >= threshold with match count + argmax best eval — "
+              "the semantic complement of docs_contamination"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1428,3 +1428,101 @@ FROM nb
 LEFT JOIN na ON nb.query_id = na.query_id
 LEFT JOIN ov ON nb.query_id = ov.query_id
 """
+
+
+# --- semantic_decontam: embedding-space benchmark decontamination — the
+#     semantic complement of docs_contamination's n-gram overlap (TX7).
+#     A held-out "eval" split (deterministic md5-bucket of vec_id, ~10%)
+#     is broadcast with precomputed norms; every training vector whose
+#     cosine to ANY eval vector reaches the near-dup threshold is flagged
+#     with its match count and best-matching eval vector. 100 TB shape:
+#     the eval set is small by construction (benchmarks are), so this is
+#     one broadcast join over the corpus — the corpus never shuffles; at
+#     extreme eval sizes the LSH/IVF candidate path (knn_ann_lsh /
+#     knn_ivf) replaces the dense scan, same contract. Reference: the
+#     decontamination mandate is BASELINE.json's training-pipeline list;
+#     the 0.3 threshold keeps the fixture differential populated (~230
+#     flagged pairs at sf0.01 vs 10 at the near-dup 0.4 threshold).
+
+_DECONTAM_MOD = 10  # vec_id md5-bucket % 10 == 0 → eval split (~10%)
+_DECONTAM_SIM = 0.3
+
+
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % _DECONTAM_MOD
+    )
+    tagged = emb.select("vec_id", "embedding", bucket.alias("b"))
+    evals = tagged.filter(F.col("b") == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        VX.norm(F.col("embedding")).alias("e_norm"),
+    )
+    train = tagged.filter(F.col("b") != 0).select(
+        "vec_id",
+        F.col("embedding").alias("t_emb"),
+        VX.norm(F.col("embedding")).alias("t_norm"),
+    )
+    scored = train.crossJoin(F.broadcast(evals)).select(
+        "vec_id",
+        "eval_id",
+        F.round(
+            VX.dot(F.col("t_emb"), F.col("e_emb"))
+            / (F.col("t_norm") * F.col("e_norm")),
+            6,
+        ).alias("sim"),
+    )
+    return (
+        scored.filter(F.col("sim") >= _DECONTAM_SIM)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max_by(
+                "eval_id", F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg"))
+            ).alias("best_eval"),
+            F.max("sim").alias("max_sim"),
+        )
+        .select("vec_id", "n_matches", "best_eval", "max_sim")
+    )
+
+
+_TDOT = (
+    "list_sum(list_transform(generate_series(1, len(t.embedding)), "
+    "i -> CAST(t.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+)
+_TNORM = (
+    "sqrt(list_sum(list_transform(t.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_ENORM = (
+    "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+SEMANTIC_DECONTAM_SQL = f"""
+WITH tagged AS (
+  SELECT vec_id, embedding,
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+           % {_DECONTAM_MOD} AS b
+  FROM embeddings
+),
+scored AS (
+  SELECT t.vec_id, e.vec_id AS eval_id,
+         ROUND({_TDOT} / ({_TNORM} * {_ENORM}), 6) AS sim
+  FROM tagged t, tagged e
+  WHERE t.b <> 0 AND e.b = 0
+),
+filt AS (
+  SELECT * FROM scored WHERE sim >= {_DECONTAM_SIM}
+),
+best AS (
+  SELECT vec_id, eval_id AS best_eval, sim AS max_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, eval_id ASC) AS rn
+  FROM filt
+)
+SELECT c.vec_id, c.n_matches, b.best_eval, b.max_sim
+FROM (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM filt GROUP BY 1) c
+JOIN best b ON c.vec_id = b.vec_id AND b.rn = 1
+"""
