@@ -192,3 +192,60 @@ SELECT doc_id, source,
 FROM lagged
 GROUP BY doc_id, source
 """
+
+
+# --- multimodal_frame_dedup: cross-media duplicate-frame detection — the
+#     video analog of exact document dedup (DD1): fan every payload out to
+#     64-byte frames inside the executor (multimodal/media.py::
+#     binary_frames — the shuffle moves frames, never payloads), then one
+#     hash-groupBy on the per-frame content signature; a signature seen in
+#     ≥ 2 distinct media objects is a duplicated segment (shared intro /
+#     watermark / copied clip in a real corpus). 100 TB shape: frame
+#     signatures are fixed-width, the groupBy is the only shuffle, and the
+#     payload column never leaves the scan stage. 64-byte frames keep the
+#     fixture differential populated (~97 duplicated signatures at sf0.01
+#     vs 12 at 256 bytes).
+
+DEDUP_FRAME_BYTES = 64
+
+
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = binary_frames(
+        docs, "doc_id", "payload", bytes_per_frame=DEDUP_FRAME_BYTES
+    )
+    return (
+        frames.groupBy("frame_sig")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+MULTIMODAL_FRAME_DEDUP_SQL = f"""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(generate_series(1,
+           CAST(ceil(length(text) / {DEDUP_FRAME_BYTES}.0) AS INT))) AS i
+  FROM documents
+),
+sized AS (
+  SELECT f.doc_id,
+         substring(sha256(substring(d.text,
+           (f.i - 1) * {DEDUP_FRAME_BYTES} + 1, {DEDUP_FRAME_BYTES})), 1, 8)
+           AS frame_sig
+  FROM frames f JOIN documents d USING (doc_id)
+)
+SELECT frame_sig,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM sized
+GROUP BY frame_sig
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""

@@ -506,6 +506,12 @@ _SPECS: list[QuerySpec] = [
               "split broadcast with norms, training vectors flagged by "
               "cosine >= threshold with match count + argmax best eval — "
               "the semantic complement of docs_contamination"),
+    QuerySpec("multimodal_frame_dedup", M.multimodal_frame_dedup,
+              M.MULTIMODAL_FRAME_DEDUP_SQL, ("MM", "DD1", "BONUS"),
+              "cross-media duplicate-frame detection: executor-side "
+              "64-byte frame fan-out + one hash-groupBy on frame "
+              "signatures; signatures in >= 2 media objects are shared "
+              "segments — the video analog of exact dedup"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
