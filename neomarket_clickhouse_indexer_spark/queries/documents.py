@@ -1725,3 +1725,146 @@ SELECT est.token,
        CAST(est.est_n - COALESCE(truec.true_n, 0) AS BIGINT) AS over_n
 FROM est LEFT JOIN truec ON est.token = truec.token
 """
+
+
+# --- docs_kmv_distinct: KMV (k-minimum-values / bottom-k) distinct-count
+#     sketch — the second DETERMINISTIC mergeable sketch family next to
+#     docs_cms_counts. Universe = word 3-grams; each distinct gram hashes
+#     to 48 bits of md5; a source's sketch is its K smallest distinct hash
+#     values; the estimator is (K-1) * 2^48 / h_K (exact integer division;
+#     k_used < K means the sketch IS the exact set). Mergeability is the
+#     point: min-K(union) == min-K(concat of min-K's), losslessly — so the
+#     Spark side builds the '__all__' row by MERGING the 20 per-source
+#     sketches (bounded union of K x #sources rows), while the DuckDB
+#     oracle computes '__all__' DIRECTLY from the full corpus hash set.
+#     The differential therefore proves the merge path is lossless
+#     cross-engine, the same one-sided-evidence pattern as the CMS and
+#     Bloom gates. err_ppm vs the exact distinct count is emitted so the
+#     estimator's accuracy is pinned in the gate output (hash collisions
+#     below 48 bits are part of both engines' identical arithmetic).
+#     100 TB: per-source bottom-K is one hash agg + one K-row-per-source
+#     window; the merge state is K hashes per group — O(K) like the
+#     reference's uniqCombined states (clickhouse aggregate-function
+#     states; src/api.ts leaderboard distincts).
+
+KMV_K = 256
+_KMV_RADIX = 1 << 48
+
+
+def docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    grams = docs.select(
+        "source",
+        F.explode(TX.shingles(TX.tokens(F.col("text")), 3, distinct=True)).alias(
+            "g"
+        ),
+    )
+    hashed = grams.select(
+        "source",
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("h"),
+    ).distinct()
+
+    w = Window.partitionBy("source").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+
+    # merge path: union of per-source bottom-K sets -> global bottom-K.
+    # The single-partition window is bounded by K x #sources rows.
+    wall = Window.orderBy("h")
+    merged = (
+        topk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wall))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_used"))
+        .select(F.lit("__all__").alias("source"), "hk", "k_used")
+    )
+    per_source = topk.groupBy("source").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_used")
+    )
+
+    exact_src = grams.groupBy("source").agg(
+        F.countDistinct("g").alias("exact_distinct")
+    )
+    exact_all = grams.agg(
+        F.countDistinct("g").alias("exact_distinct")
+    ).select(F.lit("__all__").alias("source"), "exact_distinct")
+
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        F.expr(f"({KMV_K} - 1) * CAST({_KMV_RADIX} AS BIGINT) DIV hk")
+    )
+    return (
+        per_source.unionByName(merged)
+        .join(exact_src.unionByName(exact_all), "source")
+        .withColumn("est_distinct", est.cast("long"))
+        .withColumn(
+            "err_ppm",
+            F.expr("abs(est_distinct - exact_distinct) * 1000000 DIV exact_distinct"),
+        )
+        .select(
+            "source",
+            F.col("k_used").cast("long").alias("k_used"),
+            "hk",
+            "est_distinct",
+            "exact_distinct",
+            "err_ppm",
+        )
+    )
+
+
+DOCS_KMV_DISTINCT_SQL = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(CASE WHEN len(t) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks
+),
+hashed AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) AS h
+  FROM grams
+),
+topk AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashed
+),
+per AS (
+  SELECT source, MAX(h) AS hk, COUNT(*) AS k_used
+  FROM topk WHERE rn <= {KMV_K} GROUP BY 1
+),
+allk AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM hashed)
+),
+alls AS (
+  SELECT '__all__' AS source, MAX(h) AS hk, COUNT(*) AS k_used
+  FROM allk WHERE rn <= {KMV_K}
+),
+sk AS (SELECT * FROM per UNION ALL SELECT * FROM alls),
+ex AS (
+  SELECT source, COUNT(DISTINCT g) AS ed FROM grams GROUP BY 1
+  UNION ALL
+  SELECT '__all__', COUNT(DISTINCT g) FROM grams
+),
+j AS (
+  SELECT sk.source,
+         CAST(sk.k_used AS BIGINT) AS k_used,
+         sk.hk,
+         CAST(CASE WHEN sk.k_used < {KMV_K} THEN sk.k_used
+               ELSE ({KMV_K} - 1) * CAST({_KMV_RADIX} AS BIGINT) // sk.hk
+             END AS BIGINT) AS est_distinct,
+         CAST(ex.ed AS BIGINT) AS exact_distinct
+  FROM sk JOIN ex ON sk.source = ex.source
+)
+SELECT source, k_used, hk, est_distinct, exact_distinct,
+       abs(est_distinct - exact_distinct) * 1000000 // exact_distinct
+         AS err_ppm
+FROM j
+"""

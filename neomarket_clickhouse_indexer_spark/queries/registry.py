@@ -512,6 +512,18 @@ _SPECS: list[QuerySpec] = [
               "64-byte frame fan-out + one hash-groupBy on frame "
               "signatures; signatures in >= 2 media objects are shared "
               "segments — the video analog of exact dedup"),
+    QuerySpec("docs_kmv_distinct", D.docs_kmv_distinct,
+              D.DOCS_KMV_DISTINCT_SQL, ("A3", "BONUS"),
+              "KMV bottom-k distinct sketch over 3-gram universe: "
+              "deterministic mergeable states — the Spark __all__ row is "
+              "built by MERGING per-source sketches while the oracle "
+              "computes it directly from the corpus, proving merge "
+              "losslessness cross-engine; err_ppm pins estimator accuracy"),
+    QuerySpec("user_type_value_map", TS.user_type_value_map,
+              TS.USER_TYPE_VALUE_MAP_SQL, ("A6", "U1", "BONUS"),
+              "sumMap analog: per-user event_type->cents totals as "
+              "aligned key-sorted (keys[], values[]) arrays — collected "
+              "list bounded by type-dimension cardinality"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

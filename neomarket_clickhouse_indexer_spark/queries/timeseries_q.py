@@ -559,3 +559,62 @@ UNION ALL
 SELECT event_type, CAST(i AS BIGINT), CAST(x AS BIGINT), CAST(y AS BIGINT)
 FROM pts WHERE n <= {_LTTB_B}
 """
+
+
+# --- user_type_value_map: ClickHouse sumMap() analog — per user, the
+#     event_type → exact cents total "map", emitted as two aligned
+#     key-sorted arrays (sumMap's canonical (keys[], values[]) return
+#     shape; an actual MAP column would hash nondeterministically across
+#     arrow implementations). One hash agg to (user, type), one
+#     collect_list + sort_array to assemble — the collected list is
+#     bounded by the type-dimension cardinality, never by event count.
+
+def user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    per = ev.groupBy("user_id", "event_type").agg(F.sum("cents").alias("c"))
+    assembled = (
+        per.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("event_type").alias("k"),
+                                        F.col("c").alias("v")))
+            ).alias("kv")
+        )
+    )
+    # posexplode back to rows for the gate (array-typed outputs hash
+    # poorly across engines — same discipline as docs_top_by_lang); the
+    # sumMap (keys[], values[]) assembly is the `kv` column above.
+    return assembled.select(
+        "user_id", F.size("kv").cast("long").alias("n_types"),
+        F.posexplode("kv").alias("pos", "entry")
+    ).select(
+        "user_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("entry.k").alias("type_key"),
+        F.col("entry.v").alias("cents_value"),
+        "n_types",
+    )
+
+
+USER_TYPE_VALUE_MAP_SQL = f"""
+WITH per AS (
+  SELECT user_id, event_type, CAST(SUM({_CENTS}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+asm AS (
+  SELECT user_id,
+         list_sort(list({{'k': event_type, 'v': c}})) AS kv
+  FROM per GROUP BY 1
+),
+exploded AS (
+  SELECT user_id, CAST(len(kv) AS BIGINT) AS n_types,
+         unnest(generate_series(1, len(kv))) AS p, kv
+  FROM asm
+)
+SELECT user_id,
+       CAST(p - 1 AS BIGINT) AS pos,
+       kv[p].k AS type_key,
+       kv[p].v AS cents_value,
+       n_types
+FROM exploded
+"""
