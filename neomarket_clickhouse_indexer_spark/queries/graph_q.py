@@ -1,0 +1,165 @@
+"""Iterative graph analytics over the relational schema.
+
+The reference's leaderboard endpoints rank wallets by aggregate volume
+(src/api.ts leaderboard; clickhouse rollups) — one-hop aggregation. This
+module adds the multi-hop generalization as a first-class operator
+family: damped PageRank-style mass propagation over the bipartite
+customer↔supplier procurement graph, run as JOIN-BASED MESSAGE PASSING
+(edges ⋈ ranks → groupBy), the shape that scales: each iteration is one
+shuffle on the receiving key, rank state is node-sized (never
+materialized on the driver), and the edge table is built once and
+reused across iterations.
+
+Determinism: all mass arithmetic is integer — initial rank 1000
+milli-units per customer, damping 85/100 as an exact rational, each
+push floor-divided as ``(r * 85 * w) // (100 * W_out)`` with identical
+association in both engines ("floor-PageRank": truncation loses a few
+milli-units of mass per hop, deterministically). Magnitude bound:
+products stay < 2^63 through sf10 (r ≤ ~1e8 milli-units, w ≤ ~1e9
+cents → 8.5e18; beyond that the rank unit drops to micro-per-node,
+same contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+_CENTS_LI = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+
+PR_BASE = 1000  # initial rank per customer, milli-units
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as an exact rational
+PR_TOP = 25
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped push iterations customer→supplier→customer→supplier;
+    returns the top-25 suppliers by final rank (suppkey tiebreak), with
+    the iteration-1 rank alongside so the differential pins both hops."""
+    # every groupBy below is preceded by an explicit repartition on ITS
+    # key at defaultParallelism width: the plain driver session plans
+    # exchanges at spark.sql.shuffle.partitions=200 and AQE cannot
+    # re-coalesce stages above the cached edge table, so without the cap
+    # each message-passing round paid ~200 near-empty tasks (measured
+    # 24s -> 5s cold at sf0.01). groupBy over a matching hash
+    # partitioning inserts no further exchange.
+    P = spark.sparkContext.defaultParallelism
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_CENTS_LI).alias("cents")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .repartition(P, "o_custkey")
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.sum("cents").alias("w"))
+    )
+    wc = edges.groupBy("c").agg(F.sum("w").alias("wc"))
+    vs = edges.groupBy("s").agg(F.sum("w").alias("vs"))
+    # e feeds all three message-passing rounds — persist so the
+    # lineitem⋈orders edge build runs once, not once per iteration
+    # (the same subtree-reuse rule as semdedup's centroid table).
+    e = (
+        edges.join(F.broadcast(wc), "c")
+        .join(F.broadcast(vs), "s")
+        .persist()
+    )
+
+    push = "({r} * {dn} * w) DIV ({dd} * {out})"
+
+    rs1 = e.repartition(P, "s").groupBy("s").agg(
+        (
+            F.lit((PR_BASE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN).cast("long")
+            + F.sum(
+                F.expr(
+                    push.format(r=PR_BASE, dn=PR_D_NUM, dd=PR_D_DEN, out="wc")
+                )
+            )
+        ).alias("r1")
+    )
+    rc2 = (
+        e.join(F.broadcast(rs1), "s")
+        .repartition(P, "c")
+        .groupBy("c")
+        .agg(
+            (
+                F.lit((PR_BASE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN).cast("long")
+                + F.sum(
+                    F.expr(
+                        push.format(r="r1", dn=PR_D_NUM, dd=PR_D_DEN, out="vs")
+                    )
+                )
+            ).alias("r2c")
+        )
+    )
+    rs2 = (
+        e.join(F.broadcast(rc2), "c")
+        .repartition(P, "s")
+        .groupBy("s")
+        .agg(
+            (
+                F.lit((PR_BASE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN).cast("long")
+                + F.sum(
+                    F.expr(
+                        push.format(r="r2c", dn=PR_D_NUM, dd=PR_D_DEN, out="wc")
+                    )
+                )
+            ).alias("r2")
+        )
+    )
+    w_rank = Window.orderBy(F.desc("r2"), F.asc("s"))
+    return (
+        rs2.join(rs1, "s")
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= PR_TOP)
+        .select(F.col("s").alias("supp_key"), "rank", "r1", "r2")
+    )
+
+
+SUPPLIER_PAGERANK_SQL = f"""
+WITH edges AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s,
+         CAST(SUM({_CENTS_LI}) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+wc AS (SELECT c, CAST(SUM(w) AS BIGINT) AS wc FROM edges GROUP BY 1),
+vs AS (SELECT s, CAST(SUM(w) AS BIGINT) AS vs FROM edges GROUP BY 1),
+e AS (
+  SELECT edges.c, edges.s, edges.w, wc.wc, vs.vs
+  FROM edges JOIN wc ON edges.c = wc.c JOIN vs ON edges.s = vs.s
+),
+rs1 AS (
+  SELECT s,
+         CAST({(PR_BASE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN}
+              + SUM(({PR_BASE} * {PR_D_NUM} * w) // ({PR_D_DEN} * wc))
+           AS BIGINT) AS r1
+  FROM e GROUP BY 1
+),
+rc2 AS (
+  SELECT e.c,
+         CAST({(PR_BASE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN}
+              + SUM((rs1.r1 * {PR_D_NUM} * e.w) // ({PR_D_DEN} * e.vs))
+           AS BIGINT) AS r2c
+  FROM e JOIN rs1 ON e.s = rs1.s GROUP BY 1
+),
+rs2 AS (
+  SELECT e.s,
+         CAST({(PR_BASE * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN}
+              + SUM((rc2.r2c * {PR_D_NUM} * e.w) // ({PR_D_DEN} * e.wc))
+           AS BIGINT) AS r2
+  FROM e JOIN rc2 ON e.c = rc2.c GROUP BY 1
+),
+ranked AS (
+  SELECT rs2.s AS supp_key,
+         CAST(ROW_NUMBER() OVER (ORDER BY rs2.r2 DESC, rs2.s ASC) AS BIGINT)
+           AS rank,
+         rs1.r1, rs2.r2
+  FROM rs2 JOIN rs1 ON rs2.s = rs1.s
+)
+SELECT supp_key, rank, r1, r2 FROM ranked WHERE rank <= {PR_TOP}
+"""

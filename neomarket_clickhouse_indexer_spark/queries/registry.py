@@ -23,6 +23,7 @@ from . import events as E
 from . import multimodal_q as M
 from . import ops_q as O
 from . import pipeline as PL
+from . import graph_q as G
 from . import relational as R
 from . import timeseries_q as TS
 from . import vectors_q as V
@@ -524,6 +525,13 @@ _SPECS: list[QuerySpec] = [
               "sumMap analog: per-user event_type->cents totals as "
               "aligned key-sorted (keys[], values[]) arrays — collected "
               "list bounded by type-dimension cardinality"),
+    QuerySpec("supplier_pagerank", G.supplier_pagerank,
+              G.SUPPLIER_PAGERANK_SQL, ("J1", "W4", "BONUS"),
+              "damped PageRank over the bipartite customer-supplier "
+              "procurement graph: two join-based message-passing pushes "
+              "in exact integer milli-units (floor-PageRank), node-sized "
+              "rank state, edge table built once — top-25 suppliers with "
+              "both iterations pinned"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

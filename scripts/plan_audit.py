@@ -21,6 +21,10 @@ INTENTIONAL_CROSS = {
     "semdedup_prune",  # k-row broadcast centroid probe (same as knn_ivf)
     "docs_bm25_search",  # 1-row broadcast corpus stats (N, avgdl)
     "docs_mixture_weights",  # 1-row broadcast normalization totals
+    "bloom_semijoin_filter",  # 1-row broadcast bloom bitmap probed per row
+    "docs_training_mix",  # ~20-row broadcast quota frame (budget slots)
+    "knn_recall_report",  # composes knn_bruteforce + knn_ann_lsh shapes
+    "semantic_decontam",  # broadcast eval-split probe (same as knn_bruteforce)
 }
 for name in sorted(REGISTRY):
     if name == "domain_ledger_summary":  # triggers eager work; skip plan-only audit
