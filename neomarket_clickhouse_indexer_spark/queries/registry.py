@@ -532,6 +532,13 @@ _SPECS: list[QuerySpec] = [
               "in exact integer milli-units (floor-PageRank), node-sized "
               "rank state, edge table built once — top-25 suppliers with "
               "both iterations pinned"),
+    QuerySpec("streaming_sequence_pairs", TS.streaming_sequence_pairs,
+              TS.STREAMING_SEQUENCE_PAIRS_SQL, ("ST6", "ST1", "BONUS"),
+              "greedy pair automaton as a REAL applyInPandasWithState "
+              "streaming query over 3 microbatches — final per-user "
+              "(pending, pairs) state equals the recursive-CTE automaton; "
+              "with the batch closed-form gate, three formulations pin "
+              "each other"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

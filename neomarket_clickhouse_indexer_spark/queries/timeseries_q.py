@@ -618,3 +618,113 @@ SELECT user_id,
        n_types
 FROM exploded
 """
+
+
+# --- streaming_sequence_pairs: ST6-depth — the greedy view→purchase
+#     automaton from events_sequence_match run as a REAL Structured
+#     Streaming query (streaming/stateful.py::sequence_pairs_stream,
+#     applyInPandasWithState over a 3-chunk file source). The batch gate
+#     proves closed form == sequential automaton; this gate proves the
+#     STREAMING fold reaches the same final state one microbatch at a
+#     time — the oracle is the same literal recursive-CTE automaton,
+#     additionally emitting the pending counter so the full end state
+#     (not just the pair count) is pinned.
+
+
+def streaming_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from ..streaming.stateful import sequence_pairs_stream
+
+    inp = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    src = f"/tmp/nmci_stream_pairs_src_{tag}"
+    ckpt = f"/tmp/nmci_stream_pairs_ckpt_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # event_id-range chunks preserve cross-batch event-time order
+    # (event_id follows ts in the fixture); within a batch the operator
+    # re-sorts by (ts, event_id)
+    bounds = inp.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    chunks = [
+        inp.filter(F.col("event_id") <= bounds[0]),
+        inp.filter(
+            (F.col("event_id") > bounds[0]) & (F.col("event_id") <= bounds[1])
+        ),
+        inp.filter(F.col("event_id") > bounds[1]),
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(inp.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"sequence_pairs_{tag}"
+    # scope the state-store partition count to this stream (same doctrine
+    # as streaming_positions_state: a plain session's 200 shuffle
+    # partitions would spawn 600 near-empty state tasks for 3 batches)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sequence_pairs_stream(stream, ckpt)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # update-mode memory sink appends every per-batch emission; the row
+    # with the highest n per user is the final automaton state
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("pending", "n").alias("pending"),
+            F.max_by("pairs", "n").alias("n_pairs"),
+            F.max("n").alias("n_events"),
+        )
+        .select("user_id", "pending", "n_pairs", "n_events")
+    )
+
+
+STREAMING_SEQUENCE_PAIRS_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+),
+ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM base
+),
+scan AS (
+  SELECT user_id, 0 AS rn, 0 AS pending, 0 AS pairs
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT o.user_id, o.rn,
+         CASE WHEN o.event_type = 'view' THEN s.pending + 1
+              WHEN o.event_type = 'purchase' AND s.pending > 0
+                THEN s.pending - 1
+              ELSE s.pending END,
+         CASE WHEN o.event_type = 'purchase' AND s.pending > 0
+                THEN s.pairs + 1
+              ELSE s.pairs END
+  FROM scan s
+  JOIN ordered o ON o.user_id = s.user_id AND o.rn = s.rn + 1
+)
+SELECT s.user_id,
+       CAST(s.pending AS BIGINT) AS pending,
+       CAST(s.pairs AS BIGINT) AS n_pairs,
+       CAST(t.n_rows AS BIGINT) AS n_events
+FROM scan s
+JOIN (SELECT user_id, MAX(rn) AS n_rows FROM ordered GROUP BY 1) t
+  ON s.user_id = t.user_id AND s.rn = t.n_rows
+"""

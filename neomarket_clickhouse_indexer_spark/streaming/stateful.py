@@ -83,3 +83,60 @@ def running_positions_stream(trades_stream, checkpoint_dir: str):
     return updated.writeStream.outputMode("update").option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+# --- streaming sequenceCount: the greedy view→purchase pair automaton
+#     (queries/timeseries_q.py events_sequence_match, where the BATCH
+#     side uses the Lindley-reflection closed form) run as a REAL
+#     stateful streaming operator: per-user (pending, pairs, n) state is
+#     O(1) and folds each microbatch's rows in event-time order. With
+#     the batch gate proving closed form == sequential automaton and
+#     this operator proving streaming fold == the same automaton, the
+#     three formulations pin each other.
+
+PAIR_STATE_SCHEMA = "pending long, pairs long, n long"
+PAIR_OUTPUT_SCHEMA = "user_id bigint, pending long, pairs long, n long"
+
+
+def _pairs_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        pending, pairs, n = state.get
+    else:
+        pending, pairs, n = 0, 0, 0
+    for pdf in pdfs:
+        # microbatch rows arrive in shuffle order — re-establish event
+        # time order (cross-batch order is the file source's contract,
+        # same as running_positions_stream)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            n += 1
+            if row.event_type == "view":
+                pending += 1
+            elif row.event_type == "purchase" and pending > 0:
+                pending -= 1
+                pairs += 1
+    state.update((int(pending), int(pairs), int(n)))
+    yield pd.DataFrame(
+        [(key[0], int(pending), int(pairs), int(n))],
+        columns=["user_id", "pending", "pairs", "n"],
+    )
+
+
+def sequence_pairs_stream(events_stream, checkpoint_dir: str):
+    """events_stream columns: user_id bigint, ts timestamp, event_id
+    bigint, event_type string. Emits each user's refreshed
+    (pending, pairs, n) automaton state every microbatch."""
+    updated = events_stream.groupBy("user_id").applyInPandasWithState(
+        _pairs_update,
+        outputStructType=PAIR_OUTPUT_SCHEMA,
+        stateStructType=PAIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return updated.writeStream.outputMode("update").option(
+        "checkpointLocation", checkpoint_dir
+    )
