@@ -52,6 +52,11 @@ HEADLINE = [
     "docs_dup_ngram_spans",
     "docs_sample_pack",
     "semdedup_prune",
+    # late-r5 additions: sequential-analytics + graph + sketch families
+    "events_sequence_match",
+    "events_lttb_downsample",
+    "supplier_pagerank",
+    "docs_kmv_distinct",
     # docs_setsim_join is NOT benched at sf0.1: the synthetic corpus is
     # drawn from a tiny vocabulary, so the TRUE answer at tau=0.8 is
     # ~3M pairs for 5k docs (output-quadratic by construction — measured

@@ -203,6 +203,119 @@ def main() -> None:
         ),
     )
 
+    # r5 time-series family over the scaled events frame: the Lindley
+    # closed-form pair count (two window cumsums + one agg — the whole
+    # point of avoiding the sequential automaton at scale), the WITH FILL
+    # spine (agg → sequence explode → carry-forward window), and the LTTB
+    # pre-agg + per-series kernel (series count fixed, per-series points
+    # capped by the hourly agg, so the kernel stage is volume-invariant).
+    from pyspark.sql import Window
+
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = big.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "view").cast("long").alias("is_v"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    exceed = flagged.select(
+        "user_id",
+        (F.sum("is_p").over(wcum) - F.sum("is_v").over(wcum)).alias("exceed"),
+        "is_p",
+    )
+    timed(
+        "sequence_pairs_closed_form",
+        exceed.groupBy("user_id").agg(
+            (F.sum("is_p") - F.greatest(F.lit(0), F.max("exceed")))
+            .cast("long")
+            .alias("n_pairs")
+        ),
+    )
+    hourly = big.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    wfill = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timed(
+        "gap_fill",
+        spine.join(hourly, ["event_type", "bucket"], "left").select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("c", ignorenulls=True).over(wfill).cast("long").alias("carry"),
+        ),
+    )
+    lttb_hourly = hourly.select(
+        "event_type",
+        (
+            F.datediff("bucket", F.lit("2024-01-01").cast("date")) * 1440
+            + F.hour("bucket") * 60
+        ).cast("long").alias("x"),
+        F.col("c").alias("y"),
+    )
+    # the LTTB kernel itself runs over <= #hourly-buckets rows per series
+    # regardless of N (volume-invariant); the pre-agg is the scaling part
+    timed("lttb_preagg", lttb_hourly)
+
+    # KMV bottom-k sketch build over the scaled docs corpus
+    kmv_hashed = (
+        big_docs.select(
+            "source",
+            F.explode(TX.shingles(TX.tokens(F.col("text")), 3, distinct=True)).alias(
+                "g"
+            ),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    wk = Window.partitionBy("source").orderBy("h")
+    timed(
+        "kmv_bottom_k",
+        kmv_hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 256)
+        .groupBy("source")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_used")),
+    )
+
+    # cross-media frame dedup over the scaled docs corpus (mapInPandas
+    # fan-out + one hash-groupBy on the signature)
+    from neomarket_clickhouse_indexer_spark.multimodal.media import binary_frames
+
+    payloads = big_docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = binary_frames(payloads, "doc_id", "payload", bytes_per_frame=64)
+    timed(
+        "frame_dedup",
+        frames.groupBy("frame_sig")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2),
+    )
+
 
 if __name__ == "__main__":
     main()
