@@ -24,6 +24,7 @@ from . import multimodal_q as M
 from . import ops_q as O
 from . import pipeline as PL
 from . import graph_q as G
+from . import interval_q as IV
 from . import relational as R
 from . import timeseries_q as TS
 from . import vectors_q as V
@@ -539,6 +540,13 @@ _SPECS: list[QuerySpec] = [
               "(pending, pairs) state equals the recursive-CTE automaton; "
               "with the batch closed-form gate, three formulations pin "
               "each other"),
+    QuerySpec("supplier_shipment_overlap", IV.supplier_shipment_overlap,
+              IV.SUPPLIER_SHIPMENT_OVERLAP_SQL, ("J6", "W2", "BONUS"),
+              "interval-overlap self-join via week-bucket candidate "
+              "expansion + exact filter + pair dedup (the scale path) vs "
+              "the oracle's direct quadratic predicate join — proves "
+              "bucketization lossless; peak concurrency by sweep line "
+              "with per-date pre-aggregated deltas"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
