@@ -406,24 +406,14 @@ WINDOW w3 AS (PARTITION BY event_type ORDER BY bucket
 _LTTB_B = 24
 
 
-def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lttb_select(pts: DataFrame, b: int) -> DataFrame:
+    """Reusable LTTB core: ``pts`` has (event_type, x long, y long); one
+    applyInPandas kernel per series selects ``min(n, b)`` points with
+    exact integer cross-product areas (smallest-x tiebreak). Also backs
+    the serving layer's chart_series endpoint."""
     import pandas as pd
 
-    ev = _events_cents(spark, sf_dir)
-    hourly = (
-        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.sum("cents").alias("y"))
-        .select(
-            "event_type",
-            (
-                F.datediff("bucket", F.lit("2024-01-01").cast("date")) * 1440
-                + F.hour("bucket") * 60
-            ).cast("long").alias("x"),
-            "y",
-        )
-    )
-
-    B = _LTTB_B
+    B = b
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("x").reset_index(drop=True)
@@ -469,9 +459,26 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return hourly.groupBy("event_type").applyInPandas(
+    return pts.groupBy("event_type").applyInPandas(
         kernel, "event_type string, pos long, x_min long, cents long"
     )
+
+
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.sum("cents").alias("y"))
+        .select(
+            "event_type",
+            (
+                F.datediff("bucket", F.lit("2024-01-01").cast("date")) * 1440
+                + F.hour("bucket") * 60
+            ).cast("long").alias("x"),
+            "y",
+        )
+    )
+    return lttb_select(hourly, _LTTB_B)
 
 
 EVENTS_LTTB_DOWNSAMPLE_SQL = f"""

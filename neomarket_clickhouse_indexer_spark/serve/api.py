@@ -136,6 +136,50 @@ class ServeContext:
         )
         return {"key": key, "interval": interval, "candles": _rows(out, limit)}
 
+    # /chart (beyond-ref): gap-filled hourly volume series, LTTB-
+    # downsampled to max_points when the range is long — the dashboard
+    # charting path largestTriangleThreeBuckets exists for. Composes the
+    # WITH-FILL spine (events_gap_fill) with the reusable LTTB kernel
+    # (queries/timeseries_q.py::lttb_select); filled hours chart as 0.
+    def chart_series(self, event_type: str, max_points: int = 200) -> dict:
+        from ..queries.timeseries_q import events_gap_fill, lttb_select
+
+        max_points = max(3, min(max_points, 2000))
+        filled = (
+            events_gap_fill(self.spark, self.sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                "event_type",
+                (
+                    F.datediff(
+                        "bucket", F.lit("2024-01-01").cast("date")
+                    ) * 1440
+                    + F.hour("bucket") * 60
+                ).cast("long").alias("x"),
+                F.col("cents").alias("y"),
+            )
+        )
+        pts = (
+            lttb_select(filled, max_points)
+            .orderBy("pos")
+            .select(
+                F.col("pos"),
+                F.expr(
+                    "TIMESTAMP'2024-01-01 00:00:00' + make_interval"
+                    "(0, 0, 0, 0, 0, CAST(x_min AS INT), 0)"
+                ).alias("bucket"),
+                F.col("cents"),
+            )
+            .select(
+                "pos", F.unix_timestamp("bucket").alias("time"), "cents"
+            )
+        )
+        return {
+            "key": event_type,
+            "maxPoints": max_points,
+            "points": _rows(pts, max_points),
+        }
+
     # /user/stats (src/api.ts:1034-1116)
     def user_stats(self, user_id: int) -> dict:
         df = EQ.user_stats(self.spark, self.sf_dir).filter(
