@@ -547,6 +547,17 @@ _SPECS: list[QuerySpec] = [
               "the oracle's direct quadratic predicate join — proves "
               "bucketization lossless; peak concurrency by sweep line "
               "with per-date pre-aggregated deltas"),
+    QuerySpec("type_quantile_deterministic", TS.type_quantile_deterministic,
+              TS.TYPE_QUANTILE_DETERMINISTIC_SQL, ("A1", "W4", "BONUS"),
+              "quantileDeterministic analog: md5(event_id)-keyed bottom-K "
+              "reservoir (engine- and cluster-size-invariant sample), "
+              "nearest-rank p50/p90 in integer cents; exact full-data "
+              "quantiles alongside pin the sampling error"),
+    QuerySpec("events_top_paths", TS.events_top_paths,
+              TS.EVENTS_TOP_PATHS_SQL, ("W4", "A1", "BONUS"),
+              "journey/path analysis: per-user ordered 3-step event-type "
+              "paths via two leads (no per-user collect), corpus top-10 "
+              "by frequency with full-path tiebreak"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -735,3 +735,155 @@ FROM scan s
 JOIN (SELECT user_id, MAX(rn) AS n_rows FROM ordered GROUP BY 1) t
   ON s.user_id = t.user_id AND s.rn = t.n_rows
 """
+
+
+# --- type_quantile_deterministic: ClickHouse quantileDeterministic()
+#     analog. CH makes sampled quantiles reproducible by keying the
+#     reservoir on a caller-supplied determinator; here the reservoir is
+#     the K rows with the smallest md5(event_id) per type (the same
+#     bottom-k-by-deterministic-hash mechanism as the KMV sketch, so the
+#     sample is identical in both engines and across cluster sizes), and
+#     the estimate is the NEAREST-RANK cents value at p50/p90 over the
+#     sample — all integers, no interpolation, no rounding hazard. The
+#     exact full-data nearest-rank quantile rides along so the gate also
+#     pins the sampling error observed on the fixtures.
+
+_QD_K = 256
+
+
+def type_quantile_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).select(
+        "event_type",
+        "cents",
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12),
+               16, 10).cast("long").alias("h"),
+    )
+    wsamp = Window.partitionBy("event_type").orderBy("h", "cents")
+    samp = (
+        ev.withColumn("rn", F.row_number().over(wsamp))
+        .filter(F.col("rn") <= _QD_K)
+    )
+    wrank = Window.partitionBy("event_type").orderBy("cents", "h")
+
+    def nearest_rank(df: DataFrame, p_num: int, p_den: int, alias: str):
+        # nearest-rank: value at ceil(p * k) in the cents order
+        ranked = df.withColumn("vr", F.row_number().over(wrank)).withColumn(
+            "k", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        return (
+            ranked.filter(
+                F.col("vr") == F.expr(f"CAST(ceil(k * {p_num} / {p_den}) AS BIGINT)")
+            )
+            .select("event_type", F.col("cents").alias(alias))
+        )
+
+    s50 = nearest_rank(samp, 1, 2, "p50_sample")
+    s90 = nearest_rank(samp, 9, 10, "p90_sample")
+    e50 = nearest_rank(ev, 1, 2, "p50_exact")
+    e90 = nearest_rank(ev, 9, 10, "p90_exact")
+    return (
+        s50.join(s90, "event_type")
+        .join(e50, "event_type")
+        .join(e90, "event_type")
+        .select(
+            "event_type", "p50_sample", "p90_sample", "p50_exact", "p90_exact"
+        )
+    )
+
+
+TYPE_QUANTILE_DETERMINISTIC_SQL = f"""
+WITH ev AS (
+  SELECT event_type, {_CENTS} AS cents,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS BIGINT)
+           AS h
+  FROM events
+),
+samp AS (
+  SELECT event_type, cents, h
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, cents)
+              AS rn
+    FROM ev
+  ) WHERE rn <= {_QD_K}
+),
+sr AS (
+  SELECT event_type, cents, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, h) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS k
+  FROM samp
+),
+er AS (
+  SELECT event_type, cents, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, h) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS k
+  FROM ev
+),
+s50 AS (SELECT event_type, cents AS p50_sample FROM sr
+        WHERE vr = CAST(ceil(k * 1 / 2) AS BIGINT)),
+s90 AS (SELECT event_type, cents AS p90_sample FROM sr
+        WHERE vr = CAST(ceil(k * 9 / 10) AS BIGINT)),
+e50 AS (SELECT event_type, cents AS p50_exact FROM er
+        WHERE vr = CAST(ceil(k * 1 / 2) AS BIGINT)),
+e90 AS (SELECT event_type, cents AS p90_exact FROM er
+        WHERE vr = CAST(ceil(k * 9 / 10) AS BIGINT))
+SELECT s50.event_type, s50.p50_sample, s90.p90_sample,
+       e50.p50_exact, e90.p90_exact
+FROM s50 JOIN s90 USING (event_type)
+JOIN e50 USING (event_type) JOIN e90 USING (event_type)
+"""
+
+
+# --- events_top_paths: journey/path analysis — the classic companion of
+#     funnels in event analytics. Per user, the (ts, event_id)-ordered
+#     3-step event-type paths (via two leads — no per-user collect), then
+#     the corpus-wide top-10 paths by frequency with full-path tiebreak.
+#     One window + one hash agg + TakeOrdered; path cardinality is
+#     |types|^3, so the final top-k never materializes user data.
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+    )
+    counts = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_paths"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    wr = Window.orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "e1", "e2", "e3", "n_paths", "n_users")
+    )
+
+
+EVENTS_TOP_PATHS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+counts AS (
+  SELECT e1, e2, e3,
+         CAST(COUNT(*) AS BIGINT) AS n_paths,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ordered WHERE e3 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS BIGINT)
+         AS rank,
+       e1, e2, e3, n_paths, n_users
+FROM counts
+QUALIFY rank <= 10
+"""

@@ -42,6 +42,16 @@ QUERIES = [
     "docs_weighted_sample",
     # md5-ranked quota fill over a broadcast quota table
     "docs_training_mix",
+    # late-r5 additions: Lindley closed form (window cumsum + running
+    # max); sequential LTTB kernel (whole-series applyInPandas group —
+    # must not depend on how partitions feed the group); bottom-K hash
+    # reservoir + global merge window; iterative message passing with
+    # explicit repartition widths; bucket-expansion pair dedup
+    "events_sequence_match",
+    "events_lttb_downsample",
+    "docs_kmv_distinct",
+    "supplier_pagerank",
+    "supplier_shipment_overlap",
 ]
 
 
