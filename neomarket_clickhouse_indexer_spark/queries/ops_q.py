@@ -625,3 +625,84 @@ TOKEN_ID_DERIVATION_SQL = (
     )
     + "\n) AS v(i, outcome_index, token_id)"
 )
+
+
+# --- orders_snapshot_diff: CDC/changelog extraction between two table
+#     snapshots — the operator an incremental pipeline runs to turn
+#     periodic full dumps into a change stream (the reference's REST
+#     resync does exactly this per market via anti-joins, S6;
+#     sources/rest.py:51 — this is the general two-snapshot form). The
+#     "new" snapshot is derived deterministically from the fixture (md5
+#     key-bucket rules: ~2% deleted, ~3% price-bumped, ~3% re-inserted
+#     under a shifted key), then ONE full outer join on the key
+#     classifies every change; unchanged keys are dropped pre-shuffle
+#     where possible and never emitted. 100 TB: the join is the only
+#     shuffle, both sides pruned to (key, compare-cols).
+
+_DIFF_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.expr(_DIFF_CENTS).alias("cents")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    a = orders.withColumn("b", bucket)
+    # snapshot B: deletes (b<2), updates (+500 cents for 2<=b<5),
+    # re-inserts under shifted keys (95<=b<98)
+    b_kept = (
+        a.filter(F.col("b") >= 2)
+        .select(
+            "k",
+            F.when(F.col("b") < 5, F.col("cents") + 500)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+    )
+    b_ins = a.filter((F.col("b") >= 95) & (F.col("b") < 98)).select(
+        (F.col("k") + 100_000_000).alias("k"), "cents"
+    )
+    snap_b = b_kept.unionByName(b_ins)
+
+    old = a.select("k", F.col("cents").alias("old_cents"))
+    new = snap_b.select("k", F.col("cents").alias("new_cents"))
+    return (
+        old.join(new, "k", "full_outer")
+        .withColumn(
+            "change_type",
+            F.when(F.col("old_cents").isNull(), F.lit("insert"))
+            .when(F.col("new_cents").isNull(), F.lit("delete"))
+            .when(F.col("old_cents") != F.col("new_cents"), F.lit("update")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(F.col("k").alias("order_key"), "change_type",
+                "old_cents", "new_cents")
+    )
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (
+  SELECT o_orderkey AS k, {_DIFF_CENTS} AS cents,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+              AS BIGINT) % 100 AS b
+  FROM orders
+),
+snap_b AS (
+  SELECT k,
+         CASE WHEN b < 5 THEN cents + 500 ELSE cents END AS cents
+  FROM a WHERE b >= 2
+  UNION ALL
+  SELECT k + 100000000, cents FROM a WHERE b >= 95 AND b < 98
+)
+SELECT COALESCE(a.k, nb.k) AS order_key,
+       CASE WHEN a.k IS NULL THEN 'insert'
+            WHEN nb.k IS NULL THEN 'delete'
+            WHEN a.cents <> nb.cents THEN 'update' END AS change_type,
+       a.cents AS old_cents,
+       nb.cents AS new_cents
+FROM a FULL OUTER JOIN snap_b nb ON a.k = nb.k
+WHERE (a.k IS NULL OR nb.k IS NULL OR a.cents <> nb.cents)
+"""

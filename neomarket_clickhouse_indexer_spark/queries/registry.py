@@ -558,6 +558,18 @@ _SPECS: list[QuerySpec] = [
               "journey/path analysis: per-user ordered 3-step event-type "
               "paths via two leads (no per-user collect), corpus top-10 "
               "by frequency with full-path tiebreak"),
+    QuerySpec("events_outlier_buckets", TS.events_outlier_buckets,
+              TS.EVENTS_OUTLIER_BUCKETS_SQL, ("W4", "A1", "BONUS"),
+              "robust anomaly detection: integer nearest-rank median/MAD "
+              "over per-type hourly counts, |n - med| > 3*MAD rule, "
+              "(value, bucket) tiebreaks on every median"),
+    QuerySpec("orders_snapshot_diff", O.orders_snapshot_diff,
+              O.ORDERS_SNAPSHOT_DIFF_SQL, ("S6", "J8", "BONUS"),
+              "CDC changelog between two snapshots: deterministic md5 "
+              "key-bucket mutations (delete/update/shifted re-insert), "
+              "one full-outer join classifies every change; unchanged "
+              "keys never emitted — the general form of the REST resync "
+              "anti-join"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

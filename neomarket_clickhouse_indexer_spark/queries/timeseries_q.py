@@ -887,3 +887,78 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS BIGINT)
 FROM counts
 QUALIFY rank <= 10
 """
+
+
+# --- events_outlier_buckets: robust time-series anomaly detection — the
+#     median/MAD outlier rule (the robust cousin of z-scores, immune to
+#     the outliers it hunts) over per-type hourly event counts, entirely
+#     in integer arithmetic: med = nearest-rank median of hourly counts,
+#     mad = nearest-rank median of |n - med|, outlier ⇔ |n - med| >
+#     3 * mad. Every median uses the (value, bucket) tiebreak so both
+#     engines select the same row. Two windows + one broadcast-sized
+#     per-type stats join; emits only the anomalous buckets.
+
+
+def events_outlier_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def nearest_rank_med(df: DataFrame, val: str, alias: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "bucket")
+        ranked = df.withColumn("vr", F.row_number().over(w)).withColumn(
+            "k", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        return ranked.filter(
+            F.col("vr") == F.expr("CAST(ceil(k / 2) AS BIGINT)")
+        ).select("event_type", F.col(val).alias(alias))
+
+    med = nearest_rank_med(hourly, "n", "med")
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = nearest_rank_med(dev, "dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select("event_type", "bucket", "n", "med", "mad",
+                F.col("dev").alias("abs_dev"))
+    )
+
+
+EVENTS_OUTLIER_BUCKETS_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+medr AS (
+  SELECT event_type, n AS med
+  FROM (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, bucket)
+             AS vr,
+           COUNT(*) OVER (PARTITION BY event_type) AS k
+    FROM hourly
+  ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
+),
+dev AS (
+  SELECT h.event_type, h.bucket, h.n, m.med, abs(h.n - m.med) AS dev
+  FROM hourly h JOIN medr m USING (event_type)
+),
+madr AS (
+  SELECT event_type, dev AS mad
+  FROM (
+    SELECT event_type, dev,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, bucket)
+             AS vr,
+           COUNT(*) OVER (PARTITION BY event_type) AS k
+    FROM dev
+  ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
+)
+SELECT d.event_type, d.bucket, d.n, d.med, ma.mad, d.dev AS abs_dev
+FROM dev d JOIN madr ma USING (event_type)
+WHERE d.dev > 3 * ma.mad
+"""
