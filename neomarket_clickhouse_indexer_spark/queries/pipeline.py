@@ -826,3 +826,77 @@ SELECT r.source, CAST(r.pick_rank AS BIGINT) AS pick_rank, r.doc_id,
 FROM ranked r JOIN quota q USING (source)
 WHERE r.pick_rank <= q.n_pick
 """
+
+
+# --- customer_name_neardup: entity-resolution / fuzzy-match — FastSS
+#     edit-distance blocking. Candidates = pairs sharing ANY deletion-
+#     neighborhood variant (the name itself + each single-character
+#     deletion: 19 variants for the fixture's fixed 18-char names), an
+#     equi-join on the variant string; exact verification keeps
+#     levenshtein <= 1. The fourth lossless-candidate-generation gate
+#     (after LSH, PPJoin, interval buckets): the DuckDB oracle finds the
+#     same pairs by a COMPLETELY different route — for zero-padded
+#     numeric names, edit distance <= 1 == hamming <= 1 == the keys
+#     differ by d*10^p WITH NO CARRY ((k div 10^p) mod 10 + d <= 9), an
+#     integer candidate join with no string ops at all. 100 TB: the
+#     variant join is the only shuffle, expansion factor = name length;
+#     at real scale variants would hash (xxhash64) instead of shipping
+#     raw strings (the dup-gram index lesson).
+
+_NAME_LEN = 18
+
+
+def customer_name_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    variants = F.array(
+        F.col("name"),
+        *[
+            F.concat(
+                F.substring("name", 1, i - 1),
+                F.substring("name", i + 1, _NAME_LEN),
+            )
+            for i in range(1, _NAME_LEN + 1)
+        ],
+    )
+    va = cust.select("k", "name", F.explode(variants).alias("v"))
+    a = va.select(F.col("k").alias("ka"), F.col("name").alias("na"), "v")
+    b = va.select(F.col("k").alias("kb"), F.col("name").alias("nb"), "v")
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("ka", "kb")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.expr("ka DIV 100").alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("ka").alias("n_left"),
+        )
+        .select("block", "n_pairs", "n_left")
+    )
+
+
+CUSTOMER_NAME_NEARDUP_SQL = """
+WITH ks AS (SELECT c_custkey AS k FROM customer),
+cand AS (
+  -- numeric characterization: zero-padded names are edit-distance<=1
+  -- exactly when keys differ by d*10^p with no decimal carry
+  SELECT a.k AS ka, a.k + d.d * CAST(POWER(10, p.p) AS BIGINT) AS kb
+  FROM ks a,
+       (SELECT unnest(generate_series(1, 9)) AS d) d,
+       (SELECT unnest(generate_series(0, 8)) AS p) p
+  WHERE ((a.k // CAST(POWER(10, p.p) AS BIGINT)) % 10) + d.d <= 9
+),
+pairs AS (
+  SELECT c.ka, c.kb FROM cand c JOIN ks b ON c.kb = b.k
+)
+SELECT ka // 100 AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT ka) AS BIGINT) AS n_left
+FROM pairs
+GROUP BY 1
+"""

@@ -570,6 +570,12 @@ _SPECS: list[QuerySpec] = [
               "one full-outer join classifies every change; unchanged "
               "keys never emitted — the general form of the REST resync "
               "anti-join"),
+    QuerySpec("customer_name_neardup", PL.customer_name_neardup,
+              PL.CUSTOMER_NAME_NEARDUP_SQL, ("DD5", "J4", "BONUS"),
+              "FastSS edit-distance<=1 blocking: deletion-neighborhood "
+              "variant equi-join + exact levenshtein verify vs an oracle "
+              "using the numeric no-carry difference characterization — "
+              "two completely different algorithms, same pair set"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
