@@ -576,6 +576,14 @@ _SPECS: list[QuerySpec] = [
               "variant equi-join + exact levenshtein verify vs an oracle "
               "using the numeric no-carry difference characterization — "
               "two completely different algorithms, same pair set"),
+    QuerySpec("events_cumulative_distinct_users",
+              TS.events_cumulative_distinct_users,
+              TS.EVENTS_CUMULATIVE_DISTINCT_USERS_SQL,
+              ("A3", "W2", "BONUS"),
+              "running distinct via the first-seen rewrite (one min-agg "
+              "+ day-spine cumsum) vs the oracle's NAIVE per-day "
+              "correlated COUNT DISTINCT — the differential proves the "
+              "classic scale rewrite"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -962,3 +962,53 @@ SELECT d.event_type, d.bucket, d.n, d.med, ma.mad, d.dev AS abs_dev
 FROM dev d JOIN madr ma USING (event_type)
 WHERE d.dev > 3 * ma.mad
 """
+
+
+# --- events_cumulative_distinct_users: running distinct count — the
+#     growth-dashboard staple ("total unique users to date" per day).
+#     The naive formulation is a running COUNT(DISTINCT) — O(days x
+#     users) state and quadratic recompute; the scale rewrite is the
+#     FIRST-SEEN trick: distinct-to-date(d) = count of users whose FIRST
+#     event date <= d, i.e. one min-agg per user, one count per
+#     first-seen day, one cumulative window over the (tiny) day spine.
+#     The DuckDB oracle RUNS THE NAIVE FORMULATION (a correlated
+#     count-distinct per day), so the differential proves the rewrite.
+#     Day arithmetic stays calendar (NTZ-safe); days with activity but
+#     no new users still appear (left join to the active-day spine).
+
+
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    days = ev.select("d").distinct()
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    new_per_day = first_seen.groupBy("d0").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        days.join(new_per_day, days.d == new_per_day.d0, "left")
+        .select(
+            "d", F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new")
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("long"))
+    )
+
+
+EVENTS_CUMULATIVE_DISTINCT_USERS_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ev)
+SELECT days.d,
+       -- the naive running-distinct formulation, computed per day
+       CAST((SELECT COUNT(DISTINCT e.user_id) FROM ev e WHERE e.d <= days.d)
+            - (SELECT COUNT(DISTINCT e.user_id) FROM ev e WHERE e.d < days.d)
+         AS BIGINT) AS n_new,
+       CAST((SELECT COUNT(DISTINCT e.user_id) FROM ev e WHERE e.d <= days.d)
+         AS BIGINT) AS cum_users
+FROM days
+"""
