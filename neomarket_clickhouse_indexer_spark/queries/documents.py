@@ -1868,3 +1868,117 @@ SELECT source, k_used, hk, est_distinct, exact_distinct,
          AS err_ppm
 FROM j
 """
+
+
+# --- docs_heavy_hitters: propose/verify heavy-hitter detection — the
+#     bounded-memory pattern for "find every token above phi of the
+#     corpus" at scale: (1) build the CMS (d=3 md5 rows x w=64, same
+#     deterministic sketch as docs_cms_counts), (2) candidates = tokens
+#     whose CMS row-min estimate clears the threshold — the CMS only
+#     OVERcounts, so this step has NO false negatives (the guarantee
+#     that makes the pipeline exact), (3) one exact count join verifies
+#     candidates and prunes the false positives. Output = the true heavy
+#     hitters with exact counts PLUS the per-token CMS estimate and a
+#     pruned-candidate count, so the differential pins both the final
+#     answer and the one-sided-guarantee accounting. The oracle computes
+#     heavy hitters directly from exact counts and rebuilds the same
+#     sketch arithmetic for the estimates. phi = 1/64 of token mass; the
+#     gate's sketch is deliberately NARROW (w=16 vs docs_cms_counts' 64)
+#     so the fixtures yield a real pruned false positive (31 candidates
+#     -> 30 true hitters at both gate SFs) — the verify step is
+#     exercised, not vacuous.
+
+_HH_PHI_DEN = 64
+_HH_W = 16
+
+
+def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    buckets = F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{i}:"), F.col("token"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _HH_W
+            for i in range(CMS_D)
+        ]
+    )
+    hashed = toks.select("token", buckets.alias("bs"))
+    cms = (
+        hashed.select(F.posexplode("bs").alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = toks.count()  # driver-side scalar: one number, not data
+    thresh = total // _HH_PHI_DEN
+
+    # estimate per DISTINCT token = min over its d rows (broadcast CMS:
+    # d x w = 192 cells regardless of corpus size)
+    est = (
+        hashed.distinct()
+        .select("token", F.posexplode("bs").alias("row", "bucket"))
+        .join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    candidates = est.filter(F.col("cms_est") >= thresh)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    verified = candidates.join(exact, "token")
+    n_cand = verified.count()  # scalar for the pruning accounting
+    return (
+        verified.filter(F.col("n") >= thresh)
+        .select(
+            "token",
+            "n",
+            "cms_est",
+            (F.col("cms_est") - F.col("n")).alias("overcount"),
+            F.lit(int(thresh)).alias("threshold"),
+            F.lit(int(n_cand)).alias("n_candidates"),
+        )
+    )
+
+
+DOCS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+total AS (SELECT COUNT(*) AS t FROM toks),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+cells AS (
+  SELECT i.i AS row,
+         CAST('0x' || substr(md5('cms' || i.i || ':' || t.token), 1, 8)
+              AS BIGINT) % {_HH_W} AS bucket,
+         COUNT(*) AS c
+  FROM toks t, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i) i
+  GROUP BY 1, 2
+),
+tb AS (
+  SELECT d.token, i.i AS row,
+         CAST('0x' || substr(md5('cms' || i.i || ':' || d.token), 1, 8)
+              AS BIGINT) % {_HH_W} AS bucket
+  FROM (SELECT DISTINCT token FROM toks) d,
+       (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i) i
+),
+est AS (
+  SELECT tb.token, CAST(MIN(c.c) AS BIGINT) AS cms_est
+  FROM tb JOIN cells c ON c.row = tb.row AND c.bucket = tb.bucket
+  GROUP BY 1
+),
+cand AS (
+  SELECT e.token, e.cms_est, x.n
+  FROM est e JOIN exact x USING (token), total
+  WHERE e.cms_est >= total.t // {_HH_PHI_DEN}
+),
+ncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM cand)
+SELECT c.token, c.n, c.cms_est,
+       c.cms_est - c.n AS overcount,
+       CAST(total.t // {_HH_PHI_DEN} AS BIGINT) AS threshold,
+       ncand.nc AS n_candidates
+FROM cand c, total, ncand
+WHERE c.n >= total.t // {_HH_PHI_DEN}
+"""

@@ -584,6 +584,12 @@ _SPECS: list[QuerySpec] = [
               "+ day-spine cumsum) vs the oracle's NAIVE per-day "
               "correlated COUNT DISTINCT — the differential proves the "
               "classic scale rewrite"),
+    QuerySpec("docs_heavy_hitters", D.docs_heavy_hitters,
+              D.DOCS_HEAVY_HITTERS_SQL, ("A3", "P4", "BONUS"),
+              "propose/verify heavy hitters: CMS candidates (overcount "
+              "only — no false negatives) pruned by one exact count "
+              "join; output pins the final answer AND the candidate "
+              "accounting"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
