@@ -706,3 +706,60 @@ SELECT COALESCE(a.k, nb.k) AS order_key,
 FROM a FULL OUTER JOIN snap_b nb ON a.k = nb.k
 WHERE (a.k IS NULL OR nb.k IS NULL OR a.cents <> nb.cents)
 """
+
+
+# --- join_view_incremental: incremental maintenance of a JOIN view —
+#     the delta rule ΔV = ΔA ⋈ B_new ∪ A_old ⋈ ΔB that turns "rebuild
+#     the enriched-orders view" into "join only the arriving rows"
+#     (the join-view counterpart of the engine's additive-agg folding,
+#     ST3, and LSH signature append, DD2+). Batches are deterministic
+#     md5 key-bucket splits (orders: 80/20, customers: 90/10, so old
+#     orders DO reference arriving customers and every delta term is
+#     populated). The Spark side materializes V as
+#     V_old ∪ ΔA⋈(B∪ΔB) ∪ A_old⋈ΔB — three joins over deltas, never
+#     re-joining A_old⋈B_old — then aggregates per nation; the oracle
+#     RECOMPUTES the full join from scratch. Differential = the delta
+#     rule is exact (disjoint terms, nothing lost, nothing doubled).
+
+def join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+
+    def bucket(col: str):
+        return (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 6), 16, 10)
+            .cast("long") % 100
+        )
+
+    a_old = orders.filter(bucket("o_orderkey") < 80)
+    da = orders.filter(bucket("o_orderkey") >= 80)
+    b_old = cust.filter(bucket("c_custkey") < 90)
+    db = cust.filter(bucket("c_custkey") >= 90)
+    b_new = b_old.unionByName(db)
+
+    v_old = a_old.join(b_old, a_old.o_custkey == b_old.c_custkey)
+    dv = da.join(b_new, da.o_custkey == b_new.c_custkey).unionByName(
+        a_old.join(db, a_old.o_custkey == db.c_custkey)
+    )
+    v = v_old.select("c_nationkey", "cents").unionByName(
+        dv.select("c_nationkey", "cents")
+    )
+    return v.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+JOIN_VIEW_INCREMENTAL_SQL = """
+SELECT c.c_nationkey AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""

@@ -590,6 +590,12 @@ _SPECS: list[QuerySpec] = [
               "only — no false negatives) pruned by one exact count "
               "join; output pins the final answer AND the candidate "
               "accounting"),
+    QuerySpec("join_view_incremental", O.join_view_incremental,
+              O.JOIN_VIEW_INCREMENTAL_SQL, ("J1", "ST3", "BONUS"),
+              "incremental JOIN-view maintenance: the delta rule "
+              "dV = dA x B_new + A_old x dB materialized over md5-split "
+              "batches, never re-joining the old state; oracle "
+              "recomputes the full join — proves the rule exact"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
