@@ -1982,3 +1982,82 @@ SELECT c.token, c.n, c.cms_est,
 FROM cand c, total, ncand
 WHERE c.n >= total.t // {_HH_PHI_DEN}
 """
+
+
+# --- docs_phrase_search: exact phrase matching via a POSITIONAL
+#     inverted index — the search-engine primitive BM25's bag-of-words
+#     (docs_bm25_search) cannot express. The phrase set is derived from
+#     the corpus itself (top-3 word-trigrams by distinct-doc frequency,
+#     (count desc, gram) tiebreak — deterministic in both engines, so
+#     the gate is self-contained at any SF). Spark runs the real
+#     positional algorithm: (doc, pos, token) index ⋈ broadcast
+#     (phrase, offset, token) terms → aligned starts (pos - offset) →
+#     a start with ALL n terms present is an occurrence. The oracle
+#     finds the same docs by plain string containment
+#     (' '||text||' ' LIKE '% phrase %') — string scan vs positional
+#     join, two unrelated mechanisms. 100 TB: the index is the only
+#     shuffle (phrase terms broadcast); at real scale the index is the
+#     build-once artifact (same doctrine as the candle tier).
+
+_PHRASE_TOP = 3
+_PHRASE_N = 3
+
+
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = TX.tokens(F.col("text"))
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(TX.shingles(toks, _PHRASE_N, distinct=True)).alias("gram"),
+    )
+    top = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .orderBy(F.desc("nd"), F.asc("gram"))
+        .limit(_PHRASE_TOP)
+        .select("gram")
+    )
+    terms = top.select(
+        F.col("gram").alias("phrase"),
+        F.posexplode(F.split("gram", " ")).alias("offset", "tok"),
+    )
+
+    idx = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    hits = (
+        idx.join(F.broadcast(terms), "tok")
+        .select("doc_id", "phrase", (F.col("pos") - F.col("offset")).alias("start"))
+        .groupBy("doc_id", "phrase", "start")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == _PHRASE_N)
+    )
+    return hits.groupBy("phrase").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+DOCS_PHRASE_SEARCH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= {_PHRASE_N} THEN
+             list_distinct(list_transform(generate_series(1, len(tk) - {_PHRASE_N - 1}),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+           ELSE [array_to_string(tk, ' ')] END) AS gram
+  FROM t
+),
+top AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+  ) ORDER BY nd DESC, gram ASC LIMIT {_PHRASE_TOP}
+)
+SELECT top.gram AS phrase,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(t.doc_id) AS BIGINT) AS min_doc
+FROM top JOIN t
+  ON (' ' || t.text || ' ') LIKE ('% ' || top.gram || ' %')
+GROUP BY 1
+"""

@@ -596,6 +596,13 @@ _SPECS: list[QuerySpec] = [
               "dV = dA x B_new + A_old x dB materialized over md5-split "
               "batches, never re-joining the old state; oracle "
               "recomputes the full join — proves the rule exact"),
+    QuerySpec("docs_phrase_search", D.docs_phrase_search,
+              D.DOCS_PHRASE_SEARCH_SQL, ("J4", "A6", "BONUS"),
+              "exact phrase search via positional inverted index "
+              "(aligned-start term intersection, phrase terms broadcast) "
+              "vs a plain string-containment oracle — two unrelated "
+              "mechanisms; phrase set derived from the corpus itself so "
+              "the gate is self-contained at any SF"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

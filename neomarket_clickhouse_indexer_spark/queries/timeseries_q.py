@@ -2,13 +2,19 @@
 
 The reference's ClickHouse tier makes the sequential-analytics family
 (sequenceMatch / sequenceCount, WITH FILL gap filling, histogram,
-groupArrayMovingSum / runningDifference) available to every dashboard
-query (clickhouse/init/001_create_tables.sql keeps event streams ordered
-for exactly these; src/api.ts's activity/candles endpoints lean on
-bucketed time series). This module re-expresses that family Spark-first:
-window functions + closed forms instead of per-row sequential state, so
-every operator is one or two shuffles on the natural key and survives a
-100× scale-up.
+groupArrayMovingSum / runningDifference, largestTriangleThreeBuckets,
+quantileDeterministic, sumMap, path/retention analysis) available to
+every dashboard query (clickhouse/init/001_create_tables.sql keeps
+event streams ordered for exactly these; src/api.ts's activity/candles
+endpoints lean on bucketed time series). This module re-expresses that
+family Spark-first: window functions + closed forms instead of per-row
+sequential state wherever an equivalent exists (the Lindley reflection
+for greedy pair counting, first-seen rewrite for running distinct,
+median/MAD in nearest-rank integers), applyInPandas only where the
+semantics are genuinely sequential (LTTB), and a real
+applyInPandasWithState streaming query where the operator must hold
+state across microbatches — so every operator is one or two shuffles
+on the natural key and survives a 100× scale-up.
 
 Determinism: event amounts are integerized to cents with
 ``floor(value*100 + 0.5)`` (pure IEEE double ops, bit-identical in Spark
