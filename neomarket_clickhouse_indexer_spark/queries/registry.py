@@ -603,6 +603,17 @@ _SPECS: list[QuerySpec] = [
               "vs a plain string-containment oracle — two unrelated "
               "mechanisms; phrase set derived from the corpus itself so "
               "the gate is self-contained at any SF"),
+    QuerySpec("events_rolling_p95", TS.events_rolling_p95,
+              TS.EVENTS_ROLLING_P95_SQL, ("W2", "A6", "BONUS"),
+              "rolling windowed quantile: exact nearest-rank p95 of "
+              "per-event cents over the trailing 24 hourly buckets — "
+              "sorted per-bucket arrays, frame-bounded flatten+sort, no "
+              "sketch, no interpolation"),
+    QuerySpec("hourly_vwap", TS.hourly_vwap, TS.HOURLY_VWAP_SQL,
+              ("A1", "P1", "BONUS"),
+              "volume-weighted average price per (type, hour), weights "
+              "JSON-extracted; exact integer numerator/denominator plus "
+              "ppm ratio — never a float division"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

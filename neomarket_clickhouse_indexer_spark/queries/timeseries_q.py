@@ -1018,3 +1018,113 @@ SELECT days.d,
          AS BIGINT) AS cum_users
 FROM days
 """
+
+
+# --- events_rolling_p95: windowed quantile — rolling p95 of per-event
+#     cents over the trailing 24 hourly buckets (the SLO-dashboard
+#     shape). Exact and deterministic: per-bucket sorted value arrays,
+#     a 24-row window collects them, flatten + array_sort + nearest
+#     rank — no sketch, no interpolation; the frame bounds the state
+#     (24 x per-bucket values), which is what makes the exact form
+#     viable (the unbounded version is type_value_percentiles' job).
+
+
+def events_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.sort_array(F.collect_list("cents")).alias("vals"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w24 = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return (
+        hourly.withColumn(
+            "window_vals",
+            F.array_sort(F.flatten(F.collect_list("vals").over(w24))),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.size("window_vals").cast("long").alias("n_window"),
+            F.element_at(
+                "window_vals",
+                F.expr("CAST(ceil(size(window_vals) * 19 / 20) AS INT)"),
+            ).alias("p95_cents"),
+        )
+    )
+
+
+EVENTS_ROLLING_P95_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         list_sort(list({_CENTS})) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, bucket, n,
+         list_sort(flatten(list(vals) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+         ))) AS window_vals
+  FROM hourly
+)
+SELECT event_type, bucket, n,
+       CAST(len(window_vals) AS BIGINT) AS n_window,
+       window_vals[CAST(ceil(len(window_vals) * 19 / 20) AS BIGINT)]
+         AS p95_cents
+FROM win
+"""
+
+
+# --- hourly_vwap: weighted aggregation — the volume-weighted average
+#     price per (type, hour), weights from the JSON props column (the
+#     reference's quantity analog; §2.8 JSON). Emitted as EXACT integer
+#     components (numerator = Σ cents·k, denominator = Σ k) plus the
+#     ppm integer ratio — never a float division, so no rounding hazard.
+
+
+def hourly_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.expr(_CENTS).alias("cents"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        ev.filter(F.col("k") > 0)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.col("cents") * F.col("k")).alias("num_cents_k"),
+        )
+        .withColumn(
+            "vwap_ppm", F.expr("num_cents_k * 1000000 DIV sum_k")
+        )
+    )
+
+
+HOURLY_VWAP_SQL = f"""
+SELECT event_type,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(SUM(cents * k) AS BIGINT) AS num_cents_k,
+       CAST(SUM(cents * k) AS BIGINT) * 1000000 // CAST(SUM(k) AS BIGINT)
+         AS vwap_ppm
+FROM (
+  SELECT event_type, ts, {_CENTS} AS cents,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+WHERE k > 0
+GROUP BY 1, 2
+"""
