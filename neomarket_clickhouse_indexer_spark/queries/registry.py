@@ -614,6 +614,18 @@ _SPECS: list[QuerySpec] = [
               "volume-weighted average price per (type, hour), weights "
               "JSON-extracted; exact integer numerator/denominator plus "
               "ppm ratio — never a float division"),
+    QuerySpec("events_cusum_alarms", TS.events_cusum_alarms,
+              TS.EVENTS_CUSUM_ALARMS_SQL, ("W2", "A1", "BONUS"),
+              "CUSUM drift detection via the reflection closed form "
+              "(two windows, no recursion) vs the literal recursive "
+              "automaton oracle — the third closed-form-vs-automaton "
+              "differential; integer median/MAD reference levels"),
+    QuerySpec("knn_filtered", V.knn_filtered, V.KNN_FILTERED_SQL,
+              ("VS1", "P4", "BONUS"),
+              "filtered vector search: top-k restricted by a metadata "
+              "predicate applied as the broadcast join key, pruning "
+              "candidates BEFORE distance math — the pre-filtering ANN "
+              "pattern (post-filtering under-returns)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

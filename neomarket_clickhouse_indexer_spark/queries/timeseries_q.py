@@ -1128,3 +1128,112 @@ FROM (
 WHERE k > 0
 GROUP BY 1, 2
 """
+
+
+# --- events_cusum_alarms: CUSUM change-point detection over per-type
+#     hourly counts — the classic drift monitor. The automaton is
+#     S_t = max(0, S_{t-1} + (x_t - k)) with alarm when S_t > h; the
+#     Spark side uses the REFLECTION closed form instead of sequential
+#     state:  S_t = P_t - least(0, min_{q<=t} P_q)  where P = running
+#     sum of (x - k) — two windows, no recursion (the third
+#     closed-form-vs-automaton differential after greedy sequenceCount
+#     and the Lindley snapshot oracle). Reference level k = the type's
+#     nearest-rank median hourly count, alarm threshold h = 6*MAD + 1 —
+#     all integers with (value, bucket) median tiebreaks. The oracle
+#     runs the literal recursive automaton.
+
+
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def nr_med(df: DataFrame, val: str, alias: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val, "bucket")
+        r = df.withColumn("vr", F.row_number().over(w)).withColumn(
+            "k", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        return r.filter(
+            F.col("vr") == F.expr("CAST(ceil(k / 2) AS BIGINT)")
+        ).select("event_type", F.col(val).alias(alias))
+
+    med = nr_med(hourly, "n", "med")
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = nr_med(dev, "dev", "mad")
+
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("p", F.sum(F.col("n") - F.col("med")).over(wcum))
+        .withColumn(
+            "s",
+            F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wcum)),
+        )
+        .withColumn("h", 6 * F.col("mad") + 1)
+    )
+    return scored.filter(F.col("s") > F.col("h")).select(
+        "event_type", "bucket", "n", "med",
+        F.col("s").cast("long").alias("cusum"),
+        F.col("h").cast("long").alias("threshold"),
+    )
+
+
+EVENTS_CUSUM_ALARMS_SQL = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+medr AS (
+  SELECT event_type, n AS med FROM (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, bucket) AS vr,
+           COUNT(*) OVER (PARTITION BY event_type) AS k
+    FROM hourly
+  ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
+),
+dev AS (
+  SELECT h.event_type, h.bucket, h.n, m.med, abs(h.n - m.med) AS dev
+  FROM hourly h JOIN medr m USING (event_type)
+),
+madr AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, bucket)
+             AS vr,
+           COUNT(*) OVER (PARTITION BY event_type) AS k
+    FROM dev
+  ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
+),
+ordered AS (
+  SELECT d.event_type, d.bucket, d.n, d.med, ma.mad,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.bucket)
+           AS rn
+  FROM dev d JOIN madr ma USING (event_type)
+),
+-- the literal CUSUM automaton, row by row
+scan AS (
+  SELECT event_type, 0 AS rn, CAST(0 AS BIGINT) AS s
+  FROM (SELECT DISTINCT event_type FROM ordered)
+  UNION ALL
+  SELECT o.event_type, o.rn,
+         CASE WHEN sc.s + (o.n - o.med) > 0
+              THEN sc.s + (o.n - o.med) ELSE 0 END
+  FROM scan sc
+  JOIN ordered o ON o.event_type = sc.event_type AND o.rn = sc.rn + 1
+)
+SELECT o.event_type, o.bucket, o.n, o.med,
+       sc.s AS cusum,
+       CAST(6 * o.mad + 1 AS BIGINT) AS threshold
+FROM scan sc
+JOIN ordered o ON o.event_type = sc.event_type AND o.rn = sc.rn
+WHERE sc.s > 6 * o.mad + 1
+"""

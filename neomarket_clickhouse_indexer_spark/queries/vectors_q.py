@@ -1526,3 +1526,67 @@ FROM (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches
       FROM filt GROUP BY 1) c
 JOIN best b ON c.vec_id = b.vec_id AND b.rn = 1
 """
+
+
+# --- knn_filtered: FILTERED vector search — top-k restricted to corpus
+#     vectors satisfying a metadata predicate (here: same label as the
+#     query), the production ANN feature every vector store grew in the
+#     RAG era. The filter is applied as an equi-join key on the
+#     broadcast query set, so Catalyst prunes candidates BEFORE any
+#     distance math (pre-filtering; post-filtering a global top-k would
+#     return < k rows exactly when the filter is selective). At IVF/LSH
+#     scale the same label key simply becomes part of the bucket id.
+
+_FILTERED_K = 5
+
+
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("q_emb"),
+        VX.norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("c_emb"),
+        VX.norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = corpus.join(F.broadcast(queries), "lbl").select(
+        "query_id",
+        "neighbor_id",
+        F.col("lbl").alias("label"),
+        F.round(
+            VX.dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _FILTERED_K)
+        .select("query_id", "rank", "neighbor_id", "label", "cosine_sim")
+    )
+
+
+KNN_FILTERED_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS label,
+         ROUND({_DOT} / ({_QNORM} * {_CNORM}), 6) AS cosine_sim
+  FROM embeddings q JOIN embeddings c ON q.label = c.label
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC)
+            AS BIGINT) AS rank,
+       neighbor_id, label, cosine_sim
+FROM scored
+QUALIFY rank <= {_FILTERED_K}
+"""
