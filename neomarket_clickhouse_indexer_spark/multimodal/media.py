@@ -246,3 +246,74 @@ def pcm_window_energy(
             )
 
     return df.select(id_col, *carry, payload_col).mapInPandas(run, schema)
+
+
+def image_patches(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    side: int = 32,
+    patch: int = 8,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Vision-style preprocessing plumbing: treat the first ``side*side``
+    payload bytes as an 8-bit grayscale ``side``×``side`` image (docs
+    shorter than one full image are skipped — partial images have no
+    stable grid) and emit one row per ``patch``×``patch`` patch with its
+    INTEGER pixel sum and exact milli-mean (sum*1000 // patch²) — the
+    ViT patch-embedding input shape. All integer, so the full fan-out is
+    oracle-checkable; a real kernel would decode with PIL/cv2 first
+    (env-stubbed, see decode_media), but the grid arithmetic, Arrow
+    batch shape, and executor-side fan-out are the production ones.
+    """
+    carry = list(carry_cols)
+    npp = side // patch
+    schema = (
+        f"{id_col} bigint, "
+        + "".join(f"{c} string, " for c in carry)
+        + "patch_row int, patch_col int, pix_sum bigint, mean_milli bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for tup in pdf[[id_col, *carry, payload_col]].itertuples(index=False):
+                mid, *extra, payload = tup
+                b = bytes(payload)
+                if len(b) < side * side:
+                    continue
+                img = np.frombuffer(b[: side * side], dtype=np.uint8).reshape(
+                    side, side
+                ).astype(np.int64)
+                for pr in range(npp):
+                    for pc in range(npp):
+                        blk = img[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ]
+                        s = int(blk.sum())
+                        rows.append(
+                            (
+                                mid,
+                                *extra,
+                                pr,
+                                pc,
+                                s,
+                                s * 1000 // (patch * patch),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    *carry,
+                    "patch_row",
+                    "patch_col",
+                    "pix_sum",
+                    "mean_milli",
+                ],
+            )
+
+    return df.select(id_col, *carry, payload_col).mapInPandas(run, schema)

@@ -249,3 +249,63 @@ FROM sized
 GROUP BY frame_sig
 HAVING COUNT(DISTINCT doc_id) >= 2
 """
+
+
+# --- multimodal_image_patches: the vision half of the media mandate —
+#     ViT-style patch extraction: the first 32x32 payload bytes form an
+#     8-bit grayscale grid, fanned out to 8x8 patches inside the
+#     executor (multimodal/media.py::image_patches) with integer pixel
+#     sums and exact milli-means. Docs shorter than one full image are
+#     skipped by BOTH engines (length >= 1024 — no partial-grid
+#     ambiguity). The DuckDB oracle replays the grid arithmetic over
+#     char-code lists (ASCII corpus: byte == code point, pinned by
+#     tests/test_multimodal_energy.py's fixture contract).
+
+PATCH_SIDE = 32
+PATCH = 8
+
+
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.media import image_patches
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return image_patches(
+        docs, "doc_id", "payload", side=PATCH_SIDE, patch=PATCH
+    ).select(
+        "doc_id",
+        F.col("patch_row").cast("long").alias("patch_row"),
+        F.col("patch_col").cast("long").alias("patch_col"),
+        "pix_sum",
+        "mean_milli",
+    )
+
+
+MULTIMODAL_IMAGE_PATCHES_SQL = f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, ''), c -> unicode(c)) AS cs
+  FROM documents
+  WHERE length(text) >= {PATCH_SIDE * PATCH_SIDE}
+),
+grid AS (
+  SELECT doc_id, cs, pr.p AS patch_row, pc.p AS patch_col
+  FROM codes,
+       (SELECT unnest(generate_series(0, {PATCH_SIDE // PATCH - 1})) AS p) pr,
+       (SELECT unnest(generate_series(0, {PATCH_SIDE // PATCH - 1})) AS p) pc
+),
+patches AS (
+  SELECT doc_id, patch_row, patch_col,
+         CAST(list_sum(flatten(
+           list_transform(generate_series(0, {PATCH - 1}), r ->
+             list_transform(generate_series(0, {PATCH - 1}), c ->
+               cs[(patch_row * {PATCH} + r) * {PATCH_SIDE}
+                  + patch_col * {PATCH} + c + 1]))
+         )) AS BIGINT) AS pix_sum
+  FROM grid
+)
+SELECT doc_id, patch_row, patch_col, pix_sum,
+       pix_sum * 1000 // {PATCH * PATCH} AS mean_milli
+FROM patches
+"""

@@ -626,6 +626,11 @@ _SPECS: list[QuerySpec] = [
               "predicate applied as the broadcast join key, pruning "
               "candidates BEFORE distance math — the pre-filtering ANN "
               "pattern (post-filtering under-returns)"),
+    QuerySpec("multimodal_image_patches", M.multimodal_image_patches,
+              M.MULTIMODAL_IMAGE_PATCHES_SQL, ("MM", "BONUS"),
+              "ViT-style patch extraction: 32x32 byte grid -> 8x8 "
+              "patches fanned out executor-side with integer pixel sums "
+              "and exact milli-means; char-code grid-arithmetic oracle"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
