@@ -631,6 +631,12 @@ _SPECS: list[QuerySpec] = [
               "ViT-style patch extraction: 32x32 byte grid -> 8x8 "
               "patches fanned out executor-side with integer pixel sums "
               "and exact milli-means; char-code grid-arithmetic oracle"),
+    QuerySpec("type_weighted_median", TS.type_weighted_median,
+              TS.TYPE_WEIGHTED_MEDIAN_SQL, ("A1", "W2", "BONUS"),
+              "quantileExactWeighted analog: first running-weight "
+              "crossing of half-total vs the oracle's POINTWISE "
+              "below/inclusive characterization — two formulations of "
+              "weighted median checking each other, all integer"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

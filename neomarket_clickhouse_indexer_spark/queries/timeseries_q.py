@@ -1237,3 +1237,77 @@ FROM scan sc
 JOIN ordered o ON o.event_type = sc.event_type AND o.rn = sc.rn
 WHERE sc.s > 6 * o.mad + 1
 """
+
+
+# --- type_weighted_median: exact weighted median — the robust
+#     counterpart of hourly_vwap's weighted mean (quantileExactWeighted
+#     in ClickHouse terms): per type, the smallest cents value whose
+#     running weight (JSON-extracted k) reaches half the total. Spark
+#     scans the (cents, event_id)-ordered running cumsum and takes the
+#     first crossing (min struct); the oracle characterizes the answer
+#     POINTWISE instead — the value v where strictly-below weight is
+#     < half and inclusive weight >= half — no running scan at all, so
+#     the two formulations of "weighted median" check each other. All
+#     integer; half = total DIV 2 + (total % 2) (ceil) in both engines.
+
+
+def type_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr(_CENTS).alias("cents"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).filter(F.col("k") > 0)
+    wtot = Window.partitionBy("event_type")
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("cents", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = ev.select(
+        "event_type",
+        "cents",
+        F.sum("k").over(wrun).alias("cum_k"),
+        F.sum("k").over(wtot).alias("tot_k"),
+    ).withColumn("half", F.expr("tot_k DIV 2 + tot_k % 2"))
+    return (
+        scanned.filter(F.col("cum_k") >= F.col("half"))
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").alias("wmedian_cents"),
+            F.max("tot_k").alias("tot_k"),
+        )
+    )
+
+
+TYPE_WEIGHTED_MEDIAN_SQL = f"""
+WITH ev AS (
+  SELECT event_type, {_CENTS} AS cents,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+),
+tot AS (
+  SELECT event_type, CAST(SUM(k) AS BIGINT) AS tot_k FROM ev GROUP BY 1
+),
+vals AS (
+  SELECT event_type, cents, CAST(SUM(k) AS BIGINT) AS kv
+  FROM ev GROUP BY 1, 2
+),
+-- pointwise characterization: below < half <= inclusive
+marked AS (
+  SELECT v.event_type, v.cents, t.tot_k,
+         (SELECT CAST(COALESCE(SUM(v2.kv), 0) AS BIGINT) FROM vals v2
+           WHERE v2.event_type = v.event_type AND v2.cents < v.cents)
+           AS below,
+         t.tot_k // 2 + t.tot_k % 2 AS half
+  FROM vals v JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(cents AS BIGINT) AS wmedian_cents,
+       tot_k
+FROM marked
+WHERE below < half AND below + (SELECT kv FROM vals v3
+        WHERE v3.event_type = marked.event_type
+          AND v3.cents = marked.cents) >= half
+"""
