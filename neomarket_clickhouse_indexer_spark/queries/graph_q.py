@@ -163,3 +163,76 @@ ranked AS (
 )
 SELECT supp_key, rank, r1, r2 FROM ranked WHERE rank <= {PR_TOP}
 """
+
+
+# --- supplier_similarity_cf: item-item collaborative-filtering
+#     similarity over the bipartite procurement graph — "suppliers are
+#     similar when the same customers buy from both", the classic
+#     recommender building block. Exact Jaccard of customer sets as an
+#     integer rational: intersection from ONE self-join of the distinct
+#     (customer, supplier) edge list grouped by the supplier pair
+#     (shared-customer join — each customer contributes its supplier
+#     pairs; at scale a hot-customer cap bounds the quadratic term, the
+#     LSH-bucket-cap pattern), union = |A| + |B| - inter from broadcast
+#     degree tables, jaccard_ppm = inter * 1e6 DIV union. Top-20 pairs
+#     by (jaccard desc, pair) so the gate output is stable and small.
+
+
+def supplier_similarity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    a = edges.select("c", F.col("s").alias("sa"))
+    b = edges.select("c", F.col("s").alias("sb"))
+    inter = (
+        a.join(b, "c")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("s").alias("sb"), F.col("deg").alias("deg_b"))
+    scored = (
+        inter.join(F.broadcast(da), "sa")
+        .join(F.broadcast(db), "sb")
+        .withColumn("uni", F.col("deg_a") + F.col("deg_b") - F.col("inter"))
+        .withColumn("jaccard_ppm", F.expr("inter * 1000000 DIV uni"))
+    )
+    w = Window.orderBy(F.desc("jaccard_ppm"), "sa", "sb")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "sa", "sb", "inter", "uni", "jaccard_ppm")
+    )
+
+
+SUPPLIER_SIMILARITY_CF_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+inter AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.sa, i.sb, i.inter,
+         da.deg + db.deg - i.inter AS uni,
+         i.inter * 1000000 // (da.deg + db.deg - i.inter) AS jaccard_ppm
+  FROM inter i
+  JOIN deg da ON i.sa = da.s
+  JOIN deg db ON i.sb = db.s
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY jaccard_ppm DESC, sa, sb) AS BIGINT)
+         AS rank,
+       sa, sb, inter, uni, jaccard_ppm
+FROM scored
+QUALIFY rank <= 20
+"""

@@ -637,6 +637,17 @@ _SPECS: list[QuerySpec] = [
               "crossing of half-total vs the oracle's POINTWISE "
               "below/inclusive characterization — two formulations of "
               "weighted median checking each other, all integer"),
+    QuerySpec("type_cooccurrence_lift", TS.type_cooccurrence_lift,
+              TS.TYPE_COOCCURRENCE_LIFT_SQL, ("A1", "J1", "BONUS"),
+              "market-basket association mining: per-user distinct type "
+              "baskets, pair supports, exact ppm lift "
+              "n_ab*N*1e6 DIV (n_a*n_b) — no floats"),
+    QuerySpec("supplier_similarity_cf", G.supplier_similarity_cf,
+              G.SUPPLIER_SIMILARITY_CF_SQL, ("J1", "W4", "BONUS"),
+              "item-item collaborative-filtering similarity: exact "
+              "Jaccard of customer sets from one shared-customer "
+              "self-join + broadcast degrees, integer ppm, stable "
+              "top-20"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1311,3 +1311,69 @@ WHERE below < half AND below + (SELECT kv FROM vals v3
         WHERE v3.event_type = marked.event_type
           AND v3.cents = marked.cents) >= half
 """
+
+
+# --- type_cooccurrence_lift: market-basket association mining — which
+#     event types co-occur in the same user's history more than chance
+#     predicts. Baskets = per-user DISTINCT type sets (bounded by the
+#     type-dimension cardinality, so the pair explode is tiny);
+#     support counts per type and per ordered pair; lift in exact ppm:
+#     lift = P(ab) / (P(a)P(b)) = n_ab * N * 1e6 DIV (n_a * n_b) —
+#     one integer expression, no floats. The classic first step of
+#     recommendation / affinity analysis.
+
+
+def type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    baskets = ev.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().count()  # scalar
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("ta"))
+    b = baskets.select("user_id", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"n_ab * {n_users} * 1000000 DIV (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+TYPE_COOCCURRENCE_LIFT_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM baskets),
+singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+       p.n_ab * nu.n_users * 1000000 // (sa.n * sb.n) AS lift_ppm
+FROM pairs p
+JOIN singles sa ON p.ta = sa.event_type
+JOIN singles sb ON p.tb = sb.event_type, nu
+"""
