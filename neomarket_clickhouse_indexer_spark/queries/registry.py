@@ -648,6 +648,12 @@ _SPECS: list[QuerySpec] = [
               "Jaccard of customer sets from one shared-customer "
               "self-join + broadcast degrees, integer ppm, stable "
               "top-20"),
+    QuerySpec("knn_rank_fusion", V.knn_rank_fusion, V.KNN_RANK_FUSION_SQL,
+              ("VS1", "VS3", "BONUS"),
+              "reciprocal-rank fusion of the exact scan and the LSH "
+              "index (hybrid search): integer ppb 1/(60+rank) terms "
+              "summed after division so both engines agree exactly; "
+              "oracle recomposes both retriever SQLs verbatim"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1590,3 +1590,74 @@ SELECT query_id,
 FROM scored
 QUALIFY rank <= {_FILTERED_K}
 """
+
+
+# --- knn_rank_fusion: reciprocal-rank fusion (RRF) — the hybrid-search
+#     combiner: fuse the exact scan's top-10 and the LSH index's top-10
+#     per query into one ranking by summing 1/(60 + rank) terms. Kept
+#     integer-exact by scaling each term to parts-per-billion BEFORE
+#     summing (term = 1e9 DIV (60 + rank)): integer division then sum is
+#     deterministic and identical in both engines, unlike a float
+#     1/(60+r) accumulation. Ties break on neighbor_id. The oracle
+#     recomputes BOTH retrieval pipelines (their SQL is composed
+#     verbatim) and the same fusion — so this also re-checks the two
+#     retrievers against each other inside one gate.
+
+_RRF_K = 60
+_RRF_TOP = 5
+
+
+def knn_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id",
+        F.expr(f"1000000000 DIV ({_RRF_K} + rank)").alias("term"),
+    )
+    ann = knn_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id",
+        F.expr(f"1000000000 DIV ({_RRF_K} + rank)").alias("term"),
+    )
+    fused = (
+        bf.unionByName(ann)
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("term").alias("rrf_ppb"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppb"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOP)
+        .select("query_id", "rank", "neighbor_id", "rrf_ppb",
+                F.col("n_lists").cast("long").alias("n_lists"))
+    )
+
+
+KNN_RANK_FUSION_SQL = f"""
+WITH bf AS ({KNN_BRUTEFORCE_SQL}),
+ann AS ({KNN_ANN_LSH_SQL}),
+terms AS (
+  SELECT query_id, neighbor_id,
+         1000000000 // ({_RRF_K} + rank) AS term
+  FROM bf
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         1000000000 // ({_RRF_K} + rank) AS term
+  FROM ann
+),
+fused AS (
+  SELECT query_id, neighbor_id,
+         CAST(SUM(term) AS BIGINT) AS rrf_ppb,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM terms GROUP BY 1, 2
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_ppb DESC, neighbor_id ASC)
+            AS BIGINT) AS rank,
+       neighbor_id, rrf_ppb, n_lists
+FROM fused
+QUALIFY rank <= {_RRF_TOP}
+"""
