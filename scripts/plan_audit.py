@@ -25,6 +25,7 @@ INTENTIONAL_CROSS = {
     "docs_training_mix",  # ~20-row broadcast quota frame (budget slots)
     "knn_recall_report",  # composes knn_bruteforce + knn_ann_lsh shapes
     "semantic_decontam",  # broadcast eval-split probe (same as knn_bruteforce)
+    "knn_rank_fusion",  # composes knn_bruteforce + knn_ann_lsh shapes
 }
 for name in sorted(REGISTRY):
     if name == "domain_ledger_summary":  # triggers eager work; skip plan-only audit
