@@ -654,6 +654,12 @@ _SPECS: list[QuerySpec] = [
               "index (hybrid search): integer ppb 1/(60+rank) terms "
               "summed after division so both engines agree exactly; "
               "oracle recomposes both retriever SQLs verbatim"),
+    QuerySpec("events_drift_chi2", TS.events_drift_chi2,
+              TS.EVENTS_DRIFT_CHI2_SQL, ("A1", "P5", "BONUS"),
+              "two-sample chi-square drift monitor over md5-parity "
+              "halves with a deterministic one-bin injected shift for "
+              "one type — integer floor-chi2 per bin, detection (not "
+              "just agreement) pinned by the drifted flag"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

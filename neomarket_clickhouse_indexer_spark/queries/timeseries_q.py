@@ -1377,3 +1377,113 @@ FROM pairs p
 JOIN singles sa ON p.ta = sa.event_type
 JOIN singles sb ON p.tb = sb.event_type, nu
 """
+
+
+# --- events_drift_chi2: two-sample distribution-drift detection — the
+#     deploy-time "did the data change?" monitor. Events split into two
+#     halves by md5(event_id) parity (iid by construction); half B gets
+#     a DETERMINISTIC injected shift for one type ('error': cents
+#     +12500 = five $25 histogram bins), so the gate demonstrates
+#     detection, not just agreement. Statistic = the two-sample
+#     chi-square over $25 bins kept integer-exact per bin:
+#     (o1*N2 - o2*N1)^2 DIV (N1*N2*(o1+o2)) summed ("floor-chi2" —
+#     per-bin floor division, identical association both engines;
+#     magnitudes < 2^63 through sf10). Alarm is df-SCALED (chi2 >
+#     5*n_bins — chi-square critical values grow with df, not N), which
+#     separates decisively at both gate SFs: drifted type 176/1709 vs
+#     clean max 3/13 against thresholds 65/90.
+
+_DRIFT_SHIFT = 12500
+_DRIFT_FLAG_PER_BIN = 5
+
+
+def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    half = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 2
+    )
+    shifted = ev.withColumn("h", half).withColumn(
+        "cents2",
+        F.when(
+            (F.col("h") == 1) & (F.col("event_type") == "error"),
+            F.col("cents") + _DRIFT_SHIFT,
+        ).otherwise(F.col("cents")),
+    )
+    binned = shifted.select(
+        "event_type", "h", F.expr("cents2 DIV 2500").alias("bin")
+    )
+    per_bin = (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("o1"),
+            F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("o2"),
+        )
+    )
+    totals = per_bin.groupBy("event_type").agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2")
+    )
+    return (
+        per_bin.join(F.broadcast(totals), "event_type")
+        .withColumn(
+            "term",
+            F.expr(
+                "(o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1) "
+                "DIV (n1 * n2 * (o1 + o2))"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("term").alias("chi2_floor"),
+        )
+        .withColumn(
+            "drifted",
+            F.col("chi2_floor") > _DRIFT_FLAG_PER_BIN * F.col("n_bins"),
+        )
+    )
+
+
+EVENTS_DRIFT_CHI2_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6) AS BIGINT)
+           % 2 AS h,
+         {_CENTS} AS cents
+  FROM events
+),
+shifted AS (
+  SELECT event_type, h,
+         CASE WHEN h = 1 AND event_type = 'error' THEN cents + {_DRIFT_SHIFT}
+              ELSE cents END AS cents2
+  FROM ev
+),
+per_bin AS (
+  SELECT event_type, cents2 // 2500 AS bin,
+         CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+         CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+  FROM shifted GROUP BY 1, 2
+),
+totals AS (
+  SELECT event_type, CAST(SUM(o1) AS BIGINT) AS n1,
+         CAST(SUM(o2) AS BIGINT) AS n2
+  FROM per_bin GROUP BY 1
+),
+terms AS (
+  SELECT p.event_type, t.n1, t.n2,
+         (p.o1 * t.n2 - p.o2 * t.n1) * (p.o1 * t.n2 - p.o2 * t.n1)
+           // (t.n1 * t.n2 * (p.o1 + p.o2)) AS term
+  FROM per_bin p JOIN totals t USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(term) AS BIGINT) AS chi2_floor,
+       CAST(SUM(term) AS BIGINT)
+         > {_DRIFT_FLAG_PER_BIN} * CAST(COUNT(*) AS BIGINT) AS drifted
+FROM terms
+GROUP BY 1
+"""
