@@ -763,3 +763,72 @@ SELECT c.c_nationkey AS nation_key,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """
+
+
+# --- orders_merge_upsert: MERGE INTO semantics closing the CDC loop —
+#     apply orders_snapshot_diff's change stream (insert/update/delete)
+#     back onto snapshot A and prove the result IS snapshot B. Spark:
+#     one full-outer join of A with the change stream; WHEN MATCHED AND
+#     delete → drop, WHEN MATCHED AND update → new value, WHEN NOT
+#     MATCHED → insert (the Delta/Iceberg MERGE INTO contract as a
+#     plain plan). The oracle constructs snapshot B DIRECTLY from the
+#     same deterministic mutation rules — extract-then-apply must be
+#     the identity. Output = per key-bucket checksum of the merged
+#     table (count + cents sum + xor-free key sum) so the gate compares
+#     a compact fingerprint of the full reconstruction.
+
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.expr(_DIFF_CENTS).alias("cents")
+    )
+    changes = orders_snapshot_diff(spark, sf_dir).select(
+        F.col("order_key").alias("k"), "change_type", "new_cents"
+    )
+    merged = (
+        orders.join(changes, "k", "full_outer")
+        .filter(
+            F.col("change_type").isNull()  # untouched rows survive
+            | (F.col("change_type") != "delete")
+        )
+        .select(
+            "k",
+            F.when(
+                F.col("change_type").isin("update", "insert"),
+                F.col("new_cents"),
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+    )
+    return (
+        merged.groupBy(F.expr("k DIV 1000").alias("key_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("k").alias("sum_keys"),
+        )
+    )
+
+
+ORDERS_MERGE_UPSERT_SQL = f"""
+WITH a AS (
+  SELECT o_orderkey AS k, {_DIFF_CENTS} AS cents,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+              AS BIGINT) % 100 AS b
+  FROM orders
+),
+-- snapshot B built DIRECTLY from the mutation rules
+snap_b AS (
+  SELECT k,
+         CASE WHEN b < 5 THEN cents + 500 ELSE cents END AS cents
+  FROM a WHERE b >= 2
+  UNION ALL
+  SELECT k + 100000000, cents FROM a WHERE b >= 95 AND b < 98
+)
+SELECT k // 1000 AS key_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(k) AS BIGINT) AS sum_keys
+FROM snap_b
+GROUP BY 1
+"""

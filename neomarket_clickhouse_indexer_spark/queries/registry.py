@@ -660,6 +660,17 @@ _SPECS: list[QuerySpec] = [
               "halves with a deterministic one-bin injected shift for "
               "one type — integer floor-chi2 per bin, detection (not "
               "just agreement) pinned by the drifted flag"),
+    QuerySpec("orders_merge_upsert", O.orders_merge_upsert,
+              O.ORDERS_MERGE_UPSERT_SQL, ("S4", "J9", "BONUS"),
+              "MERGE INTO closing the CDC loop: the extracted change "
+              "stream applied back onto snapshot A must reconstruct "
+              "snapshot B exactly (oracle builds B directly from the "
+              "mutation rules) — per-bucket fingerprint comparison"),
+    QuerySpec("nation_top_customers_others", R.nation_top_customers_others,
+              R.NATION_TOP_CUSTOMERS_OTHERS_SQL, ("T1", "W4", "BONUS"),
+              "leaderboard-with-tail: per-nation top-3 customers plus "
+              "one __other__ rollup row — totals conserved (pinned by "
+              "the differential), tail aggregated on the reduced frame"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -689,3 +689,78 @@ SELECT CAST(n_customers AS BIGINT) AS n_customers,
        CAST((n_hits - n_actual) * 1000000 // n_customers AS BIGINT) AS fp_ppm
 FROM counts
 """
+
+
+# --- nation_top_customers_others: the leaderboard-with-tail dashboard
+#     pattern — per nation, the top-3 customers by exact order cents
+#     each get a row, and EVERYTHING ELSE collapses into one '__other__'
+#     row per nation (so the result is complete: per-nation sums are
+#     conserved, pinned by the differential). One window rank + one
+#     conditional regroup; the '__other__' aggregation happens on the
+#     already-reduced per-customer frame, never on raw orders.
+
+_TOPN_OTHERS = 3
+
+
+def nation_top_customers_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cents"), F.asc("c_custkey")
+    )
+    ranked = per_cust.withColumn("r", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "who",
+            F.when(
+                F.col("r") <= _TOPN_OTHERS, F.col("c_custkey").cast("string")
+            ).otherwise(F.lit("__other__")),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation_key"), "who"
+        )
+        .agg(
+            F.min(F.when(F.col("r") <= _TOPN_OTHERS, F.col("r"))).alias("rank"),
+            F.sum("n").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+        )
+    )
+
+
+NATION_TOP_CUSTOMERS_OTHERS_SQL = f"""
+WITH per_cust AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY cents DESC, c_custkey ASC) AS r
+  FROM per_cust
+)
+SELECT c_nationkey AS nation_key,
+       CASE WHEN r <= {_TOPN_OTHERS} THEN CAST(c_custkey AS VARCHAR)
+            ELSE '__other__' END AS who,
+       CAST(MIN(CASE WHEN r <= {_TOPN_OTHERS} THEN r END) AS BIGINT) AS rank,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM ranked
+GROUP BY 1, 2
+"""
