@@ -2061,3 +2061,164 @@ FROM top JOIN t
   ON (' ' || t.text || ' ') LIKE ('% ' || top.gram || ' %')
 GROUP BY 1
 """
+
+
+# --- docs_kmv_jaccard: SET OPERATIONS on KMV sketches — the estimator
+#     that makes bottom-k sketches more than distinct counters: for two
+#     sources, the fraction of the union's bottom-K hashes present in
+#     BOTH sketches estimates the Jaccard similarity (the classic
+#     k-minimum-values coincidence estimator). Everything is
+#     deterministic (md5 hashes, exact bottom-K), so the estimate is
+#     oracle-checkable bit-for-bit, and the exact Jaccard rides along
+#     to pin the estimation error in ppm. Pairs = the 3 lexicographically
+#     first sources (deterministic, populated at every SF). 100 TB: the
+#     pairwise stage touches only K-row sketches — the corpus is
+#     scanned once to build them (same state as docs_kmv_distinct).
+
+_KMVJ_SOURCES = 3
+
+
+def docs_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    grams = docs.select(
+        "source",
+        F.explode(TX.shingles(TX.tokens(F.col("text")), 3, distinct=True)).alias(
+            "g"
+        ),
+    )
+    srcs = [
+        r[0]
+        for r in grams.select("source")
+        .distinct()
+        .orderBy("source")
+        .limit(_KMVJ_SOURCES)
+        .collect()  # 3 source names — driver-sized by construction
+    ]
+    hashed = (
+        grams.filter(F.col("source").isin(srcs))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+            "g",
+        )
+        .distinct()
+    )
+
+    pairs = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
+    outs = []
+    for sa, sb in pairs:
+        both = hashed.filter(F.col("source").isin([sa, sb]))
+        # union's bottom-K with per-hash membership flags
+        per_hash = both.groupBy("h").agg(
+            F.max(F.col("source") == sa).alias("in_a"),
+            F.max(F.col("source") == sb).alias("in_b"),
+        )
+        wk = Window.orderBy("h")
+        bottom = per_hash.withColumn("rn", F.row_number().over(wk)).filter(
+            F.col("rn") <= KMV_K
+        )
+        est = bottom.agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("shared"),
+        ).select(
+            F.lit(sa).alias("src_a"),
+            F.lit(sb).alias("src_b"),
+            "k_used",
+            "shared",
+            F.expr("shared * 1000000 DIV k_used").alias("jaccard_est_ppm"),
+        )
+        ex = (
+            hashed.filter(F.col("source").isin([sa, sb]))
+            .groupBy("g")
+            .agg(
+                F.max(F.col("source") == sa).alias("ia"),
+                F.max(F.col("source") == sb).alias("ib"),
+            )
+            .agg(
+                F.sum((F.col("ia") & F.col("ib")).cast("long")).alias("inter"),
+                F.count(F.lit(1)).alias("uni"),
+            )
+            .select(
+                F.lit(sa).alias("src_a"),
+                F.lit(sb).alias("src_b"),
+                F.expr("inter * 1000000 DIV uni").alias("jaccard_exact_ppm"),
+            )
+        )
+        outs.append(est.join(ex, ["src_a", "src_b"]))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "err_ppm",
+        F.expr("abs(jaccard_est_ppm - jaccard_exact_ppm)"),
+    )
+
+
+DOCS_KMV_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT source,
+         unnest(CASE WHEN len(t) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks
+),
+srcs AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS sr
+  FROM (SELECT DISTINCT source FROM grams)
+  QUALIFY sr <= {_KMVJ_SOURCES}
+),
+hashed AS (
+  SELECT DISTINCT g.source,
+         CAST('0x' || substr(md5(g.g), 1, 12) AS BIGINT) AS h, g.g
+  FROM grams g JOIN srcs s ON g.source = s.source
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.sr < b.sr
+),
+per_hash AS (
+  SELECT p.src_a, p.src_b, h.h,
+         MAX(h.source = p.src_a) AS in_a,
+         MAX(h.source = p.src_b) AS in_b
+  FROM pairs p JOIN hashed h ON h.source IN (p.src_a, p.src_b)
+  GROUP BY 1, 2, 3
+),
+bottom AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM per_hash
+),
+est AS (
+  SELECT src_a, src_b,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS shared
+  FROM bottom WHERE rn <= {KMV_K}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT p.src_a, p.src_b,
+         CAST(SUM(CASE WHEN x.ia AND x.ib THEN 1 ELSE 0 END) AS BIGINT)
+           AS inter,
+         CAST(COUNT(*) AS BIGINT) AS uni
+  FROM pairs p JOIN (
+    SELECT h.g, s2.src_a, s2.src_b,
+           MAX(h.source = s2.src_a) AS ia,
+           MAX(h.source = s2.src_b) AS ib
+    FROM pairs s2 JOIN hashed h ON h.source IN (s2.src_a, s2.src_b)
+    GROUP BY 1, 2, 3
+  ) x ON x.src_a = p.src_a AND x.src_b = p.src_b
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.k_used, e.shared,
+       e.shared * 1000000 // e.k_used AS jaccard_est_ppm,
+       x.inter * 1000000 // x.uni AS jaccard_exact_ppm,
+       abs(e.shared * 1000000 // e.k_used - x.inter * 1000000 // x.uni)
+         AS err_ppm
+FROM est e JOIN exact x ON e.src_a = x.src_a AND e.src_b = x.src_b
+"""

@@ -671,6 +671,17 @@ _SPECS: list[QuerySpec] = [
               "leaderboard-with-tail: per-nation top-3 customers plus "
               "one __other__ rollup row — totals conserved (pinned by "
               "the differential), tail aggregated on the reduced frame"),
+    QuerySpec("docs_kmv_jaccard", D.docs_kmv_jaccard,
+              D.DOCS_KMV_JACCARD_SQL, ("A3", "U3", "BONUS"),
+              "KMV sketch SET OPERATIONS: bottom-K-of-union coincidence "
+              "estimator for pairwise source Jaccard — deterministic, so "
+              "oracle-checked bit-for-bit with exact Jaccard + err_ppm "
+              "alongside; pairwise stage touches only K-row sketches"),
+    QuerySpec("events_seasonality_profile", TS.events_seasonality_profile,
+              TS.EVENTS_SEASONALITY_PROFILE_SQL, ("A1", "P7", "BONUS"),
+              "calendar seasonality heatmap: ISO dow x hour matrix per "
+              "type with exact ppm shares — calendar-integer arithmetic "
+              "on naive timestamps (Spark dayofweek shifted to ISO)"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1487,3 +1487,56 @@ SELECT event_type,
 FROM terms
 GROUP BY 1
 """
+
+
+# --- events_seasonality_profile: calendar seasonality heatmap — the
+#     (ISO day-of-week x hour-of-day) activity matrix per event type,
+#     all calendar-integer arithmetic on naive timestamps (dayofweek /
+#     hour are calendar functions — timezone-proof on a plain driver
+#     session, per the NTZ rule). Adds the per-cell share of its type's
+#     total in exact ppm. ISO dow: Monday=1..Sunday=7 in BOTH engines
+#     (Spark dayofweek is Sunday=1 — shifted to ISO explicitly).
+
+
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    cells = ev.select(
+        "event_type",
+        # Spark dayofweek: Sunday=1 → ISO Monday=1..Sunday=7
+        F.expr("((dayofweek(ts) + 5) % 7) + 1").cast("long").alias("dow_iso"),
+        F.hour("ts").cast("long").alias("hod"),
+        "cents",
+    )
+    agg = cells.groupBy("event_type", "dow_iso", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    return agg.withColumn(
+        "share_ppm",
+        F.expr(
+            "CAST(n * 1000000 AS BIGINT) "
+            "DIV SUM(n) OVER (PARTITION BY event_type)"
+        ),
+    )
+
+
+EVENTS_SEASONALITY_PROFILE_SQL = f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow_iso,
+         CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+         {_CENTS} AS cents
+  FROM events
+),
+agg AS (
+  SELECT event_type, dow_iso, hod,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT event_type, dow_iso, hod, n, cents,
+       CAST(n * 1000000 AS BIGINT)
+         // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_ppm
+FROM agg
+"""
