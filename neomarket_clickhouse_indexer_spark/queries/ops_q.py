@@ -832,3 +832,71 @@ SELECT k // 1000 AS key_bucket,
 FROM snap_b
 GROUP BY 1
 """
+
+
+# --- events_column_profile: data-profiling report — the dbt-test /
+#     Deequ-style column summary every ingestion pipeline runs first:
+#     per column of the events table, row count, null count, distinct
+#     count (exact), plus blank-string count for string columns. One
+#     pass per column family via a single stack of aggregates (the scan
+#     is shared; no per-column jobs). Counts only — min/max are left to
+#     typed gates (string formatting of timestamps differs across
+#     engines by design).
+
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = ev.agg(*aggs)
+    outs = [
+        wide.select(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+EVENTS_COLUMN_PROFILE_SQL = """
+SELECT col AS column,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct
+FROM (
+  SELECT 'event_id' AS col, COUNT(*) AS n,
+         SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+         COUNT(DISTINCT event_id) AS n_distinct FROM events
+  UNION ALL
+  SELECT 'ts', COUNT(*),
+         SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT ts) FROM events
+  UNION ALL
+  SELECT 'user_id', COUNT(*),
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT user_id) FROM events
+  UNION ALL
+  SELECT 'event_type', COUNT(*),
+         SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT event_type) FROM events
+  UNION ALL
+  SELECT 'value', COUNT(*),
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT value) FROM events
+  UNION ALL
+  SELECT 'props', COUNT(*),
+         SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT props) FROM events
+)
+"""

@@ -682,6 +682,16 @@ _SPECS: list[QuerySpec] = [
               "calendar seasonality heatmap: ISO dow x hour matrix per "
               "type with exact ppm shares — calendar-integer arithmetic "
               "on naive timestamps (Spark dayofweek shifted to ISO)"),
+    QuerySpec("events_column_profile", O.events_column_profile,
+              O.EVENTS_COLUMN_PROFILE_SQL, ("A3", "P9", "BONUS"),
+              "data-profiling report: per-column row/null/exact-distinct "
+              "counts in ONE shared scan (stacked aggregates, no "
+              "per-column jobs) — the Deequ/dbt-test staple"),
+    QuerySpec("user_activity_streaks", TS.user_activity_streaks,
+              TS.USER_ACTIVITY_STREAKS_SQL, ("W2", "W4", "BONUS"),
+              "longest consecutive-active-day streak per user via the "
+              "date-minus-row_number island anchor — calendar-integer "
+              "day arithmetic, no epoch"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

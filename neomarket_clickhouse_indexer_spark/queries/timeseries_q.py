@@ -1540,3 +1540,52 @@ SELECT event_type, dow_iso, hod, n, cents,
          AS share_ppm
 FROM agg
 """
+
+
+# --- user_activity_streaks: longest consecutive-active-day streak per
+#     user — the gaps-and-islands classic via the date-minus-row_number
+#     anchor: distinct active days per user, rn in date order, all days
+#     of one streak share (day - rn) as their island anchor; longest
+#     streak = max island size. Calendar-integer day arithmetic on NTZ
+#     (date_sub with the rn integer), no epoch anywhere.
+
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("rn", F.row_number().over(w)).withColumn(
+        "anchor", F.expr("date_sub(d, rn)")
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+USER_ACTIVITY_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INT) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY 1
+"""
