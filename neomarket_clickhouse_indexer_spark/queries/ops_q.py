@@ -900,3 +900,84 @@ FROM (
          COUNT(DISTINCT props) FROM events
 )
 """
+
+
+# --- events_benford_audit: first-significant-digit (Benford) audit —
+#     the classic numeric-forensics screen for fabricated or truncated
+#     amounts. First digit extracted with pure integer arithmetic
+#     (cents DIV 10^(len-1), the power from the decimal string length —
+#     identical in both engines for positive integers; zero-cent rows
+#     excluded). Expected Benford mass as exact ppm literals
+#     (log10(1+1/d) precomputed — no runtime log), observed share in
+#     ppm, absolute deviation alongside. Per event_type so a
+#     type-targeted manipulation would localize.
+
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).filter(F.col("cents") > 0)
+    fd = ev.withColumn(
+        "digit",
+        F.expr(
+            "cents DIV CAST(power(10, length(CAST(cents AS STRING)) - 1) "
+            "AS BIGINT)"
+        ),
+    )
+    counts = fd.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    bexpr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    ) + " END"
+    return (
+        counts.withColumn(
+            "obs_ppm",
+            F.expr(
+                "CAST(n * 1000000 AS BIGINT) "
+                "DIV SUM(n) OVER (PARTITION BY event_type)"
+            ),
+        )
+        .withColumn("benford_ppm", F.expr(bexpr).cast("long"))
+        .withColumn("dev_ppm", F.expr("abs(obs_ppm - benford_ppm)"))
+        .select(
+            "event_type", "digit", "n", "obs_ppm", "benford_ppm", "dev_ppm"
+        )
+    )
+
+
+EVENTS_BENFORD_AUDIT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) > 0
+),
+fd AS (
+  SELECT event_type,
+         cents // CAST(power(10, length(CAST(cents AS VARCHAR)) - 1)
+                       AS BIGINT) AS digit
+  FROM ev
+),
+counts AS (
+  SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM fd GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       CAST(n * 1000000 AS BIGINT)
+         // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS obs_ppm,
+       CAST(CASE digit {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_PPM.items())} END AS BIGINT)
+         AS benford_ppm,
+       abs(CAST(n * 1000000 AS BIGINT)
+             // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+           - CASE digit {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_PPM.items())} END)
+         AS dev_ppm
+FROM counts
+"""

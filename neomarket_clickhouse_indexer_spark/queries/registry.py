@@ -692,6 +692,16 @@ _SPECS: list[QuerySpec] = [
               "longest consecutive-active-day streak per user via the "
               "date-minus-row_number island anchor — calendar-integer "
               "day arithmetic, no epoch"),
+    QuerySpec("events_benford_audit", O.events_benford_audit,
+              O.EVENTS_BENFORD_AUDIT_SQL, ("P9", "A1", "BONUS"),
+              "Benford first-digit forensics: integer digit extraction "
+              "(cents DIV 10^(len-1)), precomputed log10 ppm "
+              "expectations, per-type observed shares + deviations"),
+    QuerySpec("events_funnel_dropoff", TS.events_funnel_dropoff,
+              TS.EVENTS_FUNNEL_DROPOFF_SQL, ("A2", "W2", "BONUS"),
+              "funnel conversion table: per-stage reach (cumulative from "
+              "deepest), stage-over-stage and from-first ppm conversion "
+              "— composes events_window_funnel's exact semantics"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1589,3 +1589,73 @@ SELECT user_id,
 FROM streaks
 GROUP BY 1
 """
+
+
+# --- events_funnel_dropoff: the funnel conversion table — per stage of
+#     the signup→view→purchase funnel (events_window_funnel's chained
+#     conditional-min semantics), how many users reached it, the
+#     stage-over-stage ppm conversion, and the ppm of stage-1 users
+#     surviving to each depth. Composes the funnel stage computation
+#     with one pivot-style aggregate; shares events_window_funnel's
+#     exact semantics so the two gates pin each other.
+
+
+def events_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .events import events_window_funnel
+
+    stages = events_window_funnel(spark, sf_dir).select("user_id", "stage")
+    counts = stages.groupBy("stage").agg(F.count(F.lit(1)).alias("n_at"))
+    # users at stage s reached every stage <= s: cumulative from deepest
+    w = Window.orderBy(F.desc("stage")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy("stage")
+    reached = counts.withColumn("n_reached", F.sum("n_at").over(w))
+    return (
+        reached.withColumn(
+            "conv_from_prev_ppm",
+            F.expr(
+                "CAST(n_reached * 1000000 AS BIGINT) DIV "
+                "lag(n_reached, 1, n_reached) OVER (ORDER BY stage)"
+            ),
+        )
+        .withColumn(
+            "conv_from_first_ppm",
+            F.expr(
+                "CAST(n_reached * 1000000 AS BIGINT) DIV "
+                "first(n_reached) OVER (ORDER BY stage)"
+            ),
+        )
+        .select(
+            F.col("stage").cast("long").alias("stage"),
+            F.col("n_at").cast("long").alias("n_at"),
+            F.col("n_reached").cast("long").alias("n_reached"),
+            "conv_from_prev_ppm",
+            "conv_from_first_ppm",
+        )
+    )
+
+
+from .events import EVENTS_WINDOW_FUNNEL_SQL as _FUNNEL_SQL  # noqa: E402
+
+EVENTS_FUNNEL_DROPOFF_SQL = f"""
+WITH funnel AS ({_FUNNEL_SQL}),
+counts AS (
+  SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_at FROM funnel GROUP BY 1
+),
+reached AS (
+  SELECT stage, n_at,
+         CAST(SUM(n_at) OVER (ORDER BY stage DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_reached
+  FROM counts
+)
+SELECT stage, n_at, n_reached,
+       CAST(n_reached * 1000000 AS BIGINT)
+         // lag(n_reached, 1, n_reached) OVER (ORDER BY stage)
+         AS conv_from_prev_ppm,
+       CAST(n_reached * 1000000 AS BIGINT)
+         // first_value(n_reached) OVER (ORDER BY stage)
+         AS conv_from_first_ppm
+FROM reached
+"""
