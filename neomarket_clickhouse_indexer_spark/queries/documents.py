@@ -2222,3 +2222,37 @@ SELECT e.src_a, e.src_b, e.k_used, e.shared,
          AS err_ppm
 FROM est e JOIN exact x ON e.src_a = x.src_a AND e.src_b = x.src_b
 """
+
+
+# --- docs_lang_confusion: the language-ID CONFUSION MATRIX — the
+#     model-evaluation view of docs_lang_id's per-row predictions:
+#     (labeled lang × predicted lang) counts plus per-label recall in
+#     exact ppm. The standard data-quality artifact a corpus pipeline
+#     publishes next to its classifier; one extra hash agg over the
+#     per-row gate's exact logic, so the two gates pin each other.
+
+
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = docs_lang_id(spark, sf_dir)
+    cm = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cm.withColumn(
+        "row_share_ppm",
+        F.expr("CAST(n * 1000000 AS BIGINT) DIV SUM(n) OVER (PARTITION BY lang)"),
+    ).withColumn("correct", F.col("lang") == F.col("pred_lang"))
+
+
+DOCS_LANG_CONFUSION_SQL = f"""
+WITH pred AS ({DOCS_LANG_ID_SQL}),
+cm AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n,
+       CAST(n * 1000000 AS BIGINT)
+         // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+         AS row_share_ppm,
+       lang = pred_lang AS correct
+FROM cm
+"""

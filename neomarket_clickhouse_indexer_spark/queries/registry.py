@@ -702,6 +702,16 @@ _SPECS: list[QuerySpec] = [
               "funnel conversion table: per-stage reach (cumulative from "
               "deepest), stage-over-stage and from-first ppm conversion "
               "— composes events_window_funnel's exact semantics"),
+    QuerySpec("docs_lang_confusion", D.docs_lang_confusion,
+              D.DOCS_LANG_CONFUSION_SQL, ("TX2", "A1", "BONUS"),
+              "language-ID confusion matrix: labeled x predicted counts "
+              "+ per-label ppm shares over the per-row gate's exact "
+              "logic — the classifier-evaluation artifact"),
+    QuerySpec("user_interevent_gaps", TS.user_interevent_gaps,
+              TS.USER_INTEREVENT_GAPS_SQL, ("W2", "W4", "BONUS"),
+              "latency analytics: per-user inter-event gap seconds via "
+              "timestampdiff on naive timestamps (tz-proof), nearest-"
+              "rank median/p90 with unique tiebreaks"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

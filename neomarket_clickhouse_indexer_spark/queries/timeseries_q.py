@@ -1659,3 +1659,84 @@ SELECT stage, n_at, n_reached,
          AS conv_from_first_ppm
 FROM reached
 """
+
+
+# --- user_interevent_gaps: latency analytics over the event stream —
+#     per user, the distribution of MICROSECONDS between consecutive
+#     events (nearest-rank median and p90, exact integers — microsecond
+#     differences are exact at the fixture's timestamp precision, while
+#     second-granularity diffs disagree across engines: Spark
+#     timestampdiff floors the elapsed interval, DuckDB datediff counts
+#     boundary crossings). Naive-timestamp arithmetic throughout, so the
+#     result cannot depend on the driver session's timezone. One lag
+#     window + two nearest-rank picks with (gap, event_id) tiebreaks.
+
+
+def user_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+            .cast("long")
+            .alias("gap_us"),
+        )
+    )
+
+    def nr(df: DataFrame, num: int, den: int, alias: str) -> DataFrame:
+        wr = Window.partitionBy("user_id").orderBy("gap_us", "event_id")
+        r = df.withColumn("vr", F.row_number().over(wr)).withColumn(
+            "k", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        return r.filter(
+            F.col("vr") == F.expr(f"CAST(ceil(k * {num} / {den}) AS BIGINT)")
+        ).select("user_id", F.col("gap_us").alias(alias))
+
+    med = nr(gaps, 1, 2, "p50_gap_us")
+    p90 = nr(gaps, 9, 10, "p90_gap_us")
+    n = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+    return n.join(med, "user_id").join(p90, "user_id")
+
+
+USER_INTEREVENT_GAPS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ) AS prev_ts
+  FROM events
+),
+gaps AS (
+  SELECT user_id, event_id,
+         CAST(datediff('microsecond', prev_ts, ts) AS BIGINT) AS gap_us
+  FROM ordered WHERE prev_ts IS NOT NULL
+),
+ranked AS (
+  SELECT user_id, gap_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_us, event_id)
+           AS vr,
+         COUNT(*) OVER (PARTITION BY user_id) AS k
+  FROM gaps
+),
+med AS (SELECT user_id, gap_us AS p50_gap_us FROM ranked
+        WHERE vr = CAST(ceil(k * 1 / 2) AS BIGINT)),
+p90 AS (SELECT user_id, gap_us AS p90_gap_us FROM ranked
+        WHERE vr = CAST(ceil(k * 9 / 10) AS BIGINT)),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+         CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+  FROM gaps GROUP BY 1
+)
+SELECT agg.user_id, agg.n_gaps, agg.min_gap_us, agg.max_gap_us,
+       med.p50_gap_us, p90.p90_gap_us
+FROM agg JOIN med USING (user_id) JOIN p90 USING (user_id)
+"""
