@@ -229,14 +229,20 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("near_dup_embeddings", V.near_dup_embeddings,
               V.NEAR_DUP_EMBEDDINGS_SQL, ("DD3", "VS1"),
               "embedding-cosine near-dup pairs"),
-    QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
-              ("VS3",), "random-hyperplane LSH ANN with exact re-rank"),
+    QuerySpec("knn_rank_fusion", V.knn_rank_fusion, V.KNN_RANK_FUSION_SQL,
+              ("VS1", "VS3", "BONUS"),
+              "reciprocal-rank fusion of the exact scan and the LSH "
+              "index (hybrid search): integer ppb 1/(60+rank) terms "
+              "summed after division so both engines agree exactly; "
+              "oracle recomposes both retriever SQLs verbatim"),
     QuerySpec("knn_ivf", V.knn_ivf, V.KNN_IVF_SQL, ("VS4", "VS2"),
               "IVF ANN: centroid coarse quantizer, nprobe=1, exact re-rank"),
-    QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
-              M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
-              "binary payload -> executor-side frame fan-out -> per-source "
-              "aggregate (Arrow mapInPandas vs substring/sha256 oracle)"),
+    QuerySpec("multimodal_frame_dedup", M.multimodal_frame_dedup,
+              M.MULTIMODAL_FRAME_DEDUP_SQL, ("MM", "DD1", "BONUS"),
+              "cross-media duplicate-frame detection: executor-side "
+              "64-byte frame fan-out + one hash-groupBy on frame "
+              "signatures; signatures in >= 2 media objects are shared "
+              "segments — the video analog of exact dedup"),
     # ---- past the driver cutoff: depth on already-covered ids ----
     QuerySpec("shipping_priority", R.shipping_priority, R.SHIPPING_PRIORITY_SQL,
               ("J1", "A1", "T1"), "TPC-H Q3 shape: join + agg + top-k"),
@@ -508,13 +514,7 @@ _SPECS: list[QuerySpec] = [
               "split broadcast with norms, training vectors flagged by "
               "cosine >= threshold with match count + argmax best eval — "
               "the semantic complement of docs_contamination"),
-    QuerySpec("multimodal_frame_dedup", M.multimodal_frame_dedup,
-              M.MULTIMODAL_FRAME_DEDUP_SQL, ("MM", "DD1", "BONUS"),
-              "cross-media duplicate-frame detection: executor-side "
-              "64-byte frame fan-out + one hash-groupBy on frame "
-              "signatures; signatures in >= 2 media objects are shared "
-              "segments — the video analog of exact dedup"),
-    QuerySpec("docs_kmv_distinct", D.docs_kmv_distinct,
+        QuerySpec("docs_kmv_distinct", D.docs_kmv_distinct,
               D.DOCS_KMV_DISTINCT_SQL, ("A3", "BONUS"),
               "KMV bottom-k distinct sketch over 3-gram universe: "
               "deterministic mergeable states — the Spark __all__ row is "
@@ -648,13 +648,7 @@ _SPECS: list[QuerySpec] = [
               "Jaccard of customer sets from one shared-customer "
               "self-join + broadcast degrees, integer ppm, stable "
               "top-20"),
-    QuerySpec("knn_rank_fusion", V.knn_rank_fusion, V.KNN_RANK_FUSION_SQL,
-              ("VS1", "VS3", "BONUS"),
-              "reciprocal-rank fusion of the exact scan and the LSH "
-              "index (hybrid search): integer ppb 1/(60+rank) terms "
-              "summed after division so both engines agree exactly; "
-              "oracle recomposes both retriever SQLs verbatim"),
-    QuerySpec("events_drift_chi2", TS.events_drift_chi2,
+        QuerySpec("events_drift_chi2", TS.events_drift_chi2,
               TS.EVENTS_DRIFT_CHI2_SQL, ("A1", "P5", "BONUS"),
               "two-sample chi-square drift monitor over md5-parity "
               "halves with a deterministic one-bin injected shift for "
@@ -712,6 +706,12 @@ _SPECS: list[QuerySpec] = [
               "latency analytics: per-user inter-event gap seconds via "
               "timestampdiff on naive timestamps (tz-proof), nearest-"
               "rank median/p90 with unique tiebreaks"),
+QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
+              M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
+              "binary payload -> executor-side frame fan-out -> per-source "
+              "aggregate (Arrow mapInPandas vs substring/sha256 oracle)"),
+QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
+              ("VS3",), "random-hyperplane LSH ANN with exact re-rank"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
