@@ -900,3 +900,116 @@ SELECT ka // 100 AS block,
 FROM pairs
 GROUP BY 1
 """
+
+
+# --- docs_fold_assignment: deterministic k-fold train/val splits — the
+#     md5-keyed fold id every training pipeline needs to be reproducible
+#     across runs AND cluster sizes (same property as the shuffle/mix
+#     gates). Output = per (source, fold) counts plus each fold's
+#     deviation from the expected uniform share in ppm, so the gate
+#     pins both the assignment and its balance.
+
+_N_FOLDS = 5
+
+
+def docs_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % _N_FOLDS
+    )
+    per = docs.select("source", fold.alias("fold")).groupBy(
+        "source", "fold"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per.withColumn(
+        "dev_ppm",
+        F.expr(
+            f"abs(CAST(n * {_N_FOLDS} * 1000000 AS BIGINT) "
+            "DIV SUM(n) OVER (PARTITION BY source) - 1000000)"
+        ),
+    )
+
+
+DOCS_FOLD_ASSIGNMENT_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+           % {_N_FOLDS} AS fold,
+         COUNT(*) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, fold, CAST(n AS BIGINT) AS n,
+       abs(CAST(n * {_N_FOLDS} * 1000000 AS BIGINT)
+             // CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT)
+           - 1000000) AS dev_ppm
+FROM per
+"""
+
+
+# --- docs_length_buckets: length-bucketed batching — group documents
+#     into power-of-two token-length buckets and assign deterministic
+#     batch ids inside each bucket (md5-keyed order, batch = rank DIV
+#     batch_size), the padding-efficiency move every LM data loader
+#     makes. Reports per-bucket doc counts, batch counts, and the
+#     padding waste the bucketing saves: tokens padded to the bucket
+#     ceiling vs to the corpus max, in exact integer tokens.
+
+_BATCH_SIZE = 32
+
+
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokens(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.expr(
+            "CAST(power(2, ceil(log2(GREATEST(size(split(text, ' ')), 1))) ) "
+            "AS BIGINT)"
+        ).alias("bucket_ceiling"),
+    )
+    w = Window.partitionBy("bucket_ceiling").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    batched = base.withColumn(
+        "batch_id", F.expr(f"(row_number() OVER (PARTITION BY bucket_ceiling "
+                           f"ORDER BY md5(CAST(doc_id AS STRING)), doc_id) - 1)"
+                           f" DIV {_BATCH_SIZE}")
+    )
+    gmax = base.agg(F.max("n_tokens").alias("m")).collect()[0]["m"]  # scalar
+    return batched.groupBy("bucket_ceiling").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("batch_id").alias("n_batches"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.sum(F.col("bucket_ceiling") - F.col("n_tokens"))).alias(
+            "pad_bucketed"
+        ),
+        F.sum(F.lit(int(gmax)) - F.col("n_tokens")).alias("pad_global"),
+    )
+
+
+DOCS_LENGTH_BUCKETS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(power(2, ceil(log2(GREATEST(len(string_split(text, ' ')), 1))))
+              AS BIGINT) AS bucket_ceiling
+  FROM documents
+),
+gmax AS (SELECT MAX(n_tokens) AS m FROM base),
+batched AS (
+  SELECT *,
+         (ROW_NUMBER() OVER (PARTITION BY bucket_ceiling
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+           // {_BATCH_SIZE} AS batch_id
+  FROM base
+)
+SELECT bucket_ceiling,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket_ceiling - n_tokens) AS BIGINT) AS pad_bucketed,
+       CAST(SUM(gmax.m - n_tokens) AS BIGINT) AS pad_global
+FROM batched, gmax
+GROUP BY bucket_ceiling, gmax.m
+"""

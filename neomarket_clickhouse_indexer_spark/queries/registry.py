@@ -706,6 +706,16 @@ _SPECS: list[QuerySpec] = [
               "latency analytics: per-user inter-event gap seconds via "
               "timestampdiff on naive timestamps (tz-proof), nearest-"
               "rank median/p90 with unique tiebreaks"),
+    QuerySpec("docs_fold_assignment", PL.docs_fold_assignment,
+              PL.DOCS_FOLD_ASSIGNMENT_SQL, ("TX5", "BONUS"),
+              "deterministic md5 k-fold train/val splits, reproducible "
+              "across runs and cluster sizes; per-(source, fold) counts "
+              "+ uniform-share deviation in ppm"),
+    QuerySpec("docs_length_buckets", PL.docs_length_buckets,
+              PL.DOCS_LENGTH_BUCKETS_SQL, ("TX6", "BONUS"),
+              "length-bucketed batching: power-of-two token buckets, "
+              "md5-ordered deterministic batch ids, and the exact "
+              "padding-waste saving vs global-max padding"),
 QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
               M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
               "binary payload -> executor-side frame fan-out -> per-source "
