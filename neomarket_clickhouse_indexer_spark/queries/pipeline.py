@@ -1013,3 +1013,108 @@ SELECT bucket_ceiling,
 FROM batched, gmax
 GROUP BY bucket_ceiling, gmax.m
 """
+
+
+# --- docs_vocab_divergence: vocabulary divergence between sources —
+#     the corpus-mixing diagnostic: pairwise L1 distance (2x total
+#     variation) between per-source token distributions, entirely in
+#     integer ppm (each source's token mass normalized to ppm BEFORE
+#     the |p_a - p_b| sum, full outer over the union vocabulary so
+#     exclusive tokens count their whole mass). Pairs = the 3
+#     lexicographically first sources (deterministic at every SF).
+#     L1 of ppm vectors is exact integer arithmetic end-to-end — no
+#     log, no float (the JS/KL variants need ln and are left to
+#     sketch-land; L1 bounds both).
+
+_VOCABDIV_SOURCES = 3
+
+
+def docs_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    srcs = [
+        r[0]
+        for r in toks.select("source").distinct().orderBy("source")
+        .limit(_VOCABDIV_SOURCES).collect()  # 3 names, driver-sized
+    ]
+    counts = (
+        toks.filter(F.col("source").isin(srcs))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("source")
+    ppm = counts.withColumn(
+        "ppm",
+        F.expr("CAST(n * 1000000 AS BIGINT) DIV SUM(n) OVER (PARTITION BY source)"),
+    )
+    pairs = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
+    outs = []
+    for sa, sb in pairs:
+        a = ppm.filter(F.col("source") == sa).select(
+            "tok", F.col("ppm").alias("pa")
+        )
+        b = ppm.filter(F.col("source") == sb).select(
+            "tok", F.col("ppm").alias("pb")
+        )
+        l1 = (
+            a.join(b, "tok", "full_outer")
+            .select(
+                F.abs(
+                    F.coalesce("pa", F.lit(0)) - F.coalesce("pb", F.lit(0))
+                ).alias("d"),
+                F.lit(1).alias("one"),
+            )
+            .agg(
+                F.sum("d").alias("l1_ppm"),
+                F.count(F.lit(1)).alias("n_union_vocab"),
+            )
+            .select(
+                F.lit(sa).alias("src_a"),
+                F.lit(sb).alias("src_b"),
+                F.col("l1_ppm").cast("long").alias("l1_ppm"),
+                F.col("n_union_vocab").cast("long").alias("n_union_vocab"),
+            )
+        )
+        outs.append(l1)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+DOCS_VOCAB_DIVERGENCE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+srcs AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS sr
+  FROM (SELECT DISTINCT source FROM toks)
+  QUALIFY sr <= {_VOCABDIV_SOURCES}
+),
+ppm AS (
+  SELECT t.source, t.tok,
+         CAST(COUNT(*) * 1000000 AS BIGINT)
+           // CAST(SUM(COUNT(*)) OVER (PARTITION BY t.source) AS BIGINT)
+           AS ppm
+  FROM toks t JOIN srcs s ON t.source = s.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.sr < b.sr
+),
+joined AS (
+  SELECT p.src_a, p.src_b, v.tok,
+         COALESCE(MAX(CASE WHEN v.source = p.src_a THEN v.ppm END), 0) AS pa,
+         COALESCE(MAX(CASE WHEN v.source = p.src_b THEN v.ppm END), 0) AS pb
+  FROM pairs p JOIN ppm v ON v.source IN (p.src_a, p.src_b)
+  GROUP BY 1, 2, 3
+)
+SELECT src_a, src_b,
+       CAST(SUM(abs(pa - pb)) AS BIGINT) AS l1_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_union_vocab
+FROM joined
+GROUP BY 1, 2
+"""

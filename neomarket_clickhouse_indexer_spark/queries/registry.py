@@ -716,6 +716,17 @@ _SPECS: list[QuerySpec] = [
               "length-bucketed batching: power-of-two token buckets, "
               "md5-ordered deterministic batch ids, and the exact "
               "padding-waste saving vs global-max padding"),
+    QuerySpec("docs_vocab_divergence", PL.docs_vocab_divergence,
+              PL.DOCS_VOCAB_DIVERGENCE_SQL, ("TX8", "U2", "BONUS"),
+              "corpus-mixing diagnostic: pairwise L1 (2x total "
+              "variation) between per-source token distributions in "
+              "exact integer ppm over the union vocabulary"),
+    QuerySpec("type_equidepth_deciles", TS.type_equidepth_deciles,
+              TS.TYPE_EQUIDEPTH_DECILES_SQL, ("A1", "W4", "BONUS"),
+              "equi-depth decile binning (feature engineering): "
+              "nearest-rank boundaries, purely value-based bucket "
+              "assignment via broadcast boundary lists, per-bucket "
+              "counts + exact mass"),
 QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
               M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
               "binary payload -> executor-side frame fan-out -> per-source "

@@ -1740,3 +1740,86 @@ SELECT agg.user_id, agg.n_gaps, agg.min_gap_us, agg.max_gap_us,
        med.p50_gap_us, p90.p90_gap_us
 FROM agg JOIN med USING (user_id) JOIN p90 USING (user_id)
 """
+
+
+# --- type_equidepth_deciles: equi-depth (quantile) binning — the
+#     feature-engineering counterpart of events_value_histogram's
+#     equi-width bins: per type, decile bucket = count of nearest-rank
+#     decile boundaries at or below the value (0..9, ties resolved by
+#     the boundary VALUES so the rule is purely value-based and
+#     engine-independent), with per-bucket counts and exact cents mass.
+#     Boundaries from one window rank; assignment from a broadcast of
+#     the 9 boundary values per type.
+
+
+def type_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("vr", F.row_number().over(wr)).withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    bounds = (
+        ranked.filter(
+            F.expr(
+                "vr IN (CAST(ceil(k*1/10) AS BIGINT), CAST(ceil(k*2/10) AS BIGINT), "
+                "CAST(ceil(k*3/10) AS BIGINT), CAST(ceil(k*4/10) AS BIGINT), "
+                "CAST(ceil(k*5/10) AS BIGINT), CAST(ceil(k*6/10) AS BIGINT), "
+                "CAST(ceil(k*7/10) AS BIGINT), CAST(ceil(k*8/10) AS BIGINT), "
+                "CAST(ceil(k*9/10) AS BIGINT))"
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("cents")).alias("bnds"))
+    )
+    assigned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "cents",
+        F.expr(
+            "size(filter(bnds, b -> b <= cents))"
+        ).cast("long").alias("decile"),
+    )
+    return assigned.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
+
+
+TYPE_EQUIDEPTH_DECILES_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS k
+  FROM ev
+),
+bounds AS (
+  SELECT event_type, list_sort(list(cents)) AS bnds
+  FROM ranked
+  WHERE vr IN (CAST(ceil(k*1/10) AS BIGINT), CAST(ceil(k*2/10) AS BIGINT),
+               CAST(ceil(k*3/10) AS BIGINT), CAST(ceil(k*4/10) AS BIGINT),
+               CAST(ceil(k*5/10) AS BIGINT), CAST(ceil(k*6/10) AS BIGINT),
+               CAST(ceil(k*7/10) AS BIGINT), CAST(ceil(k*8/10) AS BIGINT),
+               CAST(ceil(k*9/10) AS BIGINT))
+  GROUP BY 1
+),
+assigned AS (
+  SELECT e.event_type, e.cents,
+         CAST(len(list_filter(b.bnds, x -> x <= e.cents)) AS BIGINT)
+           AS decile
+  FROM ev e JOIN bounds b USING (event_type)
+)
+SELECT event_type, decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents
+FROM assigned
+GROUP BY 1, 2
+"""

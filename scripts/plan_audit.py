@@ -26,6 +26,7 @@ INTENTIONAL_CROSS = {
     "knn_recall_report",  # composes knn_bruteforce + knn_ann_lsh shapes
     "semantic_decontam",  # broadcast eval-split probe (same as knn_bruteforce)
     "knn_rank_fusion",  # composes knn_bruteforce + knn_ann_lsh shapes
+    "docs_kmv_jaccard",  # 1-row-per-pair est/exact joins on literal keys
 }
 for name in sorted(REGISTRY):
     if name == "domain_ledger_summary":  # triggers eager work; skip plan-only audit
