@@ -1118,3 +1118,72 @@ SELECT src_a, src_b,
 FROM joined
 GROUP BY 1, 2
 """
+
+
+# --- docs_robust_scaled: robust-scaler feature normalization — the
+#     preprocessing twin of the median/MAD outlier rule: each doc's
+#     length normalized per source as (n_chars - med) * 1e6 DIV mad
+#     (integer "robust z-score" in ppm; med/mad are nearest-rank with
+#     (value, doc_id) tiebreaks, mad floored at 1 so the division is
+#     total). Emits only the tails (|scaled| > 2e6 ≈ beyond 2 robust
+#     sigmas) so the gate output stays small while pinning the full
+#     normalization arithmetic.
+
+
+def docs_robust_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+
+    def nr_med(df, val, alias):
+        w = Window.partitionBy("source").orderBy(val, "doc_id")
+        r = df.withColumn("vr", F.row_number().over(w)).withColumn(
+            "k", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+        return r.filter(
+            F.col("vr") == F.expr("CAST(ceil(k / 2) AS BIGINT)")
+        ).select("source", F.col(val).alias(alias))
+
+    med = nr_med(docs, "x", "med")
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "dev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = nr_med(dev.withColumnRenamed("dev", "x2").withColumnRenamed("x", "x_orig").withColumnRenamed("x2", "x"), "x", "mad_raw")
+    mad = mad.select("source", F.greatest(F.col("mad_raw"), F.lit(1)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .withColumn("scaled_ppm", F.expr("(x - med) * 1000000 DIV mad"))
+        .filter(F.abs(F.col("scaled_ppm")) > 2_000_000)
+        .select("doc_id", "source", "x", "med", "mad", "scaled_ppm")
+    )
+
+
+DOCS_ROBUST_SCALED_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+medr AS (
+  SELECT source, x AS med FROM (
+    SELECT source, x,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS vr,
+           COUNT(*) OVER (PARTITION BY source) AS k
+    FROM docs
+  ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
+),
+dev AS (
+  SELECT d.doc_id, d.source, d.x, m.med, abs(d.x - m.med) AS dv
+  FROM docs d JOIN medr m USING (source)
+),
+madr AS (
+  SELECT source, GREATEST(dv, 1) AS mad FROM (
+    SELECT source, dv,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv, doc_id) AS vr,
+           COUNT(*) OVER (PARTITION BY source) AS k
+    FROM dev
+  ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
+)
+SELECT d.doc_id, d.source, d.x, d.med, ma.mad,
+       (d.x - d.med) * 1000000 // ma.mad AS scaled_ppm
+FROM dev d JOIN madr ma USING (source)
+WHERE abs((d.x - d.med) * 1000000 // ma.mad) > 2000000
+"""

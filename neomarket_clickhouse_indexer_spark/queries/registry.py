@@ -727,6 +727,17 @@ _SPECS: list[QuerySpec] = [
               "nearest-rank boundaries, purely value-based bucket "
               "assignment via broadcast boundary lists, per-bucket "
               "counts + exact mass"),
+    QuerySpec("purchase_attribution", TS.purchase_attribution,
+              TS.PURCHASE_ATTRIBUTION_SQL, ("J6", "A4", "BONUS"),
+              "first-touch vs last-touch attribution: min/max view "
+              "struct per purchase over a 1-day lookback (the as-of "
+              "machinery in both directions) + model-disagreement "
+              "counts"),
+    QuerySpec("docs_robust_scaled", PL.docs_robust_scaled,
+              PL.DOCS_ROBUST_SCALED_SQL, ("TX1", "W4", "BONUS"),
+              "robust-scaler normalization: per-source integer robust "
+              "z-score (x-med)*1e6 DIV max(mad,1), emitting the >2-sigma "
+              "tails — preprocessing twin of the MAD outlier rule"),
 QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
               M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
               "binary payload -> executor-side frame fan-out -> per-source "

@@ -1823,3 +1823,72 @@ SELECT event_type, decile,
 FROM assigned
 GROUP BY 1, 2
 """
+
+
+# --- purchase_attribution: first-touch vs last-touch attribution — for
+#     every purchase, the view that "caused" it under the two classic
+#     attribution models: the EARLIEST and the LATEST view in the
+#     1-day lookback window. One min-struct and one max-struct per
+#     purchase over the same window-bounded join (the as-of machinery
+#     generalized to both directions); reports per-user counts of
+#     attributed purchases and how often the two models disagree —
+#     the number every attribution migration asks first.
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts")
+    )
+    joined = purchases.join(views, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+    )
+    key = F.struct(F.col("v_ts").alias("ts"), F.col("v_id").alias("id"))
+    per_purchase = joined.groupBy("user_id", "p_id").agg(
+        F.min(key).alias("first_touch"),
+        F.max(key).alias("last_touch"),
+    )
+    return per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.sum(
+            (
+                F.col("first_touch.id") != F.col("last_touch.id")
+            ).cast("long")
+        ).alias("n_model_disagree"),
+        F.min("first_touch.id").alias("min_first_view"),
+        F.max("last_touch.id").alias("max_last_view"),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+joined AS (
+  SELECT p.user_id, p.event_id AS p_id,
+         v.event_id AS v_id, v.ts AS v_ts
+  FROM ev p JOIN ev v
+    ON p.user_id = v.user_id
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 DAY
+),
+per_purchase AS (
+  SELECT user_id, p_id,
+         MIN({'ts': v_ts, 'id': v_id}) AS first_touch,
+         MAX({'ts': v_ts, 'id': v_id}) AS last_touch
+  FROM joined GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN (first_touch).id <> (last_touch).id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_model_disagree,
+       CAST(MIN((first_touch).id) AS BIGINT) AS min_first_view,
+       CAST(MAX((last_touch).id) AS BIGINT) AS max_last_view
+FROM per_purchase
+GROUP BY 1
+"""
