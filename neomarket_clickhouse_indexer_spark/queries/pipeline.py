@@ -1187,3 +1187,75 @@ SELECT d.doc_id, d.source, d.x, d.med, ma.mad,
 FROM dev d JOIN madr ma USING (source)
 WHERE abs((d.x - d.med) * 1000000 // ma.mad) > 2000000
 """
+
+
+# --- docs_novelty_curve: corpus novelty profiling — for documents in
+#     doc_id order, what fraction of each doc's distinct 3-grams was
+#     never seen in ANY earlier doc (the dedup-ROI curve: a corpus
+#     whose novelty collapses is one deduplication will shrink). The
+#     first-seen trick again (one min-agg per gram — no quadratic
+#     "seen so far" state): a gram is novel exactly in the doc that
+#     owns its min doc_id. Reported per 100-doc bucket in exact ppm so
+#     the curve's shape is gate-pinned.
+
+
+def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(TX.shingles(TX.tokens(F.col("text")), 3, distinct=True)).alias(
+            "g"
+        ),
+    )
+    owner = grams.groupBy("g").agg(F.min("doc_id").alias("owner"))
+    flagged = grams.join(owner, "g").select(
+        "doc_id", (F.col("doc_id") == F.col("owner")).cast("long").alias("novel")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("novel").alias("n_novel"),
+    )
+    return (
+        per_doc.groupBy(F.expr("doc_id DIV 100").alias("doc_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(n_novel * 1000000 AS BIGINT) DIV n_grams"),
+        )
+    )
+
+
+DOCS_NOVELTY_CURVE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3 THEN
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           ELSE [array_to_string(t, ' ')] END) AS g
+  FROM toks
+),
+owner AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT gr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN gr.doc_id = o.owner THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM grams gr JOIN owner o USING (g)
+  GROUP BY 1
+)
+SELECT doc_id // 100 AS doc_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) * 1000000 AS BIGINT) // CAST(SUM(n_grams) AS BIGINT)
+         AS novelty_ppm
+FROM per_doc
+GROUP BY 1
+"""

@@ -738,6 +738,12 @@ _SPECS: list[QuerySpec] = [
               "robust-scaler normalization: per-source integer robust "
               "z-score (x-med)*1e6 DIV max(mad,1), emitting the >2-sigma "
               "tails — preprocessing twin of the MAD outlier rule"),
+    QuerySpec("docs_novelty_curve", PL.docs_novelty_curve,
+              PL.DOCS_NOVELTY_CURVE_SQL, ("DD1", "TX1", "BONUS"),
+              "corpus novelty / dedup-ROI curve: per-doc fraction of "
+              "3-grams never seen in earlier docs via the first-seen "
+              "min-agg trick (no quadratic seen-so-far state), per "
+              "100-doc bucket in exact ppm"),
 QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
               M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
               "binary payload -> executor-side frame fan-out -> per-source "
