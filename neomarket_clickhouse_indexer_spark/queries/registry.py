@@ -744,6 +744,11 @@ _SPECS: list[QuerySpec] = [
               "3-grams never seen in earlier docs via the first-seen "
               "min-agg trick (no quadratic seen-so-far state), per "
               "100-doc bucket in exact ppm"),
+    QuerySpec("brand_type_cube", R.brand_type_cube, R.BRAND_TYPE_CUBE_SQL,
+              ("A1", "A9", "BONUS"),
+              "full CUBE over (brand, type): all four grouping levels in "
+              "one pass with the standard grouping_id bitmask, exact "
+              "integer cents — companion of regional_rollup's ROLLUP"),
 QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
               M.MULTIMODAL_DOC_FRAMES_SQL, ("MM",),
               "binary payload -> executor-side frame fan-out -> per-source "

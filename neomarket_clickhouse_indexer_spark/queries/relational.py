@@ -764,3 +764,43 @@ SELECT c_nationkey AS nation_key,
 FROM ranked
 GROUP BY 1, 2
 """
+
+
+# --- brand_type_cube: full CUBE over (brand, type) — the companion of
+#     regional_rollup's ROLLUP: all four grouping levels (detail, per
+#     brand, per type, grand total) in one pass with the standard
+#     grouping_id bitmask (leftmost column = high bit in BOTH engines).
+#     Revenue in exact integer cents; the differential pins every
+#     subtotal level against the oracle's native CUBE.
+
+
+def brand_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .cube("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("cents"),
+            F.grouping_id().cast("long").alias("level"),
+        )
+    )
+
+
+BRAND_TYPE_CUBE_SQL = """
+SELECT p_brand, p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS cents,
+       CAST(GROUPING(p_brand) * 2 + GROUPING(p_type) AS BIGINT) AS level
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY CUBE (p_brand, p_type)
+"""
