@@ -111,11 +111,13 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r2")
         )
     )
-    w_rank = Window.orderBy(F.desc("r2"), F.asc("s"))
+    # TakeOrdered top-25 instead of row_number over an unpartitioned
+    # window on the full node-sized rank frame (single-partition sort of
+    # every supplier at scale); the rank window runs over ≤25 rows.
+    top = rs2.join(rs1, "s").orderBy(F.desc("r2"), F.asc("s")).limit(PR_TOP)
+    w_rank = Window.orderBy(F.desc("r2"), F.asc("s"))  # bounded: ≤25 rows
     return (
-        rs2.join(rs1, "s")
-        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
-        .filter(F.col("rank") <= PR_TOP)
+        top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .select(F.col("s").alias("supp_key"), "rank", "r1", "r2")
     )
 
@@ -169,16 +171,42 @@ SELECT supp_key, rank, r1, r2 FROM ranked WHERE rank <= {PR_TOP}
 #     similarity over the bipartite procurement graph — "suppliers are
 #     similar when the same customers buy from both", the classic
 #     recommender building block. Exact Jaccard of customer sets as an
-#     integer rational: intersection from ONE self-join of the distinct
+#     integer rational: intersection from ONE self-join of the capped
 #     (customer, supplier) edge list grouped by the supplier pair
 #     (shared-customer join — each customer contributes its supplier
-#     pairs; at scale a hot-customer cap bounds the quadratic term, the
-#     LSH-bucket-cap pattern), union = |A| + |B| - inter from broadcast
-#     degree tables, jaccard_ppm = inter * 1e6 DIV union. Top-20 pairs
-#     by (jaccard desc, pair) so the gate output is stable and small.
+#     pairs), union = |A| + |B| - inter from broadcast degree tables,
+#     jaccard_ppm = inter * 1e6 DIV union. Top-20 pairs by
+#     (jaccard desc, pair) so the gate output is stable and small.
+
+# Skew guard (the BAND_BUCKET_CAP pattern, documents.py): a customer
+# connected to S suppliers contributes S(S-1)/2 pair rows to the
+# self-join, so one hot customer (an exchange/aggregator wallet in the
+# reference's domain) turns the join quadratic at corpus scale. Each
+# customer keeps at most CF_CUST_CAP suppliers, selected by a
+# DETERMINISTIC md5 hash of the edge (a uniform sample of the supplier
+# set, not a popularity-biased one), BEFORE degrees are computed — so
+# inter ≤ deg invariants hold and jaccard stays a true [0,1] rational
+# over the capped graph. Fixture max degree is 102 (sf0.1), so the gate
+# differential is unchanged; the cap path is exercised by
+# tests/test_graph.py with a planted hot customer. Per-customer work is
+# bounded at CAP²/2 ≈ 32k pair rows regardless of skew.
+CF_CUST_CAP = 256
 
 
-def supplier_similarity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cap_customer_edges(edges: DataFrame, cap: int = CF_CUST_CAP) -> DataFrame:
+    """Keep at most ``cap`` (c, s) edges per customer, chosen by the
+    deterministic md5 of the edge (uniform over the supplier set)."""
+    w_cap = Window.partitionBy("c").orderBy(
+        F.md5(F.concat_ws(":", "c", "s")), F.asc("s")
+    )
+    return (
+        edges.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+
+
+def _cf_capped_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
@@ -186,6 +214,11 @@ def supplier_similarity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    return _cap_customer_edges(edges)
+
+
+def supplier_similarity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _cf_capped_edges(spark, sf_dir)
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     a = edges.select("c", F.col("s").alias("sa"))
     b = edges.select("c", F.col("s").alias("sb"))
@@ -203,18 +236,31 @@ def supplier_similarity_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("uni", F.col("deg_a") + F.col("deg_b") - F.col("inter"))
         .withColumn("jaccard_ppm", F.expr("inter * 1000000 DIV uni"))
     )
-    w = Window.orderBy(F.desc("jaccard_ppm"), "sa", "sb")
+    # TakeOrdered top-20 (distributed partial top-k per partition, merged
+    # on the driver) instead of a row_number over an unpartitioned window
+    # — the latter single-partition-sorts the full up-to-quadratic pair
+    # frame. The rank window below runs over the 20-row result only.
+    top = scored.orderBy(F.desc("jaccard_ppm"), "sa", "sb").limit(20)
+    w = Window.orderBy(F.desc("jaccard_ppm"), "sa", "sb")  # bounded: ≤20 rows
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "sa", "sb", "inter", "uni", "jaccard_ppm")
     )
 
 
-SUPPLIER_SIMILARITY_CF_SQL = """
-WITH edges AS (
+SUPPLIER_SIMILARITY_CF_SQL = f"""
+WITH edges_raw AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c, s FROM (
+    SELECT c, s,
+           ROW_NUMBER() OVER (
+             PARTITION BY c ORDER BY md5(c || ':' || s), s
+           ) AS rn
+    FROM edges_raw
+  ) WHERE rn <= {CF_CUST_CAP}
 ),
 deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
 inter AS (
