@@ -56,7 +56,10 @@ HEADLINE = [
     "events_sequence_match",
     "events_lttb_downsample",
     "supplier_pagerank",
-    "docs_kmv_distinct",
+    # sketch-only KMV (the production path); the docs_kmv_distinct GATE
+    # additionally computes the exact countDistinct for err_ppm evidence,
+    # which misrepresents the sketch's cost when timed (r5 finding #3)
+    "docs_kmv_sketch",
     # docs_setsim_join is NOT benched at sf0.1: the synthetic corpus is
     # drawn from a tiny vocabulary, so the TRUE answer at tau=0.8 is
     # ~3M pairs for 5k docs (output-quadratic by construction — measured

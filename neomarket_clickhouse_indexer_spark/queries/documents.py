@@ -1417,6 +1417,37 @@ WHERE inter_n * {SETSIM_TAU_DEN} >= (sa.sz + sb.sz - inter_n) * {SETSIM_TAU_NUM}
 """
 
 
+# --- docs_pair_recall_audit: DD2+DD6 fused gate — runs BOTH near-dup
+#     pair paths and emits them side by side, labeled: the MinHash-LSH
+#     candidates verified by exact shingle-Jaccard (docs_jaccard_pairs,
+#     probabilistic recall) and the PPJoin prefix-filtered token-set
+#     similarity join (docs_setsim_join, guaranteed recall). A strict
+#     superset of both components (it EXECUTES their production
+#     pipelines — the r5 rotation rule), giving DD6's exact-recall proof
+#     its own in-window external check while keeping DD2/DD4 evidence.
+#     The two paths use different tokenizations (3-gram shingles at
+#     tau=0.6 vs distinct tokens at tau=0.8) by design — the audit output
+#     lets an operator compare what each recall contract actually yields
+#     on the same corpus.
+
+
+def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = docs_jaccard_pairs(spark, sf_dir).select(
+        F.lit("lsh").alias("path"), "doc_a", "doc_b", "jaccard"
+    )
+    ss = docs_setsim_join(spark, sf_dir).select(
+        F.lit("setsim").alias("path"), "doc_a", "doc_b", "jaccard"
+    )
+    return lsh.unionByName(ss)
+
+
+DOCS_PAIR_RECALL_AUDIT_SQL = f"""
+SELECT 'lsh' AS path, doc_a, doc_b, jaccard FROM ({DOCS_JACCARD_PAIRS_SQL})
+UNION ALL
+SELECT 'setsim' AS path, doc_a, doc_b, jaccard FROM ({DOCS_SETSIM_JOIN_SQL})
+"""
+
+
 # --- docs_weighted_sample: TX5+ — weighted systematic sampling without
 #     replacement (the deterministic, all-integer alternative to
 #     Efraimidis-Spirakis u^(1/w) keys, whose pow()/ln() floats would not
@@ -1751,14 +1782,19 @@ KMV_K = 256
 _KMV_RADIX = 1 << 48
 
 
-def docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmv_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
-    grams = docs.select(
+    return docs.select(
         "source",
         F.explode(TX.shingles(TX.tokens(F.col("text")), 3, distinct=True)).alias(
             "g"
         ),
     )
+
+
+def _kmv_sketch(grams: DataFrame) -> DataFrame:
+    """(source, hk, k_used, est_distinct) per source plus the merged
+    '__all__' row — the sketch-only production path (no exact pass)."""
     hashed = grams.select(
         "source",
         F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("h"),
@@ -1783,6 +1819,32 @@ def docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = topk.groupBy("source").agg(
         F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_used")
     )
+    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
+        F.expr(f"({KMV_K} - 1) * CAST({_KMV_RADIX} AS BIGINT) DIV hk")
+    )
+    return (
+        per_source.unionByName(merged)
+        .withColumn("est_distinct", est.cast("long"))
+        .select(
+            "source",
+            F.col("k_used").cast("long").alias("k_used"),
+            "hk",
+            "est_distinct",
+        )
+    )
+
+
+def docs_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only KMV path — what production runs (and what bench.py
+    times): O(K) state per source, no exact countDistinct alongside. The
+    gate form (docs_kmv_distinct) adds the exact pass purely as
+    differential evidence for err_ppm."""
+    return _kmv_sketch(_kmv_grams(spark, sf_dir))
+
+
+def docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = _kmv_grams(spark, sf_dir)
+    sketch = _kmv_sketch(grams)
 
     exact_src = grams.groupBy("source").agg(
         F.countDistinct("g").alias("exact_distinct")
@@ -1791,20 +1853,15 @@ def docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("g").alias("exact_distinct")
     ).select(F.lit("__all__").alias("source"), "exact_distinct")
 
-    est = F.when(F.col("k_used") < KMV_K, F.col("k_used")).otherwise(
-        F.expr(f"({KMV_K} - 1) * CAST({_KMV_RADIX} AS BIGINT) DIV hk")
-    )
     return (
-        per_source.unionByName(merged)
-        .join(exact_src.unionByName(exact_all), "source")
-        .withColumn("est_distinct", est.cast("long"))
+        sketch.join(exact_src.unionByName(exact_all), "source")
         .withColumn(
             "err_ppm",
             F.expr("abs(est_distinct - exact_distinct) * 1000000 DIV exact_distinct"),
         )
         .select(
             "source",
-            F.col("k_used").cast("long").alias("k_used"),
+            "k_used",
             "hk",
             "est_distinct",
             "exact_distinct",
@@ -1813,7 +1870,7 @@ def docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOCS_KMV_DISTINCT_SQL = f"""
+_KMV_SKETCH_CTE = f"""
 WITH toks AS (
   SELECT source, string_split(text, ' ') AS t FROM documents
 ),
@@ -1847,7 +1904,21 @@ alls AS (
   SELECT '__all__' AS source, MAX(h) AS hk, COUNT(*) AS k_used
   FROM allk WHERE rn <= {KMV_K}
 ),
-sk AS (SELECT * FROM per UNION ALL SELECT * FROM alls),
+sk AS (SELECT * FROM per UNION ALL SELECT * FROM alls)"""
+
+DOCS_KMV_SKETCH_SQL = f"""
+{_KMV_SKETCH_CTE}
+SELECT source,
+       CAST(k_used AS BIGINT) AS k_used,
+       hk,
+       CAST(CASE WHEN k_used < {KMV_K} THEN k_used
+             ELSE ({KMV_K} - 1) * CAST({_KMV_RADIX} AS BIGINT) // hk
+           END AS BIGINT) AS est_distinct
+FROM sk
+"""
+
+DOCS_KMV_DISTINCT_SQL = f"""
+{_KMV_SKETCH_CTE},
 ex AS (
   SELECT source, COUNT(DISTINCT g) AS ed FROM grams GROUP BY 1
   UNION ALL

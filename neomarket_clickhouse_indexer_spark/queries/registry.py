@@ -129,9 +129,16 @@ _SPECS: list[QuerySpec] = [
               D.DOCS_DUP_CLUSTERS_SQL, ("DD2", "DD6"),
               "connected-components dedup clusters (label propagation vs "
               "recursive-CTE oracle)"),
-    QuerySpec("docs_jaccard_pairs", D.docs_jaccard_pairs,
-              D.DOCS_JACCARD_PAIRS_SQL, ("DD2", "DD4"),
-              "exact n-gram Jaccard verification of LSH candidates"),
+    QuerySpec("docs_pair_recall_audit", D.docs_pair_recall_audit,
+              D.DOCS_PAIR_RECALL_AUDIT_SQL, ("DD2", "DD4", "DD6"),
+              "fused near-dup recall audit: EXECUTES docs_jaccard_pairs "
+              "(LSH candidates + exact shingle-Jaccard verify) AND "
+              "docs_setsim_join (PPJoin prefix filter vs full-inverted-"
+              "index oracle — the 100%-recall proof) side by side, "
+              "labeled by path (r6 strict-superset rotation: DD6's "
+              "strongest evidence gets an in-window external check; the "
+              "displaced docs_jaccard_pairs stays oracle-checked in the "
+              "tail)"),
     QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
               ("DD5",), "16-bit SimHash document signatures"),
     QuerySpec("docs_word_filter_top", D.docs_word_filter_top,
@@ -423,7 +430,13 @@ _SPECS: list[QuerySpec] = [
               "EXACT prefix-filtered set-similarity self-join (PPJoin "
               "family): rarest-first canonical token order, integer "
               "threshold arithmetic; oracle = full inverted index, so the "
-              "differential proves 100% recall of the prefix filter"),
+              "differential proves 100% recall of the prefix filter "
+              "(standalone form; also runs inside docs_pair_recall_audit)"),
+    QuerySpec("docs_jaccard_pairs", D.docs_jaccard_pairs,
+              D.DOCS_JACCARD_PAIRS_SQL, ("DD2", "DD4"),
+              "exact n-gram Jaccard verification of LSH candidates "
+              "(standalone form; also runs inside docs_pair_recall_audit "
+              "— displaced from the gate window by the r6 rotation)"),
     QuerySpec("docs_weighted_sample", D.docs_weighted_sample,
               D.DOCS_WEIGHTED_SAMPLE_SQL, ("TX5", "W2", "BONUS"),
               "weighted systematic sampling (all-integer boundary crossing; "
@@ -514,13 +527,19 @@ _SPECS: list[QuerySpec] = [
               "split broadcast with norms, training vectors flagged by "
               "cosine >= threshold with match count + argmax best eval — "
               "the semantic complement of docs_contamination"),
-        QuerySpec("docs_kmv_distinct", D.docs_kmv_distinct,
+    QuerySpec("docs_kmv_distinct", D.docs_kmv_distinct,
               D.DOCS_KMV_DISTINCT_SQL, ("A3", "BONUS"),
               "KMV bottom-k distinct sketch over 3-gram universe: "
               "deterministic mergeable states — the Spark __all__ row is "
               "built by MERGING per-source sketches while the oracle "
               "computes it directly from the corpus, proving merge "
               "losslessness cross-engine; err_ppm pins estimator accuracy"),
+    QuerySpec("docs_kmv_sketch", D.docs_kmv_sketch,
+              D.DOCS_KMV_SKETCH_SQL, ("A3", "BONUS"),
+              "sketch-only KMV path (what production runs and bench.py "
+              "times): per-source bottom-K + lossless merge, NO exact "
+              "countDistinct alongside — the gate form above carries the "
+              "exact pass purely as err_ppm differential evidence"),
     QuerySpec("user_type_value_map", TS.user_type_value_map,
               TS.USER_TYPE_VALUE_MAP_SQL, ("A6", "U1", "BONUS"),
               "sumMap analog: per-user event_type->cents totals as "

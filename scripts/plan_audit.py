@@ -28,9 +28,60 @@ INTENTIONAL_CROSS = {
     "knn_rank_fusion",  # composes knn_bruteforce + knn_ann_lsh shapes
     "docs_kmv_jaccard",  # 1-row-per-pair est/exact joins on literal keys
 }
+
+# Unpartitioned Window nodes single-partition-sort their whole input —
+# fine ONLY over a provably bounded frame. Every entry here names the
+# bound that keeps the frame small at ANY corpus scale; anything else
+# that plans a global window is flagged.
+BOUNDED_GLOBAL_WINDOW = {
+    # this is the COMPLETE registry inventory of physical global-window
+    # nodes (rerun with the allowlist emptied to regenerate); each line
+    # states the bound that keeps the single-partition frame small at
+    # any corpus scale
+    "docs_kmv_distinct",  # merged bottom-K frame: <= K x #sources rows
+    "docs_kmv_sketch",  # same merged bottom-K frame
+    "docs_kmv_jaccard",  # bottom-K sketch merges: <= 2K rows per window
+    "supplier_pagerank",  # rank window over the orderBy().limit(25) result
+    "supplier_similarity_cf",  # rank window over orderBy().limit(20) result
+    "events_top_paths",  # rank over path-triple counts: <= |type enum|^3
+    "events_funnel_dropoff",  # stage spine: one row per funnel stage (<=4)
+    "events_cumulative_distinct_users",  # day spine: one row per active day
+}
+
+
+def global_windows(plan: str) -> int:
+    """Count physical Window nodes with no PARTITION BY. Rendering
+    (verified on Spark 4.1): 3 top-level bracket groups = [funcs],
+    [part], [order] (partitioned); 2 groups = EITHER [funcs], [order]
+    (global, order group carries ASC/DESC markers) OR [funcs], [part]
+    (partitioned, no order — not global); 1 group = global."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.match(r"^[\s+:*-]*Window (\[.*)$", line)
+        if not m:
+            continue
+        rest, depth = m.group(1), 0
+        groups: list[str] = []
+        for ch in rest:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if depth > 0:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(r" (ASC|DESC) ", groups[1]):
+            continue  # [funcs], [part]: partitioned, just no order spec
+        n += 1
+    return n
+
+
 for name in sorted(REGISTRY):
     if name == "domain_ledger_summary":  # triggers eager work; skip plan-only audit
-        pass
+        continue
     try:
         df = REGISTRY[name].fn(spark, sf)
         plan = explain_str(df, "simple")
@@ -39,6 +90,9 @@ for name in sorted(REGISTRY):
             flags.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in plan and name not in INTENTIONAL_CROSS:
             flags.append("BNLJ")
+        gw = global_windows(plan)
+        if gw and name not in BOUNDED_GLOBAL_WINDOW:
+            flags.append(f"GLOBAL_WINDOW x{gw}")
         n_ex = plan.count("Exchange")
         if flags:
             print(f"{name}: {' '.join(flags)} (exchanges~{n_ex})")
