@@ -2081,6 +2081,13 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.explode(TX.shingles(toks, _PHRASE_N, distinct=True)).alias("gram"),
+    ).filter(
+        # TX.shingles' short-doc fallback emits the whole text as ONE gram
+        # for docs with < _PHRASE_N tokens; such a gram would break the
+        # positional side's n_terms == _PHRASE_N check while still LIKE-
+        # matching in the oracle — exclude non-3-token grams in BOTH
+        # engines so the candidate sets are identical
+        F.size(F.split("gram", " ")) == _PHRASE_N
     )
     top = (
         grams.groupBy("gram")
@@ -2122,7 +2129,9 @@ g AS (
 ),
 top AS (
   SELECT gram FROM (
-    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g
+    WHERE len(string_split(gram, ' ')) = {_PHRASE_N}
+    GROUP BY 1
   ) ORDER BY nd DESC, gram ASC LIMIT {_PHRASE_TOP}
 )
 SELECT top.gram AS phrase,

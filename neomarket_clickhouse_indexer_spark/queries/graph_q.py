@@ -58,6 +58,12 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("cents").alias("w"))
     )
+    return pagerank_frame(edges, P)
+
+
+def pagerank_frame(edges: DataFrame, P: int) -> DataFrame:
+    """Two push rounds over any (c, s, w) weighted edge frame — split out
+    so scripts/scale_check.py can drive it at N× graph scale."""
     wc = edges.groupBy("c").agg(F.sum("w").alias("wc"))
     vs = edges.groupBy("s").agg(F.sum("w").alias("vs"))
     # e feeds all three message-passing rounds — persist so the

@@ -645,7 +645,9 @@ FROM exploded
 
 
 def streaming_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
     import hashlib
+    import os
     import shutil
 
     from ..streaming.stateful import sequence_pairs_stream
@@ -653,11 +655,14 @@ def streaming_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inp = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # pid-scoped dirs: concurrent runs over the same fixture (pytest +
+    # driver_sim) must not race on a shared source/checkpoint
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
     src = f"/tmp/nmci_stream_pairs_src_{tag}"
     ckpt = f"/tmp/nmci_stream_pairs_ckpt_{tag}"
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src)
     # event_id-range chunks preserve cross-batch event-time order
     # (event_id follows ts in the fixture); within a batch the operator
     # re-sorts by (ts, event_id)
@@ -669,8 +674,21 @@ def streaming_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         inp.filter(F.col("event_id") > bounds[1]),
     ]
+    # FileStreamSource orders files by MODIFICATION TIME (latestFirst
+    # defaults to false = oldest first); equal mtimes on a coarse-
+    # resolution filesystem would leave chunk order unspecified and
+    # corrupt the automaton state vs the oracle. Stage each chunk, move
+    # its single part file under an ordered name, and FORCE strictly
+    # increasing mtimes so batch order == chunk order on any filesystem.
+    t_base = 1_700_000_000  # fixed epoch base — wall clock never read
     for i, c in enumerate(chunks):
-        c.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        stage = f"{src}.stage{i}"
+        c.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"chunk-{i:03d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t_base + i, t_base + i))
+        shutil.rmtree(stage, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(inp.schema)
@@ -1387,8 +1405,11 @@ JOIN singles sb ON p.tb = sb.event_type, nu
 #     detection, not just agreement. Statistic = the two-sample
 #     chi-square over $25 bins kept integer-exact per bin:
 #     (o1*N2 - o2*N1)^2 DIV (N1*N2*(o1+o2)) summed ("floor-chi2" —
-#     per-bin floor division, identical association both engines;
-#     magnitudes < 2^63 through sf10). Alarm is df-SCALED (chi2 >
+#     per-bin floor division, identical association both engines). The
+#     squared numerator scales ~N^4 per type (int64 would wrap silently
+#     near ~55k events/type), so it is computed in DECIMAL(38,0) /
+#     HUGEINT on both sides — exact through N ~ 3e9 events/type; the
+#     per-bin quotient itself is <= o1+o2 and returns to BIGINT. Alarm is df-SCALED (chi2 >
 #     5*n_bins — chi-square critical values grow with df, not N), which
 #     separates decisively at both gate SFs: drifted type 176/1709 vs
 #     clean max 3/13 against thresholds 65/90.
@@ -1426,10 +1447,15 @@ def events_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_bin.join(F.broadcast(totals), "event_type")
         .withColumn(
+            # DECIMAL(38,0) (= the oracle's HUGEINT): diff² scales ~N⁴ per
+            # type and would silently wrap int64 near ~55k events/type;
+            # decimal keeps it exact through N ~ 3e9 (verified identical
+            # to DuckDB's HUGEINT floor division)
             "term",
             F.expr(
-                "(o1 * n2 - o2 * n1) * (o1 * n2 - o2 * n1) "
-                "DIV (n1 * n2 * (o1 + o2))"
+                "CAST((CAST(o1 AS DECIMAL(38,0)) * n2 - CAST(o2 AS DECIMAL(38,0)) * n1)"
+                " * (CAST(o1 AS DECIMAL(38,0)) * n2 - CAST(o2 AS DECIMAL(38,0)) * n1)"
+                " DIV (CAST(n1 AS DECIMAL(38,0)) * n2 * (o1 + o2)) AS LONG)"
             ),
         )
         .groupBy("event_type")
@@ -1472,9 +1498,13 @@ totals AS (
   FROM per_bin GROUP BY 1
 ),
 terms AS (
+  -- HUGEINT (= the Spark side's DECIMAL(38,0)): diff^2 scales ~N^4 and
+  -- exceeds int64 near ~55k events/type
   SELECT p.event_type, t.n1, t.n2,
-         (p.o1 * t.n2 - p.o2 * t.n1) * (p.o1 * t.n2 - p.o2 * t.n1)
-           // (t.n1 * t.n2 * (p.o1 + p.o2)) AS term
+         CAST((CAST(p.o1 AS HUGEINT) * t.n2 - CAST(p.o2 AS HUGEINT) * t.n1)
+              * (CAST(p.o1 AS HUGEINT) * t.n2 - CAST(p.o2 AS HUGEINT) * t.n1)
+           // (CAST(t.n1 AS HUGEINT) * t.n2 * (p.o1 + p.o2)) AS BIGINT)
+           AS term
   FROM per_bin p JOIN totals t USING (event_type)
 )
 SELECT event_type,

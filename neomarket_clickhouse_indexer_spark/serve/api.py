@@ -171,7 +171,14 @@ class ServeContext:
                 F.col("cents"),
             )
             .select(
-                "pos", F.unix_timestamp("bucket").alias("time"), "cents"
+                # ISO wall-clock string, NOT epoch seconds: the bucket is
+                # rebuilt from NTZ-derived minute offsets, so epoch
+                # conversion would shift with the driver session's
+                # timezone (CLAUDE.md determinism rule 6); interpret+format
+                # happen in the same session tz and cancel
+                "pos",
+                F.date_format("bucket", "yyyy-MM-dd'T'HH:mm:ss").alias("time"),
+                "cents",
             )
         )
         return {

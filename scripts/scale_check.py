@@ -301,6 +301,106 @@ def main() -> None:
         .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_used")),
     )
 
+    # r6: supplier_pagerank message passing at N× graph scale — the edge
+    # table is replicated as N disjoint subgraph copies (shifted customer
+    # and supplier ids), so rank values stay bounded while shuffle volume
+    # grows ×N; each push round is one hash shuffle on the receiving key
+    # and should scale ~linearly
+    from neomarket_clickhouse_indexer_spark.queries.graph_q import (
+        _CENTS_LI,
+        pagerank_frame,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_CENTS_LI).alias("cents")
+    )
+    orders = load_table(spark, "/root/testdata/sf0.1", "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    base_edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.sum("cents").alias("w"))
+    )
+    edges_path = f"/tmp/scale_check_edges_x{n}.parquet"
+    if not os.path.exists(edges_path):
+        reps = spark.range(n).withColumnRenamed("id", "rep")
+        (
+            base_edges.crossJoin(reps)
+            .select(
+                (F.col("c") + F.col("rep") * 10_000_000).alias("c"),
+                (F.col("s") + F.col("rep") * 10_000_000).alias("s"),
+                "w",
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(edges_path)
+        )
+    big_edges = spark.read.parquet(edges_path)
+    print(f"graph edges: {big_edges.count():,}")
+    timed("pagerank_2rounds", pagerank_frame(big_edges, 64))
+
+    # r6: semdedup's salted within-cluster pair join at N× vectors. The
+    # design claim under test is the PAIR JOIN stage (salt ×8 parallelism,
+    # per-cluster work bounded): real deployments grow k with the corpus
+    # so cluster populations stay ~constant (SemDeDup's k-means step, IVF
+    # at assignment time) — modeled here by giving each replica its own
+    # cluster id space (8 clusters per replica, hash-assigned), which
+    # keeps per-cluster size fixed while total pair work grows ×N.
+    from neomarket_clickhouse_indexer_spark.functions import vectors as VX2
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        _SEM_SALTS,
+        SEM_TAU,
+    )
+
+    assigned = big_emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.expr("vec_id DIV 10000000") * 8
+            + F.pmod(F.xxhash64("vec_id"), F.lit(8))
+        ).alias("cluster"),
+    )
+    sa = assigned.select(
+        F.col("cluster").alias("cl_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        VX2.norm(F.col("embedding")).alias("norm_a"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(_SEM_SALTS)).alias("salt_a"),
+    )
+    sb = assigned.select(
+        F.col("cluster").alias("cl_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        VX2.norm(F.col("embedding")).alias("norm_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALTS - 1))).alias("salt_b"),
+    )
+    sem_pairs = (
+        sa.join(
+            sb,
+            (F.col("cl_a") == F.col("cl_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            F.col("cl_a").alias("cluster"),
+            "vec_a",
+            "vec_b",
+            F.round(
+                VX2.dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= SEM_TAU)
+    )
+    timed(
+        "semdedup_pair_join",
+        sem_pairs.groupBy("cluster", "vec_b").agg(
+            F.min("vec_a").alias("dup_of"), F.max("sim").alias("max_sim")
+        ),
+    )
+
     # cross-media frame dedup over the scaled docs corpus (mapInPandas
     # fan-out + one hash-groupBy on the signature)
     from neomarket_clickhouse_indexer_spark.multimodal.media import binary_frames
