@@ -38,8 +38,10 @@ REALIZED_SCHEMA = (
 
 
 def _replay_wallet(wallet: str, g: pd.DataFrame,
-                   snapshot_interval_s: int | None) -> LedgerEngine:
-    eng = LedgerEngine(wallet, snapshot_interval_s=snapshot_interval_s)
+                   snapshot_interval_s: int | None,
+                   ref_basis_memory: bool = False) -> LedgerEngine:
+    eng = LedgerEngine(wallet, snapshot_interval_s=snapshot_interval_s,
+                       ref_basis_memory=ref_basis_memory)
     events = []
     for row in g.itertuples(index=False):
         ev = {

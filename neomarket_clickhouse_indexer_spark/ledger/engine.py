@@ -123,11 +123,21 @@ class LedgerEngine:
     """Replay one wallet's time-ordered events into ledger entries +
     realized events + snapshots."""
 
-    def __init__(self, wallet: str, snapshot_interval_s: int | None = None):
+    def __init__(self, wallet: str, snapshot_interval_s: int | None = None,
+                 ref_basis_memory: bool = False):
         self.wallet = wallet
         self.book = PositionBook()
         self.realized = 0.0
         self.cashflow = 0.0
+        # ref_basis_memory=True reproduces the reference's runtime-state
+        # heuristic exactly (ledger-engine.ts:1721-1726, 1791-1793): the
+        # lastPrices map is ALSO written by transfer-ins and conversion
+        # mints (at the heuristically-applied cost), not just trades — so
+        # a later zero-position transfer_in can inherit a price that
+        # itself came from a heuristic. Default False = trades-only
+        # memory (DIVERGENCES #4; fixture impact quantified in
+        # tests/test_ledger_basis_parity.py).
+        self.ref_basis_memory = ref_basis_memory
         self.last_price: dict[str, float] = {}
         self.entries: list[dict] = []
         self.realized_events: list[dict] = []
@@ -271,6 +281,10 @@ class LedgerEngine:
             if unit_cost <= EPS:
                 unit_cost = self.last_price.get(token, 0.0)
             self.book.add(token, qty, unit_cost, ev["ts"])
+            if self.ref_basis_memory and unit_cost > EPS:
+                # ledger-engine.ts:1791-1793: the applied heuristic cost
+                # becomes the token's remembered price
+                self.last_price[token] = unit_cost
             self._emit(ev, "transfer_in", token, qty, 0.0, unit_cost,
                        qty * unit_cost, 0.0)
         else:
@@ -304,7 +318,16 @@ class LedgerEngine:
         if mint:
             unit_cost = carry / (len(mint) * qty)
             for token in mint:
-                self.book.add(token, qty, unit_cost, ev["ts"])
+                applied = unit_cost
+                if self.ref_basis_memory:
+                    # ledger-engine.ts:1721-1726: zero carried basis falls
+                    # back to the remembered per-token price, and the
+                    # applied cost is remembered in turn
+                    if applied <= EPS:
+                        applied = self.last_price.get(token, 0.0)
+                    if applied > EPS:
+                        self.last_price[token] = applied
+                self.book.add(token, qty, applied, ev["ts"])
         elif carry > EPS:
             # nothing minted (no-transfers fallback) → basis realizes as loss
             realized -= carry

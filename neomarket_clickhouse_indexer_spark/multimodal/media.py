@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-``mapInPandas`` fan-out, partitioning discipline. The decode kernels are
-STUBS (this container ships no image/audio libraries): each kernel either
-raises ``NotImplementedError`` when a real decode is requested, or runs a
-clearly-marked deterministic fake so pipelines are testable end-to-end.
+``mapInPandas`` fan-out, partitioning discipline. Real decode is
+IMPORT-GUARDED (``decode_image``: PIL when present — this container ships
+no imaging/audio libraries, so here it raises ``NotImplementedError``
+when a real decode is requested); every kernel also offers a
+clearly-marked deterministic fake so pipelines are testable end-to-end
+without the libraries (tests/test_media_decode_guard.py covers both
+directions via skipif).
 
 Design for 100 TB:
 - media rides in ``binary`` columns next to typed metadata
@@ -57,25 +60,53 @@ def synthesize_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_real(payload: bytes, fmt: str):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "real media decode requires imaging/audio libraries not present in "
-        "this environment; wire PIL/ffmpeg here in production"
-    )
+# Real-decode wiring, import-guarded: the production kernel uses PIL when
+# the library is present; this container ships without it, so the guard
+# resolves at EXECUTOR import time (each Python worker re-evaluates it —
+# no driver-side state is captured in the closure beyond the bool).
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Decode an encoded image payload to a grayscale uint8 pixel array.
+
+    Production path (PIL present): real decode + L-mode conversion.
+    This environment (no PIL): raises NotImplementedError — callers that
+    want testability without the library use the deterministic fake
+    kernels below instead.
+    """
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "real media decode requires PIL, not present in this "
+            "environment; the deterministic fake kernels remain available"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def image_stats(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Per-image stats over Arrow batches. Fake kernel: byte-level moments
-    standing in for pixel moments (deterministic)."""
+    standing in for pixel moments (deterministic). With
+    ``real_decode=True`` the same Arrow batch shape runs PIL decode per
+    payload (import-guarded; raises where PIL is absent)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            if real_decode:
-                _decode_real(b"", "")
             payloads = pdf["payload"]
-            arr = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+            if real_decode:
+                arr = [decode_image(bytes(p)).ravel() for p in payloads]
+            else:
+                arr = [np.frombuffer(p, dtype=np.uint8) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -263,7 +294,7 @@ def image_patches(
     INTEGER pixel sum and exact milli-mean (sum*1000 // patch²) — the
     ViT patch-embedding input shape. All integer, so the full fan-out is
     oracle-checkable; a real kernel would decode with PIL/cv2 first
-    (env-stubbed, see decode_media), but the grid arithmetic, Arrow
+    (import-guarded, see decode_image), but the grid arithmetic, Arrow
     batch shape, and executor-side fan-out are the production ones.
     """
     carry = list(carry_cols)
