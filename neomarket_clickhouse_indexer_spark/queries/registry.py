@@ -200,10 +200,15 @@ _SPECS: list[QuerySpec] = [
               O.WATERMARK_ACCEPT_COUNTS_SQL, ("ST5", "W2"),
               "event-time watermark accept/drop rule replayed as a batch "
               "audit"),
-    QuerySpec("streaming_positions_state", E.streaming_positions_state,
-              E.STREAMING_POSITIONS_STATE_SQL, ("ST6", "ST1", "ST4"),
-              "applyInPandasWithState avg-cost positions across 3 real "
-              "microbatches == batch recursive-CTE oracle"),
+    QuerySpec("streaming_state_suite", E.streaming_state_suite,
+              E._streaming_state_suite_sql(), ("ST6", "ST1", "ST4"),
+              "fused ST6 gate (r6 rotation): EXECUTES both real "
+              "applyInPandasWithState streaming queries — avg-cost "
+              "positions AND the greedy pair automaton, each over 3 "
+              "genuine microbatches — unpivoted long vs the batch "
+              "recursive-CTE oracles; the displaced "
+              "streaming_positions_state stays oracle-checked in the "
+              "tail"),
     QuerySpec("rest_sync_incremental", O.rest_sync_incremental,
               O.REST_SYNC_INCREMENTAL_SQL, ("S5", "S6", "W3"),
               "two paginated+checkpointed sync rounds (watermark + "
@@ -552,6 +557,12 @@ _SPECS: list[QuerySpec] = [
               "in exact integer milli-units (floor-PageRank), node-sized "
               "rank state, edge table built once — top-25 suppliers with "
               "both iterations pinned"),
+    QuerySpec("streaming_positions_state", E.streaming_positions_state,
+              E.STREAMING_POSITIONS_STATE_SQL, ("ST6", "ST1", "ST4"),
+              "applyInPandasWithState avg-cost positions across 3 real "
+              "microbatches == batch recursive-CTE oracle (standalone "
+              "form; also runs inside streaming_state_suite — displaced "
+              "from the gate window by the r6 rotation)"),
     QuerySpec("streaming_sequence_pairs", TS.streaming_sequence_pairs,
               TS.STREAMING_SEQUENCE_PAIRS_SQL, ("ST6", "ST1", "BONUS"),
               "greedy pair automaton as a REAL applyInPandasWithState "
