@@ -247,8 +247,14 @@ _SPECS: list[QuerySpec] = [
               "index (hybrid search): integer ppb 1/(60+rank) terms "
               "summed after division so both engines agree exactly; "
               "oracle recomposes both retriever SQLs verbatim"),
-    QuerySpec("knn_ivf", V.knn_ivf, V.KNN_IVF_SQL, ("VS4", "VS2"),
-              "IVF ANN: centroid coarse quantizer, nprobe=1, exact re-rank"),
+    QuerySpec("ann_index_audit", V.ann_index_audit, V.ANN_INDEX_AUDIT_SQL,
+              ("VS4", "VS2", "VS5"),
+              "fused quantization-ANN gate (r6 rotation): EXECUTES knn_ivf "
+              "(coarse-quantizer cell probe + exact re-rank) AND "
+              "knn_pq_adc (Lloyd codebooks + asymmetric lookup-table "
+              "distances) side by side, labeled — VS5's PQ path gets its "
+              "first in-window external check; the displaced knn_ivf "
+              "stays oracle-checked in the tail"),
     QuerySpec("multimodal_frame_dedup", M.multimodal_frame_dedup,
               M.MULTIMODAL_FRAME_DEDUP_SQL, ("MM", "DD1", "BONUS"),
               "cross-media duplicate-frame detection: executor-side "
@@ -337,6 +343,10 @@ _SPECS: list[QuerySpec] = [
               ("VS1",), "exact cosine top-k"),
     QuerySpec("label_centroids", V.label_centroids, V.LABEL_CENTROIDS_SQL,
               ("VS2",), "per-label centroid (IVF seed)"),
+    QuerySpec("knn_ivf", V.knn_ivf, V.KNN_IVF_SQL, ("VS4", "VS2"),
+              "IVF ANN: centroid coarse quantizer, nprobe=1, exact re-rank "
+              "(standalone form; also runs inside ann_index_audit — "
+              "displaced from the gate window by the r6 rotation)"),
     QuerySpec("knn_ivf_nprobe2", V.knn_ivf_nprobe2, V.KNN_IVF_NPROBE2_SQL,
               ("VS4",), "IVF ANN with nprobe=2 (recall/cost knob)"),
     QuerySpec("docs_repetition_signals", PL.docs_repetition_signals,

@@ -1202,6 +1202,42 @@ SELECT query_id, rank, neighbor_id, d2u, adc_d2u FROM (
 KNN_PQ_ADC_SQL = _pq_sql()
 
 
+# --- ann_index_audit: VS4+VS5 fused gate (r6 rotation) — EXECUTES both
+#     quantization-family ANN retrievers side by side, labeled: the IVF
+#     coarse-quantizer path (knn_ivf: probe the best cell, exact re-rank
+#     inside it) and the product-quantization ADC path (knn_pq_adc:
+#     Lloyd-trained per-subspace codebooks, asymmetric lookup-table
+#     distances, exact d2 alongside). Long format so one gate pins both
+#     result sets: (path, query_id, rank, neighbor_id, metric, value);
+#     all values are exact in DOUBLE (cosine is pre-rounded to 6dp,
+#     the integer micro-unit distances are < 2^53).
+
+
+def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = knn_ivf(spark, sf_dir).selectExpr(
+        "'ivf' AS path", "query_id", "rank", "neighbor_id",
+        "'cosine_sim' AS metric", "CAST(cosine_sim AS DOUBLE) AS value",
+    )
+    pq = knn_pq_adc(spark, sf_dir).selectExpr(
+        "'pq' AS path", "query_id", "rank", "neighbor_id",
+        "stack(2, 'd2u', CAST(d2u AS DOUBLE),"
+        " 'adc_d2u', CAST(adc_d2u AS DOUBLE)) AS (metric, value)",
+    )
+    return ivf.unionByName(pq)
+
+
+ANN_INDEX_AUDIT_SQL = f"""
+SELECT 'ivf' AS path, query_id, rank, neighbor_id,
+       'cosine_sim' AS metric, CAST(cosine_sim AS DOUBLE) AS value
+FROM ({KNN_IVF_SQL})
+UNION ALL
+SELECT 'pq' AS path, query_id, rank, neighbor_id, m.metric,
+       CASE m.metric WHEN 'd2u' THEN CAST(d2u AS DOUBLE)
+                     ELSE CAST(adc_d2u AS DOUBLE) END AS value
+FROM ({KNN_PQ_ADC_SQL}), (SELECT unnest(['d2u','adc_d2u']) AS metric) m
+"""
+
+
 # --- semdedup_prune: semantic deduplication (SemDeDup shape: cluster the
 #     corpus with a coarse quantizer, then look for near-duplicate pairs
 #     ONLY inside a cluster — the pair join is bounded at n²/k instead of
