@@ -1432,20 +1432,43 @@ WHERE inter_n * {SETSIM_TAU_DEN} >= (sa.sz + sb.sz - inter_n) * {SETSIM_TAU_NUM}
 
 
 def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import connected_components
+
     lsh = docs_jaccard_pairs(spark, sf_dir).select(
         F.lit("lsh").alias("path"), "doc_a", "doc_b", "jaccard"
     )
     ss = docs_setsim_join(spark, sf_dir).select(
         F.lit("setsim").alias("path"), "doc_a", "doc_b", "jaccard"
     )
-    return lsh.unionByName(ss)
+    # third path (r6 slot-freeing fusion): the connected-components
+    # clustering over the SAME LSH candidate pairs (label propagation vs
+    # the oracle's recursive-CTE closure) rides along as
+    # (doc_id, cluster_id) rows — a strict superset of the displaced
+    # docs_dup_clusters window entry
+    cl = connected_components(docs_near_dup_pairs(spark, sf_dir)).select(
+        F.lit("cluster").alias("path"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("cluster_id").alias("doc_b"),
+        F.lit(0.0).alias("jaccard"),
+    )
+    return lsh.unionByName(ss).unionByName(cl)
 
 
-DOCS_PAIR_RECALL_AUDIT_SQL = f"""
+def _pair_recall_audit_sql() -> str:
+    from ..operators.clusters import components_sql
+
+    return f"""
 SELECT 'lsh' AS path, doc_a, doc_b, jaccard FROM ({DOCS_JACCARD_PAIRS_SQL})
 UNION ALL
 SELECT 'setsim' AS path, doc_a, doc_b, jaccard FROM ({DOCS_SETSIM_JOIN_SQL})
+UNION ALL
+SELECT 'cluster' AS path, doc_id AS doc_a, cluster_id AS doc_b,
+       0.0 AS jaccard
+FROM ({components_sql(DOCS_NEAR_DUP_PAIRS_SQL)})
 """
+
+
+DOCS_PAIR_RECALL_AUDIT_SQL = _pair_recall_audit_sql()
 
 
 # --- docs_weighted_sample: TX5+ — weighted systematic sampling without
@@ -2053,6 +2076,74 @@ SELECT c.token, c.n, c.cms_est,
 FROM cand c, total, ncand
 WHERE c.n >= total.t // {_HH_PHI_DEN}
 """
+
+
+# --- docs_sketch_suite: fused sketch-family gate (r6 rotation) — EXECUTES
+#     all three deterministic mergeable sketches side by side, labeled:
+#     the count-min frequency sketch with its hot/medium/rare/absent
+#     probes (docs_cms_counts), the propose/verify heavy-hitter pipeline
+#     built on the same CMS (docs_heavy_hitters), and the KMV bottom-k
+#     distinct sketch with the lossless per-source merge + exact err_ppm
+#     evidence (docs_kmv_distinct). One in-window slot externally checks
+#     the whole uniqCombined-analog family; every value is an exact
+#     integer < 2^53, so the DOUBLE long format is hash-stable.
+
+
+def docs_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cms = docs_cms_counts(spark, sf_dir).selectExpr(
+        "'cms' AS sketch", "token AS k",
+        "stack(3, 'true_n', CAST(true_n AS DOUBLE),"
+        " 'est_n', CAST(est_n AS DOUBLE),"
+        " 'over_n', CAST(over_n AS DOUBLE)) AS (metric, value)",
+    )
+    hh = docs_heavy_hitters(spark, sf_dir).selectExpr(
+        "'heavy_hitters' AS sketch", "token AS k",
+        "stack(5, 'n', CAST(n AS DOUBLE),"
+        " 'cms_est', CAST(cms_est AS DOUBLE),"
+        " 'overcount', CAST(overcount AS DOUBLE),"
+        " 'threshold', CAST(threshold AS DOUBLE),"
+        " 'n_candidates', CAST(n_candidates AS DOUBLE)) AS (metric, value)",
+    )
+    kmv = docs_kmv_distinct(spark, sf_dir).selectExpr(
+        "'kmv' AS sketch", "source AS k",
+        "stack(5, 'k_used', CAST(k_used AS DOUBLE),"
+        " 'hk', CAST(hk AS DOUBLE),"
+        " 'est_distinct', CAST(est_distinct AS DOUBLE),"
+        " 'exact_distinct', CAST(exact_distinct AS DOUBLE),"
+        " 'err_ppm', CAST(err_ppm AS DOUBLE)) AS (metric, value)",
+    )
+    return cms.unionByName(hh).unionByName(kmv)
+
+
+DOCS_SKETCH_SUITE_SQL = f"""
+SELECT 'cms' AS sketch, token AS k, m.metric,
+       CASE m.metric WHEN 'true_n' THEN CAST(true_n AS DOUBLE)
+                     WHEN 'est_n' THEN CAST(est_n AS DOUBLE)
+                     ELSE CAST(over_n AS DOUBLE) END AS value
+FROM ({DOCS_CMS_COUNTS_SQL}),
+     (SELECT unnest(['true_n','est_n','over_n']) AS metric) m
+UNION ALL
+SELECT 'heavy_hitters' AS sketch, token AS k, m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(n AS DOUBLE)
+                     WHEN 'cms_est' THEN CAST(cms_est AS DOUBLE)
+                     WHEN 'overcount' THEN CAST(overcount AS DOUBLE)
+                     WHEN 'threshold' THEN CAST(threshold AS DOUBLE)
+                     ELSE CAST(n_candidates AS DOUBLE) END AS value
+FROM ({DOCS_HEAVY_HITTERS_SQL}),
+     (SELECT unnest(['n','cms_est','overcount','threshold','n_candidates'])
+        AS metric) m
+UNION ALL
+SELECT 'kmv' AS sketch, source AS k, m.metric,
+       CASE m.metric WHEN 'k_used' THEN CAST(k_used AS DOUBLE)
+                     WHEN 'hk' THEN CAST(hk AS DOUBLE)
+                     WHEN 'est_distinct' THEN CAST(est_distinct AS DOUBLE)
+                     WHEN 'exact_distinct' THEN CAST(exact_distinct AS DOUBLE)
+                     ELSE CAST(err_ppm AS DOUBLE) END AS value
+FROM ({DOCS_KMV_DISTINCT_SQL}),
+     (SELECT unnest(['k_used','hk','est_distinct','exact_distinct','err_ppm'])
+        AS metric) m
+"""
+
 
 
 # --- docs_phrase_search: exact phrase matching via a POSITIONAL

@@ -125,19 +125,24 @@ _SPECS: list[QuerySpec] = [
               "snapshot emitter over an integer-quantity domain vs "
               "Lindley-recursion + ASOF-boundary oracle (rotated into the "
               "gate window in r5)"),
-    QuerySpec("docs_dup_clusters", D.docs_dup_clusters,
-              D.DOCS_DUP_CLUSTERS_SQL, ("DD2", "DD6"),
-              "connected-components dedup clusters (label propagation vs "
-              "recursive-CTE oracle)"),
+    QuerySpec("docs_sketch_suite", D.docs_sketch_suite,
+              D.DOCS_SKETCH_SUITE_SQL, ("A3", "P4", "BONUS"),
+              "fused sketch-family gate (r6 rotation into the slot freed "
+              "by folding dup-clusters into the pair audit): EXECUTES the "
+              "CMS frequency sketch, the propose/verify heavy-hitter "
+              "pipeline, and the KMV bottom-k distinct sketch with its "
+              "lossless merge — the whole uniqCombined-analog family gets "
+              "an external check in one slot; components stay "
+              "oracle-checked in the tail"),
     QuerySpec("docs_pair_recall_audit", D.docs_pair_recall_audit,
               D.DOCS_PAIR_RECALL_AUDIT_SQL, ("DD2", "DD4", "DD6"),
-              "fused near-dup recall audit: EXECUTES docs_jaccard_pairs "
-              "(LSH candidates + exact shingle-Jaccard verify) AND "
-              "docs_setsim_join (PPJoin prefix filter vs full-inverted-"
-              "index oracle — the 100%-recall proof) side by side, "
-              "labeled by path (r6 strict-superset rotation: DD6's "
-              "strongest evidence gets an in-window external check; the "
-              "displaced docs_jaccard_pairs stays oracle-checked in the "
+              "fused near-dup audit: EXECUTES docs_jaccard_pairs (LSH "
+              "candidates + exact shingle-Jaccard verify), docs_setsim_join "
+              "(PPJoin prefix filter vs full-inverted-index oracle — the "
+              "100%-recall proof), AND docs_dup_clusters' connected "
+              "components over the same candidate pairs (label propagation "
+              "vs recursive-CTE closure), labeled by path (r6 rotations; "
+              "all three displaced entries stay oracle-checked in the "
               "tail)"),
     QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
               ("DD5",), "16-bit SimHash document signatures"),
@@ -440,6 +445,12 @@ _SPECS: list[QuerySpec] = [
               "benchmark decontamination: 5-gram overlap vs broadcast "
               "eval fingerprint set (standalone form; also runs inside "
               "docs_curation_pipeline)"),
+    QuerySpec("docs_dup_clusters", D.docs_dup_clusters,
+              D.DOCS_DUP_CLUSTERS_SQL, ("DD2", "DD6"),
+              "connected-components dedup clusters (label propagation vs "
+              "recursive-CTE oracle; standalone form — also runs inside "
+              "docs_pair_recall_audit, displaced from the gate window by "
+              "the r6 rotation)"),
     QuerySpec("docs_setsim_join", D.docs_setsim_join, D.DOCS_SETSIM_JOIN_SQL,
               ("DD6", "J1", "U3", "BONUS"),
               "EXACT prefix-filtered set-similarity self-join (PPJoin "
