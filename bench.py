@@ -60,6 +60,14 @@ HEADLINE = [
     # additionally computes the exact countDistinct for err_ppm evidence,
     # which misrepresents the sketch's cost when timed (r5 finding #3)
     "docs_kmv_sketch",
+    # r6 additions: LM-pipeline + graph + diagnostics families
+    "docs_bigram_surprisal",
+    "supplier_reach_bfs",
+    "events_key_skew_profile",
+    # docs_bpe_merges is NOT benched: its cost is K driver round-trips of
+    # vocabulary-sized jobs (argmax collect per iteration) — wall time
+    # measures scheduler latency, not data-path throughput; the gate +
+    # tests/test_bpe.py pin it instead.
     # docs_setsim_join is NOT benched at sf0.1: the synthetic corpus is
     # drawn from a tiny vocabulary, so the TRUE answer at tau=0.8 is
     # ~3M pairs for 5k docs (output-quadratic by construction — measured

@@ -187,6 +187,11 @@ FROM documents
 #     is exactly docs_text_stats + docs_lang_id + docs_fingerprint (kept in
 #     the registry for the local differential); this compound form is the
 #     driver-gated one so all four TX ids share one external gate slot.
+#     r6 strict-superset growth: the bigram-LM conditional-surprisal
+#     columns (docs_bigram_surprisal, TX1+++) ride along via a left join
+#     on doc_id, giving the corpus-statistics LM signal an in-window
+#     external check without displacing any entry; the per-row kernels
+#     above are unchanged.
 
 
 def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +200,7 @@ def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks).cast("long")
     stop_n = TX.in_list_count(toks, TX.STOPWORDS)
     pred = TX.predict_lang(toks)
-    return docs.select(
+    base = docs.select(
         "doc_id",
         "source",
         "lang",
@@ -207,9 +212,13 @@ def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pred == F.col("lang")).alias("hit"),
         TX.fingerprint(F.col("text")).alias("fingerprint"),
     )
+    return base.join(docs_bigram_surprisal(spark, sf_dir), "doc_id", "left")
 
 
-DOCS_PROFILE_SQL = f"""
+def _docs_profile_sql() -> str:
+    return f"""
+SELECT p.*, b.n_bigrams, b.sum_cond_surprisal_ppm, b.mean_cond_surprisal_ppm
+FROM (
 SELECT doc_id, source, lang,
        CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
        ROUND(CAST(list_sum(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT))) AS BIGINT)
@@ -223,7 +232,11 @@ SELECT doc_id, source, lang,
        ({_lang_case_sql()} = lang) AS hit,
        list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min') AS fingerprint
 FROM documents
+) p LEFT JOIN ({{bigram}}) b USING (doc_id)
 """
+
+
+DOCS_PROFILE_SQL = None  # assigned after DOCS_BIGRAM_SURPRISAL_SQL is defined
 
 
 # --- docs_near_dup_pairs: MinHash + LSH banding (16 perms, 4 bands × 4 rows).
@@ -1671,6 +1684,102 @@ SELECT t.doc_id,
 FROM toks t JOIN dfs d USING (token) CROSS JOIN n
 GROUP BY t.doc_id
 """
+
+
+# --- docs_bigram_surprisal: TX1++ — the CONDITIONAL upgrade of
+#     docs_unigram_surprisal: a bigram language model trained on the corpus
+#     itself, the integer-deterministic analog of CCNet/KenLM perplexity
+#     filtering (Wenzek et al. 2020 trains an LM and drops high-perplexity
+#     docs). Per adjacent token pair (w1, w2) the conditional surprisal
+#     proxy is c(w1·)·1e6 div c(w1,w2) — the inverse of the MLE conditional
+#     probability P(w2|w1) in exact ppm micro-units, no ln() (libm rounding
+#     differs across engines). c(w1·) is the count of w1 as a bigram LEFT
+#     context, so Σ_w2 c(w1,w2) = c(w1·) and the per-context distribution
+#     normalizes exactly. Repetitive/boilerplate docs score near 1e6
+#     (every transition is the modal one); rare-transition docs score high.
+#
+#     Scale: ONE corpus explode into the bigram stream; the left-context
+#     table is vocabulary-sized → broadcast; the bigram-count table is
+#     distinct-bigram-sized (corpus-scale) → ordinary hash join on the gram
+#     key, partial-aggregated map-side first. No corpus-×-corpus work.
+#     Magnitude bound: c_left·1e6 ≤ total_bigrams·1e6 (≈1e15 at sf10) and
+#     the per-doc sum ≤ n_bigrams·that — still < 2^63 through sf10; the
+#     oracle SUM is HUGEINT and wrapped to BIGINT after the bound check.
+#
+#     Short-doc edge: TX.shingles' <n-token fallback emits the whole text
+#     as one gram; both engines restrict to exactly-2-word grams, so docs
+#     with <2 tokens emit no row (the phrase-search lesson, ADVICE r5).
+
+
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    return bigram_surprisal_frame(docs)
+
+
+def bigram_surprisal_frame(docs: DataFrame) -> DataFrame:
+    """Core path over any (doc_id, text) frame — factored out so
+    scripts/scale_check.py can drive it at N× corpus scale."""
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                TX.shingles(TX.tokens(F.col("text")), 2, distinct=False)
+            ).alias("gram"),
+        )
+        .filter(F.size(F.split("gram", " ")) == 2)
+        .withColumn("w1", F.split("gram", " ").getItem(0))
+    )
+    bg_tbl = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bg"))
+    left_tbl = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_left"))
+    return (
+        bg.join(bg_tbl, "gram")
+        .join(F.broadcast(left_tbl), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("(c_left * 1000000) div c_bg")).alias(
+                "sum_cond_surprisal_ppm"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_cond_surprisal_ppm",
+            F.expr("sum_cond_surprisal_ppm div n_bigrams").alias(
+                "mean_cond_surprisal_ppm"
+            ),
+        )
+    )
+
+
+DOCS_BIGRAM_SURPRISAL_SQL = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bgw AS (
+  SELECT doc_id, gram, string_split(gram, ' ')[1] AS w1
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS gram
+    FROM tk WHERE len(t) >= 2
+  )
+),
+cbg AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bgw GROUP BY 1),
+clf AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_left FROM bgw GROUP BY 1)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM((l.c_left * 1000000) // g.c_bg) AS BIGINT)
+         AS sum_cond_surprisal_ppm,
+       CAST(CAST(SUM((l.c_left * 1000000) // g.c_bg) AS BIGINT)
+            // COUNT(*) AS BIGINT) AS mean_cond_surprisal_ppm
+FROM bgw b JOIN cbg g USING (gram) JOIN clf l USING (w1)
+GROUP BY b.doc_id
+"""
+
+# deferred assignment: the profile gate's oracle embeds the bigram oracle
+# (strict-superset growth, r6) and the bigram SQL is defined just above
+DOCS_PROFILE_SQL = _docs_profile_sql().replace(
+    "{bigram}", DOCS_BIGRAM_SURPRISAL_SQL
+)
 
 
 # --- docs_cms_counts: count-min sketch — the DETERMINISTIC mergeable

@@ -288,3 +288,110 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY jaccard_ppm DESC, sa, sb) AS BIGINT)
 FROM scored
 QUALIFY rank <= 20
 """
+
+
+# --- supplier_reach_bfs: multi-hop reachability (BFS) — the third member
+#     of the graph family after mass propagation (pagerank) and label
+#     propagation (connected components): exact minimum-hop distance from
+#     a seed set over the bipartite customer↔supplier procurement graph,
+#     run as LAYERED FRONTIER MESSAGE PASSING — per level, one equi-join
+#     frontier→edges plus one anti-join against the visited set. Seeds are
+#     the suppliers of the nation of the minimum-suppkey supplier
+#     (data-derived, deterministic at any SF, never empty). Levels
+#     alternate supplier(0) → customer(1) → supplier(2) → customer(3).
+#
+#     Scale: state is node-sized (frontier + visited), each level is one
+#     shuffle on the receiving node key; the distinct edge table builds
+#     once and is persisted across levels (pagerank's subtree-reuse rule).
+#     The oracle is a genuinely different algorithm: a recursive-CTE
+#     closure with UNION dedup and MIN(d) per node — closure vs layered
+#     frontier pin each other (the connected-components differential
+#     pattern).
+
+BFS_MAX_HOPS = 3
+
+
+def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P = spark.sparkContext.defaultParallelism
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .repartition(P, "c")
+        .persist()
+    )
+    # seed nation: nation of the min-suppkey supplier — one driver-side
+    # scalar (bounded: a single row), the S5 driver-side-catalog doctrine
+    seed_nation = supp.orderBy("s_suppkey").limit(1).collect()[0]["s_nationkey"]
+    s0 = supp.filter(F.col("s_nationkey") == seed_nation).select(
+        F.col("s_suppkey").alias("id")
+    )
+    return reach_bfs_frame(edges, s0)
+
+
+def reach_bfs_frame(edges: DataFrame, s0: DataFrame) -> DataFrame:
+    """Layered frontier BFS over any (c, s) edge frame from a supplier
+    seed frame — factored out so scripts/scale_check.py can drive it at
+    N× graph scale."""
+    # level 1: customers adjacent to seed suppliers
+    c1 = (
+        edges.join(s0.withColumnRenamed("id", "s"), "s")
+        .select(F.col("c").alias("id"))
+        .distinct()
+    )
+    # level 2: new suppliers adjacent to level-1 customers
+    s2 = (
+        edges.join(c1.withColumnRenamed("id", "c"), "c")
+        .select(F.col("s").alias("id"))
+        .distinct()
+        .join(s0, "id", "left_anti")
+    )
+    # level 3: new customers adjacent to level-2 suppliers
+    c3 = (
+        edges.join(s2.withColumnRenamed("id", "s"), "s")
+        .select(F.col("c").alias("id"))
+        .distinct()
+        .join(c1, "id", "left_anti")
+    )
+    lvl = lambda df, nt, d: df.select(  # noqa: E731 — tiny shaping helper
+        F.lit(nt).alias("node_type"),
+        F.col("id").cast("long").alias("node_id"),
+        F.lit(d).cast("long").alias("dist"),
+    )
+    return (
+        lvl(s0, "supplier", 0)
+        .unionByName(lvl(c1, "customer", 1))
+        .unionByName(lvl(s2, "supplier", 2))
+        .unionByName(lvl(c3, "customer", 3))
+    )
+
+
+SUPPLIER_REACH_BFS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+seeds AS (
+  SELECT s_suppkey AS id FROM supplier
+  WHERE s_nationkey = (SELECT s_nationkey FROM supplier
+                       ORDER BY s_suppkey LIMIT 1)
+),
+walk(nt, id, d) AS (
+  SELECT 'supplier', id, 0 FROM seeds
+  UNION
+  SELECT CASE WHEN w.nt = 'supplier' THEN 'customer' ELSE 'supplier' END,
+         CASE WHEN w.nt = 'supplier' THEN e.c ELSE e.s END,
+         w.d + 1
+  FROM walk w JOIN e
+    ON (w.nt = 'supplier' AND e.s = w.id)
+    OR (w.nt = 'customer' AND e.c = w.id)
+  WHERE w.d < {BFS_MAX_HOPS}
+)
+SELECT nt AS node_type, CAST(id AS BIGINT) AS node_id,
+       CAST(MIN(d) AS BIGINT) AS dist
+FROM walk
+GROUP BY 1, 2
+"""

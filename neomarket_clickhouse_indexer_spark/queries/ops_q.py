@@ -981,3 +981,113 @@ SELECT event_type, digit, n,
          AS dev_ppm
 FROM counts
 """
+
+
+# --- events_key_skew_profile: shuffle-key skew diagnostic — the planning
+#     report behind every salting/AQE decision in this repo (the semdedup
+#     x8 salt, BAND_BUCKET_CAP, the CF hot-customer cap all encode answers
+#     to "how concentrated is this key?"). For each candidate shuffle key
+#     of the events table (event_type, user_id) it reports: key
+#     cardinality, the hottest key with its exact ppm share, the mass of
+#     the top 8 keys (= what a x8 salting factor must spread), and the
+#     Herfindahl concentration index in exact ppm (HHI = sum n_i^2 * 1e6
+#     div N^2 — 1e6/n_keys for uniform keys, -> 1e6 for one hot key).
+#
+#     Scale: one map-side-partial groupBy per dimension; top-1/top-8 come
+#     from orderBy().limit(8) (TakeOrdered — never a global window over
+#     the key frame, which is millions of rows for user-like dims at
+#     100 TB; the 8-row result aggregates driver-free). HHI's
+#     sum(n_i^2)*1e6 overflows int64 beyond ~3e6 rows, so it runs in
+#     DECIMAL(38,0)/HUGEINT on both engines and only the final ppm
+#     quotient (<= 1e6) returns to BIGINT. The oracle derives top-1/top-8
+#     from correlated ORDER BY ... LIMIT subqueries — a different
+#     mechanism than the Spark min_by/TakeOrdered path.
+
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for dim in ("event_type", "user_id"):
+        counts = (
+            ev.groupBy(
+                F.coalesce(F.col(dim).cast("string"), F.lit("__null__")).alias("key")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        totals = counts.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("sum_sq"),
+        )
+        # TakeOrdered to an 8-row frame; (cnt desc, key asc) unique order
+        top8 = (
+            counts.orderBy(F.desc("cnt"), F.asc("key"))
+            .limit(8)
+            .agg(
+                F.sum("cnt").alias("top8_cnt"),
+                # min over (-cnt, key) structs == (cnt desc, key asc) head
+                F.min_by(
+                    "key", F.struct((-F.col("cnt")).alias("nc"), F.col("key"))
+                ).alias("top1_key"),
+                F.max("cnt").alias("top1_cnt"),
+            )
+        )
+        outs.append(
+            totals.crossJoin(top8).select(
+                F.lit(dim).alias("dim"),
+                "n_rows",
+                "n_keys",
+                "top1_key",
+                "top1_cnt",
+                F.expr("top1_cnt * 1000000 div n_rows").alias("top1_share_ppm"),
+                F.col("top8_cnt"),
+                F.expr("top8_cnt * 1000000 div n_rows").alias("top8_share_ppm"),
+                F.expr(
+                    "CAST((sum_sq * 1000000) div "
+                    "(CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)"
+                ).alias("hhi_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _skew_dim_sql(dim: str, expr: str) -> str:
+    return f"""
+SELECT '{dim}' AS dim,
+       CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(t.n_keys AS BIGINT) AS n_keys,
+       (SELECT key FROM c_{dim} ORDER BY cnt DESC, key LIMIT 1) AS top1_key,
+       (SELECT cnt FROM c_{dim} ORDER BY cnt DESC, key LIMIT 1) AS top1_cnt,
+       CAST((SELECT cnt FROM c_{dim} ORDER BY cnt DESC, key LIMIT 1)
+            * 1000000 // t.n_rows AS BIGINT) AS top1_share_ppm,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM
+          (SELECT cnt FROM c_{dim} ORDER BY cnt DESC, key LIMIT 8)) AS top8_cnt,
+       CAST((SELECT SUM(cnt) FROM
+               (SELECT cnt FROM c_{dim} ORDER BY cnt DESC, key LIMIT 8))
+            * 1000000 // t.n_rows AS BIGINT) AS top8_share_ppm,
+       CAST((t.sum_sq * 1000000)
+            // (CAST(t.n_rows AS HUGEINT) * t.n_rows) AS BIGINT) AS hhi_ppm
+FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             SUM(CAST(cnt AS HUGEINT) * cnt) AS sum_sq
+      FROM c_{dim}) t
+"""
+
+
+EVENTS_KEY_SKEW_PROFILE_SQL = f"""
+WITH c_event_type AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), '__null__') AS key,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+c_user_id AS (
+  SELECT COALESCE(CAST(user_id AS VARCHAR), '__null__') AS key,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+)
+{_skew_dim_sql('event_type', 'event_type')}
+UNION ALL
+{_skew_dim_sql('user_id', 'user_id')}
+"""

@@ -1259,3 +1259,190 @@ SELECT doc_id // 100 AS doc_bucket,
 FROM per_doc
 GROUP BY 1
 """
+
+
+# --- docs_bpe_merges: BPE tokenizer MERGE TRAINING at corpus scale — the
+#     missing piece between token counting (TX3, which consumes a
+#     tokenizer) and the training mix: learning the tokenizer itself
+#     (Sennrich et al. 2016). The classic algorithm is inherently
+#     iterative: count adjacent symbol pairs, merge the most frequent,
+#     repeat. Its scale shape is exactly what this gate encodes: ONE
+#     corpus scan builds the word-frequency table, and every iteration
+#     after that touches only vocabulary-sized state (the word → symbol
+#     array frame), never the corpus again — the reason real tokenizer
+#     training over TB-scale corpora is cheap after the first pass.
+#
+#     Semantics pinned by the differential (both engines, exactly):
+#     - pair counts are weighted by word frequency and count OVERLAPPING
+#       occurrences ("aaa" contributes (a,a) twice) — the Sennrich
+#       counting rule;
+#     - winner = (count DESC, pair-string ASC) unique tiebreak;
+#     - the merge itself is GREEDY LEFT-TO-RIGHT NON-OVERLAPPING within
+#       each word ("aaaa" + (a,a) -> [aa, aa], "aaa" -> [aa, a]), run as
+#       a left fold: Spark F.aggregate over the symbol array vs the
+#       oracle's per-word recursive-CTE automaton — closed-form HOF fold
+#       and literal sequential automaton pin each other (the
+#       events_sequence_match differential pattern);
+#     - realized merges per iteration = symbols_before - symbols_after
+#       <= proposed pair count (overlaps collapse), both emitted.
+#
+#     Driver state per iteration is ONE collected row (the argmax pair) —
+#     the kmeans_train k-row re-broadcast doctrine; the output frame is
+#     assembled from K such scalars plus per-iteration corpus-level
+#     symbol counts, each computed distributed.
+
+BPE_ITERS = 5
+
+
+def _bpe_merge_fold(a: str, b: str):
+    """Closure factory (CLAUDE.md HOF rule) for the greedy left-to-right
+    non-overlapping pair merge as a left fold: if the accumulator's last
+    symbol is `a` and the incoming symbol is `b`, replace the last symbol
+    with the merged token, else append. Non-overlap falls out because the
+    merged symbol `ab` never equals `a` (symbols are non-empty)."""
+    merged = a + b
+
+    def step(acc, x):
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return step
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .persist()
+    )
+    rows = []
+    cur = words
+    for it in range(1, BPE_ITERS + 1):
+        pair_col = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+        )
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select("cnt", F.explode(pair_col).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("pair"))
+            .limit(1)
+            .collect()  # ONE row per iteration — bounded driver state
+        )
+        a, b = top[0]["pair"].split(" ", 1)
+        pc = top[0]["pc"]
+        nxt = cur.select(
+            "word",
+            "cnt",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                _bpe_merge_fold(a, b),
+            ).alias("syms"),
+        ).persist()
+        syms_after = nxt.agg(
+            F.sum(F.col("cnt") * F.size("syms")).alias("s")
+        ).collect()[0]["s"]
+        rows.append((it, a, b, a + b, int(pc), int(syms_after)))
+        cur = nxt
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("iteration", LongType()),
+            StructField("left_sym", StringType()),
+            StructField("right_sym", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_cnt", LongType()),
+            StructField("corpus_syms_after", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _bpe_oracle_sql(iters: int) -> str:
+    """Generated-CTE oracle (the kmeans_train unrolling doctrine): per
+    iteration, pair counts + argmax as plain aggregates, then the greedy
+    merge as a per-word RECURSIVE-CTE automaton walking symbol positions —
+    the literal sequential semantics the Spark fold's closed form must
+    reproduce."""
+    parts = [
+        """WITH RECURSIVE w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY 1
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p, w_in, w_out = f"p{i}", f"w{i - 1}", f"w{i}"
+        parts.append(
+            f""",
+{p} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (SELECT cnt,
+               unnest(list_transform(generate_series(1, len(syms) - 1),
+                      j -> syms[j] || ' ' || syms[j + 1])) AS pair
+        FROM {w_in} WHERE len(syms) >= 2)
+  GROUP BY 1
+),
+m{i} AS MATERIALIZED (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, pc
+  FROM {p} ORDER BY pc DESC, pair LIMIT 1
+),
+step{i}(word, pos, acc) AS (
+  SELECT word, 0, CAST([] AS VARCHAR[]) FROM {w_in}
+  UNION ALL
+  SELECT s.word, s.pos + 1,
+         CASE WHEN len(s.acc) > 0 AND s.acc[-1] = m.a
+                   AND w.syms[s.pos + 1] = m.b
+              THEN list_slice(s.acc, 1, len(s.acc) - 1) || [m.a || m.b]
+              ELSE s.acc || [w.syms[s.pos + 1]] END
+  FROM step{i} s JOIN {w_in} w USING (word) CROSS JOIN m{i} m
+  WHERE s.pos < len(w.syms)
+),
+{w_out} AS MATERIALIZED (
+  SELECT s.word, w.cnt, s.acc AS syms
+  FROM step{i} s JOIN {w_in} w USING (word)
+  WHERE s.pos = len(w.syms)
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT CAST({i} AS BIGINT) AS iteration, m{i}.a AS left_sym,
+       m{i}.b AS right_sym, m{i}.a || m{i}.b AS merged,
+       m{i}.pc AS pair_cnt,
+       (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM w{i})
+         AS corpus_syms_after
+FROM m{i}"""
+        for i in range(1, iters + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+DOCS_BPE_MERGES_SQL = _bpe_oracle_sql(BPE_ITERS)

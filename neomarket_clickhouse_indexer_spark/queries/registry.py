@@ -116,7 +116,10 @@ _SPECS: list[QuerySpec] = [
               "fused per-document analysis pass: quality stats + lang-id + "
               "token counts + rolling fingerprint in ONE scan (the r5 "
               "gate-window rotation: the three component gates moved past "
-              "the cutoff, freeing slots for never-gated entries)"),
+              "the cutoff, freeing slots for never-gated entries); r6 "
+              "strict-superset growth: EXECUTES docs_bigram_surprisal "
+              "(TX1+++ bigram-LM conditional surprisal) via a doc_id left "
+              "join, giving the corpus-LM signal an in-window check"),
     QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
               ("A1",), "JSON extraction + agg (§2.8 JSON, rotated into the "
               "gate window in r5)"),
@@ -479,6 +482,13 @@ _SPECS: list[QuerySpec] = [
               "CCNet-style corpus-statistics quality signal: inverse-df "
               "surprisal in exact integer ppm (no ln()), vocabulary-sized "
               "broadcast, one corpus explode"),
+    QuerySpec("docs_bigram_surprisal", D.docs_bigram_surprisal,
+              D.DOCS_BIGRAM_SURPRISAL_SQL, ("TX1", "J5", "BONUS"),
+              "bigram-LM conditional surprisal (the CCNet/KenLM perplexity "
+              "analog, conditional upgrade of unigram surprisal): "
+              "c(w1.)*1e6 div c(w1,w2) per transition in exact integer ppm "
+              "— vocabulary-sized left-context broadcast, corpus-scale "
+              "bigram hash join, no ln()"),
     QuerySpec("multimodal_scene_cuts", M.multimodal_scene_cuts,
               M.MULTIMODAL_SCENE_CUTS_SQL, ("MM", "W2", "BONUS"),
               "video-style shot-boundary detection: all-integer rational "
@@ -742,6 +752,29 @@ _SPECS: list[QuerySpec] = [
               "Benford first-digit forensics: integer digit extraction "
               "(cents DIV 10^(len-1)), precomputed log10 ppm "
               "expectations, per-type observed shares + deviations"),
+    QuerySpec("docs_bpe_merges", PL.docs_bpe_merges,
+              PL.DOCS_BPE_MERGES_SQL, ("TX3", "A7", "BONUS"),
+              "BPE tokenizer merge TRAINING (Sennrich): one corpus scan "
+              "to the word-frequency table, then vocabulary-sized state "
+              "per iteration; overlapping weighted pair counts, (count "
+              "desc, pair asc) winner, greedy left-to-right fold merge — "
+              "Spark F.aggregate closed fold vs per-word recursive-CTE "
+              "automaton oracle; realized merges vs proposed counts both "
+              "pinned"),
+    QuerySpec("supplier_reach_bfs", G.supplier_reach_bfs,
+              G.SUPPLIER_REACH_BFS_SQL, ("J1", "U3", "BONUS"),
+              "multi-hop BFS reachability over the bipartite procurement "
+              "graph: layered frontier message passing (equi-join + "
+              "visited anti-join per level, node-sized state, persisted "
+              "edge table) vs recursive-CTE closure with UNION dedup and "
+              "MIN(d) — closure and frontier pin each other"),
+    QuerySpec("events_key_skew_profile", O.events_key_skew_profile,
+              O.EVENTS_KEY_SKEW_PROFILE_SQL, ("A1", "T1", "BONUS"),
+              "shuffle-key skew diagnostic: per candidate key dimension, "
+              "key cardinality, hottest-key ppm share, top-8 mass (the x8 "
+              "salting planner), and HHI concentration in exact ppm "
+              "(DECIMAL(38)/HUGEINT) — TakeOrdered top-k, never a global "
+              "window over the key frame"),
     QuerySpec("events_funnel_dropoff", TS.events_funnel_dropoff,
               TS.EVENTS_FUNNEL_DROPOFF_SQL, ("A2", "W2", "BONUS"),
               "funnel conversion table: per-stage reach (cumulative from "

@@ -27,6 +27,8 @@ INTENTIONAL_CROSS = {
     "semantic_decontam",  # broadcast eval-split probe (same as knn_bruteforce)
     "knn_rank_fusion",  # composes knn_bruteforce + knn_ann_lsh shapes
     "docs_kmv_jaccard",  # 1-row-per-pair est/exact joins on literal keys
+    "ann_index_audit",  # fuses knn_ivf + knn_pq_adc broadcast probes (r6)
+    "events_key_skew_profile",  # 1-row totals x 1-row top-8 crossJoin
 }
 
 # Unpartitioned Window nodes single-partition-sort their whole input —
@@ -40,6 +42,7 @@ BOUNDED_GLOBAL_WINDOW = {
     # any corpus scale
     "docs_kmv_distinct",  # merged bottom-K frame: <= K x #sources rows
     "docs_kmv_sketch",  # same merged bottom-K frame
+    "docs_sketch_suite",  # executes docs_kmv_distinct: same bottom-K frame
     "docs_kmv_jaccard",  # bottom-K sketch merges: <= 2K rows per window
     "supplier_pagerank",  # rank window over the orderBy().limit(25) result
     "supplier_similarity_cf",  # rank window over orderBy().limit(20) result
@@ -80,7 +83,10 @@ def global_windows(plan: str) -> int:
 
 
 for name in sorted(REGISTRY):
-    if name == "domain_ledger_summary":  # triggers eager work; skip plan-only audit
+    if name in ("domain_ledger_summary", "docs_bpe_merges"):
+        # these run eager work when built (ledger build; K BPE training
+        # iterations with per-iteration argmax collects) — skip the
+        # plan-only audit; their plans are vocabulary/ledger-bounded
         continue
     try:
         df = REGISTRY[name].fn(spark, sf)

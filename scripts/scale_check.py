@@ -134,6 +134,15 @@ def main() -> None:
 
     timed("dup_ngram_spans", dup_ngram_spans_frame(big_docs))
 
+    # r6: bigram-LM conditional surprisal at N× docs — one corpus explode
+    # into the bigram stream, vocabulary-sized left-context broadcast,
+    # corpus-scale bigram hash join; should scale ~linearly with corpus
+    from neomarket_clickhouse_indexer_spark.queries.documents import (
+        bigram_surprisal_frame,
+    )
+
+    timed("bigram_surprisal", bigram_surprisal_frame(big_docs))
+
     # vector surface at N× embeddings: the broadcast-probe patterns must
     # stay corpus-linear (one scan, no corpus shuffle) as the corpus grows
     from neomarket_clickhouse_indexer_spark.functions import vectors as VX
@@ -339,6 +348,24 @@ def main() -> None:
     big_edges = spark.read.parquet(edges_path)
     print(f"graph edges: {big_edges.count():,}")
     timed("pagerank_2rounds", pagerank_frame(big_edges, 64))
+
+    # r6: layered-frontier BFS at N× graph scale — the N disjoint
+    # subgraph copies grow every frontier ×N (seeds drawn from each
+    # replica's id space); per level one equi-join + one anti-join,
+    # node-sized state, should scale ~linearly
+    from neomarket_clickhouse_indexer_spark.queries.graph_q import (
+        reach_bfs_frame,
+    )
+
+    bfs_edges = big_edges.select("c", "s").distinct().persist()
+    # seed = min-suppkey supplier of each replica's subgraph (id-space
+    # stride recovers the replica), mirroring the gate's data-derived seed
+    seeds = (
+        bfs_edges.groupBy((F.col("s") / 10_000_000).cast("long").alias("rep"))
+        .agg(F.min("s").alias("id"))
+        .select("id")
+    )
+    timed("reach_bfs_3hop", reach_bfs_frame(bfs_edges, seeds))
 
     # r6: semdedup's salted within-cluster pair join at N× vectors. The
     # design claim under test is the PAIR JOIN stage (salt ×8 parallelism,
