@@ -1091,3 +1091,233 @@ c_user_id AS (
 UNION ALL
 {_skew_dim_sql('user_id', 'user_id')}
 """
+
+
+# --- orders_scd2_history: SCD TYPE-2 HISTORY MAINTENANCE — the write
+#     side of the reference's SCD2 read machinery (W1 lead-valid_to
+#     reads, category_leaderboard's interval joins): fold a SEQUENCE of
+#     snapshots into per-key validity intervals [valid_from, valid_to)
+#     with a current flag. Completes the CDC family: snapshot_diff
+#     (detect) → merge_upsert (apply once) → scd2_history (apply a
+#     version chain while retaining full history — the warehouse
+#     dimension-table maintenance loop).
+#
+#     Versions are the deterministic mutation chain of the CDC gates:
+#     v1 = orders cents; v2 = orders_snapshot_diff's snapshot B (same
+#     md5 buckets: delete b<2, +500 for 2<=b<5, re-insert k+1e8 for
+#     95<=b<98); v3 = the same rule over v2 with salt 'v3:', delta +700,
+#     shift 2e8 — so keys exist over version PREFIX ranges and cents can
+#     change at v2 and/or v3 (multi-island histories are populated).
+#
+#     Spark = gaps-and-islands: per key, version-ordered lag flags a new
+#     island on cents change (or version gap — unexercised here since
+#     deletes are permanent, kept for generality), cumulative-sum island
+#     ids, one groupBy to intervals. Oracle = the anti-join island
+#     characterization: starts (no identical row at v-1) matched to the
+#     MIN end >= start (no identical row at v+1) — two different island
+#     algorithms pin each other (the coverage-set pattern of
+#     docs_dup_ngram_spans). Scale: everything is partitioned by key —
+#     one shuffle, window state per key bounded by the version count.
+
+_SCD2_LAST_V = 3
+
+
+def _scd2_mutate(snap: DataFrame, salt: str, delta: int, shift: int) -> DataFrame:
+    """One snapshot step: md5(salt || key) % 100 buckets — delete b<2,
+    update cents+delta for 2<=b<5, re-insert under key+shift for
+    95<=b<98."""
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("k").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    tagged = snap.withColumn("b", b)
+    kept = tagged.filter(F.col("b") >= 2).select(
+        "k",
+        F.when(F.col("b") < 5, F.col("cents") + delta)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    ins = tagged.filter((F.col("b") >= 95) & (F.col("b") < 98)).select(
+        (F.col("k") + shift).alias("k"), "cents"
+    )
+    return kept.unionByName(ins)
+
+
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.expr(_DIFF_CENTS).alias("cents")
+    )
+    v2 = _scd2_mutate(v1, "", 500, 100_000_000)
+    v3 = _scd2_mutate(v2, "v3:", 700, 200_000_000)
+    hist = (
+        v1.select("k", "cents", F.lit(1).cast("long").alias("v"))
+        .unionByName(v2.select("k", "cents", F.lit(2).cast("long").alias("v")))
+        .unionByName(v3.select("k", "cents", F.lit(3).cast("long").alias("v")))
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    isl = hist.withColumn(
+        "new_isl",
+        (
+            F.lag("v").over(w).isNull()
+            | (F.col("v") != F.lag("v").over(w) + 1)
+            | (F.col("cents") != F.lag("cents").over(w))
+        ).cast("long"),
+    ).withColumn(
+        "isl", F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("k", "isl")
+        .agg(
+            F.min("cents").alias("cents"),  # constant within an island
+            F.min("v").alias("valid_from"),
+            F.max("v").alias("last_v"),
+        )
+        .select(
+            F.col("k").alias("order_key"),
+            "cents",
+            "valid_from",
+            F.when(F.col("last_v") == _SCD2_LAST_V, F.lit(None).cast("long"))
+            .otherwise(F.col("last_v") + 1)
+            .alias("valid_to"),
+            (F.col("last_v") == _SCD2_LAST_V).alias("is_current"),
+        )
+    )
+
+
+ORDERS_SCD2_HISTORY_SQL = f"""
+WITH v1 AS MATERIALIZED (
+  SELECT o_orderkey AS k, {_DIFF_CENTS} AS cents FROM orders
+),
+v2 AS MATERIALIZED (
+  SELECT k, CASE WHEN b < 5 THEN cents + 500 ELSE cents END AS cents
+  FROM (SELECT k, cents,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 6) AS BIGINT)
+                 % 100 AS b
+        FROM v1)
+  WHERE b >= 2
+  UNION ALL
+  SELECT k + 100000000, cents
+  FROM (SELECT k, cents,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 6) AS BIGINT)
+                 % 100 AS b
+        FROM v1)
+  WHERE b >= 95 AND b < 98
+),
+v3 AS MATERIALIZED (
+  SELECT k, CASE WHEN b < 5 THEN cents + 700 ELSE cents END AS cents
+  FROM (SELECT k, cents,
+               CAST('0x' || substr(md5('v3:' || CAST(k AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS b
+        FROM v2)
+  WHERE b >= 2
+  UNION ALL
+  SELECT k + 200000000, cents
+  FROM (SELECT k, cents,
+               CAST('0x' || substr(md5('v3:' || CAST(k AS VARCHAR)), 1, 6)
+                    AS BIGINT) % 100 AS b
+        FROM v2)
+  WHERE b >= 95 AND b < 98
+),
+hist AS MATERIALIZED (
+  SELECT k, cents, CAST(1 AS BIGINT) AS v FROM v1
+  UNION ALL SELECT k, cents, 2 FROM v2
+  UNION ALL SELECT k, cents, 3 FROM v3
+),
+starts AS (
+  SELECT h.k, h.cents, h.v FROM hist h
+  WHERE NOT EXISTS (SELECT 1 FROM hist p
+                    WHERE p.k = h.k AND p.v = h.v - 1 AND p.cents = h.cents)
+),
+ends AS (
+  SELECT h.k, h.v FROM hist h
+  WHERE NOT EXISTS (SELECT 1 FROM hist n
+                    WHERE n.k = h.k AND n.v = h.v + 1 AND n.cents = h.cents)
+)
+SELECT k AS order_key, cents,
+       v AS valid_from,
+       CASE WHEN e_v = {_SCD2_LAST_V} THEN NULL ELSE e_v + 1 END AS valid_to,
+       (e_v = {_SCD2_LAST_V}) AS is_current
+FROM (SELECT s.k, s.cents, s.v,
+             (SELECT MIN(e.v) FROM ends e
+              WHERE e.k = s.k AND e.v >= s.v) AS e_v
+      FROM starts s)
+"""
+
+
+# --- events_moment_profile: exact higher-moment column statistics — the
+#     numeric-profiling depth behind events_column_profile's counts: per
+#     event_type over integer cents, the count/sum/mean plus the SECOND
+#     and THIRD central-moment numerators computed EXACTLY in
+#     DECIMAL(38,0)/HUGEINT from the raw power sums:
+#       M2n = n·Σx² − (Σx)²          (variance numerator, ÷ n²)
+#       M3n = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³   (skewness numerator, ÷ n³)
+#     Mean and variance return as exact integer milli-units
+#     (sum·1000 div n, M2n·1000 div n²); the moment numerators are also
+#     emitted raw (DECIMAL both engines) so the differential pins the full
+#     precision, not just the quotients. No float ever enters.
+#
+#     Scale: one map-side-partial hash agg over (type) — power sums are
+#     plain SUMs, mergeable across any partitioning (the -State/-Merge
+#     property, free). Magnitude bound: Σx³ ≤ n·max³ ≈ 6e7·1e12 = 6e19 at
+#     sf10 and n²·Σx³ ≈ 2e35 < 10^38; beyond ~sf20 the skew term
+#     overflows DECIMAL(38) — drop to per-shard merge of centered
+#     moments at that point (documented, not needed at gate scale).
+
+def events_moment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("s2"),
+        F.sum(cents.cast("decimal(38,0)") * cents * cents).alias("s3"),
+    )
+    return base.select(
+        "event_type",
+        "n",
+        F.col("s1").alias("sum_cents"),
+        F.expr("s1 * 1000 div n").alias("mean_milli"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1")
+        .alias("m2_num"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * s2 "
+            " - CAST(s1 AS DECIMAL(38,0)) * s1) * 1000 div "
+            "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("var_milli"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * n * s3 "
+            "- 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2 "
+            "+ 2 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1"
+        ).alias("m3_num"),
+    )
+
+
+EVENTS_MOMENT_PROFILE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(CAST(SUM(cents) AS BIGINT) * 1000 // COUNT(*) AS BIGINT)
+         AS mean_milli,
+       CAST(COUNT(*) * SUM(CAST(cents AS HUGEINT) * cents)
+            - CAST(SUM(cents) AS HUGEINT) * SUM(cents) AS DECIMAL(38,0))
+         AS m2_num,
+       CAST((COUNT(*) * SUM(CAST(cents AS HUGEINT) * cents)
+             - CAST(SUM(cents) AS HUGEINT) * SUM(cents)) * 1000
+            // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
+         AS var_milli,
+       CAST(CAST(COUNT(*) AS HUGEINT) * COUNT(*)
+              * SUM(CAST(cents AS HUGEINT) * cents * cents)
+            - 3 * CAST(COUNT(*) AS HUGEINT) * SUM(cents)
+              * SUM(CAST(cents AS HUGEINT) * cents)
+            + 2 * CAST(SUM(cents) AS HUGEINT) * SUM(cents) * SUM(cents)
+            AS DECIMAL(38,0)) AS m3_num
+FROM (SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+GROUP BY event_type
+"""

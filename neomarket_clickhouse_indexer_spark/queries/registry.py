@@ -715,6 +715,14 @@ _SPECS: list[QuerySpec] = [
               "halves with a deterministic one-bin injected shift for "
               "one type — integer floor-chi2 per bin, detection (not "
               "just agreement) pinned by the drifted flag"),
+    QuerySpec("orders_scd2_history", O.orders_scd2_history,
+              O.ORDERS_SCD2_HISTORY_SQL, ("W1", "S4", "BONUS"),
+              "SCD type-2 HISTORY MAINTENANCE (the write side of the W1 "
+              "read machinery): fold a 3-version snapshot chain into "
+              "per-key validity intervals + current flag — lag-window "
+              "gaps-and-islands vs the anti-join start/end island "
+              "characterization (two island algorithms pin each other); "
+              "completes the CDC family detect→apply→historize"),
     QuerySpec("orders_merge_upsert", O.orders_merge_upsert,
               O.ORDERS_MERGE_UPSERT_SQL, ("S4", "J9", "BONUS"),
               "MERGE INTO closing the CDC loop: the extracted change "
@@ -768,6 +776,13 @@ _SPECS: list[QuerySpec] = [
               "visited anti-join per level, node-sized state, persisted "
               "edge table) vs recursive-CTE closure with UNION dedup and "
               "MIN(d) — closure and frontier pin each other"),
+    QuerySpec("events_moment_profile", O.events_moment_profile,
+              O.EVENTS_MOMENT_PROFILE_SQL, ("A1", "P1", "BONUS"),
+              "exact higher-moment numeric profiling: per-type count/sum/"
+              "mean plus second- and third-central-moment numerators from "
+              "raw power sums in DECIMAL(38,0)/HUGEINT — mergeable plain "
+              "SUMs (the -State/-Merge property free), exact integer "
+              "milli-unit mean/variance, no float anywhere"),
     QuerySpec("events_key_skew_profile", O.events_key_skew_profile,
               O.EVENTS_KEY_SKEW_PROFILE_SQL, ("A1", "T1", "BONUS"),
               "shuffle-key skew diagnostic: per candidate key dimension, "
@@ -811,6 +826,14 @@ _SPECS: list[QuerySpec] = [
               "nearest-rank boundaries, purely value-based bucket "
               "assignment via broadcast boundary lists, per-bucket "
               "counts + exact mass"),
+    QuerySpec("purchase_attribution_ushape", TS.purchase_attribution_ushape,
+              TS.PURCHASE_ATTRIBUTION_USHAPE_SQL, ("J6", "W4", "BONUS"),
+              "U-shaped (position-based) multi-touch attribution in exact "
+              "ppm: Spark materializes per-touch credits (40/20/40 with "
+              "deterministic middle remainder) and aggregates; the oracle "
+              "derives class totals in CLOSED FORM from k alone — the "
+              "differential is a conservation proof of the per-touch "
+              "scheme"),
     QuerySpec("purchase_attribution", TS.purchase_attribution,
               TS.PURCHASE_ATTRIBUTION_SQL, ("J6", "A4", "BONUS"),
               "first-touch vs last-touch attribution: min/max view "

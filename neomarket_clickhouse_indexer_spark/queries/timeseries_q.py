@@ -1922,3 +1922,102 @@ SELECT user_id,
 FROM per_purchase
 GROUP BY 1
 """
+
+
+# --- purchase_attribution_ushape: POSITION-BASED (U-shaped) multi-touch
+#     attribution — the generalization of purchase_attribution's
+#     first/last models: every view touch inside the 1-day lookback of a
+#     purchase gets exact-ppm credit, 40%/20%/40% split between first
+#     touch, middle touches, and last touch (k=1 -> 100% "first";
+#     k=2 -> 50/50; middle per-touch = 200000 div (k-2) with the integer
+#     remainder assigned to the earliest middle touch, so credit per
+#     purchase sums to exactly 1e6 ppm BY CONSTRUCTION).
+#
+#     The differential is a conservation proof, not a re-run: Spark
+#     materializes PER-TOUCH credits (rank + count windows partitioned by
+#     (user, purchase)) and aggregates them per user and position class;
+#     the oracle never builds touches — it derives each class total in
+#     CLOSED FORM from k alone (per purchase: first = 1e6/5e5/4e5 by k,
+#     middle = 2e5 iff k>=3). The two agree only if the per-touch scheme
+#     distributes exactly and loses nothing. Scale: one window over
+#     (user, purchase) — partitioned, frame = touches per purchase.
+
+def purchase_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_id"), F.col("ts").alias("v_ts")
+    )
+    joined = purchases.join(views, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+    )
+    w = Window.partitionBy("user_id", "p_id").orderBy("v_ts", "v_id")
+    wk = Window.partitionBy("user_id", "p_id")
+    t = (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(wk))
+    )
+    mid_per = F.expr("200000 div (k - 2)")
+    mid_rem = F.expr("200000 - (k - 2) * (200000 div (k - 2))")
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1_000_000))
+        .when(F.col("k") == 2, F.lit(500_000))
+        .when((F.col("rnk") == 1) | (F.col("rnk") == F.col("k")), F.lit(400_000))
+        .otherwise(mid_per + F.when(F.col("rnk") == 2, mid_rem).otherwise(F.lit(0)))
+        .cast("long")
+    )
+    pos = (
+        F.when(F.col("rnk") == 1, F.lit("first"))
+        .when(F.col("rnk") == F.col("k"), F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        t.select("user_id", "p_id", credit.alias("credit"), pos.alias("pos"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.when(F.col("pos") == "first", F.col("credit")).otherwise(F.lit(0))).alias("first_credit_ppm"),
+            F.sum(F.when(F.col("pos") == "last", F.col("credit")).otherwise(F.lit(0))).alias("last_credit_ppm"),
+            F.sum(F.when(F.col("pos") == "middle", F.col("credit")).otherwise(F.lit(0))).alias("middle_credit_ppm"),
+            F.sum("credit").alias("total_credit_ppm"),
+        )
+    )
+
+
+PURCHASE_ATTRIBUTION_USHAPE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+joined AS (
+  SELECT p.user_id, p.event_id AS p_id, v.event_id AS v_id
+  FROM ev p JOIN ev v
+    ON p.user_id = v.user_id
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 DAY
+),
+-- closed form: class totals depend only on k (touch count per purchase);
+-- k=1 single touch counts as "first" and "last" stays 0
+per_purchase AS (
+  SELECT user_id, p_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM joined GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(k) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN k = 1 THEN 1000000
+                     WHEN k = 2 THEN 500000
+                     ELSE 400000 END) AS BIGINT) AS first_credit_ppm,
+       CAST(SUM(CASE WHEN k = 1 THEN 0
+                     WHEN k = 2 THEN 500000
+                     ELSE 400000 END) AS BIGINT) AS last_credit_ppm,
+       CAST(SUM(CASE WHEN k >= 3 THEN 200000 ELSE 0 END) AS BIGINT)
+         AS middle_credit_ppm,
+       CAST(COUNT(*) * 1000000 AS BIGINT) AS total_credit_ppm
+FROM per_purchase
+GROUP BY user_id
+"""
