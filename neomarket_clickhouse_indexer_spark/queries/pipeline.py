@@ -1446,3 +1446,138 @@ FROM m{i}"""
 
 
 DOCS_BPE_MERGES_SQL = _bpe_oracle_sql(BPE_ITERS)
+
+
+# --- docs_decontam_spans: SURGICAL (span-level) decontamination — the
+#     upgrade of TX7's drop-the-document rule to the modern excise-the-
+#     span practice (benchmark canaries / targeted n-gram removal):
+#     instead of flagging a contaminated doc, locate every POSITION where
+#     an eval 4-gram occurs, merge overlapping/adjacent coverage
+#     intervals [pos, pos+3] into maximal spans, and account exactly for
+#     what excision removes (spans, tokens, ppm of the doc).
+#
+#     Spark = the dup_ngram_spans island machinery: per doc, position-
+#     ordered hits, a span opens when pos exceeds the running max end + 1
+#     (cummax window), one groupBy to spans, one to docs. Oracle = the
+#     anti-join anchor characterization (a span opens at a hit with NO
+#     hit in the preceding overlap window) + tokens_removed recomputed as
+#     COUNT(DISTINCT covered position) from a generate_series explode —
+#     interval islands vs position-set union pin each other.
+#
+#     Scale: train grams join a broadcast eval fingerprint set (eval is
+#     benchmark-sized); the span windows are partitioned by doc_id. One
+#     corpus explode, no corpus×corpus work.
+
+def docs_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .documents import _spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams_distinct = TX.shingles(TX.tokens(F.col("text")), _CONTAM_N, distinct=True)
+    eval_grams = (
+        _spread(docs.filter(F.col("source") == _EVAL_SOURCE), spark)
+        .select(F.explode(grams_distinct).alias("gram"))
+        .distinct()
+    )
+    toks = TX.tokens(F.col("text"))
+    pos_grams = (
+        _spread(docs.filter(F.col("source") != _EVAL_SOURCE), spark)
+        .filter(F.size(toks) >= _CONTAM_N)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({_TOKS_EXPR}) - {_CONTAM_N - 1}),"
+                    " i -> struct(CAST(i AS BIGINT) AS pos,"
+                    f" concat_ws(' ', slice({_TOKS_EXPR}, i, {_CONTAM_N})) AS gram))"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", "n_tokens", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    hits = pos_grams.join(F.broadcast(eval_grams), "gram").select(
+        "doc_id", "n_tokens", "pos", (F.col("pos") + _CONTAM_N - 1).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "new_span",
+            (prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1)).cast("long"),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "n_tokens", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("tokens_removed"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "tokens_removed",
+            "n_tokens",
+            F.expr("tokens_removed * 1000000 div n_tokens").alias("removed_ppm"),
+        )
+    )
+
+
+_TOKS_EXPR = "split(text, ' ')"
+
+
+_POS_GRAM4 = " || ' ' || ".join(f"t[i+{k}]" for k in range(_CONTAM_N))
+
+DOCS_DECONTAM_SPANS_SQL = f"""
+WITH ev AS MATERIALIZED (
+  SELECT DISTINCT unnest({_SHINGLES5}) AS gram
+  FROM documents WHERE source = '{_EVAL_SOURCE}'
+),
+pos_hits AS MATERIALIZED (
+  SELECT doc_id, n_tokens, CAST(pg.pos AS BIGINT) AS pos
+  FROM (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           unnest(list_transform(generate_series(1, len(t) - {_CONTAM_N - 1}),
+                                 i -> {{'pos': i, 'gram': {_POS_GRAM4}}})) AS pg
+    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents
+          WHERE source <> '{_EVAL_SOURCE}'
+            AND len(string_split(text, ' ')) >= {_CONTAM_N})
+  ), ev
+  WHERE pg.gram = ev.gram
+),
+anchors AS (
+  SELECT h.doc_id, COUNT(*) AS n_spans
+  FROM pos_hits h
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos_hits p
+    WHERE p.doc_id = h.doc_id
+      AND p.pos < h.pos AND p.pos >= h.pos - {_CONTAM_N}
+  )
+  GROUP BY h.doc_id
+),
+covered AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT cp) AS BIGINT) AS tokens_removed
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + {_CONTAM_N - 1})) AS cp
+        FROM pos_hits)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(a.n_spans AS BIGINT) AS n_spans,
+       c.tokens_removed,
+       d.n_tokens,
+       CAST(c.tokens_removed * 1000000 // d.n_tokens AS BIGINT) AS removed_ppm
+FROM (SELECT DISTINCT doc_id, n_tokens FROM pos_hits) d
+JOIN anchors a USING (doc_id)
+JOIN covered c USING (doc_id)
+"""

@@ -482,6 +482,13 @@ _SPECS: list[QuerySpec] = [
               "CCNet-style corpus-statistics quality signal: inverse-df "
               "surprisal in exact integer ppm (no ln()), vocabulary-sized "
               "broadcast, one corpus explode"),
+    QuerySpec("docs_decontam_spans", PL.docs_decontam_spans,
+              PL.DOCS_DECONTAM_SPANS_SQL, ("TX7", "W2", "BONUS"),
+              "surgical span-level decontamination: positional eval-gram "
+              "hits merged into maximal excision spans with exact token/"
+              "ppm accounting — cummax-window islands vs the anti-join "
+              "anchor + position-set-union oracle (two independent "
+              "interval algorithms)"),
     QuerySpec("docs_bigram_surprisal", D.docs_bigram_surprisal,
               D.DOCS_BIGRAM_SURPRISAL_SQL, ("TX1", "J5", "BONUS"),
               "bigram-LM conditional surprisal (the CCNet/KenLM perplexity "
@@ -505,6 +512,13 @@ _SPECS: list[QuerySpec] = [
               "evaluation-as-a-query: recall@k of the LSH index vs the "
               "exact scan, integer overlap counts + ppm recall, both "
               "pipelines recomputed by the oracle"),
+    QuerySpec("knn_mmr_rerank", V.knn_mmr_rerank, V.KNN_MMR_RERANK_SQL,
+              ("VS1", "T1", "BONUS"),
+              "maximal-marginal-relevance diversified top-10 from the "
+              "exact top-20 shortlist (lambda=1/2): per-query Arrow "
+              "grouped-map greedy over a shortlist-sized frame (the LTTB "
+              "doctrine) vs the greedy unrolled as 10 generated CTE "
+              "steps — kernel and SQL unrolling pin each other"),
     QuerySpec("events_window_funnel", E.events_window_funnel,
               E.EVENTS_WINDOW_FUNNEL_SQL, ("A2", "J1", "P7", "BONUS"),
               "ClickHouse windowFunnel analog: deepest in-order funnel "

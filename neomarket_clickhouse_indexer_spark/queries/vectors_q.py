@@ -1697,3 +1697,197 @@ SELECT query_id,
 FROM fused
 QUALIFY rank <= {_RRF_TOP}
 """
+
+
+# --- knn_mmr_rerank: MAXIMAL MARGINAL RELEVANCE diversified top-k — the
+#     RAG-era re-ranking stage on top of the exact retriever: from each
+#     query's top-20 exact-cosine shortlist, greedily select 10 results
+#     maximizing (relevance − max similarity to already-selected), the
+#     λ=1/2 MMR objective up to its constant factor (Carbonell-Goldstein
+#     1998). Greedy selection is inherently sequential, but the state is
+#     SHORTLIST-SIZED: the corpus contributes one broadcast-probe scan
+#     (the knn_bruteforce shape), and the 20-candidate greedy runs as a
+#     per-query Arrow grouped-map kernel — the LTTB doctrine (sequential
+#     exact kernel over a pre-bounded frame; at 100 TB only the shortlist
+#     build touches the corpus).
+#
+#     Determinism: relevance and pairwise sims are the proven round-6
+#     cosine discipline; MMR scores are IEEE subtractions of bit-equal
+#     doubles, ties broken by neighbor_id. Oracle = the greedy unrolled
+#     as 10 generated CTE steps (the kmeans_train/BPE doctrine): per
+#     step, max-sim-to-selected via join+group, winner via ROW_NUMBER,
+#     selected set carried as a list column — Python kernel and SQL
+#     unrolling pin each other.
+
+MMR_SHORTLIST = 20
+MMR_K = 10
+
+
+def _mmr_kernel(pdf):
+    import pandas as pd
+
+    qid = int(pdf["query_id"].iloc[0])
+    rel: dict[int, float] = {}
+    sim: dict[tuple[int, int], float] = {}
+    for row in pdf.itertuples():
+        rel[int(row.cand)] = float(row.rel)
+        sim[(int(row.cand), int(row.other))] = float(row.sim)
+    cands = sorted(rel)
+    selected: list[int] = []
+    out = []
+    while len(selected) < MMR_K and len(selected) < len(cands):
+        best = None
+        for c in cands:
+            if c in selected:
+                continue
+            if selected:
+                score = rel[c] - max(sim[(c, s)] for s in selected)
+            else:
+                score = rel[c]
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        selected.append(best[1])
+        out.append((qid, len(selected), best[1], rel[best[1]], best[2]))
+    return pd.DataFrame(
+        out,
+        columns=["query_id", "mmr_rank", "neighbor_id", "cosine_sim", "mmr_score"],
+    )
+
+
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        VX.norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        VX.norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            VX.dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", "rel")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("e"),
+        VX.norm(F.col("embedding")).alias("nn"),
+    )
+    sa = (
+        short.join(ce, short.neighbor_id == ce.nid)
+        .select("query_id", F.col("neighbor_id").alias("cand"), "rel",
+                F.col("e").alias("e_a"), F.col("nn").alias("n_a"))
+    )
+    sb = (
+        short.join(ce, short.neighbor_id == ce.nid)
+        .select(F.col("query_id").alias("qb"),
+                F.col("neighbor_id").alias("other"),
+                F.col("e").alias("e_b"), F.col("nn").alias("n_b"))
+    )
+    pairs = (
+        sa.join(sb, (sa.query_id == sb.qb) & (sa.cand != sb.other))
+        .select(
+            "query_id", "cand", "rel", "other",
+            F.round(
+                VX.dot(F.col("e_a"), F.col("e_b"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    return pairs.groupBy("query_id").applyInPandas(
+        _mmr_kernel,
+        "query_id bigint, mmr_rank bigint, neighbor_id bigint, "
+        "cosine_sim double, mmr_score double",
+    )
+
+
+_PDOT = (
+    "list_sum(list_transform(generate_series(1, len(ea.embedding)), "
+    "i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))"
+)
+_PANORM = (
+    "sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+_PBNORM = (
+    "sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+def _mmr_oracle_sql(k: int) -> str:
+    parts = [f"""WITH scored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DOT} / ({_QNORM} * {_CNORM}), 6) AS rel
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+short AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT query_id, neighbor_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {MMR_SHORTLIST}
+),
+pair AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS cand, b.neighbor_id AS other,
+         ROUND({_PDOT} / ({_PANORM} * {_PBNORM}), 6) AS sim
+  FROM short a
+  JOIN short b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+),
+sel0 AS MATERIALIZED (
+  SELECT DISTINCT query_id, CAST([] AS BIGINT[]) AS ids FROM short
+)"""]
+    for t in range(1, k + 1):
+        parts.append(f""",
+ms{t} AS MATERIALIZED (
+  SELECT p.query_id, p.cand, MAX(p.sim) AS maxsim
+  FROM pair p JOIN sel{t - 1} s
+    ON s.query_id = p.query_id AND list_contains(s.ids, p.other)
+  GROUP BY 1, 2
+),
+pick{t} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, score FROM (
+    SELECT c.query_id, c.neighbor_id, c.rel,
+           c.rel - COALESCE(m.maxsim, 0.0) AS score,
+           ROW_NUMBER() OVER (PARTITION BY c.query_id
+             ORDER BY c.rel - COALESCE(m.maxsim, 0.0) DESC, c.neighbor_id)
+             AS rn
+    FROM short c
+    JOIN sel{t - 1} s
+      ON s.query_id = c.query_id
+     AND NOT list_contains(s.ids, c.neighbor_id)
+    LEFT JOIN ms{t} m
+      ON m.query_id = c.query_id AND m.cand = c.neighbor_id
+  ) WHERE rn = 1
+),
+sel{t} AS MATERIALIZED (
+  SELECT s.query_id, s.ids || [p.neighbor_id] AS ids
+  FROM sel{t - 1} s JOIN pick{t} p USING (query_id)
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({t} AS BIGINT) AS mmr_rank, "
+        f"CAST(neighbor_id AS BIGINT) AS neighbor_id, rel AS cosine_sim, "
+        f"score AS mmr_score FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+KNN_MMR_RERANK_SQL = _mmr_oracle_sql(MMR_K)

@@ -28,6 +28,7 @@ INTENTIONAL_CROSS = {
     "knn_rank_fusion",  # composes knn_bruteforce + knn_ann_lsh shapes
     "docs_kmv_jaccard",  # 1-row-per-pair est/exact joins on literal keys
     "ann_index_audit",  # fuses knn_ivf + knn_pq_adc broadcast probes (r6)
+    "knn_mmr_rerank",  # knn_bruteforce broadcast-probe shortlist build (r6)
     "events_key_skew_profile",  # 1-row totals x 1-row top-8 crossJoin
 }
 
