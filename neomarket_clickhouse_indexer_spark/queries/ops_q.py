@@ -1321,3 +1321,91 @@ FROM (SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events)
 GROUP BY event_type
 """
+
+
+# --- fk_integrity_audit: cross-table REFERENTIAL-INTEGRITY report — the
+#     dbt `relationships` / Deequ isContainedIn test as a first-class
+#     query: for every foreign-key edge of the relational schema, the
+#     child row count, null-key count, orphan count (child keys with no
+#     parent), parent cardinality, distinct parents actually referenced,
+#     and the referenced-coverage ppm. Orphans SHOULD be zero on intact
+#     data (the assertion); coverage ppm is the non-vacuous signal (how
+#     much of each dimension the facts actually touch).
+#
+#     Spark = one left_anti join per edge for orphans + distinct-count
+#     aggregates, unioned. Oracle = NOT EXISTS per edge. Scale: each edge
+#     is one shuffle (or broadcast for dim-sized parents); rows out =
+#     number of edges.
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for edge, child_t, child_k, parent_t, parent_k in _FK_EDGES:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(child_k).cast("long").alias("ck")
+        )
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_k).cast("long").alias("pk")
+        )
+        orphans = child.filter(F.col("ck").isNotNull()).join(
+            parent, child.ck == parent.pk, "left_anti"
+        )
+        stats = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("ck").isNull().cast("long")).alias("n_null_key"),
+            F.countDistinct("ck").alias("n_parents_used"),
+        )
+        n_orphan = orphans.agg(F.count(F.lit(1)).alias("n_orphan"))
+        n_parents = parent.agg(F.count(F.lit(1)).alias("n_parents"))
+        outs.append(
+            stats.crossJoin(n_orphan)
+            .crossJoin(n_parents)
+            .select(
+                F.lit(edge).alias("edge"),
+                "n_child",
+                "n_null_key",
+                "n_orphan",
+                "n_parents",
+                "n_parents_used",
+                F.expr("n_parents_used * 1000000 div n_parents").alias(
+                    "used_ppm"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _fk_edge_sql(edge, child_t, child_k, parent_t, parent_k) -> str:
+    return f"""
+SELECT '{edge}' AS edge,
+       CAST((SELECT COUNT(*) FROM {child_t}) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM {child_t} WHERE {child_k} IS NULL)
+            AS BIGINT) AS n_null_key,
+       CAST((SELECT COUNT(*) FROM {child_t} c
+             WHERE c.{child_k} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent_t} p
+                               WHERE p.{parent_k} = c.{child_k}))
+            AS BIGINT) AS n_orphan,
+       CAST((SELECT COUNT(*) FROM {parent_t}) AS BIGINT) AS n_parents,
+       CAST((SELECT COUNT(DISTINCT {child_k}) FROM {child_t}) AS BIGINT)
+         AS n_parents_used,
+       CAST((SELECT COUNT(DISTINCT {child_k}) FROM {child_t}) * 1000000
+            // (SELECT COUNT(*) FROM {parent_t}) AS BIGINT) AS used_ppm
+"""
+
+
+FK_INTEGRITY_AUDIT_SQL = "\nUNION ALL\n".join(
+    _fk_edge_sql(*e) for e in _FK_EDGES
+)

@@ -790,6 +790,19 @@ _SPECS: list[QuerySpec] = [
               "visited anti-join per level, node-sized state, persisted "
               "edge table) vs recursive-CTE closure with UNION dedup and "
               "MIN(d) — closure and frontier pin each other"),
+    QuerySpec("customer_entity_clusters", PL.customer_entity_clusters,
+              PL.CUSTOMER_ENTITY_CLUSTERS_SQL, ("DD2", "J1", "BONUS"),
+              "full entity-resolution pipeline: FastSS blocking -> exact "
+              "levenshtein<=1 match -> connected-components clustering "
+              "with per-cluster sizes — both layers keep independent "
+              "oracles (numeric no-carry pair characterization + "
+              "recursive-CTE transitive closure)"),
+    QuerySpec("fk_integrity_audit", O.fk_integrity_audit,
+              O.FK_INTEGRITY_AUDIT_SQL, ("P9", "J8", "BONUS"),
+              "referential-integrity report (the dbt relationships test): "
+              "per FK edge, child/null/orphan counts plus dimension "
+              "coverage ppm — left_anti orphan joins vs NOT EXISTS "
+              "oracle"),
     QuerySpec("events_moment_profile", O.events_moment_profile,
               O.EVENTS_MOMENT_PROFILE_SQL, ("A1", "P1", "BONUS"),
               "exact higher-moment numeric profiling: per-type count/sum/"

@@ -30,6 +30,7 @@ INTENTIONAL_CROSS = {
     "ann_index_audit",  # fuses knn_ivf + knn_pq_adc broadcast probes (r6)
     "knn_mmr_rerank",  # knn_bruteforce broadcast-probe shortlist build (r6)
     "events_key_skew_profile",  # 1-row totals x 1-row top-8 crossJoin
+    "fk_integrity_audit",  # 1-row stats x 1-row orphan/parent crossJoins
 }
 
 # Unpartitioned Window nodes single-partition-sort their whole input —

