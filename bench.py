@@ -64,6 +64,10 @@ HEADLINE = [
     "docs_bigram_surprisal",
     "supplier_reach_bfs",
     "events_key_skew_profile",
+    "docs_decontam_spans",
+    "events_rolling_distinct_users",
+    "join_cardinality_estimate",
+    "knn_mmr_rerank",
     # docs_bpe_merges is NOT benched: its cost is K driver round-trips of
     # vocabulary-sized jobs (argmax collect per iteration) — wall time
     # measures scheduler latency, not data-path throughput; the gate +

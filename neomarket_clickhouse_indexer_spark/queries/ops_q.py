@@ -1409,3 +1409,86 @@ SELECT '{edge}' AS edge,
 FK_INTEGRITY_AUDIT_SQL = "\nUNION ALL\n".join(
     _fk_edge_sql(*e) for e in _FK_EDGES
 )
+
+
+# --- join_cardinality_estimate: SAMPLE-BASED JOIN-SIZE ESTIMATION — the
+#     planner diagnostic that pairs with events_key_skew_profile: before
+#     shuffling 100 TB into a fact-fact join, estimate |A ⋈ B| from a
+#     correlated KEY sample (the "join synopsis" trick): hash every join
+#     key with the SAME md5, keep keys landing in a p% bucket range on
+#     BOTH sides — join size Σ_k na(k)·nb(k) restricted to sampled keys
+#     has expectation p·Σ, so one small join scaled by 1/p estimates the
+#     full one. Key-sampling (not row-sampling) preserves per-key
+#     multiplicities, which is what makes the estimator unbiased for
+#     joins. Everything is deterministic (md5 buckets), so est, exact,
+#     and signed error ppm are all oracle-checkable — same doctrine as
+#     the KMV/CMS sketch gates.
+#
+#     Scale: the sampled join touches ~p of the keys; the exact join here
+#     is gate EVIDENCE (like docs_kmv_distinct's exact column) — a real
+#     deployment runs only the sampled side.
+
+_JCE_PCT = 5  # 5% key sample
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    li_s = li.filter(bucket < _JCE_PCT)
+    or_s = orders.filter(bucket < _JCE_PCT)
+    sampled = li_s.join(or_s, "k").agg(
+        F.count(F.lit(1)).alias("sampled_join_rows")
+    )
+    exact = li.join(orders, "k").agg(F.count(F.lit(1)).alias("exact_join_rows"))
+    return (
+        sampled.crossJoin(exact)
+        .select(
+            F.lit(_JCE_PCT).cast("long").alias("sample_pct"),
+            "sampled_join_rows",
+            F.expr(f"sampled_join_rows * 100 div {_JCE_PCT}").alias(
+                "est_join_rows"
+            ),
+            "exact_join_rows",
+            F.expr(
+                f"(sampled_join_rows * 100 div {_JCE_PCT} - exact_join_rows)"
+                " * 1000000 div exact_join_rows"
+            ).alias("err_signed_ppm"),
+        )
+    )
+
+
+JOIN_CARDINALITY_ESTIMATE_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey AS k,
+         CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 6)
+              AS BIGINT) % 100 AS b
+  FROM lineitem
+),
+ords AS (
+  SELECT o_orderkey AS k,
+         CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+              AS BIGINT) % 100 AS b
+  FROM orders
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS sampled_join_rows
+      FROM li JOIN ords USING (k)
+      WHERE li.b < {_JCE_PCT} AND ords.b < {_JCE_PCT}),
+x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+      FROM li JOIN ords USING (k))
+SELECT CAST({_JCE_PCT} AS BIGINT) AS sample_pct,
+       s.sampled_join_rows,
+       CAST(s.sampled_join_rows * 100 // {_JCE_PCT} AS BIGINT)
+         AS est_join_rows,
+       x.exact_join_rows,
+       CAST((s.sampled_join_rows * 100 // {_JCE_PCT} - x.exact_join_rows)
+            * 1000000 // x.exact_join_rows AS BIGINT) AS err_signed_ppm
+FROM s, x
+"""

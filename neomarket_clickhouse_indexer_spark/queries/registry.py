@@ -790,6 +790,19 @@ _SPECS: list[QuerySpec] = [
               "visited anti-join per level, node-sized state, persisted "
               "edge table) vs recursive-CTE closure with UNION dedup and "
               "MIN(d) — closure and frontier pin each other"),
+    QuerySpec("join_cardinality_estimate", O.join_cardinality_estimate,
+              O.JOIN_CARDINALITY_ESTIMATE_SQL, ("A3", "J1", "BONUS"),
+              "sample-based join-size estimation (the join synopsis "
+              "trick): correlated md5 KEY sample preserves per-key "
+              "multiplicities, sampled join scaled 1/p vs exact join, "
+              "signed error ppm — deterministic, so the whole estimator "
+              "is oracle-checked like the KMV/CMS sketches"),
+    QuerySpec("events_rolling_distinct_users", TS.events_rolling_distinct_users,
+              TS.EVENTS_ROLLING_DISTINCT_USERS_SQL, ("A3", "W2", "BONUS"),
+              "exact 24-hour sliding-window distinct users per type: "
+              "per-hour collect_set + trailing RANGE frame on the "
+              "calendar-hour integer axis (frame-bounded state) vs the "
+              "oracle's range-join direct recount"),
     QuerySpec("customer_entity_clusters", PL.customer_entity_clusters,
               PL.CUSTOMER_ENTITY_CLUSTERS_SQL, ("DD2", "J1", "BONUS"),
               "full entity-resolution pipeline: FastSS blocking -> exact "

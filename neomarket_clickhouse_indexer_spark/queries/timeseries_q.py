@@ -2021,3 +2021,71 @@ SELECT user_id,
 FROM per_purchase
 GROUP BY user_id
 """
+
+
+# --- events_rolling_distinct_users: EXACT SLIDING-WINDOW DISTINCT — the
+#     24-hour rolling unique-user count per event type, the windowed
+#     uniqExact every live dashboard wants and most engines approximate:
+#     per (type, hour) the hour's user set is collected ONCE
+#     (collect_set), then a trailing RANGE frame over the calendar-hour
+#     integer axis (x = days-since-epoch-date × 24 + hour — the NTZ-safe
+#     gap_fill axis, so missing hours still shrink the frame) flattens
+#     at most 24 bounded per-hour sets and counts distinct. State is
+#     frame-bounded (24 × users-active-per-hour), the same exact-window
+#     viability argument as events_rolling_p95.
+#
+#     Oracle = the direct recount: a range self-join of observed (type,
+#     hour) anchors against raw events in [h-23, h] with COUNT(DISTINCT)
+#     — quadratic-in-window recount vs incremental set flatten pin each
+#     other.
+
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hour_x = (
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
+        + F.hour("ts")
+    ).cast("long")
+    per_hour = (
+        ev.select("event_type", hour_x.alias("x"), "user_id")
+        .groupBy("event_type", "x")
+        .agg(
+            F.collect_set("user_id").alias("users"),
+            F.countDistinct("user_id").alias("n_distinct_1h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rangeBetween(-23, 0)
+    )
+    return per_hour.select(
+        "event_type",
+        "x",
+        "n_distinct_1h",
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+        ).cast("long").alias("n_distinct_24h"),
+    )
+
+
+EVENTS_ROLLING_DISTINCT_USERS_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) * 24
+           + CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         user_id
+  FROM events
+),
+anchors AS (
+  SELECT event_type, x, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS n_distinct_1h
+  FROM ev GROUP BY 1, 2
+)
+SELECT a.event_type, a.x, a.n_distinct_1h,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_distinct_24h
+FROM anchors a
+JOIN ev e
+  ON e.event_type = a.event_type AND e.x BETWEEN a.x - 23 AND a.x
+GROUP BY a.event_type, a.x, a.n_distinct_1h
+"""

@@ -31,6 +31,7 @@ INTENTIONAL_CROSS = {
     "knn_mmr_rerank",  # knn_bruteforce broadcast-probe shortlist build (r6)
     "events_key_skew_profile",  # 1-row totals x 1-row top-8 crossJoin
     "fk_integrity_audit",  # 1-row stats x 1-row orphan/parent crossJoins
+    "join_cardinality_estimate",  # 1-row sampled x 1-row exact crossJoin
 }
 
 # Unpartitioned Window nodes single-partition-sort their whole input —
