@@ -593,9 +593,18 @@ sigs AS (
 bands AS (
   {_BAND_SELECTS}
 ),
+bands_ok AS (
+  -- skew-guard cap in lockstep with _pairs_from_bands (latent r6 fix:
+  -- the Spark side caps over-full buckets; an uncapped oracle only
+  -- agreed because gate-SF buckets stay under the cap)
+  SELECT bb.* FROM bands bb
+  JOIN (SELECT band_idx, band_key FROM bands GROUP BY 1, 2
+        HAVING COUNT(*) <= {BAND_BUCKET_CAP}) ok
+    USING (band_idx, band_key)
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -2535,4 +2544,137 @@ SELECT lang, pred_lang, n,
          AS row_share_ppm,
        lang = pred_lang AS correct
 FROM cm
+"""
+
+
+# --- docs_containment_pairs: ASYMMETRIC CONTAINMENT verify over the LSH
+#     candidates — the near-dup class symmetric Jaccard MISSES: a short
+#     document embedded verbatim in a long one has containment
+#     |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| stays far below any dedup
+#     threshold (the RefinedWeb/Dolma subset-duplication concern). Same
+#     candidate generation as docs_near_dup_pairs (equal LSH band keys),
+#     then exact shingle-set containment in BOTH directions as integer
+#     ppm, with a subset_dup flag for high-containment/low-Jaccard pairs.
+#
+#     Honest caveat (documented, by design): symmetric MinHash LSH
+#     under-recalls containment candidates in theory (dedicated
+#     containment search uses asymmetric sketches); this gate pins the
+#     VERIFY stage exactly over the shared candidate set — the 100 TB
+#     shape is identical, only the candidate generator would swap.
+#
+#     Scale: candidates-only shingle join (the docs_jaccard_pairs
+#     argument); all arithmetic integer.
+
+CONTAIN_MIN_PPM = 500_000  # keep pairs with max-direction containment >= 0.5
+CONTAIN_SUBSET_PPM = 900_000  # subset_dup flag threshold
+
+
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs_near_dup_pairs(spark, sf_dir)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, "doc_id")
+        .select("doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh"))
+        .persist()
+    )
+    return containment_verify_frame(pairs, sh)
+
+
+def containment_verify_frame(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Verify stage over any (doc_a, doc_b) candidate pairs + (doc_id, sh)
+    shingle-set frame — factored out so tests/test_containment.py can
+    plant a true subset-dup (the fixture corpus's near-dups are symmetric,
+    so the gate exercises the flag's FALSE path only)."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("sz_a"),
+            F.size("sh_b").cast("long").alias("sz_b"),
+            inter.alias("inter"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            "inter",
+            F.expr("inter * 1000000 div sz_a").alias("cont_a_ppm"),
+            F.expr("inter * 1000000 div sz_b").alias("cont_b_ppm"),
+            F.expr("inter * 1000000 div (sz_a + sz_b - inter)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_ppm"), F.col("cont_b_ppm"))
+            >= CONTAIN_MIN_PPM
+        )
+        .withColumn(
+            "subset_dup",
+            (
+                F.greatest(F.col("cont_a_ppm"), F.col("cont_b_ppm"))
+                >= CONTAIN_SUBSET_PPM
+            )
+            & (F.col("jaccard_ppm") < int(JACCARD_THRESHOLD * 1_000_000)),
+        )
+    )
+
+
+DOCS_CONTAINMENT_PAIRS_SQL = f"""
+WITH shing AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents
+),
+hashed AS (
+  SELECT doc_id, {_HF_COLS} FROM shing
+),
+sigs AS (
+  SELECT doc_id, {_MH_COLS} FROM hashed
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+bands_ok AS (
+  -- skew-guard cap in lockstep with _pairs_from_bands (docs_near_dup_pairs)
+  SELECT bb.* FROM bands bb
+  JOIN (SELECT band_idx, band_key FROM bands GROUP BY 1, 2
+        HAVING COUNT(*) <= {BAND_BUCKET_CAP}) ok
+    USING (band_idx, band_key)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_ok a JOIN bands_ok b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT doc_a, doc_b,
+         CAST(len(sa.sh) AS BIGINT) AS sz_a,
+         CAST(len(sb.sh) AS BIGINT) AS sz_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter
+  FROM pairs
+  JOIN shing sa ON pairs.doc_a = sa.doc_id
+  JOIN shing sb ON pairs.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, sz_a, sz_b, inter,
+       CAST(inter * 1000000 // sz_a AS BIGINT) AS cont_a_ppm,
+       CAST(inter * 1000000 // sz_b AS BIGINT) AS cont_b_ppm,
+       CAST(inter * 1000000 // (sz_a + sz_b - inter) AS BIGINT)
+         AS jaccard_ppm,
+       (GREATEST(inter * 1000000 // sz_a, inter * 1000000 // sz_b)
+          >= {CONTAIN_SUBSET_PPM}
+        AND inter * 1000000 // (sz_a + sz_b - inter)
+          < {int(JACCARD_THRESHOLD * 1_000_000)}) AS subset_dup
+FROM m
+WHERE GREATEST(inter * 1000000 // sz_a, inter * 1000000 // sz_b)
+      >= {CONTAIN_MIN_PPM}
 """

@@ -482,6 +482,13 @@ _SPECS: list[QuerySpec] = [
               "CCNet-style corpus-statistics quality signal: inverse-df "
               "surprisal in exact integer ppm (no ln()), vocabulary-sized "
               "broadcast, one corpus explode"),
+    QuerySpec("docs_containment_pairs", D.docs_containment_pairs,
+              D.DOCS_CONTAINMENT_PAIRS_SQL, ("DD2", "DD4", "BONUS"),
+              "asymmetric CONTAINMENT verify over the LSH candidates — "
+              "the subset-duplication class symmetric Jaccard misses "
+              "(short doc embedded in long): both-direction containment "
+              "in exact ppm + subset_dup flag; candidates-only shingle "
+              "join, capped band buckets mirrored in the oracle"),
     QuerySpec("docs_decontam_spans", PL.docs_decontam_spans,
               PL.DOCS_DECONTAM_SPANS_SQL, ("TX7", "W2", "BONUS"),
               "surgical span-level decontamination: positional eval-gram "
