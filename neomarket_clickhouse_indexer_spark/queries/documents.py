@@ -1473,7 +1473,20 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("doc_b"),
         F.lit(0.0).alias("jaccard"),
     )
-    return lsh.unionByName(ss).unionByName(cl)
+    # fourth path (late-r6 strict-superset growth): the asymmetric
+    # containment verify over the same candidates — max-direction
+    # containment carried in the jaccard slot as exact ppm/1e6 (integer
+    # operands, same IEEE division both engines)
+    ct = docs_containment_pairs(spark, sf_dir).select(
+        F.lit("containment").alias("path"),
+        "doc_a",
+        "doc_b",
+        (
+            F.greatest(F.col("cont_a_ppm"), F.col("cont_b_ppm")).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("jaccard"),
+    )
+    return lsh.unionByName(ss).unionByName(cl).unionByName(ct)
 
 
 def _pair_recall_audit_sql() -> str:
@@ -1487,10 +1500,17 @@ UNION ALL
 SELECT 'cluster' AS path, doc_id AS doc_a, cluster_id AS doc_b,
        0.0 AS jaccard
 FROM ({components_sql(DOCS_NEAR_DUP_PAIRS_SQL)})
+UNION ALL
+SELECT 'containment' AS path, doc_a, doc_b,
+       CAST(GREATEST(cont_a_ppm, cont_b_ppm) AS DOUBLE) / 1000000.0
+         AS jaccard
+FROM ({{containment}})
 """
 
 
-DOCS_PAIR_RECALL_AUDIT_SQL = _pair_recall_audit_sql()
+# deferred: DOCS_CONTAINMENT_PAIRS_SQL is defined near the end of this
+# module; the audit oracle is assembled there (DOCS_PROFILE_SQL pattern)
+DOCS_PAIR_RECALL_AUDIT_SQL = None
 
 
 # --- docs_weighted_sample: TX5+ — weighted systematic sampling without
@@ -2678,3 +2698,11 @@ FROM m
 WHERE GREATEST(inter * 1000000 // sz_a, inter * 1000000 // sz_b)
       >= {CONTAIN_MIN_PPM}
 """
+
+
+# deferred assembly (late-r6): the pair-recall audit's oracle embeds the
+# containment oracle defined just above — same pattern as
+# DOCS_PROFILE_SQL's deferred bigram embedding
+DOCS_PAIR_RECALL_AUDIT_SQL = _pair_recall_audit_sql().replace(
+    "{containment}", DOCS_CONTAINMENT_PAIRS_SQL
+)

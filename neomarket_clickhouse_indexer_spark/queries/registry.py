@@ -142,11 +142,12 @@ _SPECS: list[QuerySpec] = [
               "fused near-dup audit: EXECUTES docs_jaccard_pairs (LSH "
               "candidates + exact shingle-Jaccard verify), docs_setsim_join "
               "(PPJoin prefix filter vs full-inverted-index oracle — the "
-              "100%-recall proof), AND docs_dup_clusters' connected "
-              "components over the same candidate pairs (label propagation "
-              "vs recursive-CTE closure), labeled by path (r6 rotations; "
-              "all three displaced entries stay oracle-checked in the "
-              "tail)"),
+              "100%-recall proof), docs_dup_clusters' connected "
+              "components (label propagation vs recursive-CTE closure), "
+              "AND docs_containment_pairs (asymmetric subset-dup verify, "
+              "max-direction containment as exact ppm/1e6), labeled by "
+              "path (r6 rotations; all displaced/absorbed entries stay "
+              "oracle-checked in the tail)"),
     QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
               ("DD5",), "16-bit SimHash document signatures"),
     QuerySpec("docs_word_filter_top", D.docs_word_filter_top,
