@@ -2040,7 +2040,12 @@ GROUP BY user_id
 #     other.
 
 def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir)
+    return rolling_distinct_frame(_events_cents(spark, sf_dir))
+
+
+def rolling_distinct_frame(ev: DataFrame) -> DataFrame:
+    """Core path over any (event_type, ts, user_id) frame — factored out
+    so scripts/scale_check.py can drive it at N× event scale."""
     hour_x = (
         F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
         + F.hour("ts")

@@ -59,6 +59,21 @@ def main() -> None:
         ohlcv(big, key="event_type", ts="ts", price="value", ord_col="event_id")
     ))
     timed("latest_by_user", latest_by_key(big, ["user_id"], ["ts", "event_id"]))
+
+    # r6: exact 24h sliding-window distinct at N× events — the trailing
+    # RANGE frame flattens <=24 bounded per-hour user sets per anchor;
+    # state is frame-bounded, work ~linear in event volume
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        rolling_distinct_frame,
+    )
+
+    timed(
+        "rolling_distinct_24h",
+        rolling_distinct_frame(
+            big.select("event_type", F.col("ts").cast("timestamp").alias("ts"),
+                       "user_id")
+        ),
+    )
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     fifo_in = (
         big.filter(F.col("event_type").isin("purchase", "click"))
