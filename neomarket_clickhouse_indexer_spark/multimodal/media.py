@@ -72,24 +72,116 @@ except ImportError:
     _PILImage = None
     HAS_PIL = False
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_gray(payload: bytes) -> "np.ndarray":
+    """Minimal pure-stdlib PNG decoder → grayscale uint8 array (r6 verdict
+    task 5: PNG is zlib + struct; the real-decode branch must be
+    executable in a container without imaging libraries).
+
+    Supports the non-interlaced 8-bit cases a curation pipeline actually
+    stores: color type 0 (grayscale) and color type 2 (RGB, converted to
+    L with PIL's exact 16-bit fixed-point ITU-R 601-2 luma,
+    ``(19595 R + 38470 G + 7471 B + 32768) >> 16``, so the two guard
+    branches are bit-identical on RGB inputs). All five scanline filters
+    (None/Sub/Up/Average/Paeth) are implemented; anything else —
+    interlaced, paletted, 16-bit, alpha — raises NotImplementedError
+    rather than guessing.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError(
+            "stdlib decoder handles PNG only; other formats require PIL"
+        )
+    pos, width, height, bit_depth, color_type, interlace = 8, 0, 0, 0, 0, 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"stdlib PNG decoder supports non-interlaced 8-bit gray/RGB only "
+            f"(got depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}); install PIL for the rest"
+        )
+    channels = 1 if color_type == 0 else 3
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT stream length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        cur = np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        else:  # Sub / Average / Paeth carry a left dependency — per byte
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0  # left
+                b = int(prev[x])  # up
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) // 2
+                elif ftype == 4:  # Paeth
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cur[x] = (line[x] + pred) % 256
+        out[y] = cur.astype(np.uint8)
+        prev = out[y].astype(np.uint8)
+    if channels == 1:
+        return out
+    rgb = out.reshape(height, width, 3).astype(np.int64)
+    luma = (
+        19595 * rgb[:, :, 0] + 38470 * rgb[:, :, 1] + 7471 * rgb[:, :, 2] + 32768
+    ) >> 16
+    return luma.astype(np.uint8)
+
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode an encoded image payload to a grayscale uint8 pixel array.
 
-    Production path (PIL present): real decode + L-mode conversion.
-    This environment (no PIL): raises NotImplementedError — callers that
-    want testability without the library use the deterministic fake
-    kernels below instead.
+    Guard chain (r6 verdict task 5): PIL when present (any format, L-mode
+    conversion) → pure-stdlib PNG decoder (zlib + struct, 8-bit gray/RGB)
+    → NotImplementedError. The real-decode branch is therefore executable
+    even in this PIL-less container for the format the fixtures use.
     """
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "real media decode requires PIL, not present in this "
-            "environment; the deterministic fake kernels remain available"
-        )
-    import io
+    if HAS_PIL:
+        import io
 
-    img = _PILImage.open(io.BytesIO(payload)).convert("L")
-    return np.asarray(img, dtype=np.uint8)
+        img = _PILImage.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8)
+    try:
+        return _decode_png_gray(payload)
+    except NotImplementedError:
+        raise
+    except Exception as exc:
+        raise NotImplementedError(
+            f"stdlib PNG decode failed ({exc}); non-PNG or malformed "
+            "payloads require PIL, not present in this environment"
+        ) from exc
 
 
 def image_stats(media: DataFrame, real_decode: bool = False) -> DataFrame:

@@ -1731,7 +1731,10 @@ def _mmr_kernel(pdf):
     sim: dict[tuple[int, int], float] = {}
     for row in pdf.itertuples():
         rel[int(row.cand)] = float(row.rel)
-        sim[(int(row.cand), int(row.other))] = float(row.sim)
+        # `other` is null for a lone-candidate shortlist (left join keeps
+        # the rel row so the group still exists — ADVICE r6).
+        if pd.notna(row.other):
+            sim[(int(row.cand), int(row.other))] = float(row.sim)
     cands = sorted(rel)
     selected: list[int] = []
     out = []
@@ -1799,7 +1802,10 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("e").alias("e_b"), F.col("nn").alias("n_b"))
     )
     pairs = (
-        sa.join(sb, (sa.query_id == sb.qb) & (sa.cand != sb.other))
+        # LEFT join: a shortlist with exactly one candidate has no
+        # (cand, other) pair but must still reach the kernel (the oracle's
+        # pick1 selects it via COALESCE(maxsim, 0)) — ADVICE r6.
+        sa.join(sb, (sa.query_id == sb.qb) & (sa.cand != sb.other), "left")
         .select(
             "query_id", "cand", "rel", "other",
             F.round(

@@ -52,3 +52,37 @@ def test_mmr_score_bounds(mmr_rows):
         else:
             # penalty = max sim to selected, in [-1, 1]
             assert r["cosine_sim"] - 1 <= r["mmr_score"] <= r["cosine_sim"] + 1, r
+
+
+def test_lone_candidate_shortlist_survives():
+    """A query whose shortlist has exactly ONE candidate produces no
+    (cand, other) pairwise row; the left join feeds the kernel a single
+    row with null other/sim and the kernel must still select the lone
+    candidate at rank 1 with score == rel (ADVICE r6 latent mismatch —
+    the oracle's pick1 selects it via COALESCE(maxsim, 0))."""
+    import numpy as np
+    import pandas as pd
+
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        _mmr_kernel,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "query_id": [7],
+            "cand": [42],
+            "rel": [0.625],
+            "other": [np.nan],
+            "sim": [np.nan],
+        }
+    )
+    out = _mmr_kernel(pdf)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (
+        int(row.query_id),
+        int(row.mmr_rank),
+        int(row.neighbor_id),
+        float(row.cosine_sim),
+        float(row.mmr_score),
+    ) == (7, 1, 42, 0.625, 0.625)
