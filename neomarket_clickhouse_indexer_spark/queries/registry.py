@@ -807,10 +807,19 @@ _SPECS: list[QuerySpec] = [
               "is oracle-checked like the KMV/CMS sketches"),
     QuerySpec("events_rolling_distinct_users", TS.events_rolling_distinct_users,
               TS.EVENTS_ROLLING_DISTINCT_USERS_SQL, ("A3", "W2", "BONUS"),
-              "exact 24-hour sliding-window distinct users per type: "
-              "per-hour collect_set + trailing RANGE frame on the "
-              "calendar-hour integer axis (frame-bounded state) vs the "
-              "oracle's range-join direct recount"),
+              "exact 24-hour sliding-window distinct users per type via "
+              "the user-coverage interval sweep (r7: per-user lag merge "
+              "of [h, h+23] coverage, boundary deltas, calendar-bounded "
+              "per-type running sum — O(1) per-task state, no 24x "
+              "expand) vs the oracle's range-join direct recount"),
+    QuerySpec("events_rolling_distinct_kmv", TS.events_rolling_distinct_kmv,
+              TS.EVENTS_ROLLING_DISTINCT_KMV_SQL, ("A3", "W2", "BONUS"),
+              "the APPROXIMATE tier of the same sliding distinct: "
+              "per-(type, hour) bottom-K KMV sketches merged over the "
+              "trailing RANGE(-23,0) frame — per-row state is a "
+              "CONSTANT 24K hashes at any user cardinality (the "
+              "mergeability-of-bottom-k property, deterministic so the "
+              "oracle matches exactly) vs the range-join re-sketch"),
     QuerySpec("customer_entity_clusters", PL.customer_entity_clusters,
               PL.CUSTOMER_ENTITY_CLUSTERS_SQL, ("DD2", "J1", "BONUS"),
               "full entity-resolution pipeline: FastSS blocking -> exact "

@@ -2025,19 +2025,41 @@ GROUP BY user_id
 
 # --- events_rolling_distinct_users: EXACT SLIDING-WINDOW DISTINCT — the
 #     24-hour rolling unique-user count per event type, the windowed
-#     uniqExact every live dashboard wants and most engines approximate:
-#     per (type, hour) the hour's user set is collected ONCE
-#     (collect_set), then a trailing RANGE frame over the calendar-hour
-#     integer axis (x = days-since-epoch-date × 24 + hour — the NTZ-safe
-#     gap_fill axis, so missing hours still shrink the frame) flattens
-#     at most 24 bounded per-hour sets and counts distinct. State is
-#     frame-bounded (24 × users-active-per-hour), the same exact-window
-#     viability argument as events_rolling_p95.
+#     uniqExact every live dashboard wants and most engines approximate.
+#     r6 verdict: the original form (per-(type, hour) collect_set + a
+#     RANGE(-23,0) frame flattening 24 sets per output row) carries the
+#     WHOLE hot type's 24h user set inside ONE window task — at 100-TB
+#     dashboard scale (~1e7 users/hour on a hot type) that is ~2.4e8
+#     strings in a single task's frame, an executor OOM. Rewritten (r7)
+#     as a USER-COVERAGE INTERVAL SWEEP, which bounds every task's state
+#     WITHOUT the 24x row expansion of the textbook expand-to-anchors
+#     scheme (measured 3x slower than even the window form at 30x — the
+#     bucketed expand trades OOM for shuffle volume; the sweep pays
+#     neither):
+#       1. distinct (type, hour, user) rows — U rows, the minimal
+#          exact-distinct information;
+#       2. per (type, user): merge each active hour's anchor-coverage
+#          [h, h+23] into maximal disjoint intervals via a lag window
+#          over the user's own hours (gap > 23 opens a new interval) —
+#          per-task state O(1), a user's group is bounded by CALENDAR
+#          hours, and a hot type's users spread across all shuffle
+#          partitions by hash(type, user) — the U/B bound the r6 verdict
+#          asked for, with B = shuffle partitions;
+#       3. intervals → (+1 at s, −1 at e+1) deltas, pre-aggregated by
+#          (type, hour) — at most 2 rows per interval, collapsing to
+#          ≤ 2 × calendar-hours rows per type;
+#       4. one running sum per type over the delta/anchor hour axis —
+#          the only serial window, whose partition size is bounded by
+#          the CALENDAR (≤ 8.8k rows/type/year at any data scale), then
+#          an equi-join back to the observed anchors.
+#     A user covered by some active hour in [x−23, x] lies in exactly one
+#     merged interval containing x, so the running delta sum at x counts
+#     distinct users exactly. Planted hot-type check:
+#     scripts/skew_check.py.
 #
 #     Oracle = the direct recount: a range self-join of observed (type,
 #     hour) anchors against raw events in [h-23, h] with COUNT(DISTINCT)
-#     — quadratic-in-window recount vs incremental set flatten pin each
-#     other.
+#     — quadratic-in-window recount vs interval sweep pin each other.
 
 def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_distinct_frame(_events_cents(spark, sf_dir))
@@ -2045,31 +2067,69 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def rolling_distinct_frame(ev: DataFrame) -> DataFrame:
     """Core path over any (event_type, ts, user_id) frame — factored out
-    so scripts/scale_check.py can drive it at N× event scale."""
+    so scripts/skew_check.py can drive it at N× event scale."""
     hour_x = (
         F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
         + F.hour("ts")
     ).cast("long")
-    per_hour = (
-        ev.select("event_type", hour_x.alias("x"), "user_id")
-        .groupBy("event_type", "x")
-        .agg(
-            F.collect_set("user_id").alias("users"),
-            F.countDistinct("user_id").alias("n_distinct_1h"),
-        )
+    uh = ev.select("event_type", hour_x.alias("x"), "user_id").distinct()
+    anchors = uh.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).alias("n_distinct_1h")  # uh is distinct per user
     )
-    w = (
+    # 2. per-user interval merge: a new coverage interval opens when the
+    #    gap to the previous active hour exceeds the 23h carry
+    w_user = Window.partitionBy("event_type", "user_id").orderBy("x")
+    ivs = (
+        uh.withColumn(
+            "new_iv",
+            F.when(
+                F.coalesce(F.col("x") - F.lag("x").over(w_user), F.lit(24))
+                > 23,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "iv_id",
+            F.sum("new_iv").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("event_type", "user_id", "iv_id")
+        .agg(F.min("x").alias("s"), (F.max("x") + 23).alias("e"))
+    )
+    # 3. boundary deltas, collapsed to the (type, hour) axis
+    deltas = (
+        ivs.select("event_type", F.col("s").alias("x"), F.lit(1).alias("d"))
+        .unionByName(
+            ivs.select(
+                "event_type", (F.col("e") + 1).alias("x"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("d").alias("d"))
+    )
+    # 4. running sum over the union axis (calendar-bounded per type),
+    #    evaluated at the observed anchors
+    axis = (
+        deltas.select("event_type", "x")
+        .unionByName(anchors.select("event_type", "x"))
+        .distinct()
+    )
+    w_type = (
         Window.partitionBy("event_type")
         .orderBy("x")
-        .rangeBetween(-23, 0)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return per_hour.select(
+    running = axis.join(deltas, ["event_type", "x"], "left").select(
         "event_type",
         "x",
-        "n_distinct_1h",
-        F.size(
-            F.array_distinct(F.flatten(F.collect_list("users").over(w)))
-        ).cast("long").alias("n_distinct_24h"),
+        F.sum(F.coalesce(F.col("d"), F.lit(0))).over(w_type).alias("n24"),
+    )
+    return anchors.join(running, ["event_type", "x"]).select(
+        "event_type",
+        "x",
+        F.col("n_distinct_1h").cast("long").alias("n_distinct_1h"),
+        F.col("n24").cast("long").alias("n_distinct_24h"),
     )
 
 
@@ -2093,4 +2153,125 @@ FROM anchors a
 JOIN ev e
   ON e.event_type = a.event_type AND e.x BETWEEN a.x - 23 AND a.x
 GROUP BY a.event_type, a.x, a.n_distinct_1h
+"""
+
+
+# --- events_rolling_distinct_kmv: the APPROXIMATE tier of the sliding
+#     distinct — per-(type, hour) bottom-K KMV sketches merged across the
+#     trailing 24h RANGE frame. The r6 verdict named this the downgrade
+#     path when even the exact sweep's U rows are too many; the operator
+#     demonstrates WHY sketches make the problem easy: bottom-K of a
+#     union equals bottom-K of the union of per-part bottom-Ks (any hash
+#     among the K smallest of the union has < K union hashes below it, a
+#     fortiori < K in its own part), so the frame flatten carries a
+#     CONSTANT <= 24K hashes per output row at ANY user cardinality —
+#     the state bound the r5 exact form lacked. The sketch is a
+#     deterministic function of the data (md5 48-bit prefixes, no RNG),
+#     so the oracle pins it EXACTLY: same bottom-K, same kth value, same
+#     integer estimator — approximation error vs true counts is a
+#     property of the estimator, not nondeterminism.
+#     Estimator: (K-1) * 2^48 DIV h_K (k_used when under-full — exact).
+
+KMV24_K = 64
+_KMV24_RADIX = 1 << 48
+
+
+def events_rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hour_x = (
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
+        + F.hour("ts")
+    ).cast("long")
+    hashed = (
+        ev.select(
+            "event_type",
+            hour_x.alias("x"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    wth = Window.partitionBy("event_type", "x").orderBy("h")
+    per_hour = (
+        hashed.withColumn("rn", F.row_number().over(wth))
+        .filter(F.col("rn") <= KMV24_K)
+        .groupBy("event_type", "x")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+    w24 = Window.partitionBy("event_type").orderBy("x").rangeBetween(-23, 0)
+    merged = per_hour.select(
+        "event_type",
+        "x",
+        F.slice(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("hs").over(w24)))
+            ),
+            1,
+            KMV24_K,
+        ).alias("mh"),
+    )
+    return merged.select(
+        "event_type",
+        "x",
+        F.size("mh").cast("long").alias("k_used"),
+        F.element_at("mh", -1).alias("hk"),
+        F.when(F.size("mh") < KMV24_K, F.size("mh").cast("long"))
+        .otherwise(
+            F.expr(
+                f"({KMV24_K} - 1) * CAST({_KMV24_RADIX} AS BIGINT)"
+                " DIV element_at(mh, -1)"
+            )
+        )
+        .cast("long")
+        .alias("est_distinct_24h"),
+    )
+
+
+EVENTS_ROLLING_DISTINCT_KMV_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) * 24
+           + CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS h
+  FROM events
+),
+dh AS (SELECT DISTINCT event_type, x, h FROM ev),
+topk AS (
+  SELECT event_type, x, h FROM (
+    SELECT event_type, x, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type, x ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn <= {KMV24_K}
+),
+anchors AS (SELECT DISTINCT event_type, x FROM dh),
+-- the oracle merges the RAW distinct hashes of the window (not the
+-- per-hour sketches): agreement proves bottom-K mergeability lossless
+win AS (
+  SELECT DISTINCT a.event_type, a.x, e.h
+  FROM anchors a
+  JOIN dh e
+    ON e.event_type = a.event_type AND e.x BETWEEN a.x - 23 AND a.x
+),
+sk AS (
+  SELECT event_type, x, h FROM (
+    SELECT event_type, x, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type, x ORDER BY h) AS rn
+    FROM win
+  ) WHERE rn <= {KMV24_K}
+)
+SELECT event_type, x,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(MAX(h) AS BIGINT) AS hk,
+       CAST(CASE WHEN COUNT(*) < {KMV24_K} THEN COUNT(*)
+             ELSE ({KMV24_K} - 1) * CAST({_KMV24_RADIX} AS BIGINT) // MAX(h)
+           END AS BIGINT) AS est_distinct_24h
+FROM sk
+GROUP BY 1, 2
 """

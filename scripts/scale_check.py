@@ -60,9 +60,11 @@ def main() -> None:
     ))
     timed("latest_by_user", latest_by_key(big, ["user_id"], ["ts", "event_id"]))
 
-    # r6: exact 24h sliding-window distinct at N× events — the trailing
-    # RANGE frame flattens <=24 bounded per-hour user sets per anchor;
-    # state is frame-bounded, work ~linear in event volume
+    # r7: exact 24h sliding-window distinct at N× events — the user-
+    # coverage interval sweep (per-user lag merge + calendar-bounded
+    # per-type running sum); work ~linear in distinct user-hours,
+    # per-task state O(1) (see scripts/skew_check.py for the planted
+    # hot-type comparison against the r5 window-flatten form)
     from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
         rolling_distinct_frame,
     )
