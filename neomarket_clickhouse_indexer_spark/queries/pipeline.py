@@ -1324,10 +1324,16 @@ def _bpe_merge_fold(a: str, b: str):
     return step
 
 
-def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency table with initial character symbol arrays —
+    the one corpus-scale scan both BPE training and encode start from."""
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        # Empty tokens (double/leading spaces) diverge cross-engine:
+        # Spark sequence(1,0) is descending [1,0] -> ['',''] syms while
+        # DuckDB generate_series(1,0) is [] (ADVICE r6). Guard both sides.
+        .filter(F.length("word") >= 1)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
@@ -1340,6 +1346,12 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+
+
+def _bpe_train(words: DataFrame) -> list[tuple]:
+    """Run BPE_ITERS merge-learning iterations over the word-frequency
+    table; returns [(iteration, a, b, merged, pair_cnt, syms_after)] —
+    driver state is one merge rule + one count per iteration, bounded."""
     rows = []
     cur = words
     for it in range(1, BPE_ITERS + 1):
@@ -1372,6 +1384,11 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["s"]
         rows.append((it, a, b, a + b, int(pc), int(syms_after)))
         cur = nxt
+    return rows
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _bpe_train(_bpe_words(spark, sf_dir))
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -1392,17 +1409,21 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def _bpe_oracle_sql(iters: int) -> str:
-    """Generated-CTE oracle (the kmeans_train unrolling doctrine): per
-    iteration, pair counts + argmax as plain aggregates, then the greedy
-    merge as a per-word RECURSIVE-CTE automaton walking symbol positions —
-    the literal sequential semantics the Spark fold's closed form must
-    reproduce."""
+def _bpe_chain_sql(iters: int) -> str:
+    """The shared training-chain CTE prefix (w0..w{iters}, m1..m{iters}):
+    per iteration, pair counts + argmax as plain aggregates, then the
+    greedy merge as a per-word RECURSIVE-CTE automaton walking symbol
+    positions — the literal sequential semantics the Spark fold's closed
+    form must reproduce. Every chained iteration CTE is AS MATERIALIZED
+    (DuckDB inlines non-recursive CTEs; an inlined chain re-evaluates the
+    whole upstream pipeline once per recursion LEVEL — measured ~10x per
+    added iteration, CLAUDE.md r6 lesson 1)."""
     parts = [
         """WITH RECURSIVE w0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
          list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE len(word) >= 1
   GROUP BY 1
 )"""
     ]
@@ -1439,6 +1460,10 @@ step{i}(word, pos, acc) AS (
   WHERE s.pos = len(w.syms)
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(iters: int) -> str:
     sel = "\nUNION ALL\n".join(
         f"""SELECT CAST({i} AS BIGINT) AS iteration, m{i}.a AS left_sym,
        m{i}.b AS right_sym, m{i}.a || m{i}.b AS merged,
@@ -1448,10 +1473,103 @@ step{i}(word, pos, acc) AS (
 FROM m{i}"""
         for i in range(1, iters + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _bpe_chain_sql(iters) + "\n" + sel
 
 
 DOCS_BPE_MERGES_SQL = _bpe_oracle_sql(BPE_ITERS)
+
+
+# --- docs_bpe_encode: distributed BPE ENCODE with the trained merges —
+#     closing the tokenizer loop (r6 verdict task 4): docs_bpe_merges
+#     LEARNS the merge table but nothing applied it at corpus scale;
+#     every real pre-training pipeline needs the encode pass (token
+#     counts for mixture weights, packing, and billing live downstream
+#     of it). Two-level shape: the merge list (K rules, collected — the
+#     same bounded driver state the trainer already holds) is baked into
+#     a chain of K greedy left-to-right F.aggregate folds applied ONCE
+#     per DISTINCT corpus word (vocabulary-sized work), then per-doc
+#     counts come from a broadcast hash join of the per-(doc, word)
+#     occurrence table against the encoded vocabulary — the corpus-scale
+#     pass never runs the fold per occurrence. At 100 TB: one corpus
+#     scan for training word-freq, one for doc words; vocab broadcast.
+#
+#     Differential (genuinely different derivations): Spark RE-ENCODES
+#     w0 from the broadcast rule list (encode semantics); the oracle
+#     reads the TRAINING chain's final word states w{K} (train-time
+#     segmentation) — agreement proves encode(rules) == training final
+#     state, the property BPE relies on (Sennrich 2016 §3: applying
+#     learned operations in order reproduces training segmentation).
+#     Reference parity: token accounting analog of the reference's
+#     word-level stats (src/api.ts text metrics); beyond-ref surface.
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _bpe_words(spark, sf_dir)
+    rules = [(r[1], r[2]) for r in _bpe_train(words)]
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.length("word") >= 1)  # empty-token guard, mirrored in dw
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    enc = words.select("word", "syms")
+    for a, b in rules:  # K merge rules, applied in learned priority order
+        enc = enc.select(
+            "word",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), _bpe_merge_fold(a, b)
+            ).alias("syms"),
+        )
+    enc = enc.select(
+        "word",
+        F.length("word").cast("long").alias("w_chars"),
+        F.size("syms").cast("long").alias("w_bpe"),
+    )
+    return (
+        dw.join(F.broadcast(enc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("w_chars")).cast("long").alias("n_chars"),
+            F.sum(F.col("n") * F.col("w_bpe")).cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000000 DIV n_chars").alias(
+                "compression_ppm"
+            ),
+        )
+    )
+
+
+def _bpe_encode_oracle_sql(iters: int) -> str:
+    return (
+        _bpe_chain_sql(iters)
+        + f""",
+dw AS MATERIALIZED (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE len(word) >= 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(len(w.syms)) * 1000000 // SUM(len(word)) AS BIGINT)
+         AS compression_ppm
+FROM dw JOIN w{iters} w USING (word)
+GROUP BY doc_id
+"""
+    )
+
+
+DOCS_BPE_ENCODE_SQL = _bpe_encode_oracle_sql(BPE_ITERS)
 
 
 # --- docs_decontam_spans: SURGICAL (span-level) decontamination — the

@@ -928,6 +928,14 @@ QuerySpec("multimodal_doc_frames", M.multimodal_doc_frames,
               "aggregate (Arrow mapInPandas vs substring/sha256 oracle)"),
 QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               ("VS3",), "random-hyperplane LSH ANN with exact re-rank"),
+    QuerySpec("docs_bpe_encode", PL.docs_bpe_encode,
+              PL.DOCS_BPE_ENCODE_SQL, ("TX3", "J5", "BONUS"),
+              "distributed BPE ENCODE with the trained merge list: K "
+              "greedy folds applied once per DISTINCT word (vocab-sized "
+              "work), per-doc token counts via broadcast vocab join; "
+              "Spark re-encodes from the rule list while the oracle "
+              "reads the training chain's final word states — "
+              "encode(rules) == train-final pinned cross-engine"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -86,7 +86,7 @@ def global_windows(plan: str) -> int:
 
 
 for name in sorted(REGISTRY):
-    if name in ("domain_ledger_summary", "docs_bpe_merges"):
+    if name in ("domain_ledger_summary", "docs_bpe_merges", "docs_bpe_encode"):
         # these run eager work when built (ledger build; K BPE training
         # iterations with per-iteration argmax collects) — skip the
         # plan-only audit; their plans are vocabulary/ledger-bounded

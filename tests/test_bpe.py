@@ -47,6 +47,26 @@ def test_fold_matches_literal_automaton(spark, syms, a, b):
     assert got == _py_greedy(syms, a, b), (syms, a, b)
 
 
+def test_encode_totals_equal_training_final_state(spark):
+    """Corpus-wide invariant closing the tokenizer loop: the per-doc BPE
+    token counts emitted by docs_bpe_encode (re-encoding from the rule
+    list) must sum to the trainer's final corpus_syms_after (training
+    chain's last word states) — encode(rules) == train-final."""
+    from neomarket_clickhouse_indexer_spark.queries.pipeline import (
+        docs_bpe_encode,
+        docs_bpe_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    trained = docs_bpe_merges(spark, sf).collect()
+    final_syms = max(trained, key=lambda r: r["iteration"])["corpus_syms_after"]
+    enc = docs_bpe_encode(spark, sf).agg(
+        F.sum("n_bpe_tokens").alias("t"), F.sum("n_chars").alias("c")
+    ).collect()[0]
+    assert enc["t"] == final_syms
+    assert enc["c"] >= enc["t"]  # merges only ever shrink symbol counts
+
+
 def test_fold_only_ever_removes_symbols(spark):
     # realized merges = before - after, always >= 0 and <= floor(runs)
     df = spark.createDataFrame(
