@@ -2743,3 +2743,112 @@ WHERE GREATEST(inter * 1000000 // sz_a, inter * 1000000 // sz_b)
 DOCS_PAIR_RECALL_AUDIT_SQL = _pair_recall_audit_sql().replace(
     "{containment}", DOCS_CONTAINMENT_PAIRS_SQL
 )
+
+
+# --- docs_chunk_dedup_rewrite: corpus-level duplicate-CHUNK removal with
+#     document REASSEMBLY — the C4/RefinedWeb pre-training step ("remove
+#     any duplicated three-sentence span / line, keep one copy") that
+#     doc-level dedup (DD1) and span DETECTION (DD7 dup_ngram_spans)
+#     don't finish: the output here is the rewritten corpus, not a
+#     report. The fixture corpus has no sentence boundaries, so the unit
+#     is a fixed window of CHUNK_W consecutive words (same stand-in the
+#     shingle gates use). Keep-first policy: a chunk occurrence survives
+#     iff it is the corpus-wide minimal (doc_id, chunk_idx) occurrence of
+#     its text — deterministic, order-free, and exactly-once by
+#     construction. 100-TB shape: chunking is per-row (slice on the
+#     token array, no explode of words); the winner table is one
+#     hash aggregation keyed on md5(chunk) (128-bit — collision odds
+#     ~n^2/2^129, same documented epsilon as the md5 LSH band keys) and
+#     joins back as a shuffle hash join on that uniform key; reassembly
+#     is one per-doc hash aggregation (collect_list bounded by the
+#     document's own chunk count). No window over corpus-scale frames,
+#     no all-pairs anything. Oracle keys the winner rank on the RAW
+#     chunk text via ROW_NUMBER (no hashing) — agreeing outputs prove
+#     the md5 keying collision-free on the data and the keep-first
+#     semantics identical under a genuinely different winner derivation.
+
+CHUNK_W = 8
+
+
+def docs_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t) + {CHUNK_W - 1}) DIV {CHUNK_W} - 1), "
+                f"i -> array_join(slice(t, i * {CHUNK_W} + 1, {CHUNK_W}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    occ = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.md5("chunk").alias("ck"),
+    )
+    winners = occ.groupBy("ck").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    )
+    tagged = occ.join(winners, "ck").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("chunk_idx") == F.col("w.chunk_idx")),
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("chunk_idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ).alias("text_rewritten"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "text_rewritten",
+        )
+    )
+
+
+DOCS_CHUNK_DEDUP_REWRITE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         array_to_string(
+           list_slice(t, (i - 1) * {CHUNK_W} + 1, (i - 1) * {CHUNK_W} + {CHUNK_W}),
+           ' ') AS chunk
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, (len(t) + {CHUNK_W - 1}) // {CHUNK_W})) AS i
+    FROM toks
+  )
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx),
+         '') AS text_rewritten
+FROM ranked
+GROUP BY doc_id
+"""

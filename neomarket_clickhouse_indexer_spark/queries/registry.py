@@ -936,6 +936,27 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "Spark re-encodes from the rule list while the oracle "
               "reads the training chain's final word states — "
               "encode(rules) == train-final pinned cross-engine"),
+    QuerySpec("docs_chunk_dedup_rewrite", D.docs_chunk_dedup_rewrite,
+              D.DOCS_CHUNK_DEDUP_REWRITE_SQL, ("DD1", "W2", "BONUS"),
+              "C4/RefinedWeb duplicate-chunk removal with document "
+              "REASSEMBLY: keep-first over corpus-wide 8-word chunks "
+              "(md5-keyed winner agg + hash join back + per-doc ordered "
+              "reassembly) vs the oracle's raw-text ROW_NUMBER winner — "
+              "output is the rewritten corpus, not a report"),
+    QuerySpec("knn_ivf_incremental", V.knn_ivf_incremental,
+              V.KNN_IVF_INCREMENTAL_SQL, ("VS4", "S3", "BONUS"),
+              "incremental IVF cell-index maintenance: frozen "
+              "base-trained codebook, ONLY the arriving batch is "
+              "assigned and appended to the persisted cell table; "
+              "append == scratch-rebuild oracle bit-for-bit (the ANN "
+              "mirror of docs_bands_incremental)"),
+    QuerySpec("events_quantile_select", TS.events_quantile_select,
+              TS.EVENTS_QUANTILE_SELECT_SQL, ("A1", "W4", "BONUS"),
+              "exact p50/p90/p99 order-statistic selection per type "
+              "WITHOUT a global sort: two-level histogram selection "
+              "(domain-bounded bucket pass -> rank-k bucket locate -> "
+              "value pass over target buckets only), fully declarative, "
+              "vs the oracle's literal full-sort ROW_NUMBER pick"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

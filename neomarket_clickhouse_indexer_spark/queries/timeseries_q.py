@@ -2275,3 +2275,133 @@ SELECT event_type, x,
 FROM sk
 GROUP BY 1, 2
 """
+
+
+# --- events_quantile_select: EXACT distributed quantile SELECTION without
+#     a global sort — the order-statistic primitive (exact p50/p90/p99 of
+#     the payment distribution per event type) that engines usually
+#     approximate (ClickHouse quantileExact materializes the whole column
+#     per group; reference analog: the API's summary percentiles,
+#     src/api.ts stats endpoints). Naive exact quantile = global sort of
+#     the column (a full-data range shuffle — the single most expensive
+#     plan shape at 100 TB). This is the two-level histogram-selection
+#     algorithm instead, fully declarative (no driver iteration):
+#       1. bucket pass: per (type, cents DIV 256) counts — output is
+#          bounded by value DOMAIN / 256 per type, independent of row
+#          count; running sum over the per-type bucket axis (a window
+#          whose partition is domain-bounded, never row-bounded);
+#       2. the rank k = (n-1)*q DIV 100 + 1 for each target quantile
+#          locates its unique containing bucket (cum >= k, cum-cnt < k)
+#          in the tiny bucket table — broadcast back;
+#       3. value pass: ONLY rows landing in a target bucket (<= 256
+#          distinct values each) get per-value counts; a second
+#          domain-bounded running sum finds the first value where
+#          offset + cum reaches k. Everything is integer; ties need no
+#          break because rank-k VALUE is well-defined under duplicates.
+#     At 100 TB: two map-side-combinable aggregations + two windows over
+#     domain-bounded axes; no row-scale shuffle, no sort, no collect.
+#
+#     Oracle = the literal definition: ROW_NUMBER over the per-type
+#     value order, pick rn = k — the full sort the Spark path avoids.
+
+QSEL_PCTS = (50, 90, 99)
+QSEL_BUCKET = 256
+
+
+def events_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).select(
+        "event_type",
+        "cents",
+        F.expr(f"cents DIV {QSEL_BUCKET}").alias("b"),
+    )
+    bc = ev.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bcum = bc.select("event_type", "b", "cnt", F.sum("cnt").over(wb).alias("cum"))
+    ks = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.explode(
+                F.array(*[F.lit(p).cast("long") for p in QSEL_PCTS])
+            ).alias("q_pct"),
+        )
+        .withColumn("k", F.expr("(n - 1) * q_pct DIV 100 + 1"))
+    )
+    # one row per (type, quantile): the bucket containing rank k, plus the
+    # count of rows strictly below it — tiny by construction (|types| x 3)
+    tgt = (
+        bcum.join(ks, "event_type")
+        .filter((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("cnt") < F.col("k")))
+        .select(
+            "event_type",
+            "q_pct",
+            "n",
+            "k",
+            "b",
+            (F.col("cum") - F.col("cnt")).alias("offset"),
+        )
+    )
+    wv = (
+        Window.partitionBy("event_type", "q_pct")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.join(F.broadcast(tgt), ["event_type", "b"])
+        .groupBy("event_type", "q_pct", "n", "k", "offset", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            "q_pct",
+            "n",
+            "k",
+            "offset",
+            "cents",
+            F.sum("c").over(wv).alias("vcum"),
+        )
+        .filter(F.col("offset") + F.col("vcum") >= F.col("k"))
+        .groupBy("event_type", "q_pct", "n", "k")
+        .agg(F.min("cents").alias("value_cents"))
+        .select(
+            "event_type",
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.col("n").cast("long").alias("n"),
+            F.col("k").cast("long").alias("k"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+EVENTS_QUANTILE_SELECT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, {_CENTS} AS cents FROM events
+),
+ks AS (
+  SELECT tn.event_type, tn.n, q.q_pct
+  FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev GROUP BY event_type) tn
+  CROSS JOIN (
+    SELECT CAST(unnest([{", ".join(str(p) for p in QSEL_PCTS)}]) AS BIGINT)
+      AS q_pct
+  ) q
+),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+  FROM ev
+)
+SELECT ks.event_type,
+       ks.q_pct,
+       ks.n,
+       CAST((ks.n - 1) * ks.q_pct // 100 + 1 AS BIGINT) AS k,
+       CAST(r.cents AS BIGINT) AS value_cents
+FROM ks
+JOIN r ON r.event_type = ks.event_type
+      AND r.rn = (ks.n - 1) * ks.q_pct // 100 + 1
+"""

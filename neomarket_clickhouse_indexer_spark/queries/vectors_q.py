@@ -310,6 +310,12 @@ WHERE rank <= 3
 
 def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= N_QUERIES)
+    return _centroids_of(emb)
+
+
+def _centroids_of(emb: DataFrame) -> DataFrame:
+    """Exact per-label centroids of any (label, embedding) frame — the
+    decimal-discipline mean both engines derive bit-identically."""
     ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
     per_dim = ex.groupBy("label", "dim").agg(
         (
@@ -1897,3 +1903,107 @@ sel{t} AS MATERIALIZED (
 
 
 KNN_MMR_RERANK_SQL = _mmr_oracle_sql(MMR_K)
+
+
+# --- knn_ivf_incremental: INCREMENTAL maintenance of the IVF cell index —
+#     the ANN mirror of docs_bands_incremental and the property that makes
+#     vector indexes operable at 100 TB: when a batch of vectors arrives,
+#     the codebook is NOT retrained and existing assignments are NOT
+#     recomputed — only the batch is assigned against the frozen
+#     (base-trained) centroids and appended to the persisted cell table
+#     (sources/sinks.py append sink). The gate reads the incrementally
+#     built table and must match the scratch-rebuild oracle exactly:
+#     assignment is per-vector against a fixed codebook (embarrassingly
+#     parallel), so append == rebuild, bit-for-bit. Deliberate freshness
+#     trade-off of every real IVF deployment (batch vectors can only land
+#     in cells that existed at training time); centroid drift repair is a
+#     periodic offline rebuild, not a per-batch cost. Reference MV
+#     analog: clickhouse/init/001_create_tables.sql:389-430 (insert-only
+#     partial states, never rebuild).
+
+
+def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    is_new = F.pmod(F.col("vec_id"), F.lit(5)) == 4  # deterministic batch
+    # frozen codebook: trained on the BASE only; persist() — it feeds both
+    # assignment passes (the semdedup double-execution lesson)
+    cents = _centroids_of(corpus.filter(~is_new)).persist()
+
+    def assign(vecs: DataFrame) -> DataFrame:
+        # drop the vector's own label column — `label` below must bind to
+        # the codebook's cell id, not the vector's true class
+        vecs = vecs.select("vec_id", "embedding")
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            F.col("label").alias("cell"),
+            VX.cosine_rounded(F.col("embedding"), F.col("centroid"), 6).alias(
+                "cell_sim"
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cell_sim"), F.asc("cell")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", F.col("cell").cast("long").alias("cell"), "cell_sim")
+        )
+
+    # pid-scoped staging dir (streaming-chunk discipline: concurrent
+    # driver_sim + pytest over one sf_dir must not race)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    table = f"/tmp/nmci_ivf_incr_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    assign(corpus.filter(~is_new)).write.mode("overwrite").parquet(table)
+    append(assign(corpus.filter(is_new)), table)  # ONLY the batch assigns
+    return spark.read.parquet(table)
+
+
+_IVFI_DOT = (
+    "list_sum(list_transform(generate_series(1, len(c.embedding)), "
+    "i -> CAST(c.embedding[i] AS DOUBLE) * centroid[i]))"
+)
+_IVFI_CNORM = (
+    "sqrt(list_sum(list_transform(c.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+# scratch rebuild with the SAME frozen (base-trained) codebook
+KNN_IVF_INCREMENTAL_SQL = f"""
+WITH centroid_dims AS (
+  SELECT label, i - 1 AS dim,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+           / COUNT(*) AS mean_v
+  FROM (
+    SELECT label, unnest(embedding) AS v,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings WHERE vec_id >= {N_QUERIES} AND vec_id % 5 != 4
+  )
+  GROUP BY 1, 2
+),
+centroids AS (
+  SELECT label, list(mean_v ORDER BY dim) AS centroid
+  FROM centroid_dims GROUP BY label
+),
+scored AS (
+  SELECT c.vec_id, centroids.label AS cell,
+         ROUND({_IVFI_DOT} / ({_IVFI_CNORM} * {_CENT_NORM}), 6) AS cell_sim
+  FROM embeddings c, centroids
+  WHERE c.vec_id >= {N_QUERIES}
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, cell_sim
+FROM (
+  SELECT vec_id, cell, cell_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cell_sim DESC, cell) AS r
+  FROM scored
+)
+WHERE r = 1
+"""
