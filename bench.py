@@ -68,6 +68,14 @@ HEADLINE = [
     "events_rolling_distinct_users",
     "join_cardinality_estimate",
     "knn_mmr_rerank",
+    # r7 additions: approximate sliding distinct, selection, rewrite,
+    # triangles (knn_ivf_incremental is NOT benched: like
+    # docs_bands_incremental it stages parquet eagerly at build time —
+    # the gate pins it; assignment cost is knn_ivf's, already covered)
+    "events_rolling_distinct_kmv",
+    "events_quantile_select",
+    "docs_chunk_dedup_rewrite",
+    "parts_coorder_triangles",
     # docs_bpe_merges is NOT benched: its cost is K driver round-trips of
     # vocabulary-sized jobs (argmax collect per iteration) — wall time
     # measures scheduler latency, not data-path throughput; the gate +

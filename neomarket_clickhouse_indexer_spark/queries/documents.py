@@ -810,10 +810,17 @@ HYBRID_SIM_THRESHOLD = 0.0
 
 
 def docs_hybrid_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import vectors as VX
-
     pairs = docs_near_dup_pairs(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return hybrid_verify_frame(pairs, emb)
+
+
+def hybrid_verify_frame(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Embedding-cosine verify over any (doc_a, doc_b) candidate frame —
+    factored out so docs_pair_recall_audit can feed it from the shared
+    persisted candidate subtree."""
+    from ..functions import vectors as VX
+
     ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("emb_b"))
     return (
@@ -1525,11 +1532,22 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.lit(0.0).alias("jaccard"),
     )
+    # sixth path (r7 breadth rotation): the DD3 hybrid lexical+semantic
+    # verify — embedding cosine over the SAME persisted candidates
+    # (docs_hybrid_near_dup's whole logic), cosine carried in the
+    # jaccard slot; nearly free given the shared subtree (the embedding
+    # join touches only candidate ids)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    hy = hybrid_verify_frame(pairs, emb).select(
+        F.lit("hybrid").alias("path"), "doc_a", "doc_b",
+        F.col("cosine_sim").alias("jaccard"),
+    )
     return (
         lsh.unionByName(ss)
         .unionByName(cl)
         .unionByName(ct)
         .unionByName(incr)
+        .unionByName(hy)
     )
 
 
@@ -1552,6 +1570,9 @@ FROM ({{containment}})
 UNION ALL
 SELECT 'lsh_incr' AS path, doc_a, doc_b, 0.0 AS jaccard
 FROM ({DOCS_NEAR_DUP_PAIRS_SQL})
+UNION ALL
+SELECT 'hybrid' AS path, doc_a, doc_b, cosine_sim AS jaccard
+FROM ({DOCS_HYBRID_NEAR_DUP_SQL})
 """
 
 
@@ -2771,7 +2792,12 @@ CHUNK_W = 8
 
 
 def docs_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_frame(load_table(spark, sf_dir, "documents"))
+
+
+def chunk_dedup_frame(docs: DataFrame) -> DataFrame:
+    """Core path over any (doc_id, text) frame — factored out so
+    scripts/scale_check.py can drive it at N× corpus scale."""
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
     chunks = toks.select(
         "doc_id",

@@ -395,3 +395,130 @@ SELECT nt AS node_type, CAST(id AS BIGINT) AS node_id,
 FROM walk
 GROUP BY 1, 2
 """
+
+
+# --- parts_coorder_triangles: TRIANGLE COUNTING on the parts co-order
+#     graph (edge = two parts appearing in the same order) — the classic
+#     distributed-graph primitive behind clustering-coefficient /
+#     community features. The naive triple self-join enumerates every
+#     wedge of every hub (sum of deg^2 — quadratic in the hottest key);
+#     the Spark path uses DEGREE-ORDERED ORIENTATION instead (Cohen /
+#     Suri-Vassilvitskii MapReduce form): orient each undirected edge
+#     from its (degree, id)-smaller endpoint, so every node's
+#     OUT-degree is bounded by O(sqrt(m)) regardless of its raw degree,
+#     wedges come from one equi-self-join of the oriented list on the
+#     apex (total wedge work O(m^1.5), the optimal bound), and each
+#     triangle is closed exactly once at its unique (degree, id)-minimal
+#     apex by one equi-join back to the undirected edge set. Per-node
+#     counts explode the triangle's three corners; top-K via
+#     orderBy().limit() (never a global window over the node frame).
+#     Edge build is bounded too: pairs-within-order is quadratic only in
+#     ORDER SIZE (~4-7 lines), never in part popularity.
+#
+#     Oracle: the literal textbook triple join e(a,b) ⋈ e(b,c) ⋈ e(a,c)
+#     with a<b<c on raw ids — a genuinely different enumeration order
+#     (id-canonical vs degree-oriented) that must agree triangle-for-
+#     triangle. Edge CTE MATERIALIZED (it feeds three join legs).
+#     Reference analog: no graph surface in the reference — BONUS
+#     beyond-ref, same family as supplier_pagerank/reach_bfs.
+
+TRI_TOP = 20
+
+
+def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return coorder_triangles_frame(
+        li, spark.sparkContext.defaultParallelism
+    )
+
+
+def coorder_triangles_frame(li: DataFrame, P: int) -> DataFrame:
+    """Core path over any (l_orderkey, l_partkey) frame — factored out so
+    scripts/scale_check.py can drive it at N× graph scale."""
+    lp = li.distinct()
+    a = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    # persist(): the undirected edge set feeds degree calc, orientation,
+    # AND the closure join (three consumers — the semdedup subtree rule)
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .repartition(P, "n")
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e2 = edges.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e2.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).persist()
+    w1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+    w2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = (
+        w1.join(w2, "s")
+        .filter(F.col("t1") < F.col("t2"))  # id-canonical closure key
+        .select("s", F.col("t1").alias("u"), F.col("t2").alias("v"))
+    )
+    tri = wedges.join(edges, ["u", "v"])  # closure against the undirected set
+    per_node = (
+        tri.select(F.col("s").alias("node"))
+        .unionByName(tri.select(F.col("u").alias("node")))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .repartition(P, "node")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )
+    top = per_node.orderBy(F.desc("tri_cnt"), F.asc("node")).limit(TRI_TOP)
+    w_rank = Window.orderBy(F.desc("tri_cnt"), F.asc("node"))  # <= 20 rows
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("long")).select(
+        F.col("node").alias("part_key"),
+        "rank",
+        F.col("tri_cnt").cast("long").alias("tri_cnt"),
+    )
+
+
+PARTS_COORDER_TRIANGLES_SQL = f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a
+  JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+  FROM (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+  )
+  GROUP BY node
+)
+SELECT node AS part_key, rank, tri_cnt
+FROM (
+  SELECT node, tri_cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY tri_cnt DESC, node) AS BIGINT)
+           AS rank
+  FROM per_node
+)
+WHERE rank <= {TRI_TOP}
+"""

@@ -156,10 +156,11 @@ _SPECS: list[QuerySpec] = [
               "AND docs_containment_pairs (asymmetric subset-dup verify, "
               "max-direction containment as exact ppm/1e6), AND "
               "docs_bands_incremental (append-vs-rebuild band-table MV "
-              "maintenance — the r7 rotation), labeled by path; one "
-              "persisted candidate subtree feeds the verify paths (all "
-              "displaced/absorbed entries stay oracle-checked in the "
-              "tail)"),
+              "maintenance — r7), AND docs_hybrid_near_dup (DD3 "
+              "embedding-cosine verify over the same candidates — r7), "
+              "labeled by path; one persisted candidate subtree feeds "
+              "every verify path (all displaced/absorbed entries stay "
+              "oracle-checked in the tail)"),
     QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
               ("DD5",), "16-bit SimHash document signatures"),
     QuerySpec("docs_word_filter_top", D.docs_word_filter_top,
@@ -957,6 +958,20 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "(domain-bounded bucket pass -> rank-k bucket locate -> "
               "value pass over target buckets only), fully declarative, "
               "vs the oracle's literal full-sort ROW_NUMBER pick"),
+    QuerySpec("parts_coorder_triangles", G.parts_coorder_triangles,
+              G.PARTS_COORDER_TRIANGLES_SQL, ("J1", "W4", "BONUS"),
+              "triangle counting on the parts co-order graph via "
+              "degree-ordered orientation (out-degree bounded "
+              "O(sqrt(m)), wedge work O(m^1.5), each triangle closed "
+              "once at its (degree,id)-minimal apex) vs the oracle's "
+              "id-canonical textbook triple join"),
+    QuerySpec("events_value_mad_outliers", TS.events_value_mad_outliers,
+              TS.EVENTS_VALUE_MAD_OUTLIERS_SQL, ("A1", "P5", "BONUS"),
+              "median/MAD robust outlier detection per type (50% "
+              "breakdown point vs mean/stddev z-scores): the exact "
+              "selection machinery run twice (median, then median of "
+              "absolute deviations) + one integer 3-MAD flag pass, vs "
+              "the oracle's double full-sort ROW_NUMBER rank-k"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

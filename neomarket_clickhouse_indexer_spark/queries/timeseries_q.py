@@ -2309,7 +2309,17 @@ QSEL_BUCKET = 256
 
 
 def events_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir).select(
+    return quantile_select_frame(_events_cents(spark, sf_dir))
+
+
+def quantile_select_frame(
+    ev_cents: DataFrame, pcts: tuple[int, ...] = QSEL_PCTS
+) -> DataFrame:
+    """Core path over any (event_type, cents) frame — factored out so
+    scripts/scale_check.py can drive it at N× event scale, and so
+    events_value_mad_outliers can run the selection twice (median of
+    values, then median of absolute deviations)."""
+    ev = ev_cents.select(
         "event_type",
         "cents",
         F.expr(f"cents DIV {QSEL_BUCKET}").alias("b"),
@@ -2328,7 +2338,7 @@ def events_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
             F.explode(
-                F.array(*[F.lit(p).cast("long") for p in QSEL_PCTS])
+                F.array(*[F.lit(p).cast("long") for p in pcts])
             ).alias("q_pct"),
         )
         .withColumn("k", F.expr("(n - 1) * q_pct DIV 100 + 1"))
@@ -2404,4 +2414,108 @@ SELECT ks.event_type,
 FROM ks
 JOIN r ON r.event_type = ks.event_type
       AND r.rn = (ks.n - 1) * ks.q_pct // 100 + 1
+"""
+
+
+# --- events_value_mad_outliers: ROBUST outlier detection per event type —
+#     median + MAD (median absolute deviation), the estimator that
+#     survives the contamination it is trying to measure (mean/stddev
+#     z-scores are dragged by the very outliers they flag; median/MAD
+#     have a 50% breakdown point). Composes the exact distributed
+#     SELECTION machinery (quantile_select_frame) twice with NO new
+#     algorithmic surface: pass 1 selects each type's median value,
+#     pass 2 selects the median of |cents − med| over the deviation
+#     frame, then one aggregation flags |cents − med| > 3·MAD. Everything
+#     stays in integer cents (deviations are exact, the 3·MAD threshold
+#     is an integer compare), so the differential is exact. Same 100-TB
+#     shape as events_quantile_select: two domain-bounded selection
+#     passes + one scan-aggregation; the tiny per-type medians broadcast.
+#
+#     Oracle: rank-k via ROW_NUMBER twice (the full-sort definition) +
+#     direct recount — k = (n-1) DIV 2 + 1 (the same rank both engines
+#     pin; n is unchanged between passes since |x − med| never drops
+#     rows).
+
+MAD_K_FACTOR = 3
+
+
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).select("event_type", "cents")
+    med = quantile_select_frame(ev, pcts=(50,)).select(
+        "event_type", F.col("value_cents").alias("med_cents")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("cents"),
+    )
+    mad = quantile_select_frame(dev, pcts=(50,)).select(
+        "event_type", F.col("value_cents").alias("mad_cents")
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("cents") - F.col("med_cents"))
+                    > F.lit(MAD_K_FACTOR) * F.col("mad_cents")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("med_cents").cast("long").alias("med_cents"),
+            F.col("mad_cents").cast("long").alias("mad_cents"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            F.expr("n_outliers * 1000000 DIV n").alias("outlier_ppm"),
+        )
+    )
+
+
+EVENTS_VALUE_MAD_OUTLIERS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, {_CENTS} AS cents FROM events
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1
+),
+med AS (
+  SELECT r.event_type, r.cents AS med_cents
+  FROM (
+    SELECT event_type, cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+    FROM ev
+  ) r
+  JOIN n ON n.event_type = r.event_type
+  WHERE r.rn = (n.n - 1) // 2 + 1
+),
+dev AS (
+  SELECT ev.event_type, abs(ev.cents - med.med_cents) AS d, med.med_cents
+  FROM ev JOIN med ON med.event_type = ev.event_type
+),
+mad AS (
+  SELECT r.event_type, r.d AS mad_cents
+  FROM (
+    SELECT event_type, d,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+    FROM dev
+  ) r
+  JOIN n ON n.event_type = r.event_type
+  WHERE r.rn = (n.n - 1) // 2 + 1
+)
+SELECT dev.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(dev.med_cents) AS BIGINT) AS med_cents,
+       CAST(MAX(mad.mad_cents) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dev.d > {MAD_K_FACTOR} * mad.mad_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN dev.d > {MAD_K_FACTOR} * mad.mad_cents
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS outlier_ppm
+FROM dev
+JOIN mad ON mad.event_type = dev.event_type
+GROUP BY dev.event_type
 """

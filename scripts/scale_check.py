@@ -76,6 +76,23 @@ def main() -> None:
                        "user_id")
         ),
     )
+    # r7: exact quantile selection at N× events — two domain-bounded
+    # aggregation passes; the bucket axis does NOT grow with row count,
+    # so work should be scan-dominated (~linear)
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        quantile_select_frame,
+    )
+
+    timed(
+        "quantile_select",
+        quantile_select_frame(
+            big.select(
+                "event_type",
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+            )
+        ),
+    )
+
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     fifo_in = (
         big.filter(F.col("event_type").isin("purchase", "click"))
@@ -150,6 +167,15 @@ def main() -> None:
     )
 
     timed("dup_ngram_spans", dup_ngram_spans_frame(big_docs))
+
+    # r7: chunk-dedup corpus rewrite at N× docs — chunking is per-row,
+    # the winner agg + join back shuffle on near-unique md5 keys, and
+    # reassembly is bounded by each doc's own chunk count (~linear)
+    from neomarket_clickhouse_indexer_spark.queries.documents import (
+        chunk_dedup_frame,
+    )
+
+    timed("chunk_dedup_rewrite", chunk_dedup_frame(big_docs))
 
     # r6: bigram-LM conditional surprisal at N× docs — one corpus explode
     # into the bigram stream, vocabulary-sized left-context broadcast,
@@ -459,6 +485,38 @@ def main() -> None:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= 2),
     )
+
+    # r7: triangle counting at N× graph scale — N disjoint copies of the
+    # co-order graph (orderkeys AND partkeys shifted per replica), so
+    # edges and triangles both grow ~N×; the degree-ordered orientation
+    # must keep wedge work ~linear in the copy count
+    from neomarket_clickhouse_indexer_spark.queries.graph_q import (
+        coorder_triangles_frame,
+    )
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    li_path = f"/tmp/scale_check_li_x{n}.parquet"
+    if not os.path.exists(li_path):
+        reps = spark.range(n).withColumnRenamed("id", "rep")
+        (
+            li.crossJoin(reps)
+            .select(
+                (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias(
+                    "l_orderkey"
+                ),
+                (F.col("l_partkey") + F.col("rep") * 10_000_000).alias(
+                    "l_partkey"
+                ),
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(li_path)
+        )
+    big_li = spark.read.parquet(li_path)
+    print(f"lineitem: {big_li.count():,}")
+    timed("coorder_triangles", coorder_triangles_frame(big_li, 64))
 
 
 if __name__ == "__main__":
