@@ -423,6 +423,7 @@ GROUP BY 1, 2
 #     beyond-ref, same family as supplier_pagerank/reach_bfs.
 
 TRI_TOP = 20
+TRI_MIN_SUPPORT = 2
 
 
 def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,12 +440,21 @@ def coorder_triangles_frame(li: DataFrame, P: int) -> DataFrame:
     a = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
     # persist(): the undirected edge set feeds degree calc, orientation,
-    # AND the closure join (three consumers — the semdedup subtree rule)
+    # AND the closure join (three consumers — the semdedup subtree rule).
+    # MIN-SUPPORT prune (association-rule discipline): an edge must
+    # co-occur in >= TRI_MIN_SUPPORT orders. Support-1 pairs are
+    # coincidence, not correlation — and they are ~99.7% of all pairs at
+    # sf0.1 (1.19M of 1.196M), turning the co-order graph into a dense
+    # hairball whose wedge space explodes (first un-pruned 30x run:
+    # 402s); the support filter is the same shuffle as the DISTINCT it
+    # replaces, so pruning is free.
     edges = (
         a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUPPORT)
         .select("u", "v")
-        .distinct()
         .persist()
     )
     deg = (
@@ -494,9 +504,11 @@ WITH lp AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 e AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM lp a
   JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
 ),
 t AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c

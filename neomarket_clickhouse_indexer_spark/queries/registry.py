@@ -972,6 +972,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "selection machinery run twice (median, then median of "
               "absolute deviations) + one integer 3-MAD flag pass, vs "
               "the oracle's double full-sort ROW_NUMBER rank-k"),
+    QuerySpec("events_hourly_autocov", TS.events_hourly_autocov,
+              TS.EVENTS_HOURLY_AUTOCOV_SQL, ("A1", "W2", "BONUS"),
+              "seasonality detection: exact lag-1h/24h autocovariance "
+              "numerators of the hourly volume series in DECIMAL(38) "
+              "(calendar-bounded series, sparse equi-join pairing) vs "
+              "the oracle's dense calendar-spine LAG window — gap "
+              "handling pinned cross-engine"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

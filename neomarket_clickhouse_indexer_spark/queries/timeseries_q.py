@@ -2519,3 +2519,125 @@ FROM dev
 JOIN mad ON mad.event_type = dev.event_type
 GROUP BY dev.event_type
 """
+
+
+# --- events_hourly_autocov: SEASONALITY DETECTION — exact lag-1h and
+#     lag-24h autocovariance numerators of each type's hourly volume
+#     series, the time-series-correlation primitive behind "is there a
+#     daily cycle in this stream" (a positive lag-24 covariance with a
+#     weak lag-1 says daily seasonality; the reverse says short-range
+#     momentum). All moments stay EXACT: hourly sums are integer cents,
+#     pair products accumulate in DECIMAL(38,0) (the events_moment_profile
+#     discipline — no float accumulation anywhere), and the output is the
+#     raw numerator n·Σab − Σa·Σb plus its component sums, never a
+#     rounded correlation (the CLAUDE.md restructure-instead-of-rounding
+#     rule: consumers normalize, the engine emits exact integers).
+#     100-TB shape: one hash agg to the (type, hour) series — bounded by
+#     CALENDAR × types, not rows — then a self-equi-join on (type, x+L)
+#     and one tiny per-type agg. Differential: Spark pairs via the
+#     SPARSE equi-join (x with x−L when both exist); the oracle pairs
+#     via a DENSE calendar spine (generate_series per type) + LAG(L)
+#     window with null checks — gap handling must agree exactly.
+
+AUTOCOV_LAGS = (1, 24)
+
+
+def events_hourly_autocov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hour_x = (
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
+        + F.hour("ts")
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_x.alias("x"), "cents")
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("s"))
+        .persist()  # feeds both sides of the join, for every lag
+    )
+    outs = []
+    for lag in AUTOCOV_LAGS:
+        prev = hourly.select(
+            "event_type",
+            (F.col("x") + F.lit(lag)).alias("x"),
+            F.col("s").alias("a"),
+        )
+        pairs = hourly.select("event_type", "x", F.col("s").alias("b")).join(
+            prev, ["event_type", "x"]
+        )
+        outs.append(
+            pairs.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("a").alias("sum_a"),
+                F.sum("b").alias("sum_b"),
+                F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias(
+                    "sum_ab"
+                ),
+            )
+            .select(
+                "event_type",
+                F.lit(lag).cast("long").alias("lag_h"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("sum_a").cast("long").alias("sum_a"),
+                F.col("sum_b").cast("long").alias("sum_b"),
+                F.col("sum_ab").cast("decimal(38,0)").alias("sum_ab"),
+                F.expr(
+                    "CAST(CAST(n_pairs AS DECIMAL(38,0)) * sum_ab "
+                    "- CAST(sum_a AS DECIMAL(38,0)) * sum_b "
+                    "AS DECIMAL(38,0))"
+                ).alias("cov_num"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _autocov_lag_sql(lag: int) -> str:
+    return f"""
+SELECT event_type,
+       CAST({lag} AS BIGINT) AS lag_h,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a) AS BIGINT) AS sum_a,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(CAST(a AS HUGEINT) * b) AS DECIMAL(38,0)) AS sum_ab,
+       CAST(COUNT(*) * SUM(CAST(a AS HUGEINT) * b)
+            - CAST(SUM(a) AS HUGEINT) * SUM(b) AS DECIMAL(38,0)) AS cov_num
+FROM (
+  SELECT event_type, x, s AS b,
+         LAG(s, {lag}) OVER (PARTITION BY event_type ORDER BY x) AS a
+  FROM dh
+)
+WHERE a IS NOT NULL AND b IS NOT NULL
+GROUP BY event_type
+"""
+
+
+EVENTS_HOURLY_AUTOCOV_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) * 24
+           + CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         {_CENTS} AS cents
+  FROM events
+),
+hourly AS MATERIALIZED (
+  SELECT event_type, x, CAST(SUM(cents) AS BIGINT) AS s
+  FROM ev GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, MIN(x) AS x0, MAX(x) AS x1 FROM hourly GROUP BY 1
+),
+dense AS (
+  SELECT event_type, unnest(generate_series(x0, x1)) AS x FROM spans
+),
+dh AS MATERIALIZED (
+  SELECT d.event_type, d.x, h.s
+  FROM dense d LEFT JOIN hourly h ON h.event_type = d.event_type AND h.x = d.x
+)
+{_autocov_lag_sql(1)}
+UNION ALL
+{_autocov_lag_sql(24)}
+"""
