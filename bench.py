@@ -76,6 +76,8 @@ HEADLINE = [
     "events_quantile_select",
     "docs_chunk_dedup_rewrite",
     "parts_coorder_triangles",
+    "events_value_mad_outliers",
+    "events_hourly_autocov",
     # docs_bpe_merges is NOT benched: its cost is K driver round-trips of
     # vocabulary-sized jobs (argmax collect per iteration) — wall time
     # measures scheduler latency, not data-path throughput; the gate +
