@@ -78,6 +78,7 @@ HEADLINE = [
     "parts_coorder_triangles",
     "events_value_mad_outliers",
     "events_hourly_autocov",
+    "events_forecast_backtest",
     # docs_bpe_merges is NOT benched: its cost is K driver round-trips of
     # vocabulary-sized jobs (argmax collect per iteration) — wall time
     # measures scheduler latency, not data-path throughput; the gate +

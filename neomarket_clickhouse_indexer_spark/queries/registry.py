@@ -979,6 +979,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "(calendar-bounded series, sparse equi-join pairing) vs "
               "the oracle's dense calendar-spine LAG window — gap "
               "handling pinned cross-engine"),
+    QuerySpec("events_forecast_backtest", TS.events_forecast_backtest,
+              TS.EVENTS_FORECAST_BACKTEST_SQL, ("A1", "W2", "BONUS"),
+              "forecast backtesting of the persistence (lag-1h) and "
+              "seasonal-naive (lag-24h) baselines over the hourly "
+              "series: exact integer bias/MAE-milli/WAPE-ppm error "
+              "metrics; same sparse-join-vs-dense-spine-LAG "
+              "differential as the autocovariance gate"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -2641,3 +2641,120 @@ dh AS MATERIALIZED (
 UNION ALL
 {_autocov_lag_sql(24)}
 """
+
+
+# --- events_forecast_backtest: FORECAST BACKTESTING — the evaluation
+#     harness every production forecaster needs and the one time-series
+#     family the engine lacked: score the two classic zero-parameter
+#     baselines (persistence "tomorrow == now" at lag 1h; seasonal-naive
+#     "tomorrow == same hour yesterday" at lag 24h) against the realized
+#     hourly volume series, per type. Error metrics stay EXACT integers:
+#     signed bias Σe and absolute error Σ|e| in cents, MAE in
+#     milli-cents (Σ|e|·1000 DIV n), and WAPE in ppm (Σ|e|·1e6 DIV Σy —
+#     the scale-free accuracy number dashboards quote; actuals are
+#     positive cents so Σ|y| = Σy). A seasonal series shows
+#     WAPE(24h) < WAPE(1h) — the signal events_hourly_autocov measures
+#     as covariance, re-expressed as forecast skill. Same pairing
+#     machinery and the same sparse-join-vs-dense-spine-LAG differential
+#     as the autocovariance gate; same 100-TB shape (calendar-bounded
+#     series, tiny aggregates).
+
+FORECAST_LAGS = (1, 24)
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    hour_x = (
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
+        + F.hour("ts")
+    ).cast("long")
+    hourly = (
+        ev.select("event_type", hour_x.alias("x"), "cents")
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("s"))
+        .persist()
+    )
+    outs = []
+    for lag in FORECAST_LAGS:
+        fc = hourly.select(
+            "event_type",
+            (F.col("x") + F.lit(lag)).alias("x"),
+            F.col("s").alias("yhat"),
+        )
+        pairs = hourly.select("event_type", "x", F.col("s").alias("y")).join(
+            fc, ["event_type", "x"]
+        )
+        outs.append(
+            pairs.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.col("y") - F.col("yhat")).alias("sum_err"),
+                F.sum(F.abs(F.col("y") - F.col("yhat"))).alias("sum_abs_err"),
+                F.sum("y").alias("sum_actual"),
+            )
+            .select(
+                "event_type",
+                F.lit(lag).cast("long").alias("lag_h"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("sum_err").cast("long").alias("sum_err"),
+                F.col("sum_abs_err").cast("long").alias("sum_abs_err"),
+                F.col("sum_actual").cast("long").alias("sum_actual"),
+                F.expr("sum_abs_err * 1000 DIV n_pairs").alias("mae_milli"),
+                F.expr("sum_abs_err * 1000000 DIV sum_actual").alias(
+                    "wape_ppm"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _forecast_lag_sql(lag: int) -> str:
+    return f"""
+SELECT event_type,
+       CAST({lag} AS BIGINT) AS lag_h,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(y - yhat) AS BIGINT) AS sum_err,
+       CAST(SUM(abs(y - yhat)) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(y) AS BIGINT) AS sum_actual,
+       CAST(SUM(abs(y - yhat)) * 1000 // COUNT(*) AS BIGINT) AS mae_milli,
+       CAST(SUM(abs(y - yhat)) * 1000000 // SUM(y) AS BIGINT) AS wape_ppm
+FROM (
+  SELECT event_type, x, s AS y,
+         LAG(s, {lag}) OVER (PARTITION BY event_type ORDER BY x) AS yhat
+  FROM dh
+)
+WHERE yhat IS NOT NULL AND y IS NOT NULL
+GROUP BY event_type
+"""
+
+
+EVENTS_FORECAST_BACKTEST_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) * 24
+           + CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         {_CENTS} AS cents
+  FROM events
+),
+hourly AS MATERIALIZED (
+  SELECT event_type, x, CAST(SUM(cents) AS BIGINT) AS s
+  FROM ev GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, MIN(x) AS x0, MAX(x) AS x1 FROM hourly GROUP BY 1
+),
+dense AS (
+  SELECT event_type, unnest(generate_series(x0, x1)) AS x FROM spans
+),
+dh AS MATERIALIZED (
+  SELECT d.event_type, d.x, h.s
+  FROM dense d LEFT JOIN hourly h ON h.event_type = d.event_type AND h.x = d.x
+)
+{_forecast_lag_sql(1)}
+UNION ALL
+{_forecast_lag_sql(24)}
+"""

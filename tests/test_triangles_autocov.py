@@ -117,3 +117,30 @@ def test_autocov_gap_handling(spark, tmp_path):
     assert got[1] == (3, sa, sb, sab, 3 * sab - sa * sb)
     # lag 24: only (a=s(2)=300, b=s(26)=400)
     assert got[24] == (1, 300, 400, 120000, 1 * 120000 - 300 * 400)
+
+
+def test_forecast_backtest_planted(spark, tmp_path):
+    """Same planted series as the autocov gap test: lag-1 pairs
+    (0,1),(1,2),(26,27); lag-24 pair (2,26) only. Errors hand-computed;
+    WAPE denominators are the actuals of the PAIRED hours only."""
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        events_forecast_backtest,
+    )
+
+    rows = [
+        ("view", 0, 1.00),
+        ("view", 1, 2.00),
+        ("view", 2, 3.00),
+        ("view", 26, 4.00),
+        ("view", 27, 5.00),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.lag_h: (r.n_pairs, r.sum_err, r.sum_abs_err, r.sum_actual,
+                  r.mae_milli, r.wape_ppm)
+        for r in events_forecast_backtest(spark, sf).collect()
+    }
+    # lag 1: (y=200,yhat=100),(300,200),(500,400) -> e=100 each
+    assert got[1] == (3, 300, 300, 1000, 100000, 300 * 1_000_000 // 1000)
+    # lag 24: (y=400, yhat=300) -> e=100
+    assert got[24] == (1, 100, 100, 400, 100000, 100 * 1_000_000 // 400)
