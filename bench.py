@@ -79,6 +79,11 @@ HEADLINE = [
     "events_value_mad_outliers",
     "events_hourly_autocov",
     "events_forecast_backtest",
+    # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
+    # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
+    # at ANY sf — data volume is dimension-bounded), not data-path
+    # throughput; the gate + the lollipop test pin it (same rationale
+    # as docs_bpe_merges).
     # docs_bpe_merges is NOT benched: its cost is K driver round-trips of
     # vocabulary-sized jobs (argmax collect per iteration) — wall time
     # measures scheduler latency, not data-path throughput; the gate +

@@ -433,30 +433,35 @@ def parts_coorder_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def coorder_triangles_frame(li: DataFrame, P: int) -> DataFrame:
-    """Core path over any (l_orderkey, l_partkey) frame — factored out so
-    scripts/scale_check.py can drive it at N× graph scale."""
+def coorder_edges_frame(li: DataFrame) -> DataFrame:
+    """Support-pruned undirected co-order edge set over any
+    (l_orderkey, l_partkey) frame — shared by the triangle and k-core
+    gates. MIN-SUPPORT prune (association-rule discipline): an edge must
+    co-occur in >= TRI_MIN_SUPPORT orders. Support-1 pairs are
+    coincidence, not correlation — and they are ~99.7% of all pairs at
+    sf0.1 (1.19M of 1.196M), turning the co-order graph into a dense
+    hairball whose wedge space explodes (first un-pruned 30x run:
+    402s); the support filter is the same shuffle as the DISTINCT it
+    replaces, so pruning is free."""
     lp = li.distinct()
     a = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    # persist(): the undirected edge set feeds degree calc, orientation,
-    # AND the closure join (three consumers — the semdedup subtree rule).
-    # MIN-SUPPORT prune (association-rule discipline): an edge must
-    # co-occur in >= TRI_MIN_SUPPORT orders. Support-1 pairs are
-    # coincidence, not correlation — and they are ~99.7% of all pairs at
-    # sf0.1 (1.19M of 1.196M), turning the co-order graph into a dense
-    # hairball whose wedge space explodes (first un-pruned 30x run:
-    # 402s); the support filter is the same shuffle as the DISTINCT it
-    # replaces, so pruning is free.
-    edges = (
+    return (
         a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= TRI_MIN_SUPPORT)
         .select("u", "v")
-        .persist()
     )
+
+
+def coorder_triangles_frame(li: DataFrame, P: int) -> DataFrame:
+    """Core path over any (l_orderkey, l_partkey) frame — factored out so
+    scripts/scale_check.py can drive it at N× graph scale."""
+    # persist(): the undirected edge set feeds degree calc, orientation,
+    # AND the closure join (three consumers — the semdedup subtree rule)
+    edges = coorder_edges_frame(li).persist()
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -499,8 +504,7 @@ def coorder_triangles_frame(li: DataFrame, P: int) -> DataFrame:
     )
 
 
-PARTS_COORDER_TRIANGLES_SQL = f"""
-WITH lp AS (
+_COORDER_EDGES_CTE = f"""lp AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 e AS MATERIALIZED (
@@ -509,7 +513,10 @@ e AS MATERIALIZED (
   JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
-),
+)"""
+
+PARTS_COORDER_TRIANGLES_SQL = f"""
+WITH {_COORDER_EDGES_CTE},
 t AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM e e1
@@ -534,3 +541,98 @@ FROM (
 )
 WHERE rank <= {TRI_TOP}
 """
+
+
+# --- parts_coorder_kcore: K-CORE DECOMPOSITION (fixed-round peel) on the
+#     same support-pruned co-order graph — the graph-sparsification
+#     primitive behind community detection and influence analysis: the
+#     2-core is what remains after iteratively stripping degree-<2 nodes
+#     (trees and pendant chains fall away; only nodes on cycles stay).
+#     Run as KCORE_ROUNDS fixed peel rounds (3 — both fixtures converge by round 3: sf0.01 peels 1573 -> 1538 -> 1535 = fixpoint) — each round restricts the
+#     edge set to surviving endpoints and recomputes degrees (two
+#     equi-joins + one hash agg per round, node-sized state, persisted
+#     edge table; the pagerank iteration shape). A fixed round count
+#     keeps the differential exact WITHOUT a data-dependent fixpoint
+#     test: both engines run exactly the same number of rounds (the
+#     kmeans/BPE unrolling doctrine), and the round count is sized so
+#     the fixture graphs converge (peeling halts when no node falls).
+#     Output = survivors with their induced degree after the last round.
+#
+#     Oracle: the unrolled n1..nL chain as MATERIALIZED CTEs (DuckDB
+#     would otherwise inline and re-evaluate the whole upstream chain
+#     per level — the r6 docs_bpe_merges lesson).
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def parts_coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    P = spark.sparkContext.defaultParallelism
+    edges = coorder_edges_frame(li).persist()
+    alive = None  # None = all nodes alive (round 0 runs over the full e)
+    cur = edges
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .repartition(P, "node")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= KCORE_K).select("node")
+        # alive is NODE-sized (bounded by the parts dimension, not by
+        # rows) — broadcast it explicitly: Spark can't size-estimate the
+        # aggregated frame and would otherwise plan each restriction as
+        # a 200-partition sort-merge join in the plain driver session
+        # (the supplier_pagerank lesson). persist each round's
+        # restricted edge set: without it the next round's degree agg
+        # AND the broadcast build re-execute the whole peel chain
+        # (lineage grows exponentially in the round count).
+        cur = (
+            edges.join(F.broadcast(alive.select(F.col("node").alias("u"))), "u")
+            .join(F.broadcast(alive.select(F.col("node").alias("v"))), "v")
+            .select("u", "v")
+            .persist()
+        )
+    final_deg = (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .repartition(P, "node")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return final_deg.join(F.broadcast(alive), "node").select(
+        F.col("node").alias("part_key"),
+        F.col("d").cast("long").alias("core_deg"),
+    )
+
+
+def _kcore_chain_sql(k: int, rounds: int) -> str:
+    parts = [f"WITH {_COORDER_EDGES_CTE},\ne0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+n{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+  ) GROUP BY node HAVING COUNT(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT e0.u, e0.v
+  FROM e0
+  JOIN n{r} a ON e0.u = a.node
+  JOIN n{r} b ON e0.v = b.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+JOIN n{rounds} USING (node)
+GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+PARTS_COORDER_KCORE_SQL = _kcore_chain_sql(KCORE_K, KCORE_ROUNDS)

@@ -986,6 +986,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "series: exact integer bias/MAE-milli/WAPE-ppm error "
               "metrics; same sparse-join-vs-dense-spine-LAG "
               "differential as the autocovariance gate"),
+    QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
+              G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
+              "2-core decomposition of the support-pruned co-order "
+              "graph by fixed-round peel (restrict-edges + recount "
+              "degrees per round, node-sized state) vs the oracle's "
+              "unrolled MATERIALIZED n1..nL chain — the "
+              "kmeans/BPE unrolling doctrine on a graph"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

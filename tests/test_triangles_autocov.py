@@ -144,3 +144,25 @@ def test_forecast_backtest_planted(spark, tmp_path):
     assert got[1] == (3, 300, 300, 1000, 100000, 300 * 1_000_000 // 1000)
     # lag 24: (y=400, yhat=300) -> e=100
     assert got[24] == (1, 100, 100, 400, 100000, 100 * 1_000_000 // 400)
+
+
+def test_kcore_planted_lollipop(spark, tmp_path):
+    """Lollipop: triangle {1,2,3} with a pendant chain 3-4-5 (every edge
+    support-2). The peel strips 5 (deg 1), then 4; the triangle's three
+    nodes survive with induced degree 2 each."""
+    from neomarket_clickhouse_indexer_spark.queries.graph_q import (
+        parts_coorder_kcore,
+    )
+
+    rows = []
+    oid = 0
+    for a, b in [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]:
+        for _ in range(2):
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    sf = _write_li(spark, tmp_path, rows)
+    got = {
+        r.part_key: r.core_deg
+        for r in parts_coorder_kcore(spark, sf).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
