@@ -185,12 +185,13 @@ _SPECS: list[QuerySpec] = [
               "cluster assignment bounds the near-dup pair join to "
               "within-cluster pairs (n²/k); prune = lower-id cluster-mate "
               "with cosine ≥ τ"),
-    QuerySpec("docs_dup_ngram_spans", D.docs_dup_ngram_spans,
-              D.DOCS_DUP_NGRAM_SPANS_SQL, ("DD1", "W2", "BONUS"),
-              "cross-document duplicated-substring spans (exact-substring "
-              "dedup signal): positions whose 6-gram repeats across docs, "
-              "merged into maximal spans — Spark lag-window islands vs "
-              "oracle coverage-set anti-join, all-integer output"),
+    QuerySpec("docs_chunk_dedup_rewrite", D.docs_chunk_dedup_rewrite,
+              D.DOCS_CHUNK_DEDUP_REWRITE_SQL, ("DD1", "W2", "BONUS"),
+              "C4/RefinedWeb duplicate-chunk removal with document "
+              "REASSEMBLY: keep-first over corpus-wide 8-word chunks "
+              "(md5-keyed winner agg + hash join back + per-doc ordered "
+              "reassembly) vs the oracle's raw-text ROW_NUMBER winner — "
+              "output is the rewritten corpus, not a report (r7 slot-neutral swap with docs_dup_ngram_spans: identical DD1/W2 tags; the spans entry stays oracle-checked in the tail)"),
     QuerySpec("docs_tf_keywords", PL.docs_tf_keywords,
               PL.DOCS_TF_KEYWORDS_SQL, ("TX8", "W4", "BONUS"),
               "per-doc keywords by (tf desc, df asc) — integer TF-IDF "
@@ -937,13 +938,12 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "Spark re-encodes from the rule list while the oracle "
               "reads the training chain's final word states — "
               "encode(rules) == train-final pinned cross-engine"),
-    QuerySpec("docs_chunk_dedup_rewrite", D.docs_chunk_dedup_rewrite,
-              D.DOCS_CHUNK_DEDUP_REWRITE_SQL, ("DD1", "W2", "BONUS"),
-              "C4/RefinedWeb duplicate-chunk removal with document "
-              "REASSEMBLY: keep-first over corpus-wide 8-word chunks "
-              "(md5-keyed winner agg + hash join back + per-doc ordered "
-              "reassembly) vs the oracle's raw-text ROW_NUMBER winner — "
-              "output is the rewritten corpus, not a report"),
+    QuerySpec("docs_dup_ngram_spans", D.docs_dup_ngram_spans,
+              D.DOCS_DUP_NGRAM_SPANS_SQL, ("DD1", "W2", "BONUS"),
+              "cross-document duplicated-substring spans (exact-substring "
+              "dedup signal): positions whose 6-gram repeats across docs, "
+              "merged into maximal spans — Spark lag-window islands vs "
+              "oracle coverage-set anti-join, all-integer output (displaced from the window by the r7 chunk-rewrite swap)"),
     QuerySpec("knn_ivf_incremental", V.knn_ivf_incremental,
               V.KNN_IVF_INCREMENTAL_SQL, ("VS4", "S3", "BONUS"),
               "incremental IVF cell-index maintenance: frozen "
