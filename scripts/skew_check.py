@@ -377,6 +377,73 @@ def check_rolling_distinct(spark, n: int) -> None:
     print(f"RATIO rolling_distinct window/sweep: {u / g:.1f}x")
 
 
+def check_triangle_orientation(spark, n: int) -> None:
+    """Planted hub part: one part lands in ~2% of all orders, so after
+    the support prune it carries edges to most of the catalog (raw
+    degree >> sqrt(m)). GUARDED = the production degree-ordered
+    orientation (hub out-degree bounded, wedges O(m^1.5)); UNGUARDED =
+    wedges enumerated from the raw unoriented adjacency (every node
+    fans out deg^2 wedge rows — the hub alone contributes deg_hub^2)."""
+    from neomarket_clickhouse_indexer_spark.queries.graph_q import (
+        coorder_edges_frame,
+        coorder_triangles_frame,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    path = f"/tmp/skew_check_li_hub_x{n}.parquet"
+    if not os.path.exists(path):
+        reps = spark.range(n).withColumnRenamed("id", "rep")
+        big = li.crossJoin(reps).select(
+            (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias(
+                "l_orderkey"
+            ),
+            (F.col("l_partkey") + F.col("rep") * 10_000_000).alias(
+                "l_partkey"
+            ),
+        )
+        hub = (
+            big.select("l_orderkey").distinct()
+            .filter(F.pmod(F.xxhash64("l_orderkey"), F.lit(50)) == 0)
+            .select("l_orderkey", F.lit(-1).cast("long").alias("l_partkey"))
+        )
+        big.unionByName(hub).repartition(64).write.mode("overwrite").parquet(
+            path
+        )
+    big_li = spark.read.parquet(path)
+    edges = coorder_edges_frame(big_li).persist()
+    m = edges.count()
+    hub_deg = edges.filter(
+        (F.col("u") == -1) | (F.col("v") == -1)
+    ).count()
+    print(f"triangle edges: {m:,}, planted hub degree: {hub_deg:,}")
+
+    g = timed("triangles_oriented", coorder_triangles_frame(big_li, 64))
+    # unguarded: wedges from the RAW adjacency (both directions), each
+    # triangle found 6x then de-duplicated — no degree bound anywhere
+    adj = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w1 = adj.select(F.col("u").alias("s"), F.col("v").alias("t1"))
+    w2 = adj.select(F.col("u").alias("s"), F.col("v").alias("t2"))
+    wedges = (
+        w1.join(w2, "s")
+        .filter(F.col("t1") < F.col("t2"))
+        .select("s", F.col("t1").alias("u"), F.col("t2").alias("v"))
+    )
+    tri6 = wedges.join(edges, ["u", "v"]).select(
+        F.least(F.col("s"), F.col("u"), F.col("v")).alias("a"),
+        F.expr(
+            "CAST(s AS BIGINT) + u + v - least(s, u, v) - greatest(s, u, v)"
+        ).alias("b"),
+        F.greatest(F.col("s"), F.col("u"), F.col("v")).alias("c"),
+    ).distinct()
+    u = timed("triangles_unoriented", tri6)
+    print(f"RATIO triangle orientation unoriented/oriented: {u / g:.1f}x")
+    edges.unpersist()
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     spark = get_spark("skew_check", cores=32, shuffle_partitions=64)
@@ -384,6 +451,7 @@ def main() -> None:
     check_lsh_band_cap(spark, n)
     check_cf_customer_cap(spark)
     check_semdedup_salt(spark, n)
+    check_triangle_orientation(spark, n)
 
 
 if __name__ == "__main__":
