@@ -2331,9 +2331,13 @@ def quantile_select_frame(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     bcum = bc.select("event_type", "b", "cnt", F.sum("cnt").over(wb).alias("cum"))
+    # n per type comes from the BUCKET table, not a second corpus scan —
+    # at 100 TB the raw frame is read exactly twice (bucket pass + value
+    # pass); every rank computation runs over the domain-bounded
+    # aggregate
     ks = (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+        bc.groupBy("event_type")
+        .agg(F.sum("cnt").alias("n"))
         .select(
             "event_type",
             "n",
