@@ -1757,3 +1757,99 @@ FROM ({components_sql(_NAME_PAIRS_SQL, a="ka", b="kb")}) c
 
 
 CUSTOMER_ENTITY_CLUSTERS_SQL = _entity_clusters_sql()
+
+
+# --- docs_compaction_plan: SMALL-FILE COMPACTION PLANNING — the
+#     lakehouse OPTIMIZE / Iceberg rewrite_data_files planner (reference
+#     analog: ClickHouse's background merges keep part counts bounded,
+#     clickhouse/init/001_create_tables.sql MergeTree tables; at 100 TB
+#     on object storage the same job is explicit). Each document stands
+#     in for a data file (n_chars = bytes); within a partition (source),
+#     files are packed into output bins of ~COMPACT_TARGET bytes by
+#     OFFSET BINNING: bin = (cumulative bytes before me) DIV target —
+#     the exact rule Spark's own scan packing
+#     (spark.sql.files.maxPartitionBytes) applies to file splits, chosen
+#     over sequential greedy first-fit because it is a pure window
+#     cumsum: deterministic, one shuffle on the partition key, and
+#     identical no matter how many executors plan in parallel. Output
+#     per bin: file count, bytes, id span, fill ppm (can exceed 1e6 when
+#     one oversized file straddles a boundary — such a bin is emitted
+#     as-is, matching OPTIMIZE's "never split a file" contract).
+#     Oracle: assigns files to bins by RANGE JOIN against generated bin
+#     boundaries [b*T, (b+1)*T) instead of integer division.
+
+COMPACT_TARGET = 1500
+
+
+def docs_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("off"),
+    ).withColumn("bin_id", F.expr(f"off DIV {COMPACT_TARGET}"))
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("file_count"),
+            F.sum("n_chars").alias("bytes"),
+            F.min("doc_id").alias("doc_lo"),
+            F.max("doc_id").alias("doc_hi"),
+        )
+        .select(
+            "source",
+            F.col("bin_id").cast("long").alias("bin_id"),
+            F.col("file_count").cast("long").alias("file_count"),
+            F.col("bytes").cast("long").alias("bytes"),
+            F.col("doc_lo").cast("long").alias("doc_lo"),
+            F.col("doc_hi").cast("long").alias("doc_hi"),
+            F.expr(f"bytes * 1000000 DIV {COMPACT_TARGET}")
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+    )
+
+
+DOCS_COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+  SELECT doc_id, source, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+  FROM documents
+),
+spans AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total FROM documents
+  GROUP BY 1
+),
+bins AS (
+  SELECT source,
+         unnest(generate_series(0, total // {COMPACT_TARGET})) AS bin_id
+  FROM spans
+),
+assigned AS (
+  SELECT f.doc_id, f.source, f.n_chars, b.bin_id
+  FROM files f
+  JOIN bins b
+    ON b.source = f.source
+   AND f.off >= b.bin_id * {COMPACT_TARGET}
+   AND f.off < (b.bin_id + 1) * {COMPACT_TARGET}
+)
+SELECT source,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS file_count,
+       CAST(SUM(n_chars) AS BIGINT) AS bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS doc_lo,
+       CAST(MAX(doc_id) AS BIGINT) AS doc_hi,
+       CAST(SUM(n_chars) * 1000000 // {COMPACT_TARGET} AS BIGINT) AS fill_ppm
+FROM assigned
+GROUP BY 1, 2
+"""

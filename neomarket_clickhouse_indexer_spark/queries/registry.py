@@ -129,9 +129,19 @@ _SPECS: list[QuerySpec] = [
               "strict-superset growth: EXECUTES docs_bigram_surprisal "
               "(TX1+++ bigram-LM conditional surprisal) via a doc_id left "
               "join, giving the corpus-LM signal an in-window check"),
-    QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
-              ("A1",), "JSON extraction + agg (§2.8 JSON, rotated into the "
-              "gate window in r5)"),
+    # r7 rotation: strict-superset swap — the series suite EXECUTES
+    # props_bucket_agg's logic verbatim as its 'props' path (the §2.8
+    # JSON evidence keeps its external check) and adds the four r7
+    # series families (order-statistic selection, median/MAD outliers,
+    # autocovariance, forecast backtest) to the window in one slot.
+    # props_bucket_agg stays oracle-checked in the tail.
+    QuerySpec("events_series_suite", TS.events_series_suite,
+              TS.EVENTS_SERIES_SUITE_SQL, ("A1", "W2", "W4", "P5", "BONUS"),
+              "fused robust-series audit: EXECUTES quantile selection, "
+              "median/MAD outliers, lag-1h/24h autocovariance, forecast "
+              "backtesting AND the displaced props_bucket_agg JSON path "
+              "from shared persisted cents/hourly subtrees; all-STRING "
+              "value column keeps DECIMAL(38,0) covariances exact"),
     QuerySpec("wallet_snapshot_positions", E.wallet_snapshot_positions,
               E.WALLET_SNAPSHOT_POSITIONS_SQL, ("O2", "O1", "ST6"),
               "snapshot emitter over an integer-quantity domain vs "
@@ -986,6 +996,60 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "series: exact integer bias/MAE-milli/WAPE-ppm error "
               "metrics; same sparse-join-vs-dense-spine-LAG "
               "differential as the autocovariance gate"),
+    QuerySpec("props_bucket_agg", E.props_bucket_agg, E.PROPS_BUCKET_AGG_SQL,
+              ("A1",), "JSON extraction + agg (§2.8 JSON; gated in-window "
+              "r5-r6, displaced to the tail by events_series_suite in r7 "
+              "which executes this exact pipeline as its 'props' path)"),
+    QuerySpec("events_qdigest_quantiles", TS.events_qdigest_quantiles,
+              TS.EVENTS_QDIGEST_QUANTILES_SQL, ("A3", "A7", "BONUS"),
+              "q-digest: the deterministic MERGEABLE quantile sketch "
+              "(dyadic-range counts over a 2^17-cent universe, "
+              "level-synchronous bottom-up compression at t = n DIV 64) "
+              "completing the sketch family's rank axis; per-type Arrow "
+              "tree-DP over universe-bounded leaf histograms + "
+              "distributed exact rank audit (le_ok/lt_ok pin the "
+              "q-digest error guarantee) vs the oracle's 17 unrolled "
+              "MATERIALIZED level stages"),
+    QuerySpec("events_decayed_leaderboard", TS.events_decayed_leaderboard,
+              TS.EVENTS_DECAYED_LEADERBOARD_SQL, ("T1", "A10", "BONUS"),
+              "exponentially-decayed trending leaderboard "
+              "(exponentialTimeDecayedSum analog) with EXACT decay: "
+              "whole-day ages vs an injected anchor, powers-of-2 "
+              "bit-shift weights at 1-day and 7-day half-lives, "
+              "DECIMAL(38,0) scores; one map-side-combinable groupBy + "
+              "TakeOrdered(20), additive per-(user,day) incremental form"),
+    QuerySpec("docs_compaction_plan", PL.docs_compaction_plan,
+              PL.DOCS_COMPACTION_PLAN_SQL, ("S3", "W2", "BONUS"),
+              "small-file compaction planner (lakehouse OPTIMIZE / "
+              "MergeTree background-merge analog): offset-binning "
+              "bin = cum_bytes_before DIV target — the deterministic "
+              "parallel alternative to sequential greedy first-fit, one "
+              "window cumsum per partition; oracle assigns via range "
+              "join against generated bin boundaries"),
+    QuerySpec("knn_mutual_pairs", V.knn_mutual_pairs,
+              V.KNN_MUTUAL_PAIRS_SQL, ("VS3", "W4", "BONUS"),
+              "mutual (reciprocal) k-NN pairs — the SNN-clustering / "
+              "high-precision near-dup graph primitive: 6-plane LSH "
+              "candidate buckets, persisted pair frame feeding both "
+              "direction views, per-node rank windows, pair kept only "
+              "if each endpoint top-K ranks the other (both ranks "
+              "emitted)"),
+    QuerySpec("user_churn_hazard", TS.user_churn_hazard,
+              TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
+              "survival analysis: Nelson-Aalen cumulative churn hazard "
+              "over user lifetimes with right-censoring at the injected "
+              "horizon — hazard terms floored in ppm then SUMMED (the "
+              "order-insensitive alternative to the Kaplan-Meier "
+              "product), reverse-cumsum risk sets on a calendar-bounded "
+              "duration spine"),
+    QuerySpec("events_encoding_advisor", R.events_encoding_advisor,
+              R.EVENTS_ENCODING_ADVISOR_SQL, ("P8", "A3", "BONUS"),
+              "column encoding advisor (LowCardinality/codec chooser "
+              "analog): exact per-column n/distinct/bytes/run-length "
+              "profile in ONE unpivoted stack() pass with per-day run "
+              "windows, cross-multiplied integer thresholds -> "
+              "rle/dict/plain verdict; oracle = four per-column LAG "
+              "branches UNION ALL"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

@@ -804,3 +804,112 @@ SELECT p_brand, p_type,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY CUBE (p_brand, p_type)
 """
+
+
+# --- events_encoding_advisor: COLUMN ENCODING ADVISOR — the physical-
+#     design profiler behind ClickHouse's LowCardinality / Delta+RLE /
+#     dictionary codec choices (reference analog: the MergeTree DDL in
+#     clickhouse/init/001_create_tables.sql picks LowCardinality(String)
+#     and codecs per column by exactly these statistics). For each
+#     events column, computed in one unpivoted pass:
+#       n, n_distinct (exact), total_bytes (varchar octet length),
+#       runs = 1 + Σ(value != previous) in (ts, event_id) order WITHIN
+#       each day partition (run-length is only meaningful inside a
+#       file/part, so runs are counted per day and summed — the same
+#       boundary a partitioned parquet layout has)
+#     and the advisor verdict: 'rle' when runs*5 <= n, else 'dict' when
+#     n_distinct*20 <= n, else 'plain' — exact integer cross-multiplied
+#     thresholds (the docs_quality_filter discipline). The unpivot is a
+#     stack() projection (no shuffle); runs use a window partitioned by
+#     (column, day); everything else is one map-side-combinable agg.
+#     Oracle: four per-column UNION ALL branches with LAG-based run
+#     counts — a genuinely different formulation of the same profile.
+
+_ENC_RLE_DEN = 5
+_ENC_DICT_DEN = 20
+
+
+def events_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return encoding_advisor_frame(load_table(spark, sf_dir, "events"))
+
+
+def encoding_advisor_frame(events: DataFrame) -> DataFrame:
+    """Core path over any events-shaped frame — factored out for the
+    planted run/cardinality tests."""
+    ev = events.select(
+        "ts",
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.expr(
+            "stack(4, "
+            "'event_type', CAST(event_type AS STRING), "
+            "'user_id',    CAST(user_id AS STRING), "
+            "'cents',      CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS STRING), "
+            "'props',      CAST(props AS STRING)) AS (col_name, val)"
+        ),
+    )
+    w = Window.partitionBy("col_name", "day").orderBy("ts", "event_id")
+    runs_flagged = ev.withColumn(
+        "is_run_start",
+        F.when(
+            F.lag("val").over(w).isNull() | (F.col("val") != F.lag("val").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    prof = runs_flagged.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.sum(F.octet_length("val")).alias("total_bytes"),
+        F.sum("is_run_start").alias("runs"),
+    )
+    return prof.select(
+        "col_name",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("runs").cast("long").alias("runs"),
+        F.expr(
+            f"CASE WHEN runs * {_ENC_RLE_DEN} <= n THEN 'rle' "
+            f"WHEN n_distinct * {_ENC_DICT_DEN} <= n THEN 'dict' "
+            "ELSE 'plain' END"
+        ).alias("encoding"),
+    )
+
+
+def _enc_branch_sql(col_name: str, expr: str) -> str:
+    return f"""
+SELECT '{col_name}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+       CAST(SUM(strlen(val)) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN prev IS NULL OR val <> prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS runs
+FROM (
+  SELECT val,
+         LAG(val) OVER (PARTITION BY day ORDER BY ts, event_id) AS prev,
+         day, ts, event_id
+  FROM (
+    SELECT CAST({expr} AS VARCHAR) AS val,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, ts, event_id
+    FROM events
+  )
+)
+"""
+
+
+EVENTS_ENCODING_ADVISOR_SQL = f"""
+WITH prof AS (
+{_enc_branch_sql("event_type", "event_type")}
+UNION ALL
+{_enc_branch_sql("user_id", "user_id")}
+UNION ALL
+{_enc_branch_sql("cents", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")}
+UNION ALL
+{_enc_branch_sql("props", "props")}
+)
+SELECT col_name, n, n_distinct, total_bytes, runs,
+       CASE WHEN runs * {_ENC_RLE_DEN} <= n THEN 'rle'
+            WHEN n_distinct * {_ENC_DICT_DEN} <= n THEN 'dict'
+            ELSE 'plain' END AS encoding
+FROM prof
+"""

@@ -2444,7 +2444,14 @@ MAD_K_FACTOR = 3
 
 
 def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir).select("event_type", "cents")
+    return mad_outliers_frame(
+        _events_cents(spark, sf_dir).select("event_type", "cents")
+    )
+
+
+def mad_outliers_frame(ev: DataFrame) -> DataFrame:
+    """Core path over any (event_type, cents) frame — factored out so
+    events_series_suite can feed it from the shared persisted subtree."""
     med = quantile_select_frame(ev, pcts=(50,)).select(
         "event_type", F.col("value_cents").alias("med_cents")
     )
@@ -2546,18 +2553,27 @@ GROUP BY dev.event_type
 AUTOCOV_LAGS = (1, 24)
 
 
-def events_hourly_autocov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir)
+def _hourly_frame(ev: DataFrame) -> DataFrame:
+    """Per-(type, hour-index) cents sums — the series shared by the
+    autocovariance and forecast-backtest paths (events_series_suite
+    persists ONE instance and feeds both)."""
     hour_x = (
         F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
         + F.hour("ts")
     ).cast("long")
-    hourly = (
+    return (
         ev.select("event_type", hour_x.alias("x"), "cents")
         .groupBy("event_type", "x")
         .agg(F.sum("cents").alias("s"))
-        .persist()  # feeds both sides of the join, for every lag
     )
+
+
+def events_hourly_autocov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: feeds both sides of the join, for every lag
+    return autocov_frame(_hourly_frame(_events_cents(spark, sf_dir)).persist())
+
+
+def autocov_frame(hourly: DataFrame) -> DataFrame:
     outs = []
     for lag in AUTOCOV_LAGS:
         prev = hourly.select(
@@ -2667,17 +2683,12 @@ FORECAST_LAGS = (1, 24)
 
 
 def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir)
-    hour_x = (
-        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
-        + F.hour("ts")
-    ).cast("long")
-    hourly = (
-        ev.select("event_type", hour_x.alias("x"), "cents")
-        .groupBy("event_type", "x")
-        .agg(F.sum("cents").alias("s"))
-        .persist()
+    return forecast_backtest_frame(
+        _hourly_frame(_events_cents(spark, sf_dir)).persist()
     )
+
+
+def forecast_backtest_frame(hourly: DataFrame) -> DataFrame:
     outs = []
     for lag in FORECAST_LAGS:
         fc = hourly.select(
@@ -2762,3 +2773,598 @@ dh AS MATERIALIZED (
 UNION ALL
 {_forecast_lag_sql(24)}
 """
+
+
+# --- events_qdigest_quantiles: Q-DIGEST — the deterministic MERGEABLE
+#     quantile sketch (Shrivastava et al., SenSys'04), completing the
+#     sketch family (CMS = frequency, KMV/HLL = distinct, q-digest =
+#     rank/quantile). ClickHouse ships quantileTiming/quantileTDigest as
+#     its mergeable -State quantiles (reference analog: the stats
+#     endpoints' percentile summaries, src/api.ts); t-digest's merge is
+#     order-dependent, so this engine uses the DETERMINISTIC alternative:
+#     counts over the dyadic ranges of a fixed integer universe
+#     [0, 2^QD_BITS) compressed level-synchronously bottom-up — sibling
+#     pairs whose combined count is <= t = n DIV QD_K push up into their
+#     parent; pairs above the threshold stay. The sketch is a function of
+#     the leaf HISTOGRAM only (not of arrival order), so partial states
+#     merge by adding histograms — the -State/-Merge contract (A7) for
+#     quantiles.
+#
+#     Spark path: one data-sized groupBy builds the per-(type, value)
+#     leaf histogram (map-side combinable; output bounded by the 2^17
+#     universe per type, NEVER by row count — the same state bound as the
+#     CMS w*d table). The bottom-up compression is a genuinely sequential
+#     tree DP over that universe-bounded state, so it runs per type in
+#     ONE applyInPandas kernel (the LTTB doctrine: Arrow kernels only
+#     where semantics are sequential), emitting per-quantile estimates +
+#     sketch size. The rank-error AUDIT stays distributed: a broadcast
+#     join back to the events frame computes exact cnt_lt/cnt_le of each
+#     estimate, and the q-digest guarantee is pinned as two flags:
+#       le_ok: cnt_le >= target           (prefix nodes only hold values
+#                                          <= their hi <= est)
+#       lt_ok: cnt_lt <= target-1 + (QD_BITS+1)*t
+#              (values < est outside the counted prefix can live only in
+#               the <= QD_BITS straddling ancestors + the picked node,
+#               each an internal node with count <= t by construction)
+#     At 100 TB: one scan + one universe-bounded shuffle for the sketch,
+#     one broadcast-join scan for the audit; no sort, no row-scale state.
+#
+#     Oracle: the IDENTICAL spec unrolled as 17 level-synchronous
+#     MATERIALIZED CTE stages (the k-core/kmeans unrolling doctrine) +
+#     a window-cumsum quantile query — DuckDB SQL recursion-free
+#     re-derivation vs the Python tree DP, agreeing node-for-node
+#     (sketch_nodes), estimate-for-estimate, flag-for-flag.
+
+QD_BITS = 17          # universe [0, 131072) cents; sf0.1 max cents = 56021
+QD_K = 64             # compression factor: threshold t = n DIV QD_K
+QD_PCTS = (50, 90, 99)
+
+
+def qdigest_compress(leaf: "dict[int, int]", t: int):
+    """Level-synchronous q-digest compression of one leaf histogram.
+    Returns the sketch as a list of (level, off, cnt); deterministic —
+    a pure function of the histogram and t (no ordering sensitivity)."""
+    from collections import defaultdict
+
+    kept: list[tuple[int, int, int]] = []
+    cur = dict(leaf)
+    for level in range(QD_BITS, 0, -1):
+        groups: dict[int, list[tuple[int, int]]] = defaultdict(list)
+        for off, c in cur.items():
+            groups[off >> 1].append((off, c))
+        nxt: dict[int, int] = {}
+        for poff, items in groups.items():
+            s = sum(c for _, c in items)
+            if s <= t:
+                nxt[poff] = s
+            else:
+                for off, c in items:
+                    kept.append((level, off, c))
+        cur = nxt
+    for off, c in cur.items():
+        kept.append((0, off, c))
+    return kept
+
+
+def events_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qdigest_frame(_events_cents(spark, sf_dir))
+
+
+def qdigest_frame(ev_cents: DataFrame) -> DataFrame:
+    """Core path over any (event_type, cents) frame — factored out so
+    scripts/scale_check.py can drive it at N× event scale (the sketch
+    state is universe-bounded, so N× rows should cost ~one extra scan)."""
+    import pandas as pd
+
+    cap = (1 << QD_BITS) - 1
+    ev = ev_cents.select(
+        "event_type", F.least(F.col("cents"), F.lit(cap)).alias("v")
+    )
+    leaf = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        et = pdf["event_type"].iloc[0]
+        hist = dict(zip((int(x) for x in pdf["v"]), (int(c) for c in pdf["cnt"])))
+        n = sum(hist.values())
+        t = n // QD_K
+        sketch = qdigest_compress(hist, t)
+        # quantile query: postorder (hi asc, lo desc == smaller range
+        # first), accumulate until the nearest-rank target is covered
+        nodes = []
+        for level, off, c in sketch:
+            size = 1 << (QD_BITS - level)
+            lo = off * size
+            nodes.append((lo + size - 1, -lo, c))
+        nodes.sort()
+        rows = []
+        for q in QD_PCTS:
+            target = (n - 1) * q // 100 + 1
+            cum = 0
+            est = nodes[-1][0]
+            for hi, neg_lo, c in nodes:
+                cum += c
+                if cum >= target:
+                    est = hi
+                    break
+            rows.append((et, q, n, t, len(sketch), est, target))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "q_pct", "n", "t", "sketch_nodes",
+                "est_cents", "target",
+            ],
+        )
+
+    est = leaf.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, q_pct long, n long, t long, sketch_nodes long, "
+        "est_cents long, target long",
+    )
+    aud = (
+        ev.join(
+            F.broadcast(est.select("event_type", "q_pct", "est_cents")),
+            "event_type",
+        )
+        .groupBy("event_type", "q_pct", "est_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("v") < F.col("est_cents"), 1).otherwise(0)
+            ).alias("cnt_lt"),
+            F.sum(
+                F.when(F.col("v") <= F.col("est_cents"), 1).otherwise(0)
+            ).alias("cnt_le"),
+        )
+    )
+    return (
+        est.join(aud, ["event_type", "q_pct", "est_cents"])
+        .select(
+            "event_type",
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.col("n").cast("long").alias("n"),
+            F.col("t").cast("long").alias("t"),
+            F.col("sketch_nodes").cast("long").alias("sketch_nodes"),
+            F.col("est_cents").cast("long").alias("est_cents"),
+            F.col("target").cast("long").alias("target"),
+            F.col("cnt_lt").cast("long").alias("cnt_lt"),
+            F.col("cnt_le").cast("long").alias("cnt_le"),
+            (F.col("cnt_le") >= F.col("target")).alias("le_ok"),
+            (
+                F.col("cnt_lt")
+                <= F.col("target") - 1 + F.lit(QD_BITS + 1) * F.col("t")
+            ).alias("lt_ok"),
+        )
+    )
+
+
+def _qdigest_level_sql(level: int) -> str:
+    """One level-synchronous compression stage: pair level-`level` nodes
+    by parent, push pairs with combined count <= t up, keep the rest."""
+    return f"""
+p{level} AS MATERIALIZED (
+  SELECT event_type, off // 2 AS poff, CAST(SUM(cnt) AS BIGINT) AS s
+  FROM l{level} GROUP BY 1, 2
+),
+k{level} AS (
+  SELECT c.event_type, {level} AS level, c.off, c.cnt
+  FROM l{level} c
+  JOIN p{level} p ON p.event_type = c.event_type AND p.poff = c.off // 2
+  JOIN thr t ON t.event_type = c.event_type
+  WHERE p.s > t.t
+),
+l{level - 1} AS MATERIALIZED (
+  SELECT p.event_type, p.poff AS off, p.s AS cnt
+  FROM p{level} p JOIN thr t ON t.event_type = p.event_type
+  WHERE p.s <= t.t
+)"""
+
+
+EVENTS_QDIGEST_QUANTILES_SQL = (
+    f"""
+WITH ev AS (
+  SELECT event_type,
+         LEAST({_CENTS}, {(1 << QD_BITS) - 1}) AS v
+  FROM events
+),
+leaf AS MATERIALIZED (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+thr AS MATERIALIZED (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt) // {QD_K} AS BIGINT) AS t
+  FROM leaf GROUP BY 1
+),
+l{QD_BITS} AS MATERIALIZED (
+  SELECT event_type, v AS off, cnt FROM leaf
+),"""
+    + ",".join(_qdigest_level_sql(lv) for lv in range(QD_BITS, 0, -1))
+    + f""",
+sketch AS MATERIALIZED (
+  {" UNION ALL ".join(f"SELECT * FROM k{lv}" for lv in range(QD_BITS, 0, -1))}
+  UNION ALL SELECT event_type, 0 AS level, off, cnt FROM l0
+),
+nodes AS (
+  SELECT event_type, cnt,
+         off * (CAST(1 AS BIGINT) << ({QD_BITS} - level))
+           + (CAST(1 AS BIGINT) << ({QD_BITS} - level)) - 1 AS hi,
+         off * (CAST(1 AS BIGINT) << ({QD_BITS} - level)) AS lo
+  FROM sketch
+),
+sksize AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sketch_nodes
+  FROM sketch GROUP BY 1
+),
+cums AS (
+  SELECT event_type, hi, lo, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY hi, lo DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM nodes
+),
+targets AS (
+  SELECT t.event_type, q.q_pct, t.n, t.t,
+         CAST((t.n - 1) * q.q_pct // 100 + 1 AS BIGINT) AS target
+  FROM thr t
+  CROSS JOIN (SELECT unnest(ARRAY{list(QD_PCTS)}) AS q_pct) q
+),
+est AS (
+  SELECT g.event_type, CAST(g.q_pct AS BIGINT) AS q_pct, g.n, g.t, g.target,
+         CAST(MIN(c.hi) AS BIGINT) AS est_cents
+  FROM targets g
+  JOIN cums c ON c.event_type = g.event_type AND c.cum >= g.target
+  GROUP BY 1, 2, 3, 4, 5
+),
+aud AS (
+  SELECT e.event_type, e.q_pct,
+         CAST(SUM(CASE WHEN v.v < e.est_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_lt,
+         CAST(SUM(CASE WHEN v.v <= e.est_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_le
+  FROM est e JOIN ev v ON v.event_type = e.event_type
+  GROUP BY 1, 2
+)
+SELECT e.event_type, e.q_pct, e.n, e.t, s.sketch_nodes, e.est_cents,
+       e.target, a.cnt_lt, a.cnt_le,
+       a.cnt_le >= e.target AS le_ok,
+       a.cnt_lt <= e.target - 1 + {QD_BITS + 1} * e.t AS lt_ok
+FROM est e
+JOIN sksize s ON s.event_type = e.event_type
+JOIN aud a ON a.event_type = e.event_type AND a.q_pct = e.q_pct
+"""
+)
+
+
+# --- events_decayed_leaderboard: EXPONENTIALLY-DECAYED COUNTERS — the
+#     ClickHouse exponentialTimeDecayedSum / "trending leaderboard"
+#     analog (reference analog: the leaderboard endpoints rank wallets
+#     by recent activity, src/api.ts leaderboard + the profit-leaders
+#     materialized view). Classic float decay sum(v * exp(-age/tau))
+#     is order-sensitive and engine-divergent; this path makes decay
+#     EXACT: ages are whole days against the fixed anchor
+#     DATE '2024-01-31', the decay base is 2, and every weight is a
+#     bit-shift — weight_fast = 2^(31 - age_days) (1-day half-life),
+#     weight_slow = 2^(5 - age_days DIV 7) (7-day half-life at week
+#     granularity); each score is its own fixed-point scale, ranked
+#     only within itself.
+#     Scores are DECIMAL(38,0) sums of cents << shift — exact integers,
+#     identical in both engines; top-20 users by (score_fast DESC,
+#     user_id) with the mandatory unique tiebreak.
+#     At 100 TB: one scan, one map-side-combinable user groupBy, one
+#     TakeOrdered(20) — no sort, no window; the anchor/horizon are
+#     injected constants (the injected-clock discipline of P7), so the
+#     incremental form is a SummingMergeTree-style additive fold per
+#     (user, day) re-weighted at read time.
+
+DECAY_ANCHOR = "2024-01-31"
+DECAY_HORIZON = 31  # ages 1..30 in the fixtures; age > 31 weights to 0
+
+
+def events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    age = F.datediff(F.lit(DECAY_ANCHOR).cast("date"), F.to_date("ts"))
+    base = ev.select(
+        "user_id",
+        "cents",
+        age.alias("age"),
+    ).filter((F.col("age") >= 0) & (F.col("age") <= DECAY_HORIZON))
+    scored = base.select(
+        "user_id",
+        (
+            F.col("cents").cast("decimal(38,0)")
+            * F.expr(f"shiftleft(CAST(1 AS BIGINT), {DECAY_HORIZON} - age)")
+        ).alias("wf"),
+        (
+            F.col("cents").cast("decimal(38,0)")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 5 - age DIV 7)")
+        ).alias("ws"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("wf").alias("score_fast"),
+            F.sum("ws").alias("score_slow"),
+        )
+        .orderBy(F.col("score_fast").desc(), F.col("user_id"))
+        .limit(20)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("score_fast").cast("decimal(38,0)").alias("score_fast"),
+            F.col("score_slow").cast("decimal(38,0)").alias("score_slow"),
+        )
+    )
+
+
+EVENTS_DECAYED_LEADERBOARD_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         {_CENTS} AS cents,
+         date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                   DATE '{DECAY_ANCHOR}') AS age
+  FROM events
+  WHERE date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                  DATE '{DECAY_ANCHOR}') BETWEEN 0 AND {DECAY_HORIZON}
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(cents AS HUGEINT)
+                * (CAST(1 AS BIGINT) << ({DECAY_HORIZON} - age)))
+            AS DECIMAL(38,0)) AS score_fast,
+       CAST(SUM(CAST(cents AS HUGEINT)
+                * (CAST(1 AS BIGINT) << (5 - age // 7)))
+            AS DECIMAL(38,0)) AS score_slow
+FROM ev
+GROUP BY user_id
+ORDER BY score_fast DESC, user_id
+LIMIT 20
+"""
+
+
+# --- user_churn_hazard: SURVIVAL ANALYSIS (Nelson–Aalen cumulative
+#     hazard) over user lifetimes — the churn-risk curve product
+#     dashboards plot (reference analog: wallet-activity endpoints rank
+#     by recency; survival generalizes "recent" into a hazard profile).
+#     A user's lifetime is datediff(first event day, last event day);
+#     the observation is CHURN if the user is quiet for the final
+#     CHURN_QUIET_DAYS before the injected horizon (P7 injected-clock
+#     discipline), else RIGHT-CENSORED at the same duration — the
+#     textbook censoring setup. Per duration day t:
+#       n_risk(t)  = users with lifetime >= t   (reverse cumsum)
+#       d(t), c(t) = churned / censored at exactly t
+#       hazard_ppm = d*1e6 DIV n_risk            (floored per term, so
+#       cum_hazard = running sum of hazard_ppm    both engines agree
+#                                                 exactly — no float)
+#     The classic Kaplan-Meier PRODUCT is order-sensitive under
+#     per-step rounding; Nelson–Aalen is a SUM, hence window-friendly
+#     and exactly deterministic — the same reason dsum replaced naive
+#     float sums. At 100 TB: one user groupBy + aggregation onto a
+#     CALENDAR-BOUNDED duration spine; the two global windows run over
+#     <= #days rows (plan_audit BOUNDED_GLOBAL_WINDOW).
+
+CHURN_CENSOR_DATE = "2024-01-30"
+CHURN_QUIET_DAYS = 3
+
+
+def user_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return churn_hazard_frame(
+        load_table(spark, sf_dir, "events").select("user_id", "ts")
+    )
+
+
+def churn_hazard_frame(ev_raw: DataFrame) -> DataFrame:
+    """Core path over any (user_id, ts) frame — factored out for the
+    planted-censoring property test."""
+    ev = ev_raw.select("user_id", F.to_date("ts").alias("d"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    du = per_user.select(
+        F.datediff("last_d", "first_d").alias("t_days"),
+        (
+            F.datediff(F.lit(CHURN_CENSOR_DATE).cast("date"), F.col("last_d"))
+            >= CHURN_QUIET_DAYS
+        ).cast("long").alias("churned"),
+    )
+    ends = du.groupBy("t_days").agg(
+        F.sum("churned").alias("d_churn"),
+        F.sum(F.lit(1) - F.col("churned")).alias("n_censored"),
+    )
+    w_risk = (
+        Window.orderBy(F.desc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_cum = (
+        Window.orderBy(F.asc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ends.withColumn(
+            "n_risk",
+            F.sum(F.col("d_churn") + F.col("n_censored")).over(w_risk),
+        )
+        .withColumn("hazard_ppm", F.expr("d_churn * 1000000 DIV n_risk"))
+        .withColumn("cum_hazard_ppm", F.sum("hazard_ppm").over(w_cum))
+        .select(
+            F.col("t_days").cast("long").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d_churn").cast("long").alias("d_churn"),
+            F.col("n_censored").cast("long").alias("n_censored"),
+            F.col("hazard_ppm").cast("long").alias("hazard_ppm"),
+            F.col("cum_hazard_ppm").cast("long").alias("cum_hazard_ppm"),
+        )
+    )
+
+
+USER_CHURN_HAZARD_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_d,
+         MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_d
+  FROM events GROUP BY user_id
+),
+du AS (
+  SELECT date_diff('day', first_d, last_d) AS t_days,
+         CASE WHEN date_diff('day', last_d, DATE '{CHURN_CENSOR_DATE}')
+                   >= {CHURN_QUIET_DAYS}
+              THEN 1 ELSE 0 END AS churned
+  FROM per_user
+),
+ends AS (
+  SELECT t_days,
+         CAST(SUM(churned) AS BIGINT) AS d_churn,
+         CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+  FROM du GROUP BY t_days
+),
+risk AS (
+  SELECT t_days, d_churn, n_censored,
+         SUM(d_churn + n_censored) OVER (ORDER BY t_days DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk,
+         d_churn * 1000000 // SUM(d_churn + n_censored)
+           OVER (ORDER BY t_days DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hazard_ppm
+  FROM ends
+)
+SELECT CAST(t_days AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d_churn, n_censored,
+       CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       CAST(SUM(hazard_ppm) OVER (ORDER BY t_days ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_hazard_ppm
+FROM risk
+"""
+
+
+# --- events_series_suite: fused ROBUST-SERIES audit gate (the r7
+#     evidence-rotation slot, the docs_pair_recall_audit /
+#     docs_sketch_suite model): EXECUTES five component pipelines and
+#     emits every result as labeled (family, k, metric, value) rows —
+#     giving the never-externally-gated r7 series families
+#     (order-statistic selection, median/MAD outliers, autocovariance
+#     seasonality, forecast backtesting) an in-window CORRECTNESS row in
+#     ONE slot, while running the displaced window entry's logic
+#     verbatim (props_bucket_agg — the §2.8 JSON-extraction evidence
+#     keeps its external check; strict-superset swap rule).
+#     Subtree reuse (the r7 fused-gate lesson): ONE persisted cents
+#     frame feeds the selection + MAD paths, ONE persisted hourly-series
+#     frame feeds the autocov + forecast paths.
+#     The value column is STRING: exact for BIGINTs and DECIMAL(38,0)s
+#     (autocov's cov_num exceeds 2^53 — a double cast would be the
+#     banned bare decimal→double); the props path integerizes its
+#     ROUND(4) double as value*10000 via identical IEEE floor ops.
+
+
+def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .events import props_bucket_agg
+
+    ev = _events_cents(spark, sf_dir).persist()
+    cents2 = ev.select("event_type", "cents")
+    hourly = _hourly_frame(ev).persist()
+
+    qsel = quantile_select_frame(cents2).selectExpr(
+        "'qsel' AS family",
+        "event_type || '/' || CAST(q_pct AS STRING) AS k",
+        "stack(3, 'n', CAST(n AS STRING),"
+        " 'rank_k', CAST(k AS STRING),"
+        " 'value_cents', CAST(value_cents AS STRING)) AS (metric, value)",
+    )
+    mad = mad_outliers_frame(cents2).selectExpr(
+        "'mad' AS family",
+        "event_type AS k",
+        "stack(5, 'n', CAST(n AS STRING),"
+        " 'med_cents', CAST(med_cents AS STRING),"
+        " 'mad_cents', CAST(mad_cents AS STRING),"
+        " 'n_outliers', CAST(n_outliers AS STRING),"
+        " 'outlier_ppm', CAST(outlier_ppm AS STRING)) AS (metric, value)",
+    )
+    acv = autocov_frame(hourly).selectExpr(
+        "'autocov' AS family",
+        "event_type || '/' || CAST(lag_h AS STRING) AS k",
+        "stack(5, 'n_pairs', CAST(n_pairs AS STRING),"
+        " 'sum_a', CAST(sum_a AS STRING),"
+        " 'sum_b', CAST(sum_b AS STRING),"
+        " 'sum_ab', CAST(sum_ab AS STRING),"
+        " 'cov_num', CAST(cov_num AS STRING)) AS (metric, value)",
+    )
+    fct = forecast_backtest_frame(hourly).selectExpr(
+        "'forecast' AS family",
+        "event_type || '/' || CAST(lag_h AS STRING) AS k",
+        "stack(6, 'n_pairs', CAST(n_pairs AS STRING),"
+        " 'sum_err', CAST(sum_err AS STRING),"
+        " 'sum_abs_err', CAST(sum_abs_err AS STRING),"
+        " 'sum_actual', CAST(sum_actual AS STRING),"
+        " 'mae_milli', CAST(mae_milli AS STRING),"
+        " 'wape_ppm', CAST(wape_ppm AS STRING)) AS (metric, value)",
+    )
+    props = props_bucket_agg(spark, sf_dir).selectExpr(
+        "'props' AS family",
+        "CAST(k_bucket AS STRING) AS k",
+        "stack(2, 'n', CAST(n AS STRING),"
+        " 'total_value_e4', CAST(CAST(FLOOR(total_value * 10000 + 0.5)"
+        " AS BIGINT) AS STRING)) AS (metric, value)",
+    )
+    return qsel.unionByName(mad).unionByName(acv).unionByName(fct).unionByName(
+        props
+    )
+
+
+def _series_suite_sql() -> str:
+    from .events import PROPS_BUCKET_AGG_SQL
+
+    return f"""
+SELECT 'qsel' AS family,
+       q.event_type || '/' || CAST(q.q_pct AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(q.n AS VARCHAR)
+                     WHEN 'rank_k' THEN CAST(q.k AS VARCHAR)
+                     ELSE CAST(q.value_cents AS VARCHAR) END AS value
+FROM ({EVENTS_QUANTILE_SELECT_SQL}) q,
+     (SELECT unnest(['n','rank_k','value_cents']) AS metric) m
+UNION ALL
+SELECT 'mad' AS family, d.event_type AS k, m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(d.n AS VARCHAR)
+                     WHEN 'med_cents' THEN CAST(d.med_cents AS VARCHAR)
+                     WHEN 'mad_cents' THEN CAST(d.mad_cents AS VARCHAR)
+                     WHEN 'n_outliers' THEN CAST(d.n_outliers AS VARCHAR)
+                     ELSE CAST(d.outlier_ppm AS VARCHAR) END AS value
+FROM ({EVENTS_VALUE_MAD_OUTLIERS_SQL}) d,
+     (SELECT unnest(['n','med_cents','mad_cents','n_outliers','outlier_ppm'])
+        AS metric) m
+UNION ALL
+SELECT 'autocov' AS family,
+       a.event_type || '/' || CAST(a.lag_h AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n_pairs' THEN CAST(a.n_pairs AS VARCHAR)
+                     WHEN 'sum_a' THEN CAST(a.sum_a AS VARCHAR)
+                     WHEN 'sum_b' THEN CAST(a.sum_b AS VARCHAR)
+                     WHEN 'sum_ab' THEN CAST(a.sum_ab AS VARCHAR)
+                     ELSE CAST(a.cov_num AS VARCHAR) END AS value
+FROM ({EVENTS_HOURLY_AUTOCOV_SQL}) a,
+     (SELECT unnest(['n_pairs','sum_a','sum_b','sum_ab','cov_num'])
+        AS metric) m
+UNION ALL
+SELECT 'forecast' AS family,
+       f.event_type || '/' || CAST(f.lag_h AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n_pairs' THEN CAST(f.n_pairs AS VARCHAR)
+                     WHEN 'sum_err' THEN CAST(f.sum_err AS VARCHAR)
+                     WHEN 'sum_abs_err' THEN CAST(f.sum_abs_err AS VARCHAR)
+                     WHEN 'sum_actual' THEN CAST(f.sum_actual AS VARCHAR)
+                     WHEN 'mae_milli' THEN CAST(f.mae_milli AS VARCHAR)
+                     ELSE CAST(f.wape_ppm AS VARCHAR) END AS value
+FROM ({EVENTS_FORECAST_BACKTEST_SQL}) f,
+     (SELECT unnest(['n_pairs','sum_err','sum_abs_err','sum_actual',
+                     'mae_milli','wape_ppm']) AS metric) m
+UNION ALL
+SELECT 'props' AS family, CAST(p.k_bucket AS VARCHAR) AS k, m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(p.n AS VARCHAR)
+                     ELSE CAST(CAST(FLOOR(p.total_value * 10000 + 0.5)
+                               AS BIGINT) AS VARCHAR) END AS value
+FROM ({PROPS_BUCKET_AGG_SQL}) p,
+     (SELECT unnest(['n','total_value_e4']) AS metric) m
+"""
+
+
+EVENTS_SERIES_SUITE_SQL = _series_suite_sql()

@@ -223,14 +223,15 @@ def _hyperplanes() -> list[list[int]]:
 _PLANES = _hyperplanes()
 
 
-def _bucket_expr(emb: str):
+def _bucket_expr(emb: str, n_planes: int = N_PLANES):
     """Σ_j (sign(emb·w_j) > 0) << j as a Spark column.
 
     Each plane's dot product is a zip_with+aggregate fold over a literal
     weight array — 8 compact folds instead of a 512-term expression tree
-    (which made codegen/compile dominate the query)."""
+    (which made codegen/compile dominate the query). ``n_planes`` < 8
+    uses the FIRST planes only (coarser buckets, e.g. knn_mutual_pairs)."""
     total = None
-    for j, row in enumerate(_PLANES):
+    for j, row in enumerate(_PLANES[:n_planes]):
         weights = F.array(*[F.lit(float(w)) for w in row])
         dot_j = F.aggregate(
             F.zip_with(F.col(emb), weights, lambda x, w: x.cast("double") * w),
@@ -242,9 +243,9 @@ def _bucket_expr(emb: str):
     return total.cast("long")
 
 
-def _bucket_sql(emb: str) -> str:
+def _bucket_sql(emb: str, n_planes: int = N_PLANES) -> str:
     parts = []
-    for j, row in enumerate(_PLANES):
+    for j, row in enumerate(_PLANES[:n_planes]):
         dot_j = " + ".join(
             f"CAST({emb}[{d + 1}] AS DOUBLE) * ({w})" for d, w in enumerate(row)
         )
@@ -2007,3 +2008,155 @@ FROM (
 )
 WHERE r = 1
 """
+
+
+# --- knn_mutual_pairs: MUTUAL (reciprocal) k-NN — the graph primitive
+#     under SNN clustering and high-precision near-dup mining (a pair
+#     survives only if each endpoint ranks the other in its own top-K,
+#     which kills asymmetric hub edges that plain kNN keeps; the
+#     embedding-space analog of the CF item-item similarity family).
+#     Candidates come from the same md5 random-hyperplane machinery as
+#     knn_ann_lsh but on the FIRST 6 planes (64 coarser buckets →
+#     candidate lists deep enough that the top-K cut and the mutuality
+#     filter both bite). Per-direction ranks are row_number over
+#     (cosine desc, id) within the candidate graph; a pair is emitted
+#     with BOTH ranks. At 100 TB: bucketed pair join (never all-pairs),
+#     one persisted candidate-pair frame feeding both directions (the
+#     semdedup subtree lesson), rank windows partitioned on the node
+#     key. Oracle = same spec in SQL (consistency differential, the
+#     knn_ann_lsh precedent).
+
+MUTUAL_PLANES = 6
+MUTUAL_K = 4
+# hot-bucket guard (the BAND_BUCKET_CAP / CF_CUST_CAP pattern): membership
+# of any LSH bucket is capped at MUTUAL_BUCKET_CAP vectors chosen by
+# md5(vec_id) order — deterministic, mirrored EXACTLY in the oracle, a
+# no-op at fixture bucket sizes (~8) but bounds the per-bucket pair join
+# at O(cap^2) when a degenerate embedding region floods one bucket
+MUTUAL_BUCKET_CAP = 64
+
+
+def knn_mutual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mutual_pairs_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+def mutual_pairs_frame(emb: DataFrame) -> DataFrame:
+    """Core path over any (vec_id, embedding) frame — factored out for
+    the planted hub/bucket-cap tests."""
+    raw = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket_expr("embedding", n_planes=MUTUAL_PLANES).alias("bucket"),
+    )
+    wcap = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    bucketed = (
+        raw.withColumn("r", F.row_number().over(wcap))
+        .filter(F.col("r") <= MUTUAL_BUCKET_CAP)
+        .drop("r")
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("bucket").alias("ba"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bb"),
+    )
+    pairs = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            VX.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .persist()  # feeds both direction views below
+    )
+    directed = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cosine_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cosine_sim"
+        )
+    )
+    n_par = emb.sparkSession.sparkContext.defaultParallelism
+    w = Window.partitionBy("src").orderBy(F.desc("cosine_sim"), F.asc("dst"))
+    ranked = (
+        directed.repartition(n_par, "src")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MUTUAL_K)
+    )
+    fwd = ranked.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("vec_a"),
+        F.col("dst").alias("vec_b"),
+        "cosine_sim",
+        F.col("rank").alias("rank_ab"),
+    )
+    bwd = ranked.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("vec_a"),
+        F.col("src").alias("vec_b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return fwd.join(bwd, ["vec_a", "vec_b"]).select(
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        "cosine_sim",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+    )
+
+
+KNN_MUTUAL_PAIRS_SQL = f"""
+WITH raw AS (
+  SELECT vec_id, embedding,
+         {{bucket6}} AS bucket
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT vec_id, embedding, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             AS r
+    FROM raw
+  ) WHERE r <= {MUTUAL_BUCKET_CAP}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({_DOT_AB} / ({_ANORM} * {_BNORM}), 6) AS cosine_sim
+  FROM bucketed a
+  JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+directed AS (
+  SELECT vec_a AS src, vec_b AS dst, cosine_sim FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst, cosine_sim FROM pairs
+),
+ranked AS (
+  SELECT src, dst, cosine_sim, rank FROM (
+    SELECT src, dst, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cosine_sim DESC, dst) AS rank
+    FROM directed
+  ) WHERE rank <= {MUTUAL_K}
+)
+SELECT CAST(f.vec_a AS BIGINT) AS vec_a,
+       CAST(f.vec_b AS BIGINT) AS vec_b,
+       f.cosine_sim,
+       CAST(f.rank AS BIGINT) AS rank_ab,
+       CAST(r.rank AS BIGINT) AS rank_ba
+FROM (SELECT src AS vec_a, dst AS vec_b, cosine_sim, rank
+      FROM ranked WHERE src < dst) f
+JOIN (SELECT dst AS vec_a, src AS vec_b, rank
+      FROM ranked WHERE src > dst) r
+  ON r.vec_a = f.vec_a AND r.vec_b = f.vec_b
+"""
+
+KNN_MUTUAL_PAIRS_SQL = KNN_MUTUAL_PAIRS_SQL.format(
+    bucket6=_bucket_sql("embedding", MUTUAL_PLANES)
+)

@@ -53,6 +53,7 @@ BOUNDED_GLOBAL_WINDOW = {
     "events_top_paths",  # rank over path-triple counts: <= |type enum|^3
     "events_funnel_dropoff",  # stage spine: one row per funnel stage (<=4)
     "events_cumulative_distinct_users",  # day spine: one row per active day
+    "user_churn_hazard",  # duration spine: one row per calendar day
 }
 
 

@@ -93,6 +93,24 @@ def main() -> None:
         ),
     )
 
+    # r7 batch 2: q-digest sketch at N× events — the leaf histogram is
+    # bounded by the 2^17 universe per type (NOT by row count), so the
+    # compression kernel's input is scale-invariant; cost should be one
+    # scan + one universe-bounded shuffle (~linear, scan-dominated)
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        qdigest_frame,
+    )
+
+    timed(
+        "qdigest_quantiles",
+        qdigest_frame(
+            big.select(
+                "event_type",
+                F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+            )
+        ),
+    )
+
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     fifo_in = (
         big.filter(F.col("event_type").isin("purchase", "click"))
