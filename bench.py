@@ -79,6 +79,14 @@ HEADLINE = [
     "events_value_mad_outliers",
     "events_hourly_autocov",
     "events_forecast_backtest",
+    # r7 batch-2 additions: quantile sketch, decayed counters, survival,
+    # physical-design advisor, compaction planning, reciprocal kNN
+    "events_qdigest_quantiles",
+    "events_decayed_leaderboard",
+    "user_churn_hazard",
+    "events_encoding_advisor",
+    "docs_compaction_plan",
+    "knn_mutual_pairs",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

@@ -456,12 +456,16 @@ def coorder_edges_frame(li: DataFrame) -> DataFrame:
     )
 
 
-def coorder_triangles_frame(li: DataFrame, P: int) -> DataFrame:
+def coorder_triangles_frame(
+    li: DataFrame, P: int, edges: DataFrame | None = None
+) -> DataFrame:
     """Core path over any (l_orderkey, l_partkey) frame — factored out so
-    scripts/scale_check.py can drive it at N× graph scale."""
+    scripts/scale_check.py can drive it at N× graph scale. Pass a
+    pre-persisted ``edges`` frame to share the build (parts_graph_suite)."""
     # persist(): the undirected edge set feeds degree calc, orientation,
     # AND the closure join (three consumers — the semdedup subtree rule)
-    edges = coorder_edges_frame(li).persist()
+    if edges is None:
+        edges = coorder_edges_frame(li).persist()
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -569,7 +573,12 @@ KCORE_ROUNDS = 3
 def parts_coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     P = spark.sparkContext.defaultParallelism
-    edges = coorder_edges_frame(li).persist()
+    return kcore_frame(coorder_edges_frame(li).persist(), P)
+
+
+def kcore_frame(edges: DataFrame, P: int) -> DataFrame:
+    """Fixed-round 2-core peel over a pre-persisted edge frame — shared
+    with parts_graph_suite."""
     alive = None  # None = all nodes alive (round 0 runs over the full e)
     cur = edges
     for _ in range(KCORE_ROUNDS):
@@ -636,3 +645,44 @@ GROUP BY node"""
 
 
 PARTS_COORDER_KCORE_SQL = _kcore_chain_sql(KCORE_K, KCORE_ROUNDS)
+
+
+# --- parts_graph_suite: fused GRAPH-ANALYTICS audit gate (the r7
+#     evidence-rotation pattern of events_series_suite): EXECUTES the
+#     degree-ordered triangle count and the fixed-round 2-core peel
+#     from ONE persisted support-pruned co-order edge table (each alone
+#     builds and persists the same edges — the fused-gate subtree rule),
+#     emitting labeled (family, k, metric, value) rows so both r7 graph
+#     families get an in-window CORRECTNESS row in one slot. Values are
+#     STRINGs of exact BIGINTs.
+
+
+def parts_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    P = spark.sparkContext.defaultParallelism
+    edges = coorder_edges_frame(li).persist()
+    tri = coorder_triangles_frame(li, P, edges=edges).selectExpr(
+        "'triangles' AS family",
+        "CAST(part_key AS STRING) AS k",
+        "stack(2, 'rank', CAST(rank AS STRING),"
+        " 'tri_cnt', CAST(tri_cnt AS STRING)) AS (metric, value)",
+    )
+    core = kcore_frame(edges, P).selectExpr(
+        "'kcore' AS family",
+        "CAST(part_key AS STRING) AS k",
+        "stack(1, 'core_deg', CAST(core_deg AS STRING)) AS (metric, value)",
+    )
+    return tri.unionByName(core)
+
+
+PARTS_GRAPH_SUITE_SQL = f"""
+SELECT 'triangles' AS family, CAST(t.part_key AS VARCHAR) AS k, m.metric,
+       CASE m.metric WHEN 'rank' THEN CAST(t.rank AS VARCHAR)
+                     ELSE CAST(t.tri_cnt AS VARCHAR) END AS value
+FROM ({PARTS_COORDER_TRIANGLES_SQL}) t,
+     (SELECT unnest(['rank','tri_cnt']) AS metric) m
+UNION ALL
+SELECT 'kcore' AS family, CAST(c.part_key AS VARCHAR) AS k,
+       'core_deg' AS metric, CAST(c.core_deg AS VARCHAR) AS value
+FROM ({PARTS_COORDER_KCORE_SQL}) c
+"""

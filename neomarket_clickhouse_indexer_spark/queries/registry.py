@@ -271,9 +271,17 @@ _SPECS: list[QuerySpec] = [
               O.TOKEN_ID_DERIVATION_SQL, ("CRYPTO", "S2"),
               "keccak CTF collection/position-id chain via mapInPandas vs "
               "golden-vector oracle"),
-    QuerySpec("near_dup_embeddings", V.near_dup_embeddings,
-              V.NEAR_DUP_EMBEDDINGS_SQL, ("DD3", "VS1"),
-              "embedding-cosine near-dup pairs"),
+    # r7 rotation: parts_graph_suite takes this slot; the displaced
+    # near_dup_embeddings tags stay window-covered (DD3: semdedup_prune,
+    # VS1: knn_rank_fusion executes the brute-force scan) and the entry
+    # stays oracle-checked in the tail.
+    QuerySpec("parts_graph_suite", G.parts_graph_suite,
+              G.PARTS_GRAPH_SUITE_SQL, ("J1", "W4", "U3", "BONUS"),
+              "fused graph-analytics audit: EXECUTES the degree-ordered "
+              "triangle count AND the fixed-round 2-core peel from ONE "
+              "persisted support-pruned co-order edge table — both r7 "
+              "graph families gain an in-window external check in one "
+              "slot"),
     QuerySpec("knn_rank_fusion", V.knn_rank_fusion, V.KNN_RANK_FUSION_SQL,
               ("VS1", "VS3", "BONUS"),
               "reciprocal-rank fusion of the exact scan and the LSH "
@@ -1000,6 +1008,11 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               ("A1",), "JSON extraction + agg (§2.8 JSON; gated in-window "
               "r5-r6, displaced to the tail by events_series_suite in r7 "
               "which executes this exact pipeline as its 'props' path)"),
+    QuerySpec("near_dup_embeddings", V.near_dup_embeddings,
+              V.NEAR_DUP_EMBEDDINGS_SQL, ("DD3", "VS1"),
+              "embedding-cosine near-dup pairs (gated in-window r1-r6, "
+              "displaced to the tail by parts_graph_suite in r7; DD3/VS1 "
+              "stay window-covered by semdedup_prune / knn_rank_fusion)"),
     QuerySpec("events_qdigest_quantiles", TS.events_qdigest_quantiles,
               TS.EVENTS_QDIGEST_QUANTILES_SQL, ("A3", "A7", "BONUS"),
               "q-digest: the deterministic MERGEABLE quantile sketch "
@@ -1050,6 +1063,23 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "windows, cross-multiplied integer thresholds -> "
               "rle/dict/plain verdict; oracle = four per-column LAG "
               "branches UNION ALL"),
+    QuerySpec("events_qdigest_merge", TS.events_qdigest_merge,
+              TS.EVENTS_QDIGEST_MERGE_SQL, ("A3", "A7", "BONUS"),
+              "the quantile -State/-Merge proof: independent half-month "
+              "q-digests (own thresholds) merged by node-state union + "
+              "generalized re-compression (original internal states join "
+              "the pair decision — the canonical c_pair + c_parent <= t "
+              "condition), quantiles answered from the MERGED sketch "
+              "with the combined (QD_BITS+1)*(t_a+t_b+t) error bound "
+              "audited; oracle = two unrolled half-builds + 17 "
+              "generalized merge levels"),
+    QuerySpec("events_hourly_crosscov", TS.events_hourly_crosscov,
+              TS.EVENTS_HOURLY_CROSSCOV_SQL, ("A1", "J1", "BONUS"),
+              "cross-series covariance (the correlation matrix's "
+              "off-diagonal next to the autocov gate's diagonal): exact "
+              "DECIMAL(38) numerators per unordered type pair over "
+              "both-present hours; sparse equi-join pairing vs the "
+              "oracle's dense-spine self-join"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

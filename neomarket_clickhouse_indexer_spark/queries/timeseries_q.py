@@ -2824,19 +2824,32 @@ def qdigest_compress(leaf: "dict[int, int]", t: int):
     """Level-synchronous q-digest compression of one leaf histogram.
     Returns the sketch as a list of (level, off, cnt); deterministic —
     a pure function of the histogram and t (no ordering sensitivity)."""
+    return qdigest_compress_multi(
+        {(QD_BITS, off): c for off, c in leaf.items()}, t
+    )
+
+
+def qdigest_compress_multi(states: "dict[tuple[int, int], int]", t: int):
+    """Level-synchronous compression from states at ARBITRARY levels —
+    the MERGE path: a union of two sketches has counts on internal
+    nodes, which join the pairing at their own level on the way up.
+    With all-leaf input this is exactly the build path."""
     from collections import defaultdict
 
+    by_level: dict[int, dict[int, int]] = defaultdict(dict)
+    for (level, off), c in states.items():
+        by_level[level][off] = by_level[level].get(off, 0) + c
     kept: list[tuple[int, int, int]] = []
-    cur = dict(leaf)
+    cur: dict[int, int] = dict(by_level.get(QD_BITS, {}))
     for level in range(QD_BITS, 0, -1):
         groups: dict[int, list[tuple[int, int]]] = defaultdict(list)
         for off, c in cur.items():
             groups[off >> 1].append((off, c))
-        nxt: dict[int, int] = {}
+        nxt: dict[int, int] = dict(by_level.get(level - 1, {}))
         for poff, items in groups.items():
             s = sum(c for _, c in items)
-            if s <= t:
-                nxt[poff] = s
+            if s + nxt.get(poff, 0) <= t:
+                nxt[poff] = nxt.get(poff, 0) + s
             else:
                 for off, c in items:
                     kept.append((level, off, c))
@@ -2936,24 +2949,25 @@ def qdigest_frame(ev_cents: DataFrame) -> DataFrame:
     )
 
 
-def _qdigest_level_sql(level: int) -> str:
+def _qdigest_level_sql(level: int, pfx: str = "") -> str:
     """One level-synchronous compression stage: pair level-`level` nodes
-    by parent, push pairs with combined count <= t up, keep the rest."""
+    by parent, push pairs with combined count <= t up, keep the rest.
+    ``pfx`` namespaces the CTE chain (the merge gate runs two builds)."""
     return f"""
-p{level} AS MATERIALIZED (
+{pfx}p{level} AS MATERIALIZED (
   SELECT event_type, off // 2 AS poff, CAST(SUM(cnt) AS BIGINT) AS s
-  FROM l{level} GROUP BY 1, 2
+  FROM {pfx}l{level} GROUP BY 1, 2
 ),
-k{level} AS (
+{pfx}k{level} AS (
   SELECT c.event_type, {level} AS level, c.off, c.cnt
-  FROM l{level} c
-  JOIN p{level} p ON p.event_type = c.event_type AND p.poff = c.off // 2
-  JOIN thr t ON t.event_type = c.event_type
+  FROM {pfx}l{level} c
+  JOIN {pfx}p{level} p ON p.event_type = c.event_type AND p.poff = c.off // 2
+  JOIN {pfx}thr t ON t.event_type = c.event_type
   WHERE p.s > t.t
 ),
-l{level - 1} AS MATERIALIZED (
+{pfx}l{level - 1} AS MATERIALIZED (
   SELECT p.event_type, p.poff AS off, p.s AS cnt
-  FROM p{level} p JOIN thr t ON t.event_type = p.event_type
+  FROM {pfx}p{level} p JOIN {pfx}thr t ON t.event_type = p.event_type
   WHERE p.s <= t.t
 )"""
 
@@ -3368,3 +3382,369 @@ FROM ({PROPS_BUCKET_AGG_SQL}) p,
 
 
 EVENTS_SERIES_SUITE_SQL = _series_suite_sql()
+
+
+# --- events_qdigest_merge: the quantile -STATE/-MERGE proof — build
+#     INDEPENDENT q-digests over the month's two halves (day <= 15 vs
+#     day > 15, each compressed at its OWN threshold t_half = n_half
+#     DIV QD_K), MERGE them (union of node states — internal counts
+#     join the pairing at their own level) and re-compress at the
+#     combined t = n DIV QD_K, then answer quantiles from the MERGED
+#     sketch only. This is the property that makes the sketch a
+#     distributed aggregate at 100 TB (per-partition states -Merge
+#     like CMS/KMV — the ClickHouse -State/-Merge contract, A7); the
+#     KMV gate proved merge LOSSLESS, q-digest's merge is lossy with a
+#     BOUNDED error, so the audit pins the combined bound:
+#     straddling internal nodes carry <= t_a + t_b (kept from either
+#     half) or <= t (absorbed during re-compression), giving
+#       lt_ok: cnt_lt <= target - 1 + (QD_BITS+1)*(t_a + t_b + t)
+#     while le_ok: cnt_le >= target is exact as in the build gate.
+#     Oracle: BOTH half-builds unrolled (17 MATERIALIZED levels each,
+#     prefixed a_/b_) + 17 generalized merge levels where original
+#     states at each level join the pair decision (s_pair + c_parent
+#     <= t) — the canonical q-digest condition, vs the Python
+#     mixed-level tree DP.
+
+QD_SPLIT_DAY = 15
+
+
+def events_qdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    cap = (1 << QD_BITS) - 1
+    ev = _events_cents(spark, sf_dir).select(
+        "event_type",
+        F.least(F.col("cents"), F.lit(cap)).alias("v"),
+        (F.dayofmonth("ts") <= QD_SPLIT_DAY).cast("int").alias("first_half"),
+    )
+    leaf = ev.groupBy("event_type", "first_half", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        et = pdf["event_type"].iloc[0]
+        hists: dict[int, dict[int, int]] = {0: {}, 1: {}}
+        for h, v, c in zip(pdf["first_half"], pdf["v"], pdf["cnt"]):
+            hists[int(h)][int(v)] = hists[int(h)].get(int(v), 0) + int(c)
+        n_a, n_b = sum(hists[1].values()), sum(hists[0].values())
+        t_a, t_b = n_a // QD_K, n_b // QD_K
+        sk_a = qdigest_compress(hists[1], t_a)
+        sk_b = qdigest_compress(hists[0], t_b)
+        n = n_a + n_b
+        t = n // QD_K
+        states: dict[tuple[int, int], int] = {}
+        for level, off, c in sk_a + sk_b:
+            states[(level, off)] = states.get((level, off), 0) + c
+        merged = qdigest_compress_multi(states, t)
+        nodes = []
+        for level, off, c in merged:
+            size = 1 << (QD_BITS - level)
+            lo = off * size
+            nodes.append((lo + size - 1, -lo, c))
+        nodes.sort()
+        rows = []
+        for q in QD_PCTS:
+            target = (n - 1) * q // 100 + 1
+            cum = 0
+            est = nodes[-1][0]
+            for hi, _neg_lo, c in nodes:
+                cum += c
+                if cum >= target:
+                    est = hi
+                    break
+            rows.append((et, q, n, t, t_a, t_b, len(merged), est, target))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "q_pct", "n", "t", "t_a", "t_b",
+                "sketch_nodes", "est_cents", "target",
+            ],
+        )
+
+    est = leaf.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, q_pct long, n long, t long, t_a long, t_b long, "
+        "sketch_nodes long, est_cents long, target long",
+    )
+    aud = (
+        ev.join(
+            F.broadcast(est.select("event_type", "q_pct", "est_cents")),
+            "event_type",
+        )
+        .groupBy("event_type", "q_pct", "est_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("v") < F.col("est_cents"), 1).otherwise(0)
+            ).alias("cnt_lt"),
+            F.sum(
+                F.when(F.col("v") <= F.col("est_cents"), 1).otherwise(0)
+            ).alias("cnt_le"),
+        )
+    )
+    return (
+        est.join(aud, ["event_type", "q_pct", "est_cents"])
+        .select(
+            "event_type",
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.col("n").cast("long").alias("n"),
+            F.col("t").cast("long").alias("t"),
+            F.col("t_a").cast("long").alias("t_a"),
+            F.col("t_b").cast("long").alias("t_b"),
+            F.col("sketch_nodes").cast("long").alias("sketch_nodes"),
+            F.col("est_cents").cast("long").alias("est_cents"),
+            F.col("target").cast("long").alias("target"),
+            F.col("cnt_lt").cast("long").alias("cnt_lt"),
+            F.col("cnt_le").cast("long").alias("cnt_le"),
+            (F.col("cnt_le") >= F.col("target")).alias("le_ok"),
+            (
+                F.col("cnt_lt")
+                <= F.col("target") - 1
+                + F.lit(QD_BITS + 1)
+                * (F.col("t_a") + F.col("t_b") + F.col("t"))
+            ).alias("lt_ok"),
+        )
+    )
+
+
+def _qdigest_build_chain_sql(pfx: str, half_pred: str) -> str:
+    """One full half-build: leaf histogram (filtered to one half),
+    per-type threshold, 17 unrolled compression levels, sketch union."""
+    head = f"""
+{pfx}leaf AS MATERIALIZED (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev WHERE {half_pred} GROUP BY 1, 2
+),
+{pfx}thr AS MATERIALIZED (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(cnt) // {QD_K} AS BIGINT) AS t
+  FROM {pfx}leaf GROUP BY 1
+),
+{pfx}l{QD_BITS} AS MATERIALIZED (
+  SELECT event_type, v AS off, cnt FROM {pfx}leaf
+),"""
+    levels = ",".join(
+        _qdigest_level_sql(lv, pfx=pfx) for lv in range(QD_BITS, 0, -1)
+    )
+    sketch = (
+        f",\n{pfx}sketch AS MATERIALIZED (\n  "
+        + " UNION ALL ".join(
+            f"SELECT * FROM {pfx}k{lv}" for lv in range(QD_BITS, 0, -1)
+        )
+        + f"\n  UNION ALL SELECT event_type, 0 AS level, off, cnt FROM {pfx}l0\n)"
+    )
+    return head + levels + sketch
+
+
+def _qdigest_merge_level_sql(level: int) -> str:
+    """One GENERALIZED compression stage for the merge phase: original
+    states at level-1 (from either half's sketch) join the pair decision
+    — the canonical q-digest condition c_pair + c_parent <= t — and
+    untouched originals fall through to the next level."""
+    return f"""
+m_p{level} AS MATERIALIZED (
+  SELECT event_type, off // 2 AS poff, CAST(SUM(cnt) AS BIGINT) AS s
+  FROM m_l{level} GROUP BY 1, 2
+),
+m_k{level} AS (
+  SELECT c.event_type, {level} AS level, c.off, c.cnt
+  FROM m_l{level} c
+  JOIN m_p{level} p ON p.event_type = c.event_type AND p.poff = c.off // 2
+  LEFT JOIN (SELECT event_type, off, cnt FROM m_states
+             WHERE level = {level - 1}) o
+    ON o.event_type = p.event_type AND o.off = p.poff
+  JOIN m_thr t ON t.event_type = c.event_type
+  WHERE p.s + COALESCE(o.cnt, 0) > t.t
+),
+m_l{level - 1} AS MATERIALIZED (
+  SELECT p.event_type, p.poff AS off,
+         CAST(p.s + COALESCE(o.cnt, 0) AS BIGINT) AS cnt
+  FROM m_p{level} p
+  LEFT JOIN (SELECT event_type, off, cnt FROM m_states
+             WHERE level = {level - 1}) o
+    ON o.event_type = p.event_type AND o.off = p.poff
+  JOIN m_thr t ON t.event_type = p.event_type
+  WHERE p.s + COALESCE(o.cnt, 0) <= t.t
+  UNION ALL
+  SELECT o.event_type, o.off, o.cnt
+  FROM (SELECT event_type, off, cnt FROM m_states
+        WHERE level = {level - 1}) o
+  LEFT JOIN m_p{level} p
+    ON p.event_type = o.event_type AND p.poff = o.off
+  JOIN m_thr t ON t.event_type = o.event_type
+  WHERE p.poff IS NULL OR p.s + o.cnt > t.t
+)"""
+
+
+def _qdigest_merge_sql() -> str:
+    merge_levels = ",".join(
+        _qdigest_merge_level_sql(lv) for lv in range(QD_BITS, 0, -1)
+    )
+    merge_sketch = (
+        "m_sketch AS MATERIALIZED (\n  "
+        + " UNION ALL ".join(
+            f"SELECT * FROM m_k{lv}" for lv in range(QD_BITS, 0, -1)
+        )
+        + "\n  UNION ALL SELECT event_type, 0 AS level, off, cnt FROM m_l0\n)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         LEAST({_CENTS}, {(1 << QD_BITS) - 1}) AS v,
+         CASE WHEN day(CAST(ts AS TIMESTAMP)) <= {QD_SPLIT_DAY}
+              THEN 1 ELSE 0 END AS fh
+  FROM events
+),{_qdigest_build_chain_sql("a_", "fh = 1")},{_qdigest_build_chain_sql("b_", "fh = 0")},
+m_states AS MATERIALIZED (
+  SELECT event_type, level, off, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM (SELECT * FROM a_sketch UNION ALL SELECT * FROM b_sketch)
+  GROUP BY 1, 2, 3
+),
+m_thr AS MATERIALIZED (
+  SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+         CAST(COALESCE(a.n, 0) + COALESCE(b.n, 0) AS BIGINT) AS n,
+         CAST((COALESCE(a.n, 0) + COALESCE(b.n, 0)) // {QD_K} AS BIGINT) AS t,
+         CAST(COALESCE(a.t, 0) AS BIGINT) AS t_a,
+         CAST(COALESCE(b.t, 0) AS BIGINT) AS t_b
+  FROM a_thr a FULL JOIN b_thr b ON b.event_type = a.event_type
+),
+m_l{QD_BITS} AS MATERIALIZED (
+  SELECT event_type, off, cnt FROM m_states WHERE level = {QD_BITS}
+),{merge_levels},
+{merge_sketch},
+nodes AS (
+  SELECT event_type, cnt,
+         off * (CAST(1 AS BIGINT) << ({QD_BITS} - level))
+           + (CAST(1 AS BIGINT) << ({QD_BITS} - level)) - 1 AS hi,
+         off * (CAST(1 AS BIGINT) << ({QD_BITS} - level)) AS lo
+  FROM m_sketch
+),
+sksize AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sketch_nodes
+  FROM m_sketch GROUP BY 1
+),
+cums AS (
+  SELECT event_type, hi, lo, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY hi, lo DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM nodes
+),
+targets AS (
+  SELECT t.event_type, q.q_pct, t.n, t.t, t.t_a, t.t_b,
+         CAST((t.n - 1) * q.q_pct // 100 + 1 AS BIGINT) AS target
+  FROM m_thr t
+  CROSS JOIN (SELECT unnest(ARRAY{list(QD_PCTS)}) AS q_pct) q
+),
+est AS (
+  SELECT g.event_type, CAST(g.q_pct AS BIGINT) AS q_pct, g.n, g.t,
+         g.t_a, g.t_b, g.target,
+         CAST(MIN(c.hi) AS BIGINT) AS est_cents
+  FROM targets g
+  JOIN cums c ON c.event_type = g.event_type AND c.cum >= g.target
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+aud AS (
+  SELECT e.event_type, e.q_pct,
+         CAST(SUM(CASE WHEN v.v < e.est_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_lt,
+         CAST(SUM(CASE WHEN v.v <= e.est_cents THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_le
+  FROM est e JOIN ev v ON v.event_type = e.event_type
+  GROUP BY 1, 2
+)
+SELECT e.event_type, e.q_pct, e.n, e.t, e.t_a, e.t_b, s.sketch_nodes,
+       e.est_cents, e.target, a.cnt_lt, a.cnt_le,
+       a.cnt_le >= e.target AS le_ok,
+       a.cnt_lt <= e.target - 1 + {QD_BITS + 1} * (e.t_a + e.t_b + e.t)
+         AS lt_ok
+FROM est e
+JOIN sksize s ON s.event_type = e.event_type
+JOIN aud a ON a.event_type = e.event_type AND a.q_pct = e.q_pct
+"""
+
+
+EVENTS_QDIGEST_MERGE_SQL = _qdigest_merge_sql()
+
+
+# --- events_hourly_crosscov: CROSS-SERIES covariance — the off-diagonal
+#     of the correlation matrix events_hourly_autocov computes the
+#     diagonal of (dashboards correlate metric pairs: do purchases move
+#     with views?). For every UNORDERED type pair (a < b), over hours
+#     where BOTH series have mass (the same sparse-equi-join-pairing vs
+#     dense-spine-LAG differential as the autocov gate, applied across
+#     series instead of across time): exact DECIMAL(38) covariance
+#     numerator n*Σxy - Σx*Σy plus the raw sums. The hourly frame is
+#     calendar-bounded; the pair join fans out by |type enum|, not by
+#     rows. Oracle: dense calendar spine + self-join on the spine hour.
+
+
+def events_hourly_crosscov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_frame(_events_cents(spark, sf_dir)).persist()
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "x", F.col("s").alias("sa")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "x", F.col("s").alias("sb")
+    )
+    pairs = a.join(b, "x").filter(F.col("type_a") < F.col("type_b"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("sa").alias("sum_a"),
+            F.sum("sb").alias("sum_b"),
+            F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sb")).alias(
+                "sum_ab"
+            ),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.col("sum_a").cast("long").alias("sum_a"),
+            F.col("sum_b").cast("long").alias("sum_b"),
+            F.col("sum_ab").cast("decimal(38,0)").alias("sum_ab"),
+            F.expr(
+                "CAST(CAST(n_hours AS DECIMAL(38,0)) * sum_ab "
+                "- CAST(sum_a AS DECIMAL(38,0)) * sum_b AS DECIMAL(38,0))"
+            ).alias("cov_num"),
+        )
+    )
+
+
+EVENTS_HOURLY_CROSSCOV_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) * 24
+           + CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         {_CENTS} AS cents
+  FROM events
+),
+hourly AS MATERIALIZED (
+  SELECT event_type, x, CAST(SUM(cents) AS BIGINT) AS s
+  FROM ev GROUP BY 1, 2
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(x) FROM hourly),
+                                (SELECT MAX(x) FROM hourly))) AS x
+),
+dense AS MATERIALIZED (
+  SELECT t.event_type, sp.x, h.s
+  FROM spine sp
+  CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+  LEFT JOIN hourly h ON h.event_type = t.event_type AND h.x = sp.x
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(a.s) AS BIGINT) AS sum_a,
+       CAST(SUM(b.s) AS BIGINT) AS sum_b,
+       CAST(SUM(CAST(a.s AS HUGEINT) * b.s) AS DECIMAL(38,0)) AS sum_ab,
+       CAST(COUNT(*) * SUM(CAST(a.s AS HUGEINT) * b.s)
+            - CAST(SUM(a.s) AS HUGEINT) * SUM(b.s) AS DECIMAL(38,0))
+         AS cov_num
+FROM dense a
+JOIN dense b ON b.x = a.x AND a.event_type < b.event_type
+WHERE a.s IS NOT NULL AND b.s IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -93,3 +93,67 @@ def test_invariants_and_rank_error_fuzz(seed):
         cnt_le = int(np.searchsorted(srt, est, side="right"))
         assert cnt_le >= target
         assert cnt_lt <= target - 1 + (QD_BITS + 1) * t
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_merge_mass_and_rank_error_fuzz(seed):
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        qdigest_compress_multi,
+    )
+
+    rng = np.random.RandomState(seed)
+
+    def hist_of(vals):
+        h: dict[int, int] = {}
+        for v in vals:
+            h[int(v)] = h.get(int(v), 0) + 1
+        return h
+
+    a = np.minimum(rng.geometric(0.0005, size=900), (1 << QD_BITS) - 1)
+    b = np.minimum(rng.randint(0, 1 << QD_BITS, size=1100), (1 << QD_BITS) - 1)
+    ha, hb = hist_of(a), hist_of(b)
+    na, nb = len(a), len(b)
+    ta, tb = na // QD_K, nb // QD_K
+    ska = qdigest_compress(ha, ta)
+    skb = qdigest_compress(hb, tb)
+    n = na + nb
+    t = n // QD_K
+    states: dict[tuple[int, int], int] = {}
+    for lv, off, c in ska + skb:
+        states[(lv, off)] = states.get((lv, off), 0) + c
+    merged = qdigest_compress_multi(states, t)
+
+    # mass conservation through build + merge + re-compression
+    assert sum(c for _, _, c in merged) == n
+    # internal nodes bounded by t_a + t_b + t (kept-from-half states can
+    # carry up to t_a + t_b; re-compression absorbs at <= t)
+    for lv, _off, c in merged:
+        if lv < QD_BITS:
+            assert c <= ta + tb + t
+    srt = np.sort(np.concatenate([a, b]))
+    for q in QD_PCTS:
+        est, target = _query(merged, n, q)
+        cnt_lt = int(np.searchsorted(srt, est, side="left"))
+        cnt_le = int(np.searchsorted(srt, est, side="right"))
+        assert cnt_le >= target
+        assert cnt_lt <= target - 1 + (QD_BITS + 1) * (ta + tb + t)
+
+
+def test_merge_of_uncompressed_equals_build():
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        qdigest_compress_multi,
+    )
+
+    # t=0 sketches are the raw leaf histograms, so merging them and
+    # compressing at t must equal building from the combined histogram
+    ha = {3: 5, 100: 2, 4000: 9}
+    hb = {3: 1, 77: 4, 131071: 2}
+    states = {(QD_BITS, k): v for k, v in ha.items()}
+    for k, v in hb.items():
+        states[(QD_BITS, k)] = states.get((QD_BITS, k), 0) + v
+    combined = dict(ha)
+    for k, v in hb.items():
+        combined[k] = combined.get(k, 0) + v
+    assert sorted(qdigest_compress_multi(states, 4)) == sorted(
+        qdigest_compress(combined, 4)
+    )
