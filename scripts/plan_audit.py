@@ -49,6 +49,7 @@ BOUNDED_GLOBAL_WINDOW = {
     "docs_kmv_jaccard",  # bottom-K sketch merges: <= 2K rows per window
     "supplier_pagerank",  # rank window over the orderBy().limit(25) result
     "parts_coorder_triangles",  # rank window over orderBy().limit(20) result
+    "parts_graph_suite",  # executes parts_coorder_triangles: same bound
     "supplier_similarity_cf",  # rank window over orderBy().limit(20) result
     "events_top_paths",  # rank over path-triple counts: <= |type enum|^3
     "events_funnel_dropoff",  # stage spine: one row per funnel stage (<=4)
