@@ -1080,6 +1080,15 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "DECIMAL(38) numerators per unordered type pair over "
               "both-present hours; sparse equi-join pairing vs the "
               "oracle's dense-spine self-join"),
+    QuerySpec("streaming_qdigest_state", TS.streaming_qdigest_state,
+              TS.STREAMING_QDIGEST_STATE_SQL, ("ST6", "A3", "BONUS"),
+              "the q-digest as STREAMING STATE: a real "
+              "applyInPandasWithState query accumulates the per-type "
+              "universe-bounded leaf histogram across 3 microbatches "
+              "and emits refreshed quantile estimates per batch; the "
+              "final streamed estimates equal the batch sketch gate "
+              "(pure-function-of-histogram contract) — oracle = the "
+              "batch q-digest SQL minus audit columns"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

@@ -3748,3 +3748,108 @@ JOIN dense b ON b.x = a.x AND a.event_type < b.event_type
 WHERE a.s IS NOT NULL AND b.s IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+# --- streaming_qdigest_state: the q-digest as STREAMING STATE — a REAL
+#     applyInPandasWithState query (streaming/stateful.py::qdigest_stream)
+#     over a 3-chunk file source accumulates the per-type leaf histogram
+#     across microbatches and emits refreshed quantile estimates each
+#     batch. The sketch is a pure function of the histogram, so the
+#     FINAL streamed estimates must equal the batch gate's — the oracle
+#     is the batch q-digest SQL minus its audit columns (the same
+#     streaming==batch contract streaming_positions_state uses). Chunk
+#     staging follows the hardened mtime-forced pid-scoped discipline;
+#     chunk order is immaterial here (histograms are order-free) but
+#     kept deterministic anyway.
+
+
+def streaming_qdigest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from ..streaming.stateful import qdigest_stream
+
+    cap = (1 << QD_BITS) - 1
+    inp = _events_cents(spark, sf_dir).select(
+        "event_type",
+        F.least(F.col("cents"), F.lit(cap)).alias("v"),
+        "event_id",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    src = f"/tmp/nmci_stream_qd_src_{tag}"
+    ckpt = f"/tmp/nmci_stream_qd_ckpt_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src)
+    bounds = inp.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    chunks = [
+        inp.filter(F.col("event_id") <= bounds[0]),
+        inp.filter(
+            (F.col("event_id") > bounds[0]) & (F.col("event_id") <= bounds[1])
+        ),
+        inp.filter(F.col("event_id") > bounds[1]),
+    ]
+    t_base = 1_700_000_000  # fixed epoch base — wall clock never read
+    for i, c in enumerate(chunks):
+        stage = f"{src}.stage{i}"
+        c.select("event_type", "v").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"chunk-{i:03d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t_base + i, t_base + i))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("event_type string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"qdigest_state_{tag}"
+    # state-store partition scoping: the streaming_positions_state
+    # doctrine (a plain session's 200 shuffle partitions would spawn 600
+    # near-empty state tasks for 3 batches of 5 keys)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            qdigest_stream(stream, ckpt)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # update-mode memory sink appends every per-batch emission; the row
+    # with the highest n per (type, quantile) is the final state
+    return (
+        spark.table(name)
+        .groupBy("event_type", "q_pct")
+        .agg(
+            F.max("n").alias("n"),
+            F.max_by("t", "n").alias("t"),
+            F.max_by("sketch_nodes", "n").alias("sketch_nodes"),
+            F.max_by("est_cents", "n").alias("est_cents"),
+            F.max_by("target", "n").alias("target"),
+        )
+        .select(
+            "event_type",
+            F.col("q_pct").cast("long").alias("q_pct"),
+            F.col("n").cast("long").alias("n"),
+            F.col("t").cast("long").alias("t"),
+            F.col("sketch_nodes").cast("long").alias("sketch_nodes"),
+            F.col("est_cents").cast("long").alias("est_cents"),
+            F.col("target").cast("long").alias("target"),
+        )
+    )
+
+
+STREAMING_QDIGEST_STATE_SQL = f"""
+SELECT event_type, q_pct, n, t, sketch_nodes, est_cents, target
+FROM ({EVENTS_QDIGEST_QUANTILES_SQL})
+"""

@@ -140,3 +140,87 @@ def sequence_pairs_stream(events_stream, checkpoint_dir: str):
     return updated.writeStream.outputMode("update").option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+# --- streaming q-digest: the quantile sketch maintained as STREAMING
+#     STATE — per-type leaf histogram (universe-bounded: <= 2^QD_BITS
+#     entries per key at ANY volume, the state-store analog of the CMS
+#     w*d table) accumulated across microbatches; every batch emits the
+#     refreshed quantile estimates from a compression of the CURRENT
+#     histogram. Because the q-digest is a pure function of the leaf
+#     histogram (queries/timeseries_q.py::qdigest_compress), the final
+#     streamed state answers EXACTLY the batch gate's estimates — the
+#     -State/-Merge contract in its streaming form (dashboard
+#     percentiles over an unbounded stream, the reference's stats
+#     endpoints made incremental).
+
+QDIGEST_STATE_SCHEMA = "offs array<long>, cnts array<long>"
+QDIGEST_OUTPUT_SCHEMA = (
+    "event_type string, q_pct long, n long, t long, sketch_nodes long, "
+    "est_cents long, target long"
+)
+
+
+def _qdigest_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    from ..queries.timeseries_q import (
+        QD_BITS,
+        QD_K,
+        QD_PCTS,
+        qdigest_compress,
+    )
+
+    hist: dict[int, int] = {}
+    if state.exists:
+        offs, cnts = state.get
+        hist = dict(zip((int(o) for o in offs), (int(c) for c in cnts)))
+    for pdf in pdfs:
+        for v in pdf["v"]:
+            vv = int(v)
+            hist[vv] = hist.get(vv, 0) + 1
+    state.update((list(hist.keys()), list(hist.values())))
+    n = sum(hist.values())
+    t = n // QD_K
+    sketch = qdigest_compress(hist, t)
+    nodes = []
+    for level, off, c in sketch:
+        size = 1 << (QD_BITS - level)
+        lo = off * size
+        nodes.append((lo + size - 1, -lo, c))
+    nodes.sort()
+    rows = []
+    for q in QD_PCTS:
+        target = (n - 1) * q // 100 + 1
+        cum = 0
+        est = nodes[-1][0]
+        for hi, _neg_lo, c in nodes:
+            cum += c
+            if cum >= target:
+                est = hi
+                break
+        rows.append((key[0], q, n, t, len(sketch), est, target))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "event_type", "q_pct", "n", "t", "sketch_nodes",
+            "est_cents", "target",
+        ],
+    )
+
+
+def qdigest_stream(events_stream, checkpoint_dir: str):
+    """events_stream columns: event_type string, v long (clamped cents).
+    Emits the refreshed per-type quantile estimates each microbatch."""
+    updated = events_stream.groupBy("event_type").applyInPandasWithState(
+        _qdigest_update,
+        outputStructType=QDIGEST_OUTPUT_SCHEMA,
+        stateStructType=QDIGEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return updated.writeStream.outputMode("update").option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -82,3 +82,61 @@ def test_stateful_positions_match_batch(spark, tmp_path):
         assert row["n"] == n, key
         assert row["position"] == pytest.approx(pos, abs=1e-9), key
         assert row["realized"] == pytest.approx(real, abs=1e-6), key
+
+
+def test_streaming_qdigest_accumulates_across_batches(spark):
+    """The q-digest streaming state must genuinely accumulate: the final
+    per-type n equals the FULL corpus count (a state that only saw the
+    last microbatch would hold ~1/3 of it), and the final estimates
+    equal a direct batch compression of the same data — the
+    pure-function-of-histogram contract across 3 real microbatches."""
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        QD_BITS,
+        QD_K,
+        QD_PCTS,
+        qdigest_compress,
+        streaming_qdigest_state,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    final = {
+        (r.event_type, r.q_pct): r
+        for r in streaming_qdigest_state(spark, sf_dir).collect()
+    }
+    # batch recomputation with the same kernel
+    import duckdb
+
+    con = duckdb.connect()
+    cap = (1 << QD_BITS) - 1
+    rows = con.execute(
+        f"""SELECT event_type,
+                   LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), {cap}) AS v
+            FROM read_parquet('{sf_dir}/events.parquet')"""
+    ).fetchall()
+    hists: dict[str, dict[int, int]] = {}
+    for et, v in rows:
+        hists.setdefault(et, {})[v] = hists.setdefault(et, {}).get(v, 0) + 1
+    for et, hist in hists.items():
+        n = sum(hist.values())
+        t = n // QD_K
+        sketch = qdigest_compress(hist, t)
+        nodes = sorted(
+            (
+                off * (1 << (QD_BITS - lv)) + (1 << (QD_BITS - lv)) - 1,
+                -(off * (1 << (QD_BITS - lv))),
+                c,
+            )
+            for lv, off, c in sketch
+        )
+        for q in QD_PCTS:
+            target = (n - 1) * q // 100 + 1
+            cum = 0
+            est = nodes[-1][0]
+            for hi, _lo, c in nodes:
+                cum += c
+                if cum >= target:
+                    est = hi
+                    break
+            row = final[(et, q)]
+            assert (row.n, row.t, row.sketch_nodes, row.est_cents,
+                    row.target) == (n, t, len(sketch), est, target), (et, q)
