@@ -28,7 +28,33 @@ def connected_components(
     pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
 ) -> DataFrame:
     """Pairs (a, b) → (doc_id, cluster_id) where cluster_id = min node id
-    of the component. Only nodes appearing in pairs are returned."""
+    of the component. Only nodes appearing in pairs are returned.
+
+    The iteration's shuffle-partition count is scoped to
+    defaultParallelism for the duration of the loop (set/restore — the
+    streaming_positions_state conf-scoping doctrine): every round runs
+    2 actions over node-sized frames, and the plain driver session's 200
+    partitions would otherwise spawn ~3x200 near-empty tasks per round
+    (the profiled entity-graph cost is pair-build + ~0.6s/round fixed
+    action overhead, so the win here is modest — the scope mainly
+    protects the larger docs dup graphs). Every frame the caller sees is
+    localCheckpoint-materialized INSIDE the scope, so no downstream plan
+    depends on the restored conf."""
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        return _components_loop(pairs, a, b, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _components_loop(
+    pairs: DataFrame, a: str, b: str, max_iter: int
+) -> DataFrame:
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
@@ -72,9 +98,13 @@ def connected_components(
 def components_sql(pairs_sql: str, a: str = "doc_a", b: str = "doc_b") -> str:
     """DuckDB oracle: recursive transitive closure → min reachable id per
     node (UNION dedups rows, so the recursion terminates)."""
+    # pairs/edges MATERIALIZED: the recursive step references edges, and
+    # an inlined CTE chain re-evaluates per recursion level (the r6
+    # docs_bpe_merges lesson — cost the entity-clusters oracle 7.5s of a
+    # 7.6s gate before this)
     return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+edges AS MATERIALIZED (
   SELECT {a} AS u, {b} AS v FROM pairs
   UNION
   SELECT {b} AS u, {a} AS v FROM pairs

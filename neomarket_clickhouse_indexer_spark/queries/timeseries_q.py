@@ -1163,9 +1163,20 @@ GROUP BY 1, 2
 
 def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_cents(spark, sf_dir)
-    hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    n_par = spark.sparkContext.defaultParallelism
+    # persist + repartition-on-key: the hourly series feeds the median
+    # pass AND the deviation join, and dev feeds the MAD pass AND the
+    # scored chain — without persists the raw scan re-executes per
+    # consumer, and each window over the calendar-bounded frame would
+    # pay the plain session's 200 shuffle partitions (this entry was the
+    # most expensive gate slot at 13s before; the supplier_pagerank /
+    # fused-subtree doctrine applies verbatim)
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .repartition(n_par, "event_type")
+        .persist()
+    )
 
     def nr_med(df: DataFrame, val: str, alias: str) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(val, "bucket")
@@ -1177,8 +1188,10 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("event_type", F.col(val).alias(alias))
 
     med = nr_med(hourly, "n", "med")
-    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
-        "dev", F.abs(F.col("n") - F.col("med"))
+    dev = (
+        hourly.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("n") - F.col("med")))
+        .persist()
     )
     mad = nr_med(dev, "dev", "mad")
 
@@ -1204,7 +1217,7 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_CUSUM_ALARMS_SQL = """
-WITH RECURSIVE hourly AS (
+WITH RECURSIVE hourly AS MATERIALIZED (
   SELECT event_type,
          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS n
@@ -1218,7 +1231,7 @@ medr AS (
     FROM hourly
   ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
 ),
-dev AS (
+dev AS MATERIALIZED (
   SELECT h.event_type, h.bucket, h.n, m.med, abs(h.n - m.med) AS dev
   FROM hourly h JOIN medr m USING (event_type)
 ),
@@ -1231,7 +1244,7 @@ madr AS (
     FROM dev
   ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
 ),
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT d.event_type, d.bucket, d.n, d.med, ma.mad,
          ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.bucket)
            AS rn
