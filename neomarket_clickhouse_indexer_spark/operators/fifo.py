@@ -307,7 +307,7 @@ def avg_cost_positions_sql(events_rel: str) -> str:
     IEEE operation sequence of the Python engine, evaluated by DuckDB."""
     return f"""
 WITH RECURSIVE src AS (SELECT * FROM {events_rel}),
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT key, side, qty, price,
          ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, ord) AS rn
   FROM src

@@ -370,7 +370,7 @@ def reach_bfs_frame(edges: DataFrame, s0: DataFrame) -> DataFrame:
 
 
 SUPPLIER_REACH_BFS_SQL = f"""
-WITH RECURSIVE e AS (
+WITH RECURSIVE e AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),

@@ -129,11 +129,11 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_SEQUENCE_MATCH_SQL = """
-WITH RECURSIVE base AS (
+WITH RECURSIVE base AS MATERIALIZED (
   SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
   FROM events
 ),
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT user_id, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY user_id) AS n_rows
@@ -488,7 +488,7 @@ def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_LTTB_DOWNSAMPLE_SQL = f"""
-WITH RECURSIVE hourly AS (
+WITH RECURSIVE hourly AS MATERIALIZED (
   SELECT event_type,
          datediff('day', DATE '2024-01-01',
                   CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE)) * 1440
@@ -498,7 +498,7 @@ WITH RECURSIVE hourly AS (
   FROM events
   GROUP BY 1, 2
 ),
-pts AS (
+pts AS MATERIALIZED (
   SELECT event_type, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) - 1 AS i,
          COUNT(*) OVER (PARTITION BY event_type) AS n
@@ -727,11 +727,11 @@ def streaming_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_SEQUENCE_PAIRS_SQL = """
-WITH RECURSIVE base AS (
+WITH RECURSIVE base AS MATERIALIZED (
   SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
   FROM events
 ),
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT user_id, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM base
