@@ -446,6 +446,11 @@ def coorder_edges_frame(li: DataFrame) -> DataFrame:
     lp = li.distinct()
     a = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    # coalesce the support-agg's plain-session 200 output partitions
+    # before callers persist: the peel/orientation loops re-scan this
+    # cached frame every round, and 200 near-empty cached partitions are
+    # pure task overhead at gate SFs; 32 (the local core count) keeps
+    # full scan parallelism for the 30x scale path (17.6M edges)
     return (
         a.join(b, "o")
         .filter(F.col("u") < F.col("v"))
@@ -453,6 +458,7 @@ def coorder_edges_frame(li: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= TRI_MIN_SUPPORT)
         .select("u", "v")
+        .coalesce(32)
     )
 
 
@@ -578,7 +584,25 @@ def parts_coorder_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kcore_frame(edges: DataFrame, P: int) -> DataFrame:
     """Fixed-round 2-core peel over a pre-persisted edge frame — shared
-    with parts_graph_suite."""
+    with parts_graph_suite.
+
+    The peel's shuffle-partition count is scoped to P for the loop
+    (set/restore, the connected_components doctrine): each round runs
+    degree-agg + broadcast-build jobs over dimension-bounded frames, and
+    the plain session's 200 partitions cost ~1.8s/round of near-empty
+    tasks (profiled 7.1s for 3 rounds at sf0.01). The result is
+    localCheckpoint-materialized inside the scope, so no caller plan
+    depends on the restored conf."""
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    try:
+        return _kcore_loop(edges, P).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _kcore_loop(edges: DataFrame, P: int) -> DataFrame:
     alive = None  # None = all nodes alive (round 0 runs over the full e)
     cur = edges
     for _ in range(KCORE_ROUNDS):
@@ -589,7 +613,15 @@ def kcore_frame(edges: DataFrame, P: int) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        alive = deg.filter(F.col("d") >= KCORE_K).select("node")
+        # localCheckpoint: alive feeds TWO broadcast builds (u- and
+        # v-side) plus the final join — without it the degree agg
+        # re-executes per consumer (profiled ~1.8s/round of the peel's
+        # cost was exactly this re-execution)
+        alive = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
         # alive is NODE-sized (bounded by the parts dimension, not by
         # rows) — broadcast it explicitly: Spark can't size-estimate the
         # aggregated frame and would otherwise plan each restriction as
