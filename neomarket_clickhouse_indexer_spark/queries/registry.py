@@ -136,12 +136,15 @@ _SPECS: list[QuerySpec] = [
     # autocovariance, forecast backtest) to the window in one slot.
     # props_bucket_agg stays oracle-checked in the tail.
     QuerySpec("events_series_suite", TS.events_series_suite,
-              TS.EVENTS_SERIES_SUITE_SQL, ("A1", "W2", "W4", "P5", "BONUS"),
+              TS.EVENTS_SERIES_SUITE_SQL,
+              ("A1", "A3", "A7", "W2", "W4", "P5", "BONUS"),
               "fused robust-series audit: EXECUTES quantile selection, "
               "median/MAD outliers, lag-1h/24h autocovariance, forecast "
-              "backtesting AND the displaced props_bucket_agg JSON path "
-              "from shared persisted cents/hourly subtrees; all-STRING "
-              "value column keeps DECIMAL(38,0) covariances exact"),
+              "backtesting, the q-digest sketch build with its full "
+              "rank-error audit (grown late-r7) AND the displaced "
+              "props_bucket_agg JSON path from shared persisted "
+              "cents/hourly subtrees; all-STRING value column keeps "
+              "DECIMAL(38,0) covariances exact"),
     QuerySpec("wallet_snapshot_positions", E.wallet_snapshot_positions,
               E.WALLET_SNAPSHOT_POSITIONS_SQL, ("O2", "O1", "ST6"),
               "snapshot emitter over an integer-quantity domain vs "

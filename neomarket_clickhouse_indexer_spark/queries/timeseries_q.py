@@ -3270,8 +3270,10 @@ FROM risk
 #     emits every result as labeled (family, k, metric, value) rows —
 #     giving the never-externally-gated r7 series families
 #     (order-statistic selection, median/MAD outliers, autocovariance
-#     seasonality, forecast backtesting) an in-window CORRECTNESS row in
-#     ONE slot, while running the displaced window entry's logic
+#     seasonality, forecast backtesting, and — grown late-r7 — the
+#     q-digest quantile sketch with its full rank-error audit) an
+#     in-window CORRECTNESS row in ONE slot, while running the
+#     displaced window entry's logic
 #     verbatim (props_bucket_agg — the §2.8 JSON-extraction evidence
 #     keeps its external check; strict-superset swap rule).
 #     Subtree reuse (the r7 fused-gate lesson): ONE persisted cents
@@ -3325,6 +3327,19 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'mae_milli', CAST(mae_milli AS STRING),"
         " 'wape_ppm', CAST(wape_ppm AS STRING)) AS (metric, value)",
     )
+    qd = events_qdigest_quantiles(spark, sf_dir).selectExpr(
+        "'qdigest' AS family",
+        "event_type || '/' || CAST(q_pct AS STRING) AS k",
+        "stack(9, 'n', CAST(n AS STRING),"
+        " 't', CAST(t AS STRING),"
+        " 'sketch_nodes', CAST(sketch_nodes AS STRING),"
+        " 'est_cents', CAST(est_cents AS STRING),"
+        " 'target', CAST(target AS STRING),"
+        " 'cnt_lt', CAST(cnt_lt AS STRING),"
+        " 'cnt_le', CAST(cnt_le AS STRING),"
+        " 'le_ok', CAST(le_ok AS STRING),"
+        " 'lt_ok', CAST(lt_ok AS STRING)) AS (metric, value)",
+    )
     props = props_bucket_agg(spark, sf_dir).selectExpr(
         "'props' AS family",
         "CAST(k_bucket AS STRING) AS k",
@@ -3332,8 +3347,12 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'total_value_e4', CAST(CAST(FLOOR(total_value * 10000 + 0.5)"
         " AS BIGINT) AS STRING)) AS (metric, value)",
     )
-    return qsel.unionByName(mad).unionByName(acv).unionByName(fct).unionByName(
-        props
+    return (
+        qsel.unionByName(mad)
+        .unionByName(acv)
+        .unionByName(fct)
+        .unionByName(qd)
+        .unionByName(props)
     )
 
 
@@ -3384,6 +3403,22 @@ SELECT 'forecast' AS family,
 FROM ({EVENTS_FORECAST_BACKTEST_SQL}) f,
      (SELECT unnest(['n_pairs','sum_err','sum_abs_err','sum_actual',
                      'mae_milli','wape_ppm']) AS metric) m
+UNION ALL
+SELECT 'qdigest' AS family,
+       d.event_type || '/' || CAST(d.q_pct AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(d.n AS VARCHAR)
+                     WHEN 't' THEN CAST(d.t AS VARCHAR)
+                     WHEN 'sketch_nodes' THEN CAST(d.sketch_nodes AS VARCHAR)
+                     WHEN 'est_cents' THEN CAST(d.est_cents AS VARCHAR)
+                     WHEN 'target' THEN CAST(d.target AS VARCHAR)
+                     WHEN 'cnt_lt' THEN CAST(d.cnt_lt AS VARCHAR)
+                     WHEN 'cnt_le' THEN CAST(d.cnt_le AS VARCHAR)
+                     WHEN 'le_ok' THEN CAST(d.le_ok AS VARCHAR)
+                     ELSE CAST(d.lt_ok AS VARCHAR) END AS value
+FROM ({EVENTS_QDIGEST_QUANTILES_SQL}) d,
+     (SELECT unnest(['n','t','sketch_nodes','est_cents','target',
+                     'cnt_lt','cnt_le','le_ok','lt_ok']) AS metric) m
 UNION ALL
 SELECT 'props' AS family, CAST(p.k_bucket AS VARCHAR) AS k, m.metric,
        CASE m.metric WHEN 'n' THEN CAST(p.n AS VARCHAR)
