@@ -1492,3 +1492,92 @@ SELECT CAST({_JCE_PCT} AS BIGINT) AS sample_pct,
             * 1000000 // x.exact_join_rows AS BIGINT) AS err_signed_ppm
 FROM s, x
 """
+
+
+# --- lineitem_pit_scd2_lookup: POINT-IN-TIME (PIT) JOIN against SCD2
+#     history — the temporal dimension lookup every warehouse fact load
+#     runs ("which version of the order was in effect when this line
+#     was processed?"; reference analog: condition-meta resolution joins
+#     events to the metadata version in force,
+#     src/resolve-conditions.ts). Each lineitem queries version
+#     q = 1 + (l_linenumber % 3) of its order against the 3-version
+#     orders_scd2_history islands. Spark path: one EQUI-join on the
+#     order key with the interval post-filter
+#     valid_from <= q < COALESCE(valid_to, inf) — per-key fanout is
+#     bounded by the version count, so at 100 TB this is a plain hash
+#     join (broadcast when the dimension fits); output aggregated per
+#     (q_version, valid_from) cell with BIGINT cents sums so the gate
+#     stays tiny while pinning the full assignment. Oracle: DuckDB's
+#     native ASOF JOIN (greatest valid_from <= q) + a residual valid_to
+#     check — find-last-then-validate, a genuinely different evaluation
+#     strategy from Spark's fanout-and-filter. The residual check is
+#     load-bearing: the v2/v3 SCD2 mutations DELETE keys, so histories
+#     have deletion gaps, and a PIT lookup inside a gap must return
+#     nothing rather than the stale prior version (bare ASOF carries
+#     across gaps — the differential caught exactly that).
+
+
+def lineitem_pit_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = orders_scd2_history(spark, sf_dir).select(
+        "order_key", "cents", "valid_from", "valid_to", "is_current"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        (F.lit(1) + F.col("l_linenumber") % 3).cast("long").alias("q_version"),
+    )
+    j = li.join(hist, "order_key").filter(
+        (F.col("q_version") >= F.col("valid_from"))
+        & (F.col("q_version") < F.coalesce(F.col("valid_to"), F.lit(4)))
+    )
+    return (
+        j.groupBy("q_version", "valid_from")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.col("is_current").cast("long")).alias("n_current"),
+        )
+        .select(
+            F.col("q_version").cast("long").alias("q_version"),
+            F.col("valid_from").cast("long").alias("valid_from"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.col("n_current").cast("long").alias("n_current"),
+        )
+    )
+
+
+LINEITEM_PIT_SCD2_LOOKUP_SQL = f"""
+WITH hist AS MATERIALIZED (
+  SELECT * FROM ({ORDERS_SCD2_HISTORY_SQL})
+),
+li AS (
+  SELECT l_orderkey AS order_key,
+         CAST(1 + (l_linenumber % 3) AS BIGINT) AS q_version
+  FROM lineitem
+),
+pit0 AS MATERIALIZED (
+  -- ASOF finds the last version STARTED at-or-before q; MATERIALIZED
+  -- so the residual filter below stays OUTSIDE the ASOF (DuckDB
+  -- otherwise folds it in and rejects "multiple ASOF inequalities")
+  SELECT li.q_version, h.valid_from, h.valid_to, h.cents, h.is_current
+  FROM li
+  ASOF JOIN hist h
+    ON li.order_key = h.order_key AND li.q_version >= h.valid_from
+),
+pit AS (
+  -- residual valid_to check: rejects lookups landing in a DELETION GAP
+  -- (keys the v2/v3 mutations dropped have non-contiguous islands — a
+  -- PIT lookup during the gap must return nothing, not the stale prior
+  -- version)
+  SELECT q_version, valid_from, cents, is_current
+  FROM pit0 WHERE q_version < COALESCE(valid_to, 4)
+)
+SELECT CAST(q_version AS BIGINT) AS q_version,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current
+FROM pit
+GROUP BY 1, 2
+"""

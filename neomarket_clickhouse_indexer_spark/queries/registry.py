@@ -1092,6 +1092,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "final streamed estimates equal the batch sketch gate "
               "(pure-function-of-histogram contract) — oracle = the "
               "batch q-digest SQL minus audit columns"),
+    QuerySpec("lineitem_pit_scd2_lookup", O.lineitem_pit_scd2_lookup,
+              O.LINEITEM_PIT_SCD2_LOOKUP_SQL, ("J6", "W1", "BONUS"),
+              "point-in-time join against SCD2 history (the temporal "
+              "dimension lookup of every warehouse fact load): equi-join "
+              "+ interval post-filter with version-count-bounded fanout "
+              "vs DuckDB's native ASOF JOIN — agreement proves the SCD2 "
+              "islands tile the version axis"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "
