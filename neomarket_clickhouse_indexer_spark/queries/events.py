@@ -1342,15 +1342,34 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'n_pairs', CAST(n_pairs AS DOUBLE),"
         " 'n_events', CAST(n_events AS DOUBLE)) AS (metric, value)",
     )
-    return pos.unionByName(pairs)
+    # grown late-r7: the q-digest-as-streaming-state query (third real
+    # applyInPandasWithState automaton — sketch state across
+    # microbatches); all metrics are exact integers < 2^53, so the
+    # suite's DOUBLE value column carries them losslessly
+    from .timeseries_q import streaming_qdigest_state
+
+    qd = streaming_qdigest_state(spark, sf_dir).selectExpr(
+        "'qdigest' AS path",
+        "event_type || '/' || CAST(q_pct AS STRING) AS k",
+        "stack(5, 'n', CAST(n AS DOUBLE),"
+        " 't', CAST(t AS DOUBLE),"
+        " 'sketch_nodes', CAST(sketch_nodes AS DOUBLE),"
+        " 'est_cents', CAST(est_cents AS DOUBLE),"
+        " 'target', CAST(target AS DOUBLE)) AS (metric, value)",
+    )
+    return pos.unionByName(pairs).unionByName(qd)
 
 
 def _streaming_state_suite_sql() -> str:
-    from .timeseries_q import STREAMING_SEQUENCE_PAIRS_SQL
+    from .timeseries_q import (
+        STREAMING_QDIGEST_STATE_SQL,
+        STREAMING_SEQUENCE_PAIRS_SQL,
+    )
 
     return f"""
 WITH pos AS ({AVGCOST_USER_POSITIONS_SQL}),
 pairs AS ({STREAMING_SEQUENCE_PAIRS_SQL}),
+qd AS ({STREAMING_QDIGEST_STATE_SQL}),
 pos_long AS (
   SELECT 'positions' AS path, CAST(key AS VARCHAR) AS k, m.metric,
          CASE m.metric WHEN 'position' THEN CAST(position AS DOUBLE)
@@ -1365,8 +1384,20 @@ pairs_long AS (
                        WHEN 'n_pairs' THEN CAST(n_pairs AS DOUBLE)
                        ELSE CAST(n_events AS DOUBLE) END AS value
   FROM pairs, (SELECT unnest(['pending','n_pairs','n_events']) AS metric) m
+),
+qd_long AS (
+  SELECT 'qdigest' AS path,
+         event_type || '/' || CAST(q_pct AS VARCHAR) AS k, m.metric,
+         CASE m.metric WHEN 'n' THEN CAST(n AS DOUBLE)
+                       WHEN 't' THEN CAST(t AS DOUBLE)
+                       WHEN 'sketch_nodes' THEN CAST(sketch_nodes AS DOUBLE)
+                       WHEN 'est_cents' THEN CAST(est_cents AS DOUBLE)
+                       ELSE CAST(target AS DOUBLE) END AS value
+  FROM qd, (SELECT unnest(['n','t','sketch_nodes','est_cents','target'])
+              AS metric) m
 )
 SELECT * FROM pos_long UNION ALL SELECT * FROM pairs_long
+UNION ALL SELECT * FROM qd_long
 """
 
 

@@ -237,14 +237,13 @@ _SPECS: list[QuerySpec] = [
               "event-time watermark accept/drop rule replayed as a batch "
               "audit"),
     QuerySpec("streaming_state_suite", E.streaming_state_suite,
-              E._streaming_state_suite_sql(), ("ST6", "ST1", "ST4"),
-              "fused ST6 gate (r6 rotation): EXECUTES both real "
-              "applyInPandasWithState streaming queries — avg-cost "
-              "positions AND the greedy pair automaton, each over 3 "
-              "genuine microbatches — unpivoted long vs the batch "
-              "recursive-CTE oracles; the displaced "
-              "streaming_positions_state stays oracle-checked in the "
-              "tail"),
+              E._streaming_state_suite_sql(), ("ST6", "ST1", "ST4", "A3"),
+              "fused ST6 gate (r6 rotation; grown late-r7): EXECUTES all "
+              "THREE real applyInPandasWithState streaming queries — "
+              "avg-cost positions, the greedy pair automaton, AND the "
+              "q-digest sketch state — each over 3 genuine "
+              "microbatches, unpivoted long vs the batch oracles; "
+              "displaced components stay oracle-checked in the tail"),
     QuerySpec("rest_sync_incremental", O.rest_sync_incremental,
               O.REST_SYNC_INCREMENTAL_SQL, ("S5", "S6", "W3"),
               "two paginated+checkpointed sync rounds (watermark + "
