@@ -452,7 +452,94 @@ def main() -> None:
     check_cf_customer_cap(spark)
     check_semdedup_salt(spark, n)
     check_triangle_orientation(spark, n)
+    check_mutual_bucket_cap(spark)
 
 
 if __name__ == "__main__":
     main()
+
+
+def check_mutual_bucket_cap(spark) -> None:
+    """r7: one flooded LSH bucket in the mutual-kNN candidate graph —
+    2000 near-identical vectors land in a single 6-plane bucket (fixture
+    bucket sizes ~8): MUTUAL_BUCKET_CAP=64 md5-samples the bucket before
+    the pair join (<= 64^2/2 pairs) vs the uncapped 2M-pair single-key
+    quadratic."""
+    import hashlib
+
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        DIM,
+        MUTUAL_BUCKET_CAP,
+        MUTUAL_K,
+        MUTUAL_PLANES,
+        _bucket_expr,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # plant 10k copies of one direction (md5-derived, no RNG): all share
+    # a bucket and are mutually near-identical — 50M uncapped pairs
+    base = [
+        1.0 if hashlib.md5(f"flood-{d}".encode()).digest()[0] & 1 else -1.0
+        for d in range(DIM)
+    ]
+    hot = spark.range(10_000).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.array(*[F.lit(v) for v in base]).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    skewed = emb.unionByName(hot).persist()
+    skewed.count()
+
+    def mutual(capped: bool):
+        from neomarket_clickhouse_indexer_spark.functions import vectors as VX
+
+        raw = skewed.select(
+            "vec_id",
+            "embedding",
+            _bucket_expr("embedding", n_planes=MUTUAL_PLANES).alias("bucket"),
+        )
+        if capped:
+            wcap = Window.partitionBy("bucket").orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            )
+            raw = (
+                raw.withColumn("r", F.row_number().over(wcap))
+                .filter(F.col("r") <= MUTUAL_BUCKET_CAP)
+                .drop("r")
+            )
+        a = raw.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("bucket").alias("ba"),
+        )
+        b = raw.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("bucket").alias("bb"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")),
+            )
+            .select(
+                "vec_a",
+                "vec_b",
+                VX.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+            .groupBy("vec_a")
+            # sum the similarity so Catalyst cannot prune the cosine
+            # column — the exact-verify arithmetic IS the quadratic cost
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cosine_sim").alias("s"),
+            )
+        )
+
+    g = timed("mutual_pairs_guarded", mutual(capped=True))
+    u = timed("mutual_pairs_unguarded", mutual(capped=False))
+    print(f"RATIO mutual_bucket_cap unguarded/guarded: {u / g:.1f}x")
+    skewed.unpersist()
