@@ -1098,6 +1098,14 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "+ interval post-filter with version-count-bounded fanout "
               "vs DuckDB's native ASOF JOIN — agreement proves the SCD2 "
               "islands tile the version axis"),
+    QuerySpec("events_counter_delta_sum", TS.events_counter_delta_sum,
+              TS.EVENTS_COUNTER_DELTA_SUM_SQL, ("W2", "A2", "BONUS"),
+              "counter-reset semantics (deltaSum / SNMP wrap "
+              "correction): a deterministic wrapping counter derived "
+              "from the running cents total MOD 1e6; wrap-corrected "
+              "increase by CLOSED FORM last + resets*M vs the oracle's "
+              "literal per-row fold, plus conservative deltaSum "
+              "(negatives dropped) per-row in both engines"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

@@ -3901,3 +3901,127 @@ STREAMING_QDIGEST_STATE_SQL = f"""
 SELECT event_type, q_pct, n, t, sketch_nodes, est_cents, target
 FROM ({EVENTS_QDIGEST_QUANTILES_SQL})
 """
+
+
+# --- events_counter_delta_sum: COUNTER-RESET semantics (ClickHouse
+#     deltaSum / deltaSumTimestamp; Prometheus counter rate()) — the
+#     monitoring primitive for a monotone counter that periodically
+#     WRAPS (SNMP 32-bit octet counters; Prometheus counter resets). A
+#     deterministic wrapping counter is derived from the stream itself:
+#     per type, the running cents total MOD CTR_MODULUS in
+#     (ts, event_id) order — every modulus crossing drops the value,
+#     exactly a uint-overflow wrap. Per type, BOTH industry semantics:
+#       increase_wrapped   = wrap-corrected true increase (each negative
+#                            delta is a wrap of exactly -M, so the real
+#                            step is diff + M) — Spark computes this by
+#                            the CLOSED FORM c_last + n_resets * M (no
+#                            per-row max), the oracle by the literal
+#                            per-row fold Σ (diff>=0 ? diff : diff+M)
+#                            seeded with c_first; their agreement is the
+#                            Lindley-doctrine closed-form == automaton
+#                            proof for counter wraps
+#       delta_sum_conserv  = ClickHouse deltaSum (negative deltas
+#                            DROPPED — the safe choice when wraps are
+#                            not modular) — per-row in both engines.
+#     All integer; one lag window per type.
+
+CTR_MODULUS = 1_000_000  # cents; ~10 wraps/type at sf0.01, ~1 at sf0.001
+
+
+def events_counter_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ctr = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.sum("cents").over(w) % CTR_MODULUS).alias("c"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flagged = ctr.select(
+        "event_type",
+        "c",
+        (F.col("c") - F.lag("c").over(wl)).alias("diff"),
+        F.when(
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            )
+            == 1,
+            F.col("c"),
+        )
+        .otherwise(F.lit(0))
+        .alias("last_c"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("diff") < 0, 1).otherwise(0)
+            ).alias("n_resets"),
+            F.max("last_c").alias("last_c"),
+            F.sum(
+                F.when(F.col("diff").isNull(), F.col("c"))
+                .when(F.col("diff") > 0, F.col("diff"))
+                .otherwise(F.lit(0))
+            ).alias("delta_sum_conserv"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_resets").cast("long").alias("n_resets"),
+            F.col("last_c").cast("long").alias("last_c"),
+            # closed form: every wrap contributes exactly CTR_MODULUS
+            (F.col("last_c") + F.col("n_resets") * F.lit(CTR_MODULUS))
+            .cast("long")
+            .alias("increase_wrapped"),
+            F.col("delta_sum_conserv").cast("long").alias(
+                "delta_sum_conserv"
+            ),
+        )
+    )
+
+
+EVENTS_COUNTER_DELTA_SUM_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         {_CENTS} AS cents
+  FROM events
+),
+ctr AS MATERIALIZED (
+  SELECT event_type, ts, event_id,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           % {CTR_MODULUS} AS c
+  FROM ev
+),
+d AS (
+  SELECT event_type, c,
+         c - LAG(c) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS diff,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM ctr
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN diff < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN c ELSE 0 END) AS BIGINT) AS last_c,
+       -- the literal per-row wrap-corrected fold (vs Spark's closed form)
+       CAST(SUM(CASE WHEN diff IS NULL THEN c
+                     WHEN diff >= 0 THEN diff
+                     ELSE diff + {CTR_MODULUS} END) AS BIGINT)
+         AS increase_wrapped,
+       -- ClickHouse deltaSum: negative deltas dropped
+       CAST(SUM(CASE WHEN diff IS NULL THEN c
+                     WHEN diff > 0 THEN diff ELSE 0 END) AS BIGINT)
+         AS delta_sum_conserv
+FROM d
+GROUP BY event_type
+"""
