@@ -88,6 +88,7 @@ HEADLINE = [
     "docs_compaction_plan",
     "knn_mutual_pairs",
     "lineitem_pit_scd2_lookup",
+    "events_counter_delta_sum",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path
