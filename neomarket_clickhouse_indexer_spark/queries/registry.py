@@ -1106,6 +1106,16 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "increase by CLOSED FORM last + resets*M vs the oracle's "
               "literal per-row fold, plus conservative deltaSum "
               "(negatives dropped) per-row in both engines"),
+    QuerySpec("events_seasonal_residual_outliers",
+              TS.events_seasonal_residual_outliers,
+              TS.EVENTS_SEASONAL_RESIDUAL_OUTLIERS_SQL,
+              ("A1", "W4", "BONUS"),
+              "STL-lite seasonally-adjusted anomaly detection: "
+              "per-(type, hour-of-day) nearest-rank median baseline -> "
+              "residuals -> deseasonalized MAD -> integer 3-MAD flags — "
+              "the composition plain median/MAD misses (a normal-for-3PM "
+              "spike can be a 10x anomaly for 3AM); calendar-bounded "
+              "partitions end-to-end"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

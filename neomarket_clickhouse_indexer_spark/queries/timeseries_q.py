@@ -4025,3 +4025,128 @@ SELECT event_type,
 FROM d
 GROUP BY event_type
 """
+
+
+# --- events_seasonal_residual_outliers: SEASONALLY-ADJUSTED anomaly
+#     detection — the STL-lite composition every ops dashboard needs and
+#     the shape plain median/MAD (events_value_mad_outliers) misses: a
+#     3am spike can be perfectly normal FOR 3PM volume and still be a
+#     10x anomaly for 3AM. Pipeline, all exact integers:
+#       1. hourly volume series per type (the shared _hourly_frame);
+#       2. seasonal baseline = nearest-rank MEDIAN per (type,
+#          hour-of-day) — 24 x |types| partitions, each calendar-bounded;
+#       3. residual = s - seasonal_median;
+#       4. robust scale = nearest-rank median of |residual| per type
+#          (the MAD of the DESEASONALIZED series);
+#       5. outlier: |residual| > 3*mad + 1 (the integer MAD rule).
+#     Emits per type: n_hours, seasonal MAD, outlier count/ppm, and the
+#     worst residual magnitude — aggregate output, so the gate stays
+#     tiny while pinning every stage. At 100 TB: the series is
+#     calendar-bounded, every window partition is (type[, hour-of-day]),
+#     no global state. Oracle: identical definition through DuckDB
+#     windows (the nr_med rank = ceil(k/2) convention both engines
+#     share, cusum precedent).
+
+
+def events_seasonal_residual_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n_par = spark.sparkContext.defaultParallelism
+    # persist + repartition: the hourly series feeds the seasonal-median
+    # pass AND the residual join (two consumers), and the windows over
+    # the calendar-bounded frame should not pay the plain session's 200
+    # partitions (the cusum-gate doctrine)
+    hourly = (
+        _hourly_frame(_events_cents(spark, sf_dir))
+        .withColumn("hod", F.col("x") % 24)
+        .repartition(n_par, "event_type")
+        .persist()
+    )
+    w_med = Window.partitionBy("event_type", "hod").orderBy("s", "x")
+    w_cnt = Window.partitionBy("event_type", "hod")
+    med = (
+        hourly.withColumn("vr", F.row_number().over(w_med))
+        .withColumn("k", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("vr") == F.expr("CAST(ceil(k / 2) AS BIGINT)"))
+        .select("event_type", "hod", F.col("s").alias("med"))
+    )
+    resid = hourly.join(med, ["event_type", "hod"]).select(
+        "event_type",
+        "x",
+        (F.col("s") - F.col("med")).alias("r"),
+        F.abs(F.col("s") - F.col("med")).alias("ar"),
+    )
+    w_mad = Window.partitionBy("event_type").orderBy("ar", "x")
+    w_tcnt = Window.partitionBy("event_type")
+    mad = (
+        resid.withColumn("vr", F.row_number().over(w_mad))
+        .withColumn("k", F.count(F.lit(1)).over(w_tcnt))
+        .filter(F.col("vr") == F.expr("CAST(ceil(k / 2) AS BIGINT)"))
+        .select("event_type", F.col("ar").alias("mad"))
+    )
+    return (
+        resid.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(
+                (F.col("ar") > F.lit(3) * F.col("mad") + 1).cast("long")
+            ).alias("n_outliers"),
+            F.max("ar").alias("max_abs_resid"),
+        )
+        .select(
+            "event_type",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.col("mad").cast("long").alias("seasonal_mad"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            F.expr("n_outliers * 1000000 DIV n_hours").alias("outlier_ppm"),
+            F.col("max_abs_resid").cast("long").alias("max_abs_resid"),
+        )
+    )
+
+
+EVENTS_SEASONAL_RESIDUAL_OUTLIERS_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) * 24
+           + CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         {_CENTS} AS cents
+  FROM events
+),
+hourly AS MATERIALIZED (
+  SELECT event_type, x, x % 24 AS hod, CAST(SUM(cents) AS BIGINT) AS s
+  FROM ev GROUP BY 1, 2
+),
+med AS MATERIALIZED (
+  SELECT event_type, hod, s AS med FROM (
+    SELECT event_type, hod, s,
+           ROW_NUMBER() OVER (PARTITION BY event_type, hod
+                              ORDER BY s, x) AS vr,
+           COUNT(*) OVER (PARTITION BY event_type, hod) AS k
+    FROM hourly
+  ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
+),
+resid AS MATERIALIZED (
+  SELECT h.event_type, h.x, h.s - m.med AS r, abs(h.s - m.med) AS ar
+  FROM hourly h JOIN med m ON m.event_type = h.event_type AND m.hod = h.hod
+),
+mad AS (
+  SELECT event_type, ar AS mad FROM (
+    SELECT event_type, ar,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ar, x) AS vr,
+           COUNT(*) OVER (PARTITION BY event_type) AS k
+    FROM resid
+  ) WHERE vr = CAST(ceil(k / 2) AS BIGINT)
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(m.mad AS BIGINT) AS seasonal_mad,
+       CAST(SUM(CASE WHEN r.ar > 3 * m.mad + 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(SUM(CASE WHEN r.ar > 3 * m.mad + 1 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm,
+       CAST(MAX(r.ar) AS BIGINT) AS max_abs_resid
+FROM resid r JOIN mad m ON m.event_type = r.event_type
+GROUP BY 1, 3
+"""
