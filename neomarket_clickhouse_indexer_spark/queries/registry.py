@@ -1116,6 +1116,14 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "the composition plain median/MAD misses (a normal-for-3PM "
               "spike can be a 10x anomaly for 3AM); calendar-bounded "
               "partitions end-to-end"),
+    QuerySpec("user_rfm_segments", TS.user_rfm_segments,
+              TS.USER_RFM_SEGMENTS_SQL, ("A1", "T1", "BONUS"),
+              "RFM segmentation cube (recency/frequency/monetary "
+              "quintiles): VALUE-threshold cuts from the two-level "
+              "histogram selection (12 broadcast scalars, one unpivoted "
+              "selection pass for all three axes — no global sort or "
+              "global ntile over the unbounded user axis) vs the "
+              "oracle's literal full-sort rank-k thresholds"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

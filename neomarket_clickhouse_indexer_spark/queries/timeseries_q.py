@@ -4150,3 +4150,137 @@ SELECT r.event_type,
 FROM resid r JOIN mad m ON m.event_type = r.event_type
 GROUP BY 1, 3
 """
+
+
+# --- user_rfm_segments: RFM SEGMENTATION — the classic marketing/
+#     retention cube (recency × frequency × monetary quintiles;
+#     reference analog: the leaderboard + wallet-activity endpoints rank
+#     on exactly these axes). Per user: recency_days (injected anchor −
+#     last active day), frequency (event count), monetary (cents sum).
+#     Segmentation is by VALUE THRESHOLDS — the p20/p40/p60/p80
+#     order-statistic values of each axis, computed by the
+#     quantile_select_frame two-level histogram selection (NO global
+#     sort, NO global ntile window: a global NTILE over the user
+#     dimension single-partitions an unbounded axis at 100 TB; value
+#     thresholds are 12 broadcast scalars instead, and equal metric
+#     values land in the same segment deterministically). The three
+#     axes ride ONE selection pass as an unpivoted (axis, value) frame.
+#     seg = 1 + Σ (value > threshold_k); output = the 5x5x5 cube with
+#     user counts + exact cents. Oracle: the same threshold VALUES via
+#     the literal full-sort ROW_NUMBER rank-k pick (the
+#     events_quantile_select differential applied three axes at once),
+#     then the identical assignment.
+
+RFM_PCTS = (20, 40, 60, 80)
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(DECAY_ANCHOR).cast("date"), F.max(F.to_date("ts"))
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("cents").alias("monetary"),
+    ).persist()  # feeds the threshold pass AND the assignment pass
+    axes = per_user.selectExpr(
+        "stack(3, 'r', recency_days, 'f', frequency, 'm', monetary)"
+        " AS (event_type, cents)"
+    )
+    bounds = (
+        quantile_select_frame(axes, pcts=RFM_PCTS)
+        .select("event_type", "q_pct", "value_cents")
+        .persist()
+    )
+
+    def seg(axis: str, col: str):
+        b = bounds.filter(F.col("event_type") == axis).select(
+            F.col("q_pct").alias("p"), F.col("value_cents").alias("thr")
+        )
+        # 4 threshold rows -> broadcast; seg = 1 + #thresholds below me
+        return (
+            per_user.crossJoin(F.broadcast(b))
+            .groupBy("user_id")
+            .agg(
+                (
+                    F.lit(1)
+                    + F.sum((F.col(col) > F.col("thr")).cast("long"))
+                ).alias(f"{axis}_seg")
+            )
+        )
+
+    cube = (
+        per_user.join(seg("r", "recency_days"), "user_id")
+        .join(seg("f", "frequency"), "user_id")
+        .join(seg("m", "monetary"), "user_id")
+    )
+    return (
+        cube.groupBy("r_seg", "f_seg", "m_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("monetary").alias("sum_cents"),
+        )
+        .select(
+            F.col("r_seg").cast("long").alias("r_seg"),
+            F.col("f_seg").cast("long").alias("f_seg"),
+            F.col("m_seg").cast("long").alias("m_seg"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+def _rfm_bound_sql(metric: str, axis: str) -> str:
+    """Literal full-sort rank-k thresholds for one axis (the
+    events_quantile_select oracle convention: k = (n-1)*q DIV 100 + 1)."""
+    return f"""
+SELECT '{axis}' AS axis, q.q_pct,
+       MAX(CASE WHEN rk = (q.n - 1) * q.q_pct // 100 + 1 THEN v END)
+         AS thr
+FROM (
+  SELECT {metric} AS v,
+         ROW_NUMBER() OVER (ORDER BY {metric}) AS rk,
+         COUNT(*) OVER () AS n
+  FROM per_user
+) s
+CROSS JOIN (SELECT unnest(ARRAY{list(RFM_PCTS)}) AS q_pct,
+                   (SELECT COUNT(*) FROM per_user) AS n) q
+GROUP BY 1, 2
+"""
+
+
+USER_RFM_SEGMENTS_SQL = f"""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         CAST(date_diff('day', MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+                   DATE '{DECAY_ANCHOR}') AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM({_CENTS}) AS BIGINT) AS monetary
+  FROM events GROUP BY user_id
+),
+bounds AS MATERIALIZED (
+  {_rfm_bound_sql("recency_days", "r")}
+  UNION ALL
+  {_rfm_bound_sql("frequency", "f")}
+  UNION ALL
+  {_rfm_bound_sql("monetary", "m")}
+),
+segs AS (
+  SELECT p.user_id, p.monetary,
+         1 + SUM(CASE WHEN b.axis = 'r' AND p.recency_days > b.thr
+                      THEN 1 ELSE 0 END) AS r_seg,
+         1 + SUM(CASE WHEN b.axis = 'f' AND p.frequency > b.thr
+                      THEN 1 ELSE 0 END) AS f_seg,
+         1 + SUM(CASE WHEN b.axis = 'm' AND p.monetary > b.thr
+                      THEN 1 ELSE 0 END) AS m_seg
+  FROM per_user p CROSS JOIN bounds b
+  GROUP BY 1, 2
+)
+SELECT CAST(r_seg AS BIGINT) AS r_seg,
+       CAST(f_seg AS BIGINT) AS f_seg,
+       CAST(m_seg AS BIGINT) AS m_seg,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary) AS BIGINT) AS sum_cents
+FROM segs
+GROUP BY 1, 2, 3
+"""
