@@ -1124,6 +1124,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "selection pass for all three axes — no global sort or "
               "global ntile over the unbounded user axis) vs the "
               "oracle's literal full-sort rank-k thresholds"),
+    QuerySpec("cohort_ltv_curves", TS.cohort_ltv_curves,
+              TS.COHORT_LTV_CURVES_SQL, ("A1", "W2", "BONUS"),
+              "cohort LTV curves (the monetization companion to the "
+              "retention matrix): first-activity ISO-week cohorts, "
+              "exact cumulative cents per week offset + normalized "
+              "ltv_ppm; calendar-bounded window vs the oracle's "
+              "window-free self-join range aggregation"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

@@ -4284,3 +4284,85 @@ SELECT CAST(r_seg AS BIGINT) AS r_seg,
 FROM segs
 GROUP BY 1, 2, 3
 """
+
+# --- cohort_ltv_curves: COHORT LTV — the monetization companion to
+#     events_retention_cohorts (that gate counts active users; this one
+#     accumulates VALUE): users are cohorted by first-activity ISO week,
+#     and each cohort's cumulative cents through week offset k is the
+#     lifetime-value curve product teams plot (reference analog: the
+#     profit-leaders views accumulate realized value per wallet over
+#     time). All exact integers: per (cohort_week, week_offset) cents
+#     sums, a running cumulative sum along the offset axis
+#     (calendar-bounded partition), and ltv_ppm = cum*1e6 DIV
+#     cohort_total — the normalized curve. Timestamps stay NTZ with
+#     calendar arithmetic (no epoch), per the timezone-proof rule.
+#     At 100 TB: one user-cohort map join + one calendar-bounded window.
+#     Oracle: the same cohorting via a correlated MIN() subquery and the
+#     cumulative via a self-join range aggregation (Σ over offsets <= k)
+#     — no window function, a genuinely different formulation.
+
+
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d"), "cents"
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    cohorted = ev.join(first_day, "user_id").select(
+        F.weekofyear("d0").alias("cohort_week"),
+        (
+            F.datediff(F.date_trunc("week", "d"), F.date_trunc("week", "d0"))
+            / 7
+        ).cast("long").alias("week_offset"),
+        "cents",
+    )
+    cells = cohorted.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").alias("week_cents")
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("cohort_week")
+    return (
+        cells.withColumn("cum_cents", F.sum("week_cents").over(w_cum))
+        .withColumn("total", F.sum("week_cents").over(w_tot))
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("week_cents").cast("long").alias("week_cents"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.expr("cum_cents * 1000000 DIV total").alias("ltv_ppm"),
+        )
+    )
+
+
+COHORT_LTV_CURVES_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         {_CENTS} AS cents
+  FROM events
+),
+first_day AS MATERIALIZED (
+  SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY user_id
+),
+cells AS MATERIALIZED (
+  SELECT weekofyear(f.d0) AS cohort_week,
+         date_diff('week', date_trunc('week', f.d0),
+                   date_trunc('week', e.d)) AS week_offset,
+         CAST(SUM(e.cents) AS BIGINT) AS week_cents
+  FROM ev e JOIN first_day f ON f.user_id = e.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
+       CAST(a.week_offset AS BIGINT) AS week_offset,
+       a.week_cents,
+       CAST(SUM(b.week_cents) AS BIGINT) AS cum_cents,
+       CAST(SUM(b.week_cents) * 1000000
+            // (SELECT SUM(c.week_cents) FROM cells c
+                WHERE c.cohort_week = a.cohort_week) AS BIGINT) AS ltv_ppm
+FROM cells a
+JOIN cells b
+  ON b.cohort_week = a.cohort_week AND b.week_offset <= a.week_offset
+GROUP BY a.cohort_week, a.week_offset, a.week_cents
+"""
