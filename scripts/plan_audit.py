@@ -32,6 +32,7 @@ INTENTIONAL_CROSS = {
     "events_key_skew_profile",  # 1-row totals x 1-row top-8 crossJoin
     "fk_integrity_audit",  # 1-row stats x 1-row orphan/parent crossJoins
     "join_cardinality_estimate",  # 1-row sampled x 1-row exact crossJoin
+    "user_rfm_segments",  # 4-row broadcast quantile-threshold crossJoin
 }
 
 # Unpartitioned Window nodes single-partition-sort their whole input —
