@@ -1131,6 +1131,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "exact cumulative cents per week offset + normalized "
               "ltv_ppm; calendar-bounded window vs the oracle's "
               "window-free self-join range aggregation"),
+    QuerySpec("user_volume_concentration", TS.user_volume_concentration,
+              TS.USER_VOLUME_CONCENTRATION_SQL, ("A1", "A2", "BONUS"),
+              "Pareto / whale-concentration curve: per monetary-decile "
+              "threshold (histogram-selection broadcast scalars, no "
+              "global sort) the exact user count and ppm volume share "
+              "above it — the 80/20 diagnostic; oracle = full-sort "
+              "rank-k thresholds + identical conditional aggregation"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

@@ -4366,3 +4366,89 @@ JOIN cells b
   ON b.cohort_week = a.cohort_week AND b.week_offset <= a.week_offset
 GROUP BY a.cohort_week, a.week_offset, a.week_cents
 """
+
+
+# --- user_volume_concentration: PARETO / WHALE-CONCENTRATION curve —
+#     "what share of volume do the top X% of users carry?" (the 80/20
+#     diagnostic; reference analog: the profit-leaders views exist
+#     because market volume concentrates in whales). For each decile
+#     threshold of the per-user monetary distribution (p10..p90 values
+#     from the two-level histogram selection — broadcast scalars, no
+#     global sort), emit: users at-or-above the threshold, their share
+#     of total volume in exact ppm, and the threshold itself. Equal
+#     values sit on one side of each cut deterministically (> thr), so
+#     the curve is partitioning-invariant. Oracle: thresholds via the
+#     literal full-sort rank-k pick + identical conditional aggregation.
+
+PARETO_PCTS = (10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+def user_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.sum("cents").alias("monetary"))
+        .persist()  # feeds the threshold pass AND the share aggregation
+    )
+    bounds = quantile_select_frame(
+        per_user.selectExpr("'m' AS event_type", "monetary AS cents"),
+        pcts=PARETO_PCTS,
+    ).select(F.col("q_pct").alias("pct"), F.col("value_cents").alias("thr"))
+    return (
+        per_user.crossJoin(F.broadcast(bounds))
+        .groupBy("pct", "thr")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("monetary") > F.col("thr")).cast("long")).alias(
+                "users_above"
+            ),
+            F.sum("monetary").alias("total_cents"),
+            F.sum(
+                F.when(F.col("monetary") > F.col("thr"), F.col("monetary"))
+                .otherwise(F.lit(0))
+            ).alias("cents_above"),
+        )
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("thr").cast("long").alias("thr_cents"),
+            F.col("users_above").cast("long").alias("users_above"),
+            F.expr("users_above * 1000000 DIV n_total").alias(
+                "users_above_ppm"
+            ),
+            F.expr("cents_above * 1000000 DIV total_cents").alias(
+                "volume_share_ppm"
+            ),
+        )
+    )
+
+
+USER_VOLUME_CONCENTRATION_SQL = f"""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id, CAST(SUM({_CENTS}) AS BIGINT) AS monetary
+  FROM events GROUP BY user_id
+),
+bounds AS MATERIALIZED (
+  SELECT q.q_pct AS pct,
+         MAX(CASE WHEN rk = (q.n - 1) * q.q_pct // 100 + 1 THEN v END)
+           AS thr
+  FROM (
+    SELECT monetary AS v,
+           ROW_NUMBER() OVER (ORDER BY monetary) AS rk,
+           COUNT(*) OVER () AS n
+    FROM per_user
+  ) s
+  CROSS JOIN (SELECT unnest(ARRAY{list(PARETO_PCTS)}) AS q_pct,
+                     (SELECT COUNT(*) FROM per_user) AS n) q
+  GROUP BY 1
+)
+SELECT CAST(b.pct AS BIGINT) AS pct,
+       CAST(b.thr AS BIGINT) AS thr_cents,
+       CAST(SUM(CASE WHEN p.monetary > b.thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_above,
+       CAST(SUM(CASE WHEN p.monetary > b.thr THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS users_above_ppm,
+       CAST(SUM(CASE WHEN p.monetary > b.thr THEN p.monetary ELSE 0 END)
+            * 1000000 // SUM(p.monetary) AS BIGINT) AS volume_share_ppm
+FROM per_user p CROSS JOIN bounds b
+GROUP BY 1, 2
+"""
