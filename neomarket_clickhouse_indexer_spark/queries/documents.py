@@ -880,7 +880,7 @@ def docs_bands_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import shutil
 
-    from ..sources.sinks import append
+    from ..sources.sinks import append, prune_stale_staging
 
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
     # deterministic "arriving batch": every 5th doc is the new data
@@ -891,6 +891,7 @@ def docs_bands_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs inside the in-window docs_pair_recall_audit, so concurrent
     # pytest + driver_sim over the same sf_dir must not race on the table
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    prune_stale_staging("nmci_bands_incr_")
     table = f"/tmp/nmci_bands_incr_{tag}"
     shutil.rmtree(table, ignore_errors=True)
     _bands_of(docs.filter(~is_new)).write.mode("overwrite").parquet(table)

@@ -1928,7 +1928,7 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..sources.sinks import append
+    from ..sources.sinks import append, prune_stale_staging
 
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
@@ -1960,6 +1960,7 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pid-scoped staging dir (streaming-chunk discipline: concurrent
     # driver_sim + pytest over one sf_dir must not race)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    prune_stale_staging("nmci_ivf_incr_")
     table = f"/tmp/nmci_ivf_incr_{tag}"
     shutil.rmtree(table, ignore_errors=True)
     assign(corpus.filter(~is_new)).write.mode("overwrite").parquet(table)

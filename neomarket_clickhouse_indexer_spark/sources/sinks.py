@@ -15,7 +15,33 @@ the rebuild grain (wallet bucket for ledgers, date for rollups).
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def prune_stale_staging(prefix: str) -> None:
+    """Remove ``/tmp/{prefix}*`` staging dirs left by DEAD processes.
+
+    The pid-scoped staging discipline (concurrent pytest + driver_sim over
+    one sf_dir must not race on a table) means every run mints a fresh
+    ``..._{md5}_{pid}`` dir; without pruning, repeated rounds accumulate
+    unbounded /tmp usage (r7 ADVICE). Called at staging time: any sibling
+    whose trailing pid no longer exists is reclaimed; live pids (a
+    concurrent run) are left alone.
+    """
+    for p in glob.glob(f"/tmp/{prefix}*"):
+        pid_s = p.rsplit("_", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # live pid owned by another user: not ours to reclaim
 
 
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

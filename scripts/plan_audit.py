@@ -33,6 +33,7 @@ INTENTIONAL_CROSS = {
     "fk_integrity_audit",  # 1-row stats x 1-row orphan/parent crossJoins
     "join_cardinality_estimate",  # 1-row sampled x 1-row exact crossJoin
     "user_rfm_segments",  # 4-row broadcast quantile-threshold crossJoin
+    "user_volume_concentration",  # 9-row broadcast threshold crossJoin
 }
 
 # Unpartitioned Window nodes single-partition-sort their whole input —
@@ -56,6 +57,12 @@ BOUNDED_GLOBAL_WINDOW = {
     "events_funnel_dropoff",  # stage spine: one row per funnel stage (<=4)
     "events_cumulative_distinct_users",  # day spine: one row per active day
     "user_churn_hazard",  # duration spine: one row per calendar day
+    # quantile_select_frame's TOP hierarchy window (partitionBy event_type
+    # folds away under the literal 'm' axis) is <= 2^8 rows at ANY value
+    # range: p3 = cents DIV 256 DIV 2^48 — the r8 hierarchical prefix-sum
+    # (timeseries_q.QSEL_FAN; planted bound check in
+    # tests/test_qsel_hierarchy.py)
+    "user_volume_concentration",
 }
 
 

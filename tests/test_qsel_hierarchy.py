@@ -1,0 +1,75 @@
+"""Planted wide-range checks for the r8 hierarchical bucket-axis prefix
+sum in quantile_select_frame (the r7 verdict's one weak finding: the
+level-1 running sum single-partitioned an UNBOUNDED derived axis like
+per-user monetary). Two assertions:
+
+1. correctness is unchanged on values spanning >= 2^40 cents (including
+   negatives straddling the truncation-toward-zero double-wide parent),
+   vs the literal sorted rank-k definition;
+2. the BOUND is real: recomputing the level tables by the same DIV
+   formulas, every window partition the plan sorts — (type, p1) at the
+   base, (type, p2)/(type, p3) above, (type) at the top — holds
+   <= 2^17 rows even though the raw axis would have needed millions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+    QSEL_BUCKET,
+    QSEL_FAN,
+    quantile_select_frame,
+)
+
+
+def _tdiv(a: int, d: int) -> int:
+    """Truncation-toward-zero division (Spark DIV semantics)."""
+    q = abs(a) // d
+    return q if a >= 0 else -q
+
+
+@pytest.mark.parametrize("seed", [29, 173])
+def test_wide_range_selection_exact_and_bounded(spark, seed):
+    rng = np.random.RandomState(seed)
+    # plant a whale distribution spanning > 2^40 cents: a dense bulk,
+    # a heavy tail out to ~1.1e12, and a negative lobe (signed ledgers)
+    bulk = rng.randint(-(10**6), 10**6, size=3000)
+    tail = (rng.pareto(0.6, size=400) * 1e9).astype(np.int64)
+    neg = -(rng.pareto(0.7, size=200) * 1e8).astype(np.int64)
+    vals = np.concatenate([bulk, tail, neg]).astype(np.int64)
+    assert int(vals.max()) - int(vals.min()) >= 1 << 40
+    rows = [("m", int(v)) for v in vals]
+    df = spark.createDataFrame(rows, "event_type string, cents bigint")
+    pcts = (10, 50, 90, 99)
+    got = {
+        r.q_pct: (r.n, r.k, r.value_cents)
+        for r in quantile_select_frame(df, pcts=pcts).collect()
+    }
+    s = np.sort(vals)
+    n = len(s)
+    for p in pcts:
+        k = (n - 1) * p // 100 + 1
+        assert got[p] == (n, k, int(s[k - 1])), p
+
+    # the planted bound check: level tables by the plan's own formulas
+    bs = sorted({_tdiv(int(v), QSEL_BUCKET) for v in vals})
+    p1 = [_tdiv(b, QSEL_FAN) for b in bs]
+    p2 = [_tdiv(x, QSEL_FAN) for x in p1]
+    p3 = [_tdiv(x, QSEL_FAN) for x in p2]
+    cap = 1 << 17
+
+    def max_group(children, parents):
+        sizes: dict[int, set[int]] = {}
+        for c, p in zip(children, parents):
+            sizes.setdefault(p, set()).add(c)
+        return max(len(v) for v in sizes.values())
+
+    assert max_group(bs, p1) <= cap  # base window (type, p1) order by b
+    assert max_group(p1, p2) <= cap  # (type, p2) order by p1
+    assert max_group(p2, p3) <= cap  # (type, p3) order by p2
+    assert len(set(p3)) <= 1 << 8  # top per-type window
+    # and the raw axis really WAS unbounded-scale: without the
+    # hierarchy the single per-type window would sort every base bucket
+    assert (max(bs) - min(bs)) > cap  # value range forces > 2^17 buckets
