@@ -77,9 +77,17 @@ _SPECS: list[QuerySpec] = [
               ("J2", "A1", "A4"), "3-way left join: volume x last price x users"),
     QuerySpec("user_stats", E.user_stats, E.USER_STATS_SQL,
               ("A1", "A3", "A4", "A5"), "per-user profile agg"),
-    QuerySpec("last_view_before_purchase", E.last_view_before_purchase,
-              E.LAST_VIEW_BEFORE_PURCHASE_SQL, ("J6",),
-              "as-of join (oracle: native ASOF JOIN)"),
+    # r8 rotation (verdict task 3): the deletion-gap-correct PIT/SCD2
+    # temporal join takes the as-of family's window slot;
+    # last_view_before_purchase moved to the tail — J6 stays covered here
+    # and by supplier_shipment_overlap.
+    QuerySpec("lineitem_pit_scd2_lookup", O.lineitem_pit_scd2_lookup,
+              O.LINEITEM_PIT_SCD2_LOOKUP_SQL, ("J6", "W1", "BONUS"),
+              "point-in-time join against SCD2 history (the temporal "
+              "dimension lookup of every warehouse fact load): equi-join "
+              "+ interval post-filter with version-count-bounded fanout "
+              "vs DuckDB's native ASOF JOIN — agreement proves the SCD2 "
+              "islands tile the version axis"),
     QuerySpec("hour_bucket_last", E.hour_bucket_last, E.HOUR_BUCKET_LAST_SQL,
               ("W5", "A4"), "last value per time bucket"),
     QuerySpec("user_type_winloss", E.user_type_winloss,
@@ -115,11 +123,19 @@ _SPECS: list[QuerySpec] = [
               E.MERGED_TIMELINE_PAGE_SQL, ("T4", "U2", "T2", "T3"),
               "heterogeneous union merged into one total order, paginated "
               "via TakeOrdered (unified activity feed)"),
-    QuerySpec("docs_dedup_keep_best", D.docs_dedup_keep_best,
-              D.DOCS_DEDUP_KEEP_BEST_SQL, ("DD1", "A4", "BONUS"),
-              "duplicate-cluster representative selection: bag-of-words "
-              "signature clusters, keep the longest copy (struct max_by vs "
-              "encoded-integer arg_min oracle); quantifies dropped chars"),
+    # r8 rotation (verdict task 2): the fused segmentation suite gives the
+    # r7 rfm/ltv/pareto families their first in-window row from one slot;
+    # docs_dedup_keep_best moved to the tail — DD1 stays covered by
+    # docs_curation_pipeline, docs_chunk_dedup_rewrite and frame_dedup,
+    # A4 by market_overview/user_stats/hour_bucket_last.
+    QuerySpec("user_segmentation_suite", TS.user_segmentation_suite,
+              TS.USER_SEGMENTATION_SUITE_SQL,
+              ("A1", "A2", "T1", "W2", "BONUS"),
+              "fused segmentation gate: rfm cube + cohort LTV curves + "
+              "Pareto concentration executed verbatim via their frame "
+              "cores from ONE persisted corpus scan and ONE shared "
+              "per-user RFM subtree (labeled family/k/metric/value rows, "
+              "all-BIGINT-as-STRING values)"),
     QuerySpec("docs_profile", D.docs_profile, D.DOCS_PROFILE_SQL,
               ("TX1", "TX2", "TX3", "TX4"),
               "fused per-document analysis pass: quality stats + lang-id + "
@@ -1091,13 +1107,16 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "final streamed estimates equal the batch sketch gate "
               "(pure-function-of-histogram contract) — oracle = the "
               "batch q-digest SQL minus audit columns"),
-    QuerySpec("lineitem_pit_scd2_lookup", O.lineitem_pit_scd2_lookup,
-              O.LINEITEM_PIT_SCD2_LOOKUP_SQL, ("J6", "W1", "BONUS"),
-              "point-in-time join against SCD2 history (the temporal "
-              "dimension lookup of every warehouse fact load): equi-join "
-              "+ interval post-filter with version-count-bounded fanout "
-              "vs DuckDB's native ASOF JOIN — agreement proves the SCD2 "
-              "islands tile the version axis"),
+    # displaced from the window by the r8 rotations (tags remain covered;
+    # both keep their local oracle checks)
+    QuerySpec("last_view_before_purchase", E.last_view_before_purchase,
+              E.LAST_VIEW_BEFORE_PURCHASE_SQL, ("J6",),
+              "as-of join (oracle: native ASOF JOIN)"),
+    QuerySpec("docs_dedup_keep_best", D.docs_dedup_keep_best,
+              D.DOCS_DEDUP_KEEP_BEST_SQL, ("DD1", "A4", "BONUS"),
+              "duplicate-cluster representative selection: bag-of-words "
+              "signature clusters, keep the longest copy (struct max_by vs "
+              "encoded-integer arg_min oracle); quantifies dropped chars"),
     QuerySpec("events_counter_delta_sum", TS.events_counter_delta_sum,
               TS.EVENTS_COUNTER_DELTA_SUM_SQL, ("W2", "A2", "BONUS"),
               "counter-reset semantics (deltaSum / SNMP wrap "

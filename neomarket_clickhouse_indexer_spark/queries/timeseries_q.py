@@ -1179,6 +1179,13 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_par, "event_type")
         .persist()
     )
+    return cusum_alarms_frame(hourly)
+
+
+def cusum_alarms_frame(hourly: DataFrame) -> DataFrame:
+    """Core CUSUM path over a (persisted) per-(type, hour-bucket) count
+    frame — factored out so events_series_suite can feed it from its
+    shared persisted corpus scan."""
 
     def nr_med(df: DataFrame, val: str, alias: str) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(val, "bucket")
@@ -2344,16 +2351,29 @@ QSEL_FAN = 65536
 
 
 def events_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quantile_select_frame(_events_cents(spark, sf_dir))
+    # event payment cents are domain-bounded (<= 2^17, the q-digest
+    # universe contract) -> the single-window fast path is safe
+    return quantile_select_frame(_events_cents(spark, sf_dir), bounded_axis=True)
 
 
 def quantile_select_frame(
-    ev_cents: DataFrame, pcts: tuple[int, ...] = QSEL_PCTS
+    ev_cents: DataFrame,
+    pcts: tuple[int, ...] = QSEL_PCTS,
+    bounded_axis: bool = False,
 ) -> DataFrame:
     """Core path over any (event_type, cents) frame — factored out so
     scripts/scale_check.py can drive it at N× event scale, and so
     events_value_mad_outliers can run the selection twice (median of
-    values, then median of absolute deviations)."""
+    values, then median of absolute deviations).
+
+    ``bounded_axis=True`` is the caller's assertion that the value column
+    lives in a DOMAIN-bounded universe (event payment cents <= 2^17, the
+    q-digest contract — so <= 512 buckets per type) and collapses the
+    prefix-sum ladder to one per-type window over that tiny axis (3 fewer
+    serial stages). Leave it False for any DERIVED axis whose range grows
+    with the corpus (per-user monetary/frequency) — the hierarchical
+    ladder then bounds every window partition at <= 2^17 rows for any
+    int64 range."""
     ev = ev_cents.select(
         "event_type",
         "cents",
@@ -2367,55 +2387,91 @@ def quantile_select_frame(
         ev.groupBy("event_type", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("p1", F.expr(f"b DIV {QSEL_FAN}"))
-        .withColumn("p2", F.expr(f"b DIV {QSEL_FAN} DIV {QSEL_FAN}"))
-        .withColumn(
-            "p3", F.expr(f"b DIV {QSEL_FAN} DIV {QSEL_FAN} DIV {QSEL_FAN}")
+    )
+    if bounded_axis:
+        wb = (
+            Window.partitionBy("event_type")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        bcum = bc.select(
+            "event_type", "b", "cnt", F.sum("cnt").over(wb).alias("cum")
+        )
+        return _qsel_locate(ev, bcum, bc.groupBy("event_type").agg(
+            F.sum("cnt").alias("n")
+        ), pcts)
+    # level tables (each row count <= the previous level's); exclusive
+    # prefixes FOLD TOP-DOWN so the base bucket table joins exactly ONCE
+    # (joining e1/e2/e3 into bc separately would shuffle the big table
+    # three times)
+    l1 = (
+        bc.groupBy("event_type", "p1")
+        .agg(F.sum("cnt").alias("c1"))
+        .withColumn("p2", F.expr(f"p1 DIV {QSEL_FAN}"))
     )
-    # level tables: each row count is <= the previous level's (grouped by
-    # the parent key); p2/p3 ride along (functionally dependent on p1/p2)
-    l1 = bc.groupBy("event_type", "p1", "p2", "p3").agg(
-        F.sum("cnt").alias("c1")
+    l2 = (
+        l1.groupBy("event_type", "p2")
+        .agg(F.sum("c1").alias("c2"))
+        .withColumn("p3", F.expr(f"p2 DIV {QSEL_FAN}"))
     )
-    l2 = l1.groupBy("event_type", "p2", "p3").agg(F.sum("c1").alias("c2"))
     l3 = l2.groupBy("event_type", "p3").agg(F.sum("c2").alias("c3"))
     unb = (Window.unboundedPreceding, Window.currentRow)
     w0 = Window.partitionBy("event_type", "p1").orderBy("b").rowsBetween(*unb)
     w1 = Window.partitionBy("event_type", "p2").orderBy("p1").rowsBetween(*unb)
     w2 = Window.partitionBy("event_type", "p3").orderBy("p2").rowsBetween(*unb)
     # the ONLY per-type-global window: <= 2^8 rows by construction
-    # (p3 = cents DIV 2^63-ish), the stated BOUNDED_GLOBAL_WINDOW row
+    # (p3 = cents DIV 2^55-ish), the stated BOUNDED_GLOBAL_WINDOW row
     w3 = Window.partitionBy("event_type").orderBy("p3").rowsBetween(*unb)
-    e1 = l1.select(
-        "event_type", "p1", (F.sum("c1").over(w1) - F.col("c1")).alias("e1")
-    )
-    e2 = l2.select(
-        "event_type", "p2", (F.sum("c2").over(w2) - F.col("c2")).alias("e2")
-    )
     e3 = l3.select(
         "event_type", "p3", (F.sum("c3").over(w3) - F.col("c3")).alias("e3")
     )
+    # rows strictly above each p2 = within-p3 exclusive prefix + e3(p3);
+    # e3 is <= 2^8 rows per type — always broadcastable
+    l2e = (
+        l2.withColumn("cum2", F.sum("c2").over(w2))
+        .join(F.broadcast(e3), ["event_type", "p3"])
+        .select(
+            "event_type",
+            "p2",
+            (F.col("cum2") - F.col("c2") + F.col("e3")).alias("e2"),
+        )
+    )
+    l1e = (
+        l1.withColumn("cum1", F.sum("c1").over(w1))
+        .join(l2e, ["event_type", "p2"])
+        .select(
+            "event_type",
+            "p1",
+            (F.col("cum1") - F.col("c1") + F.col("e2")).alias("e1"),
+        )
+    )
     bcum = (
         bc.withColumn("s0", F.sum("cnt").over(w0))
-        .join(e1, ["event_type", "p1"])
-        .join(e2, ["event_type", "p2"])
-        .join(e3, ["event_type", "p3"])
+        .join(l1e, ["event_type", "p1"])
         .select(
             "event_type",
             "b",
             "cnt",
-            (F.col("s0") + F.col("e1") + F.col("e2") + F.col("e3")).alias(
-                "cum"
-            ),
+            (F.col("s0") + F.col("e1")).alias("cum"),
         )
     )
     # n per type comes from the LEVEL-3 table, not a second corpus scan —
     # at 100 TB the raw frame is read exactly twice (bucket pass + value
     # pass); every rank computation runs over the domain-bounded
     # aggregate
+    return _qsel_locate(
+        ev, bcum, l3.groupBy("event_type").agg(F.sum("c3").alias("n")), pcts
+    )
+
+
+def _qsel_locate(
+    ev: DataFrame, bcum: DataFrame, ntab: DataFrame, pcts: tuple[int, ...]
+) -> DataFrame:
+    """Shared rank-location + value pass: given the cumulative bucket
+    table (however its running sum was computed) and per-type totals,
+    find each rank's bucket and the exact rank-k value inside it."""
     ks = (
-        l3.groupBy("event_type")
-        .agg(F.sum("c3").alias("n"))
+        ntab
         .select(
             "event_type",
             "n",
@@ -2530,14 +2586,14 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mad_outliers_frame(ev: DataFrame) -> DataFrame:
     """Core path over any (event_type, cents) frame — factored out so
     events_series_suite can feed it from the shared persisted subtree."""
-    med = quantile_select_frame(ev, pcts=(50,)).select(
+    med = quantile_select_frame(ev, pcts=(50,), bounded_axis=True).select(
         "event_type", F.col("value_cents").alias("med_cents")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         F.abs(F.col("cents") - F.col("med_cents")).alias("cents"),
     )
-    mad = quantile_select_frame(dev, pcts=(50,)).select(
+    mad = quantile_select_frame(dev, pcts=(50,), bounded_axis=True).select(
         "event_type", F.col("value_cents").alias("mad_cents")
     )
     stats = med.join(mad, "event_type")
@@ -3353,11 +3409,22 @@ FROM risk
 def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .events import props_bucket_agg
 
+    n_par = spark.sparkContext.defaultParallelism
     ev = _events_cents(spark, sf_dir).persist()
     cents2 = ev.select("event_type", "cents")
     hourly = _hourly_frame(ev).persist()
+    # r8 growth (verdict task 4): the cusum, counter-reset and
+    # seasonal-residual families ride the SAME persisted subtrees —
+    # hourly-count series for cusum, the raw persisted scan for the
+    # counter fold, the existing hourly-cents series for seasonal
+    hourly_n = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .repartition(n_par, "event_type")
+        .persist()
+    )
 
-    qsel = quantile_select_frame(cents2).selectExpr(
+    qsel = quantile_select_frame(cents2, bounded_axis=True).selectExpr(
         "'qsel' AS family",
         "event_type || '/' || CAST(q_pct AS STRING) AS k",
         "stack(3, 'n', CAST(n AS STRING),"
@@ -3415,12 +3482,48 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'total_value_e4', CAST(CAST(FLOOR(total_value * 10000 + 0.5)"
         " AS BIGINT) AS STRING)) AS (metric, value)",
     )
+    csm = cusum_alarms_frame(hourly_n).selectExpr(
+        "'cusum' AS family",
+        "event_type || '/' || CAST(datediff(bucket, DATE '2024-01-01') * 24"
+        " + hour(bucket) AS STRING) AS k",
+        "stack(4, 'n', CAST(n AS STRING),"
+        " 'med', CAST(med AS STRING),"
+        " 'cusum', CAST(cusum AS STRING),"
+        " 'threshold', CAST(threshold AS STRING)) AS (metric, value)",
+    )
+    ctr = counter_delta_frame(ev).selectExpr(
+        "'ctr' AS family",
+        "event_type AS k",
+        "stack(5, 'n', CAST(n AS STRING),"
+        " 'n_resets', CAST(n_resets AS STRING),"
+        " 'last_c', CAST(last_c AS STRING),"
+        " 'increase_wrapped', CAST(increase_wrapped AS STRING),"
+        " 'delta_sum_conserv', CAST(delta_sum_conserv AS STRING))"
+        " AS (metric, value)",
+    )
+    ssn = seasonal_residual_frame(
+        hourly.withColumn("hod", F.col("x") % 24).repartition(
+            n_par, "event_type"
+        )
+    ).selectExpr(
+        "'seasonal' AS family",
+        "event_type AS k",
+        "stack(5, 'n_hours', CAST(n_hours AS STRING),"
+        " 'seasonal_mad', CAST(seasonal_mad AS STRING),"
+        " 'n_outliers', CAST(n_outliers AS STRING),"
+        " 'outlier_ppm', CAST(outlier_ppm AS STRING),"
+        " 'max_abs_resid', CAST(max_abs_resid AS STRING))"
+        " AS (metric, value)",
+    )
     return (
         qsel.unionByName(mad)
         .unionByName(acv)
         .unionByName(fct)
         .unionByName(qd)
         .unionByName(props)
+        .unionByName(csm)
+        .unionByName(ctr)
+        .unionByName(ssn)
     )
 
 
@@ -3494,10 +3597,44 @@ SELECT 'props' AS family, CAST(p.k_bucket AS VARCHAR) AS k, m.metric,
                                AS BIGINT) AS VARCHAR) END AS value
 FROM ({PROPS_BUCKET_AGG_SQL}) p,
      (SELECT unnest(['n','total_value_e4']) AS metric) m
+UNION ALL
+SELECT 'cusum' AS family,
+       c.event_type || '/' ||
+       CAST(date_diff('day', DATE '2024-01-01', CAST(c.bucket AS DATE)) * 24
+            + hour(c.bucket) AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(c.n AS VARCHAR)
+                     WHEN 'med' THEN CAST(c.med AS VARCHAR)
+                     WHEN 'cusum' THEN CAST(c.cusum AS VARCHAR)
+                     ELSE CAST(c.threshold AS VARCHAR) END AS value
+FROM ({EVENTS_CUSUM_ALARMS_SQL}) c,
+     (SELECT unnest(['n','med','cusum','threshold']) AS metric) m
+UNION ALL
+SELECT 'ctr' AS family, t.event_type AS k, m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(t.n AS VARCHAR)
+                     WHEN 'n_resets' THEN CAST(t.n_resets AS VARCHAR)
+                     WHEN 'last_c' THEN CAST(t.last_c AS VARCHAR)
+                     WHEN 'increase_wrapped'
+                       THEN CAST(t.increase_wrapped AS VARCHAR)
+                     ELSE CAST(t.delta_sum_conserv AS VARCHAR) END AS value
+FROM ({EVENTS_COUNTER_DELTA_SUM_SQL}) t,
+     (SELECT unnest(['n','n_resets','last_c','increase_wrapped',
+                     'delta_sum_conserv']) AS metric) m
+UNION ALL
+SELECT 'seasonal' AS family, s.event_type AS k, m.metric,
+       CASE m.metric WHEN 'n_hours' THEN CAST(s.n_hours AS VARCHAR)
+                     WHEN 'seasonal_mad' THEN CAST(s.seasonal_mad AS VARCHAR)
+                     WHEN 'n_outliers' THEN CAST(s.n_outliers AS VARCHAR)
+                     WHEN 'outlier_ppm' THEN CAST(s.outlier_ppm AS VARCHAR)
+                     ELSE CAST(s.max_abs_resid AS VARCHAR) END AS value
+FROM ({EVENTS_SEASONAL_RESIDUAL_OUTLIERS_SQL}) s,
+     (SELECT unnest(['n_hours','seasonal_mad','n_outliers','outlier_ppm',
+                     'max_abs_resid']) AS metric) m
 """
 
 
-EVENTS_SERIES_SUITE_SQL = _series_suite_sql()
+# assigned at module END (the r8 suite references the counter/seasonal SQL
+# constants defined further down; see the tail of this file)
 
 
 # --- events_qdigest_merge: the quantile -STATE/-MERGE proof — build
@@ -3998,7 +4135,12 @@ CTR_MODULUS = 1_000_000  # cents; ~10 wraps/type at sf0.01, ~1 at sf0.001
 
 
 def events_counter_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir)
+    return counter_delta_frame(_events_cents(spark, sf_dir))
+
+
+def counter_delta_frame(ev: DataFrame) -> DataFrame:
+    """Core wrap-corrected counter fold over any (event_type, ts,
+    event_id, cents) frame — factored out for events_series_suite."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -4131,6 +4273,12 @@ def events_seasonal_residual_outliers(
         .repartition(n_par, "event_type")
         .persist()
     )
+    return seasonal_residual_frame(hourly)
+
+
+def seasonal_residual_frame(hourly: DataFrame) -> DataFrame:
+    """Core STL-lite path over a (persisted) hourly (event_type, x, s,
+    hod) frame — factored out for events_series_suite."""
     w_med = Window.partitionBy("event_type", "hod").orderBy("s", "x")
     w_cnt = Window.partitionBy("event_type", "hod")
     med = (
@@ -4244,14 +4392,26 @@ RFM_PCTS = (20, 40, 60, 80)
 
 
 def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir)
-    per_user = ev.groupBy("user_id").agg(
+    per_user = _per_user_rfm(_events_cents(spark, sf_dir)).persist()
+    return rfm_segments_frame(per_user)
+
+
+def _per_user_rfm(ev: DataFrame) -> DataFrame:
+    """Per-user (recency_days, frequency, monetary) — the ONE subtree the
+    whole segmentation family shares (rfm cube, Pareto concentration;
+    callers persist: it feeds both the threshold and assignment passes)."""
+    return ev.groupBy("user_id").agg(
         F.datediff(
             F.lit(DECAY_ANCHOR).cast("date"), F.max(F.to_date("ts"))
         ).cast("long").alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("cents").alias("monetary"),
-    ).persist()  # feeds the threshold pass AND the assignment pass
+    )
+
+
+def rfm_segments_frame(per_user: DataFrame) -> DataFrame:
+    """Core path over a (persisted) per-user RFM frame — factored out so
+    user_segmentation_suite can feed it from the shared subtree."""
     axes = per_user.selectExpr(
         "stack(3, 'r', recency_days, 'f', frequency, 'm', monetary)"
         " AS (event_type, cents)"
@@ -4372,9 +4532,13 @@ GROUP BY 1, 2, 3
 
 
 def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir).select(
-        "user_id", F.to_date("ts").alias("d"), "cents"
-    )
+    return ltv_curves_frame(_events_cents(spark, sf_dir))
+
+
+def ltv_curves_frame(ev_cents: DataFrame) -> DataFrame:
+    """Core path over any (user_id, ts, cents) frame — factored out so
+    user_segmentation_suite can feed it from the shared persisted scan."""
+    ev = ev_cents.select("user_id", F.to_date("ts").alias("d"), "cents")
     first_day = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
     cohorted = ev.join(first_day, "user_id").select(
         F.weekofyear("d0").alias("cohort_week"),
@@ -4459,6 +4623,12 @@ def user_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cents").alias("monetary"))
         .persist()  # feeds the threshold pass AND the share aggregation
     )
+    return volume_concentration_frame(per_user)
+
+
+def volume_concentration_frame(per_user: DataFrame) -> DataFrame:
+    """Core path over any (persisted) per-user frame with a ``monetary``
+    column — factored out for user_segmentation_suite subtree sharing."""
     bounds = quantile_select_frame(
         per_user.selectExpr("'m' AS event_type", "monetary AS cents"),
         pcts=PARETO_PCTS,
@@ -4521,3 +4691,84 @@ SELECT CAST(b.pct AS BIGINT) AS pct,
 FROM per_user p CROSS JOIN bounds b
 GROUP BY 1, 2
 """
+
+
+# --- user_segmentation_suite: the r8 fused gate for the segmentation/
+#     cohort trio (r7 verdict task 2) — rfm cube + cohort LTV curves +
+#     Pareto whale concentration, executed VERBATIM via their factored
+#     frame cores (rfm_segments_frame / ltv_curves_frame /
+#     volume_concentration_frame; strict-superset swap rule) from SHARED
+#     persisted subtrees: ONE corpus scan (_events_cents) feeds all three
+#     paths, ONE per-user RFM frame feeds both the rfm cube and the
+#     Pareto thresholds (the r7 fused-audit lesson: label every path off
+#     one persisted candidate subtree). Output is the labeled
+#     (family, k, metric, value) shape with an all-STRING value column —
+#     exact, every metric is BIGINT by construction.
+
+def user_segmentation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).persist()
+    per_user = _per_user_rfm(ev).persist()
+    rfm = rfm_segments_frame(per_user).selectExpr(
+        "'rfm' AS family",
+        "CAST(r_seg AS STRING) || '/' || CAST(f_seg AS STRING) || '/' ||"
+        " CAST(m_seg AS STRING) AS k",
+        "stack(2, 'n_users', CAST(n_users AS STRING),"
+        " 'sum_cents', CAST(sum_cents AS STRING)) AS (metric, value)",
+    )
+    ltv = ltv_curves_frame(ev).selectExpr(
+        "'ltv' AS family",
+        "CAST(cohort_week AS STRING) || '/' || CAST(week_offset AS STRING)"
+        " AS k",
+        "stack(3, 'week_cents', CAST(week_cents AS STRING),"
+        " 'cum_cents', CAST(cum_cents AS STRING),"
+        " 'ltv_ppm', CAST(ltv_ppm AS STRING)) AS (metric, value)",
+    )
+    par = volume_concentration_frame(per_user).selectExpr(
+        "'pareto' AS family",
+        "CAST(pct AS STRING) AS k",
+        "stack(4, 'thr_cents', CAST(thr_cents AS STRING),"
+        " 'users_above', CAST(users_above AS STRING),"
+        " 'users_above_ppm', CAST(users_above_ppm AS STRING),"
+        " 'volume_share_ppm', CAST(volume_share_ppm AS STRING))"
+        " AS (metric, value)",
+    )
+    return rfm.unionByName(ltv).unionByName(par)
+
+
+USER_SEGMENTATION_SUITE_SQL = f"""
+SELECT 'rfm' AS family,
+       CAST(r.r_seg AS VARCHAR) || '/' || CAST(r.f_seg AS VARCHAR) || '/' ||
+       CAST(r.m_seg AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n_users' THEN CAST(r.n_users AS VARCHAR)
+                     ELSE CAST(r.sum_cents AS VARCHAR) END AS value
+FROM ({USER_RFM_SEGMENTS_SQL}) r,
+     (SELECT unnest(['n_users','sum_cents']) AS metric) m
+UNION ALL
+SELECT 'ltv' AS family,
+       CAST(l.cohort_week AS VARCHAR) || '/' ||
+       CAST(l.week_offset AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'week_cents' THEN CAST(l.week_cents AS VARCHAR)
+                     WHEN 'cum_cents' THEN CAST(l.cum_cents AS VARCHAR)
+                     ELSE CAST(l.ltv_ppm AS VARCHAR) END AS value
+FROM ({COHORT_LTV_CURVES_SQL}) l,
+     (SELECT unnest(['week_cents','cum_cents','ltv_ppm']) AS metric) m
+UNION ALL
+SELECT 'pareto' AS family,
+       CAST(p.pct AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'thr_cents' THEN CAST(p.thr_cents AS VARCHAR)
+                     WHEN 'users_above' THEN CAST(p.users_above AS VARCHAR)
+                     WHEN 'users_above_ppm'
+                       THEN CAST(p.users_above_ppm AS VARCHAR)
+                     ELSE CAST(p.volume_share_ppm AS VARCHAR) END AS value
+FROM ({USER_VOLUME_CONCENTRATION_SQL}) p,
+     (SELECT unnest(['thr_cents','users_above','users_above_ppm',
+                     'volume_share_ppm']) AS metric) m
+"""
+
+
+# deferred: _series_suite_sql() interpolates the counter/seasonal/cusum
+# oracles defined above, so the binding happens once everything exists
+EVENTS_SERIES_SUITE_SQL = _series_suite_sql()

@@ -1230,10 +1230,27 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'd2u', CAST(d2u AS DOUBLE),"
         " 'adc_d2u', CAST(adc_d2u AS DOUBLE)) AS (metric, value)",
     )
-    return ivf.unionByName(pq)
+    # r8 growth (verdict task 5): the append==rebuild IVF-maintenance
+    # property rides the same gate — knn_ivf_incremental executed
+    # VERBATIM (builds the frozen-codebook cell table incrementally via
+    # the S3 append sink); mapped into the long shape as one row per
+    # corpus vector (query_id = vec_id, neighbor_id = assigned cell,
+    # rank 0 — assignment has no rank axis). The oracle side is the
+    # scratch REBUILD with the same frozen codebook, so a green row IS
+    # the append==rebuild bit-for-bit assertion.
+    incr = knn_ivf_incremental(spark, sf_dir).selectExpr(
+        "'ivf_incr' AS path",
+        "vec_id AS query_id",
+        "CAST(0 AS BIGINT) AS rank",
+        "cell AS neighbor_id",
+        "'cell_sim' AS metric",
+        "CAST(cell_sim AS DOUBLE) AS value",
+    )
+    return ivf.unionByName(pq).unionByName(incr)
 
 
-ANN_INDEX_AUDIT_SQL = f"""
+def _ann_index_audit_sql() -> str:
+    return f"""
 SELECT 'ivf' AS path, query_id, rank, neighbor_id,
        'cosine_sim' AS metric, CAST(cosine_sim AS DOUBLE) AS value
 FROM ({KNN_IVF_SQL})
@@ -1242,7 +1259,16 @@ SELECT 'pq' AS path, query_id, rank, neighbor_id, m.metric,
        CASE m.metric WHEN 'd2u' THEN CAST(d2u AS DOUBLE)
                      ELSE CAST(adc_d2u AS DOUBLE) END AS value
 FROM ({KNN_PQ_ADC_SQL}), (SELECT unnest(['d2u','adc_d2u']) AS metric) m
+UNION ALL
+SELECT 'ivf_incr' AS path, vec_id AS query_id, CAST(0 AS BIGINT) AS rank,
+       cell AS neighbor_id, 'cell_sim' AS metric,
+       CAST(cell_sim AS DOUBLE) AS value
+FROM ({{IVF_INCR}})
 """
+
+
+# KNN_IVF_INCREMENTAL_SQL is defined further down the module; the audit
+# SQL is bound at module END (the series-suite deferred-binding pattern)
 
 
 # --- semdedup_prune: semantic deduplication (SemDeDup shape: cluster the
@@ -2160,4 +2186,10 @@ JOIN (SELECT dst AS vec_a, src AS vec_b, rank
 
 KNN_MUTUAL_PAIRS_SQL = KNN_MUTUAL_PAIRS_SQL.format(
     bucket6=_bucket_sql("embedding", MUTUAL_PLANES)
+)
+
+
+# deferred binding: interpolate the incremental-IVF oracle defined above
+ANN_INDEX_AUDIT_SQL = _ann_index_audit_sql().replace(
+    "{IVF_INCR}", KNN_IVF_INCREMENTAL_SQL
 )

@@ -34,6 +34,9 @@ INTENTIONAL_CROSS = {
     "join_cardinality_estimate",  # 1-row sampled x 1-row exact crossJoin
     "user_rfm_segments",  # 4-row broadcast quantile-threshold crossJoin
     "user_volume_concentration",  # 9-row broadcast threshold crossJoin
+    # executes rfm + volume_concentration verbatim: same 4/9-row
+    # broadcast threshold crossJoins (suites inherit component shapes)
+    "user_segmentation_suite",
 }
 
 # Unpartitioned Window nodes single-partition-sort their whole input —
@@ -63,6 +66,7 @@ BOUNDED_GLOBAL_WINDOW = {
     # (timeseries_q.QSEL_FAN; planted bound check in
     # tests/test_qsel_hierarchy.py)
     "user_volume_concentration",
+    "user_segmentation_suite",  # executes the same pareto path: same bound
 }
 
 
