@@ -89,6 +89,13 @@ HEADLINE = [
     "knn_mutual_pairs",
     "lineitem_pit_scd2_lookup",
     "events_counter_delta_sum",
+    # r8 additions: segmentation trio (one fused query — shared subtrees),
+    # seasonal anomaly detection
+    # (docs_bpe_vocab_coverage is NOT benched: like docs_bpe_merges its
+    # wall time is K driver-paced training round-trips; the gate + the
+    # planted-OOV test pin it)
+    "user_segmentation_suite",
+    "events_seasonal_residual_outliers",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

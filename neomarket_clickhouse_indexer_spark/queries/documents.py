@@ -2879,3 +2879,119 @@ SELECT doc_id,
 FROM ranked
 GROUP BY doc_id
 """
+
+
+# --- docs_vocab_growth: HEAPS'-LAW vocabulary-growth curve — the corpus
+#     diversity signal a pre-training mix needs per source ("is this
+#     source adding NEW vocabulary or repeating itself?"). Nested-sample
+#     formulation: docs hash into VG_BUCKETS md5 buckets; bucket b's
+#     cumulative sample is buckets 0..b, so the curve (cum_tokens,
+#     cum_vocab) is the classic Heaps plot with exact integers. A word
+#     counts as NEW in the first bucket where it appears (MIN over the
+#     per-(source, word, bucket) table — ONE corpus scan, then
+#     vocabulary-sized aggregates only). new-word ppm per bucket and
+#     vocab-per-million-token round out the signal. At 100 TB: one
+#     corpus-scale groupBy; the running sums ride a window whose
+#     partition is <= VG_BUCKETS rows per source. Oracle: identical
+#     bucketing but the cumulative via window-free correlated range
+#     self-joins (the cohort_ltv formulation) — agreement pins both the
+#     first-occurrence logic and the running sums. No reference analog
+#     (text-stats family extension; beyond-ref surface, TX1/TX4 tags).
+
+VG_BUCKETS = 8
+
+
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % VG_BUCKETS
+    )
+    wc = (
+        docs.select(
+            "source", b.alias("b"), F.explode(TX.tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("source", "b", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tok = wc.groupBy("source", "b").agg(F.sum("cnt").alias("bucket_tokens"))
+    nv = (
+        wc.groupBy("source", "word")
+        .agg(F.min("b").alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tok.join(nv, ["source", "b"], "left")
+        .select(
+            "source",
+            F.col("b").cast("long").alias("bucket"),
+            F.col("bucket_tokens").cast("long").alias("bucket_tokens"),
+            F.coalesce("new_words", F.lit(0)).cast("long").alias("new_words"),
+        )
+        .withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+        .withColumn("cum_vocab", F.sum("new_words").over(w))
+        .select(
+            "source",
+            "bucket",
+            "bucket_tokens",
+            "new_words",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("cum_vocab").cast("long").alias("cum_vocab"),
+            F.expr("new_words * 1000000 DIV bucket_tokens").alias(
+                "new_word_ppm"
+            ),
+            F.expr("cum_vocab * 1000000 DIV cum_tokens").alias(
+                "vocab_per_mtok"
+            ),
+        )
+    )
+
+
+DOCS_VOCAB_GROWTH_SQL = f"""
+WITH wc AS MATERIALIZED (
+  SELECT source,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {VG_BUCKETS} AS b,
+         word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE len(word) >= 1
+  GROUP BY 1, 2, 3
+),
+tok AS MATERIALIZED (
+  SELECT source, b, CAST(SUM(cnt) AS BIGINT) AS bucket_tokens
+  FROM wc GROUP BY 1, 2
+),
+nv AS MATERIALIZED (
+  SELECT source, b, CAST(COUNT(*) AS BIGINT) AS new_words
+  FROM (SELECT source, word, MIN(b) AS b FROM wc GROUP BY 1, 2)
+  GROUP BY 1, 2
+)
+SELECT t.source,
+       CAST(t.b AS BIGINT) AS bucket,
+       t.bucket_tokens,
+       CAST(COALESCE(n.new_words, 0) AS BIGINT) AS new_words,
+       -- window-free cumulative: correlated range self-joins
+       (SELECT CAST(SUM(t2.bucket_tokens) AS BIGINT) FROM tok t2
+        WHERE t2.source = t.source AND t2.b <= t.b) AS cum_tokens,
+       (SELECT CAST(COALESCE(SUM(n2.new_words), 0) AS BIGINT) FROM nv n2
+        WHERE n2.source = t.source AND n2.b <= t.b) AS cum_vocab,
+       CAST(COALESCE(n.new_words, 0) * 1000000 // t.bucket_tokens AS BIGINT)
+         AS new_word_ppm,
+       CAST((SELECT COALESCE(SUM(n2.new_words), 0) FROM nv n2
+             WHERE n2.source = t.source AND n2.b <= t.b) * 1000000
+            // (SELECT SUM(t2.bucket_tokens) FROM tok t2
+                WHERE t2.source = t.source AND t2.b <= t.b) AS BIGINT)
+         AS vocab_per_mtok
+FROM tok t
+LEFT JOIN nv n ON n.source = t.source AND n.b = t.b
+"""

@@ -1324,10 +1324,16 @@ def _bpe_merge_fold(a: str, b: str):
     return step
 
 
-def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_words(
+    spark: SparkSession, sf_dir: str, doc_filter: str | None = None
+) -> DataFrame:
     """Corpus word-frequency table with initial character symbol arrays —
-    the one corpus-scale scan both BPE training and encode start from."""
+    the one corpus-scale scan both BPE training and encode start from.
+    ``doc_filter`` (SQL predicate over documents columns) restricts the
+    corpus — the vocab-coverage profiler trains on a split."""
     docs = load_table(spark, sf_dir, "documents")
+    if doc_filter:
+        docs = docs.filter(doc_filter)
     return (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
         # Empty tokens (double/leading spaces) diverge cross-engine:
@@ -1409,7 +1415,7 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def _bpe_chain_sql(iters: int) -> str:
+def _bpe_chain_sql(iters: int, doc_where: str = "") -> str:
     """The shared training-chain CTE prefix (w0..w{iters}, m1..m{iters}):
     per iteration, pair counts + argmax as plain aggregates, then the
     greedy merge as a per-word RECURSIVE-CTE automaton walking symbol
@@ -1419,10 +1425,11 @@ def _bpe_chain_sql(iters: int) -> str:
     whole upstream pipeline once per recursion LEVEL — measured ~10x per
     added iteration, CLAUDE.md r6 lesson 1)."""
     parts = [
-        """WITH RECURSIVE w0 AS MATERIALIZED (
+        f"""WITH RECURSIVE w0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
          list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
-  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        {doc_where})
   WHERE len(word) >= 1
   GROUP BY 1
 )"""
@@ -1570,6 +1577,217 @@ GROUP BY doc_id
 
 
 DOCS_BPE_ENCODE_SQL = _bpe_encode_oracle_sql(BPE_ITERS)
+
+
+# --- docs_bpe_vocab_coverage: the tokenizer-arc capstone (r7 verdict
+#     task 7) — "will this tokenizer hurt on this corpus?": train the
+#     BPE merges on a deterministic 4/5 split (doc_id % 5 != 4), then
+#     profile the HELD-OUT fifth per source. Per source, all integers:
+#       n_docs / n_words / n_chars  — held-out volume;
+#       n_tokens                    — BPE symbols after the trained folds;
+#       oov_ppm                     — symbols that are single characters
+#                                     NEVER SEEN in training (BPE's true
+#                                     OOV: multi-char symbols can only
+#                                     come from trained rules, so only
+#                                     unseen chars are out-of-vocab);
+#       merged_ppm                  — symbols of length >= 2 (how much the
+#                                     learned vocab actually fires here);
+#       bytes_per_token_milli       — n_chars*1000 DIV n_tokens.
+#     100 TB: training is the existing vocab-bounded chain; encode runs
+#     once per DISTINCT held-out word (vocab-sized); the char vocab and
+#     encoded per-word stats broadcast into one corpus-scale join; the
+#     per-source rollup is a plain hash agg. Driver state = K merge
+#     rules (the docs_bpe_encode shape — plan_audit skip-set member for
+#     the same reason: training collects one argmax row per iteration).
+#
+#     Oracle: the SAME split's training chain (m1..mK, w0 restricted to
+#     the train docs) + a SECOND recursive automaton chain h0..hK that
+#     applies each learned rule to the held-out word table — encode
+#     semantics derived the literal sequential way, then the char-vocab
+#     anti-join and the identical ppm arithmetic. Reference analog: the
+#     per-source text metrics of src/api.ts; beyond-ref surface.
+
+# md5-based split: doc_id % k would ALIAS with the fixture's modular
+# source assignment (only 4 of 19 sources would ever be held out);
+# the hash split covers every source (~19% held out), identical
+# expression in both engines (the LSH-band md5 precedent)
+BPE_HELDOUT_PRED = (
+    "substring(md5(CAST(doc_id AS STRING)), 1, 1) IN ('0', '1', '2')"
+)
+
+
+def docs_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train_words = _bpe_words(
+        spark, sf_dir, doc_filter=f"NOT ({BPE_HELDOUT_PRED})"
+    )
+    rules = [(r[1], r[2]) for r in _bpe_train(train_words)]
+    # trained character vocabulary: every distinct char of the train
+    # corpus (w0 symbols are single chars) — tiny, broadcast
+    train_chars = (
+        train_words.select(F.explode("syms").alias("tc")).distinct()
+    )
+    held = load_table(spark, sf_dir, "documents").filter(BPE_HELDOUT_PRED)
+    dw = (
+        held.select(
+            "source",
+            "doc_id",
+            F.explode(TX.tokens(F.col("text"))).alias("word"),
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # encode each DISTINCT held-out word with the trained folds
+    enc = dw.select("word").distinct().select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    for a, b in rules:
+        enc = enc.select(
+            "word",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), _bpe_merge_fold(a, b)
+            ).alias("syms"),
+        )
+    sym = enc.select("word", F.explode("syms").alias("sym"))
+    per_word = (
+        sym.join(F.broadcast(train_chars), sym.sym == F.col("tc"), "left")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("w_tokens"),
+            F.sum(
+                (F.length("sym") >= 2).cast("long")
+            ).alias("w_merged"),
+            F.sum(
+                ((F.length("sym") == 1) & F.col("tc").isNull()).cast("long")
+            ).alias("w_oov"),
+        )
+        .withColumn("w_chars", F.length("word").cast("long"))
+    )
+    per_doc_words = dw.join(F.broadcast(per_word), "word")
+    n_docs = held.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        per_doc_words.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("w_chars")).cast("long").alias("n_chars"),
+            F.sum(F.col("n") * F.col("w_tokens")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.sum(F.col("n") * F.col("w_oov")).cast("long").alias("oov_syms"),
+            F.sum(F.col("n") * F.col("w_merged")).cast("long").alias(
+                "merged_syms"
+            ),
+        )
+        .join(n_docs, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("oov_syms * 1000000 DIV n_tokens").alias("oov_ppm"),
+            F.expr("merged_syms * 1000000 DIV n_tokens").alias("merged_ppm"),
+            F.expr("n_chars * 1000 DIV n_tokens").alias(
+                "bytes_per_token_milli"
+            ),
+        )
+    )
+
+
+def _bpe_vocab_coverage_sql(iters: int) -> str:
+    # train chain restricted to the training split; then apply each
+    # learned rule to the held-out word table via the same recursive
+    # automaton (h0..h{iters}); every CTE a recursive member references
+    # is MATERIALIZED (CLAUDE.md recursive-oracle doctrine)
+    parts = [
+        _bpe_chain_sql(
+            iters, doc_where=f"WHERE NOT ({BPE_HELDOUT_PRED})"
+        ),
+        f""",
+h0 AS MATERIALIZED (
+  SELECT word,
+         list_transform(generate_series(1, len(word)), i -> word[i]) AS syms
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE {BPE_HELDOUT_PRED})
+  WHERE len(word) >= 1
+)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+hstep{i}(word, pos, acc) AS (
+  SELECT word, 0, CAST([] AS VARCHAR[]) FROM h{i - 1}
+  UNION ALL
+  SELECT s.word, s.pos + 1,
+         CASE WHEN len(s.acc) > 0 AND s.acc[-1] = m.a
+                   AND h.syms[s.pos + 1] = m.b
+              THEN list_slice(s.acc, 1, len(s.acc) - 1) || [m.a || m.b]
+              ELSE s.acc || [h.syms[s.pos + 1]] END
+  FROM hstep{i} s JOIN h{i - 1} h USING (word) CROSS JOIN m{i} m
+  WHERE s.pos < len(h.syms)
+),
+h{i} AS MATERIALIZED (
+  SELECT s.word, s.acc AS syms
+  FROM hstep{i} s JOIN h{i - 1} h USING (word)
+  WHERE s.pos = len(h.syms)
+)"""
+        )
+    parts.append(
+        f""",
+tchars AS MATERIALIZED (
+  SELECT DISTINCT unnest(syms) AS tc FROM w0
+),
+per_word AS MATERIALIZED (
+  -- unnest + left-join the char vocab (lambdas can't hold subqueries)
+  SELECT s.word, s.w_chars,
+         CAST(COUNT(*) AS BIGINT) AS w_tokens,
+         CAST(SUM(CASE WHEN len(s.sym) >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS w_merged,
+         CAST(SUM(CASE WHEN len(s.sym) = 1 AND t.tc IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS w_oov
+  FROM (SELECT h.word, CAST(len(h.word) AS BIGINT) AS w_chars,
+               unnest(h.syms) AS sym
+        FROM h{iters} h) s
+  LEFT JOIN tchars t ON t.tc = s.sym
+  GROUP BY 1, 2
+),
+dw AS MATERIALIZED (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE {BPE_HELDOUT_PRED})
+  WHERE len(word) >= 1
+  GROUP BY 1, 2
+),
+nd AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE {BPE_HELDOUT_PRED} GROUP BY 1
+)
+SELECT d.source,
+       nd.n_docs,
+       CAST(SUM(d.n) AS BIGINT) AS n_words,
+       CAST(SUM(d.n * p.w_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(d.n * p.w_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.n * p.w_oov) * 1000000
+            // SUM(d.n * p.w_tokens) AS BIGINT) AS oov_ppm,
+       CAST(SUM(d.n * p.w_merged) * 1000000
+            // SUM(d.n * p.w_tokens) AS BIGINT) AS merged_ppm,
+       CAST(SUM(d.n * p.w_chars) * 1000
+            // SUM(d.n * p.w_tokens) AS BIGINT) AS bytes_per_token_milli
+FROM dw d
+JOIN per_word p USING (word)
+JOIN nd ON nd.source = d.source
+GROUP BY 1, 2
+"""
+    )
+    return "".join(parts)
+
+
+DOCS_BPE_VOCAB_COVERAGE_SQL = _bpe_vocab_coverage_sql(BPE_ITERS)
 
 
 # --- docs_decontam_spans: SURGICAL (span-level) decontamination — the

@@ -1157,6 +1157,36 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "global sort) the exact user count and ppm volume share "
               "above it — the 80/20 diagnostic; oracle = full-sort "
               "rank-k thresholds + identical conditional aggregation"),
+    QuerySpec("user_max_drawdown", TS.user_max_drawdown,
+              TS.USER_MAX_DRAWDOWN_SQL, ("W2", "A10", "BONUS"),
+              "max drawdown over each user's signed equity curve: "
+              "running-cummax windows + one hash agg (exact cents) vs "
+              "the oracle's literal quadratic pair definition "
+              "max_{i<=j}(P_i - P_j) — the Lindley-doctrine differential"),
+    QuerySpec("events_multitouch_attribution",
+              TS.events_multitouch_attribution,
+              TS.EVENTS_MULTITOUCH_ATTRIBUTION_SQL, ("J6", "A2", "BONUS"),
+              "linear multi-touch revenue attribution: every view in the "
+              "72h lookback shares a purchase's cents (DIV k, remainder "
+              "to the earliest touch — credit conserves exactly); "
+              "attribution-lag histogram per user with direct (-1) rows; "
+              "oracle derives k/first-touch via pointwise aggregates "
+              "instead of windows"),
+    QuerySpec("docs_vocab_growth", D.docs_vocab_growth,
+              D.DOCS_VOCAB_GROWTH_SQL, ("TX1", "W2", "BONUS"),
+              "Heaps'-law vocabulary-growth curve per source over nested "
+              "md5 doc buckets: exact cumulative tokens/vocab, new-word "
+              "ppm, vocab-per-Mtok — one corpus scan + vocab-sized "
+              "aggregates, VG_BUCKETS-bounded windows vs the oracle's "
+              "window-free correlated range self-joins"),
+    QuerySpec("docs_bpe_vocab_coverage", PL.docs_bpe_vocab_coverage,
+              PL.DOCS_BPE_VOCAB_COVERAGE_SQL, ("TX3", "A1", "BONUS"),
+              "tokenizer-arc capstone: train BPE merges on a 4/5 doc "
+              "split, profile the held-out fifth per source — token "
+              "counts, true-OOV ppm (chars unseen in training), "
+              "merged-symbol ppm, bytes-per-token; vocab-sized encode + "
+              "broadcast join vs the oracle's recursive merge automaton "
+              "applied to the held-out word table"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

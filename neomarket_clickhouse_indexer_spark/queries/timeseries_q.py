@@ -3501,6 +3501,24 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'delta_sum_conserv', CAST(delta_sum_conserv AS STRING))"
         " AS (metric, value)",
     )
+    # r8 growth 2: the q-digest -State/-Merge audit (the last r7 family
+    # without an in-window row) executed verbatim off the same persisted
+    # scan; booleans ride as 0/1 ints (CAST path identical cross-engine)
+    qdm = qdigest_merge_frame(ev).selectExpr(
+        "'qdmerge' AS family",
+        "event_type || '/' || CAST(q_pct AS STRING) AS k",
+        "stack(11, 'n', CAST(n AS STRING),"
+        " 't', CAST(t AS STRING),"
+        " 't_a', CAST(t_a AS STRING),"
+        " 't_b', CAST(t_b AS STRING),"
+        " 'sketch_nodes', CAST(sketch_nodes AS STRING),"
+        " 'est_cents', CAST(est_cents AS STRING),"
+        " 'target', CAST(target AS STRING),"
+        " 'cnt_lt', CAST(cnt_lt AS STRING),"
+        " 'cnt_le', CAST(cnt_le AS STRING),"
+        " 'le_ok', CAST(CAST(le_ok AS INT) AS STRING),"
+        " 'lt_ok', CAST(CAST(lt_ok AS INT) AS STRING)) AS (metric, value)",
+    )
     ssn = seasonal_residual_frame(
         hourly.withColumn("hod", F.col("x") % 24).repartition(
             n_par, "event_type"
@@ -3524,6 +3542,7 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(csm)
         .unionByName(ctr)
         .unionByName(ssn)
+        .unionByName(qdm)
     )
 
 
@@ -3630,6 +3649,25 @@ SELECT 'seasonal' AS family, s.event_type AS k, m.metric,
 FROM ({EVENTS_SEASONAL_RESIDUAL_OUTLIERS_SQL}) s,
      (SELECT unnest(['n_hours','seasonal_mad','n_outliers','outlier_ppm',
                      'max_abs_resid']) AS metric) m
+UNION ALL
+SELECT 'qdmerge' AS family,
+       d.event_type || '/' || CAST(d.q_pct AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(d.n AS VARCHAR)
+                     WHEN 't' THEN CAST(d.t AS VARCHAR)
+                     WHEN 't_a' THEN CAST(d.t_a AS VARCHAR)
+                     WHEN 't_b' THEN CAST(d.t_b AS VARCHAR)
+                     WHEN 'sketch_nodes' THEN CAST(d.sketch_nodes AS VARCHAR)
+                     WHEN 'est_cents' THEN CAST(d.est_cents AS VARCHAR)
+                     WHEN 'target' THEN CAST(d.target AS VARCHAR)
+                     WHEN 'cnt_lt' THEN CAST(d.cnt_lt AS VARCHAR)
+                     WHEN 'cnt_le' THEN CAST(d.cnt_le AS VARCHAR)
+                     WHEN 'le_ok' THEN CAST(CAST(d.le_ok AS INT) AS VARCHAR)
+                     ELSE CAST(CAST(d.lt_ok AS INT) AS VARCHAR) END AS value
+FROM ({EVENTS_QDIGEST_MERGE_SQL}) d,
+     (SELECT unnest(['n','t','t_a','t_b','sketch_nodes','est_cents',
+                     'target','cnt_lt','cnt_le','le_ok','lt_ok'])
+        AS metric) m
 """
 
 
@@ -3662,10 +3700,17 @@ QD_SPLIT_DAY = 15
 
 
 def events_qdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qdigest_merge_frame(_events_cents(spark, sf_dir))
+
+
+def qdigest_merge_frame(ev_cents: DataFrame) -> DataFrame:
+    """Core -State/-Merge audit over any (event_type, ts, cents) frame —
+    factored out so events_series_suite can feed it from its persisted
+    corpus scan."""
     import pandas as pd
 
     cap = (1 << QD_BITS) - 1
-    ev = _events_cents(spark, sf_dir).select(
+    ev = ev_cents.select(
         "event_type",
         F.greatest(F.least(F.col("cents"), F.lit(cap)), F.lit(0)).alias("v"),
         (F.dayofmonth("ts") <= QD_SPLIT_DAY).cast("int").alias("first_half"),
@@ -4766,6 +4811,246 @@ SELECT 'pareto' AS family,
 FROM ({USER_VOLUME_CONCENTRATION_SQL}) p,
      (SELECT unnest(['thr_cents','users_above','users_above_ppm',
                      'volume_share_ppm']) AS metric) m
+"""
+
+
+# --- events_multitouch_attribution: LINEAR MULTI-TOUCH revenue
+#     attribution — the marketing-analytics shape that generalizes
+#     last_view_before_purchase (J6's winner-takes-all) to credit EVERY
+#     view in the lookback window: a purchase's cents split equally
+#     across its qualifying views (strictly earlier, within
+#     ATTR_WINDOW_H hours), share = cents DIV k with the integer
+#     REMAINDER credited to the earliest view (deterministic (v_ts,
+#     v_id) tiebreak) so credit conserves exactly: Σ shares == cents.
+#     Output grain (user_id, lag_h): attribution-lag histogram in exact
+#     cents (lag in whole hours via MICROSECOND diffs DIV'd identically
+#     in both engines — the user_interevent_gaps doctrine; never
+#     second-granularity datediff). Purchases with NO qualifying view
+#     emit as lag_h = -1 ("direct") rows, so total credited cents ==
+#     total purchase cents (a conservation audit rides the gate).
+#     At 100 TB: one equi-join on user_id with a window-bounded time
+#     predicate (the supplier_shipment_overlap expansion argument —
+#     fanout is per-user activity inside 72h, not corpus-scale), and the
+#     per-purchase windows partition on purchase id (touch-count-sized).
+#     Oracle: k and the earliest view via plain per-purchase aggregates
+#     + a pointwise min-ts/min-id characterization (no ROW_NUMBER), then
+#     identical integer share arithmetic. Reference analog: the wallet
+#     activity/profit attribution views (src/api.ts leaders endpoints).
+
+ATTR_WINDOW_H = 72
+_US_PER_H = 3_600_000_000
+
+
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        "cents",
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    cand = (
+        p.join(v, "user_id")
+        .withColumn(
+            "d_us", F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)")
+        )
+        .filter(
+            (F.col("d_us") > 0)
+            & (F.col("d_us") <= ATTR_WINDOW_H * _US_PER_H)
+        )
+    )
+    wk = Window.partitionBy("p_id")
+    wr = Window.partitionBy("p_id").orderBy("v_ts", "v_id")
+    shared = cand.select(
+        "user_id",
+        "cents",
+        F.expr(f"d_us DIV {_US_PER_H}").alias("lag_h"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "user_id",
+        "lag_h",
+        (
+            F.expr("cents DIV k")
+            + F.when(F.col("rn") == 1, F.expr("cents % k")).otherwise(
+                F.lit(0)
+            )
+        ).alias("share"),
+    )
+    att = shared.groupBy("user_id", "lag_h").agg(
+        F.sum("share").alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    direct = (
+        p.join(cand.select("p_id").distinct(), "p_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.lit(-1).cast("long").alias("lag_h"), "cents", "n")
+    )
+    return att.unionByName(direct).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("lag_h").cast("long").alias("lag_h"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+EVENTS_MULTITOUCH_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, user_id,
+         {_CENTS} AS cents
+  FROM events
+),
+p AS MATERIALIZED (
+  SELECT user_id, ts AS p_ts, event_id AS p_id, cents
+  FROM ev WHERE event_type = 'purchase'
+),
+cand AS MATERIALIZED (
+  SELECT p.user_id, p.p_id, p.cents, v.ts AS v_ts, v.event_id AS v_id,
+         datediff('microsecond', v.ts, p.p_ts) AS d_us
+  FROM p JOIN ev v ON v.user_id = p.user_id AND v.event_type = 'view'
+  WHERE datediff('microsecond', v.ts, p.p_ts) > 0
+    AND datediff('microsecond', v.ts, p.p_ts) <= {ATTR_WINDOW_H * _US_PER_H}
+),
+-- pointwise first-view characterization: min ts, then min id at that ts
+kf AS MATERIALIZED (
+  SELECT p_id, CAST(COUNT(*) AS BIGINT) AS k, MIN(v_ts) AS mn_ts
+  FROM cand GROUP BY 1
+),
+kf2 AS MATERIALIZED (
+  SELECT c.p_id, kf.k, kf.mn_ts, MIN(c.v_id) AS mn_id
+  FROM cand c JOIN kf ON kf.p_id = c.p_id AND c.v_ts = kf.mn_ts
+  GROUP BY 1, 2, 3
+),
+att AS (
+  SELECT c.user_id, c.d_us // {_US_PER_H} AS lag_h,
+         SUM(c.cents // f.k
+             + CASE WHEN c.v_ts = f.mn_ts AND c.v_id = f.mn_id
+                    THEN c.cents % f.k ELSE 0 END) AS cents,
+         COUNT(*) AS n
+  FROM cand c JOIN kf2 f ON f.p_id = c.p_id
+  GROUP BY 1, 2
+),
+direct AS (
+  SELECT p.user_id, -1 AS lag_h, SUM(p.cents) AS cents, COUNT(*) AS n
+  FROM p
+  WHERE p.p_id NOT IN (SELECT p_id FROM cand)
+  GROUP BY 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(lag_h AS BIGINT) AS lag_h,
+       CAST(cents AS BIGINT) AS cents, CAST(n AS BIGINT) AS n
+FROM att
+UNION ALL
+SELECT CAST(user_id AS BIGINT), CAST(lag_h AS BIGINT),
+       CAST(cents AS BIGINT), CAST(n AS BIGINT)
+FROM direct
+"""
+
+
+# --- user_max_drawdown: MAX DRAWDOWN over each user's signed equity
+#     curve (purchases credit, everything else debits — the running-PnL
+#     risk statistic every trading surface reports; reference analog:
+#     the profit-leaders views, src/api.ts). Exact integers end-to-end:
+#     P_t = running signed cents ordered by (ts, event_id); drawdown_t =
+#     cummax(P) - P_t; per user emit peak, final, max drawdown, and the
+#     underwater event count (rows strictly below the prior peak).
+#     At 100 TB: two per-user running windows + one hash agg — the W2
+#     shape. Oracle: the LITERAL pair definition — max over ordered
+#     pairs i <= j of P_i - P_j via a per-user self-join (quadratic, the
+#     formulation the running-cummax path exists to avoid) — so the two
+#     derivations check each other (the Lindley-doctrine differential).
+
+def user_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("cents"))
+        .otherwise(-F.col("cents"))
+        .alias("d"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("d").over(wcum).alias("p"),
+    ).withColumn("peak_so_far", F.max("p").over(wcum))
+    return (
+        curve.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("p").alias("peak_cents"),
+            F.max_by("p", F.struct("ts", "event_id")).alias("final_cents"),
+            F.max(F.col("peak_so_far") - F.col("p")).alias(
+                "max_drawdown_cents"
+            ),
+            F.sum(
+                (F.col("p") < F.col("peak_so_far")).cast("long")
+            ).alias("underwater_events"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("peak_cents").cast("long").alias("peak_cents"),
+            F.col("final_cents").cast("long").alias("final_cents"),
+            F.col("max_drawdown_cents").cast("long").alias(
+                "max_drawdown_cents"
+            ),
+            F.col("underwater_events").cast("long").alias(
+                "underwater_events"
+            ),
+        )
+    )
+
+
+USER_MAX_DRAWDOWN_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN {_CENTS}
+              ELSE -({_CENTS}) END AS d
+  FROM events
+),
+runs AS MATERIALIZED (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM ev
+),
+-- the literal pair definition of drawdown: max over i <= j of P_i - P_j
+dd AS (
+  SELECT a.user_id,
+         CAST(MAX(a.p - b.p) AS BIGINT) AS max_drawdown_cents,
+         CAST(COUNT(DISTINCT CASE WHEN a.rn < b.rn AND a.p > b.p
+                                  THEN b.rn END) AS BIGINT)
+           AS underwater_events
+  FROM runs a JOIN runs b
+    ON b.user_id = a.user_id AND b.rn >= a.rn
+  GROUP BY 1
+)
+SELECT r.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(r.p) AS BIGINT) AS peak_cents,
+       CAST(MAX(CASE WHEN r.rn = (SELECT MAX(r2.rn) FROM runs r2
+                                  WHERE r2.user_id = r.user_id)
+                     THEN r.p END) AS BIGINT) AS final_cents,
+       MAX(d.max_drawdown_cents) AS max_drawdown_cents,
+       MAX(d.underwater_events) AS underwater_events
+FROM runs r JOIN dd d ON d.user_id = r.user_id
+GROUP BY 1
 """
 
 

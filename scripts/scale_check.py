@@ -85,11 +85,15 @@ def main() -> None:
 
     timed(
         "quantile_select",
+        # bounded_axis: event cents are domain-bounded — the production
+        # call (events_quantile_select); the UNBOUNDED hierarchical path
+        # is exercised by pareto_hier_selection below
         quantile_select_frame(
             big.select(
                 "event_type",
                 F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
-            )
+            ),
+            bounded_axis=True,
         ),
     )
 
@@ -110,6 +114,25 @@ def main() -> None:
             )
         ),
     )
+
+    # r8: the Pareto concentration curve at N× USERS — selection over the
+    # per-user monetary axis, the UNBOUNDED derived axis the hierarchical
+    # bucket-ladder exists for (every window partition <= 2^17 rows at any
+    # range; user count grows ×N here, so the old single per-type window
+    # would sort a ×N axis in one task)
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        volume_concentration_frame,
+    )
+
+    per_user = (
+        big.groupBy("user_id")
+        .agg(F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).alias(
+            "monetary"
+        ))
+        .persist()
+    )
+    timed("pareto_hier_selection", volume_concentration_frame(per_user))
+    per_user.unpersist()
 
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     fifo_in = (
