@@ -96,6 +96,13 @@ HEADLINE = [
     # planted-OOV test pin it)
     "user_segmentation_suite",
     "events_seasonal_residual_outliers",
+    # r8 batch-2 additions (parts_coorder_communities is NOT benched:
+    # like kcore its wall is ~2 scheduler-latency-bound rounds at any
+    # sf; scale_check's lpa_3rounds entry measures the data path)
+    "events_robust_means",
+    "user_max_drawdown",
+    "events_multitouch_attribution",
+    "docs_vocab_growth",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

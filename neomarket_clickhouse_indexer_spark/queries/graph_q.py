@@ -718,3 +718,151 @@ SELECT 'kcore' AS family, CAST(c.part_key AS VARCHAR) AS k,
        'core_deg' AS metric, CAST(c.core_deg AS VARCHAR) AS value
 FROM ({PARTS_COORDER_KCORE_SQL}) c
 """
+
+
+# --- parts_coorder_communities: COMMUNITY DETECTION by fixed-round
+#     SYNCHRONOUS label propagation (Raghavan LPA made deterministic:
+#     every node simultaneously adopts the label carried by MOST of its
+#     neighbors, ties broken by MIN label; LPA_ROUNDS fixed rounds, so
+#     the output is well-defined even where free-running LPA oscillates
+#     — the kmeans/BPE/k-core fixed-iteration unrolling doctrine). Runs
+#     over the same support-pruned co-order edge table as the triangle/
+#     k-core gates. Emits per community: size, min member, and the
+#     internal-edge count (the density signal). All integer, all
+#     deterministic. At 100 TB: per round ONE shuffle join of the
+#     directed edge list against the node-sized label frame + one
+#     argmax aggregation (max_by over (cnt, -label) — A4); labels are
+#     localCheckpoint'd per round (lineage clamp, the k-core lesson).
+#     Oracle: the same rounds unrolled as MATERIALIZED CTEs with
+#     ROW_NUMBER argmax — a genuinely different argmax derivation.
+
+LPA_ROUNDS = 3
+
+
+def parts_coorder_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    P = spark.sparkContext.defaultParallelism
+    return lpa_frame(coorder_edges_frame(li).persist(), P)
+
+
+def lpa_frame(edges: DataFrame, P: int) -> DataFrame:
+    """Fixed-round synchronous LPA over a pre-persisted edge frame —
+    shuffle partitions scoped to P for the loop (the kcore_frame
+    set/restore discipline), result localCheckpoint-materialized."""
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    try:
+        return _lpa_loop(edges, P).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _lpa_loop(edges: DataFrame, P: int) -> DataFrame:
+    dirs = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        .repartition(P, "nbr")
+        .persist()
+    )
+    labels = (
+        dirs.select(F.col("node")).distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            dirs.join(
+                labels.select(F.col("node").alias("nbr"), "lab"), "nbr"
+            )
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # synchronous update: argmax neighbor label, ties -> MIN label
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.expr("max_by(lab, struct(c, -lab))").alias("lab")
+            )
+            .localCheckpoint(eager=True)  # clamp lineage per round
+        )
+    internal = (
+        edges.join(
+            labels.select(F.col("node").alias("u"), F.col("lab").alias("lu")),
+            "u",
+        )
+        .join(
+            labels.select(F.col("node").alias("v"), F.col("lab").alias("lv")),
+            "v",
+        )
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_member"),
+        )
+        .join(internal, "community", "left")
+        .select(
+            F.col("community").cast("long").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("min_member").cast("long").alias("min_member"),
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+        )
+    )
+
+
+def _lpa_chain_sql(rounds: int) -> str:
+    parts = [
+        f"""WITH {_COORDER_EDGES_CTE},
+d AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT node, node AS lab FROM d
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+c{r} AS MATERIALIZED (
+  SELECT d.node, l.lab, CAST(COUNT(*) AS BIGINT) AS c
+  FROM d JOIN l{r - 1} l ON l.node = d.nbr
+  GROUP BY 1, 2
+),
+l{r} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT l.lab AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(l.node) AS BIGINT) AS min_member,
+       CAST(COALESCE(MAX(i.internal_edges), 0) AS BIGINT) AS internal_edges
+FROM l{rounds} l
+LEFT JOIN (
+  SELECT a.lab AS community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+  FROM e
+  JOIN l{rounds} a ON a.node = e.u
+  JOIN l{rounds} b ON b.node = e.v
+  WHERE a.lab = b.lab
+  GROUP BY 1
+) i ON i.community = l.lab
+GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+PARTS_COORDER_COMMUNITIES_SQL = _lpa_chain_sql(LPA_ROUNDS)

@@ -131,10 +131,11 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("user_segmentation_suite", TS.user_segmentation_suite,
               TS.USER_SEGMENTATION_SUITE_SQL,
               ("A1", "A2", "T1", "W2", "BONUS"),
-              "fused segmentation gate: rfm cube + cohort LTV curves + "
-              "Pareto concentration executed verbatim via their frame "
-              "cores from ONE persisted corpus scan and ONE shared "
-              "per-user RFM subtree (labeled family/k/metric/value rows, "
+              "fused per-user analytics gate: rfm cube + cohort LTV + "
+              "Pareto concentration + max drawdown + multi-touch "
+              "attribution executed verbatim via their frame cores from "
+              "ONE persisted corpus scan and ONE shared per-user RFM "
+              "subtree (labeled family/k/metric/value rows, "
               "all-BIGINT-as-STRING values)"),
     QuerySpec("docs_profile", D.docs_profile, D.DOCS_PROFILE_SQL,
               ("TX1", "TX2", "TX3", "TX4"),
@@ -1157,6 +1158,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "global sort) the exact user count and ppm volume share "
               "above it — the 80/20 diagnostic; oracle = full-sort "
               "rank-k thresholds + identical conditional aggregation"),
+    QuerySpec("events_robust_means", TS.events_robust_means,
+              TS.EVENTS_ROBUST_MEANS_SQL, ("A1", "A2", "BONUS"),
+              "winsorized + trimmed means per type: exact p10/p90 "
+              "order-statistic thresholds (histogram selection, "
+              "broadcast) then one conditional clamp/trim aggregation — "
+              "all integer, mean as *1000 DIV n; oracle = full-sort "
+              "rank-k thresholds + identical arithmetic"),
     QuerySpec("user_max_drawdown", TS.user_max_drawdown,
               TS.USER_MAX_DRAWDOWN_SQL, ("W2", "A10", "BONUS"),
               "max drawdown over each user's signed equity curve: "
@@ -1187,6 +1195,15 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "merged-symbol ppm, bytes-per-token; vocab-sized encode + "
               "broadcast join vs the oracle's recursive merge automaton "
               "applied to the held-out word table"),
+    QuerySpec("parts_coorder_communities", G.parts_coorder_communities,
+              G.PARTS_COORDER_COMMUNITIES_SQL, ("J1", "A4", "BONUS"),
+              "community detection by fixed-round synchronous label "
+              "propagation over the support-pruned co-order graph "
+              "(argmax neighbor label via max_by(lab, (cnt, -lab)), "
+              "ties to MIN; per-round localCheckpoint lineage clamp) vs "
+              "the oracle's unrolled MATERIALIZED rounds with "
+              "ROW_NUMBER argmax; emits size/min-member/internal-edges "
+              "per community"),
     QuerySpec("parts_coorder_kcore", G.parts_coorder_kcore,
               G.PARTS_COORDER_KCORE_SQL, ("J1", "U3", "BONUS"),
               "2-core decomposition of the support-pruned co-order "

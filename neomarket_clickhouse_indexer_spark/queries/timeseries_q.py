@@ -4777,10 +4777,36 @@ def user_segmentation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'volume_share_ppm', CAST(volume_share_ppm AS STRING))"
         " AS (metric, value)",
     )
-    return rfm.unionByName(ltv).unionByName(par)
+    # r8 growth: the two other per-user monetary analytics ride the same
+    # persisted scan — max drawdown (running-cummax fold vs the oracle's
+    # quadratic pair definition) and linear multi-touch attribution
+    # (credit-conserving DIV-k shares); both all-BIGINT
+    mdd = max_drawdown_frame(ev).selectExpr(
+        "'mdd' AS family",
+        "CAST(user_id AS STRING) AS k",
+        "stack(5, 'n_events', CAST(n_events AS STRING),"
+        " 'peak_cents', CAST(peak_cents AS STRING),"
+        " 'final_cents', CAST(final_cents AS STRING),"
+        " 'max_drawdown_cents', CAST(max_drawdown_cents AS STRING),"
+        " 'underwater_events', CAST(underwater_events AS STRING))"
+        " AS (metric, value)",
+    )
+    att = attribution_frame(ev).selectExpr(
+        "'attr' AS family",
+        "CAST(user_id AS STRING) || '/' || CAST(lag_h AS STRING) AS k",
+        "stack(2, 'cents', CAST(cents AS STRING),"
+        " 'n', CAST(n AS STRING)) AS (metric, value)",
+    )
+    return (
+        rfm.unionByName(ltv)
+        .unionByName(par)
+        .unionByName(mdd)
+        .unionByName(att)
+    )
 
 
-USER_SEGMENTATION_SUITE_SQL = f"""
+def _segmentation_suite_sql() -> str:
+    return f"""
 SELECT 'rfm' AS family,
        CAST(r.r_seg AS VARCHAR) || '/' || CAST(r.f_seg AS VARCHAR) || '/' ||
        CAST(r.m_seg AS VARCHAR) AS k,
@@ -4811,6 +4837,26 @@ SELECT 'pareto' AS family,
 FROM ({USER_VOLUME_CONCENTRATION_SQL}) p,
      (SELECT unnest(['thr_cents','users_above','users_above_ppm',
                      'volume_share_ppm']) AS metric) m
+UNION ALL
+SELECT 'mdd' AS family, CAST(d.user_id AS VARCHAR) AS k, m.metric,
+       CASE m.metric WHEN 'n_events' THEN CAST(d.n_events AS VARCHAR)
+                     WHEN 'peak_cents' THEN CAST(d.peak_cents AS VARCHAR)
+                     WHEN 'final_cents' THEN CAST(d.final_cents AS VARCHAR)
+                     WHEN 'max_drawdown_cents'
+                       THEN CAST(d.max_drawdown_cents AS VARCHAR)
+                     ELSE CAST(d.underwater_events AS VARCHAR) END AS value
+FROM ({USER_MAX_DRAWDOWN_SQL}) d,
+     (SELECT unnest(['n_events','peak_cents','final_cents',
+                     'max_drawdown_cents','underwater_events'])
+        AS metric) m
+UNION ALL
+SELECT 'attr' AS family,
+       CAST(a.user_id AS VARCHAR) || '/' || CAST(a.lag_h AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'cents' THEN CAST(a.cents AS VARCHAR)
+                     ELSE CAST(a.n AS VARCHAR) END AS value
+FROM ({EVENTS_MULTITOUCH_ATTRIBUTION_SQL}) a,
+     (SELECT unnest(['cents','n']) AS metric) m
 """
 
 
@@ -4844,7 +4890,13 @@ _US_PER_H = 3_600_000_000
 def events_multitouch_attribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = _events_cents(spark, sf_dir)
+    return attribution_frame(_events_cents(spark, sf_dir))
+
+
+def attribution_frame(ev: DataFrame) -> DataFrame:
+    """Core multi-touch path over any _events_cents-shaped frame —
+    factored out so user_segmentation_suite can feed it from its
+    persisted scan."""
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("p_ts"),
@@ -4968,7 +5020,13 @@ FROM direct
 #     derivations check each other (the Lindley-doctrine differential).
 
 def user_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir).select(
+    return max_drawdown_frame(_events_cents(spark, sf_dir))
+
+
+def max_drawdown_frame(ev_cents: DataFrame) -> DataFrame:
+    """Core drawdown fold over any _events_cents-shaped frame — factored
+    out for user_segmentation_suite subtree sharing."""
+    ev = ev_cents.select(
         "user_id",
         "ts",
         "event_id",
@@ -5057,3 +5115,122 @@ GROUP BY 1
 # deferred: _series_suite_sql() interpolates the counter/seasonal/cusum
 # oracles defined above, so the binding happens once everything exists
 EVENTS_SERIES_SUITE_SQL = _series_suite_sql()
+
+# --- events_robust_means: WINSORIZED + TRIMMED means per event type —
+#     the robust location estimators that complement median/MAD
+#     (winsorizing CLAMPS tails to the p10/p90 order-statistic values,
+#     trimming DROPS them; both need exact quantile VALUES first, so
+#     this composes the selection machinery with zero new algorithmic
+#     surface). All exact integers: the p10/p90 thresholds come from
+#     quantile_select_frame (bounded_axis: event cents are
+#     domain-bounded), then one conditional aggregation emits
+#       winsorized_sum = Σ clamp(cents, lo, hi)      (exact BIGINT)
+#       trimmed_sum / trimmed_n over lo <= cents <= hi
+#     plus mean_milli = sum*1000 DIV n for each — integer division,
+#     no float rounding anywhere. At 100 TB: one selection pass (two
+#     scans) + one scan-aggregation with broadcast thresholds. Oracle:
+#     thresholds via the literal full-sort rank-k pick, identical
+#     clamp/trim arithmetic.
+
+RM_LO_PCT = 10
+RM_HI_PCT = 90
+
+
+def events_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).select("event_type", "cents")
+    thr = (
+        quantile_select_frame(
+            ev, pcts=(RM_LO_PCT, RM_HI_PCT), bounded_axis=True
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("q_pct") == RM_LO_PCT, F.col("value_cents"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("q_pct") == RM_HI_PCT, F.col("value_cents"))
+            ).alias("hi"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo"))
+            ).alias("winsorized_sum"),
+            F.sum(
+                F.when(
+                    (F.col("cents") >= F.col("lo"))
+                    & (F.col("cents") <= F.col("hi")),
+                    F.col("cents"),
+                ).otherwise(F.lit(0))
+            ).alias("trimmed_sum"),
+            F.sum(
+                (
+                    (F.col("cents") >= F.col("lo"))
+                    & (F.col("cents") <= F.col("hi"))
+                ).cast("long")
+            ).alias("trimmed_n"),
+        )
+        .select(
+            "event_type",
+            F.col("lo").cast("long").alias("lo_cents"),
+            F.col("hi").cast("long").alias("hi_cents"),
+            F.col("n").cast("long").alias("n"),
+            F.col("winsorized_sum").cast("long").alias("winsorized_sum"),
+            F.expr("winsorized_sum * 1000 DIV n").alias(
+                "winsorized_mean_milli"
+            ),
+            F.col("trimmed_sum").cast("long").alias("trimmed_sum"),
+            F.col("trimmed_n").cast("long").alias("trimmed_n"),
+            F.expr("trimmed_sum * 1000 DIV trimmed_n").alias(
+                "trimmed_mean_milli"
+            ),
+        )
+    )
+
+
+EVENTS_ROBUST_MEANS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, {_CENTS} AS cents FROM events
+),
+r AS MATERIALIZED (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+thr AS MATERIALIZED (
+  SELECT event_type,
+         CAST(MAX(CASE WHEN rn = (n - 1) * {RM_LO_PCT} // 100 + 1
+                       THEN cents END) AS BIGINT) AS lo,
+         CAST(MAX(CASE WHEN rn = (n - 1) * {RM_HI_PCT} // 100 + 1
+                       THEN cents END) AS BIGINT) AS hi
+  FROM r GROUP BY 1
+)
+SELECT e.event_type,
+       t.lo AS lo_cents,
+       t.hi AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(GREATEST(LEAST(e.cents, t.hi), t.lo)) AS BIGINT)
+         AS winsorized_sum,
+       CAST(SUM(GREATEST(LEAST(e.cents, t.hi), t.lo)) * 1000
+            // COUNT(*) AS BIGINT) AS winsorized_mean_milli,
+       CAST(SUM(CASE WHEN e.cents BETWEEN t.lo AND t.hi
+                     THEN e.cents ELSE 0 END) AS BIGINT) AS trimmed_sum,
+       CAST(SUM(CASE WHEN e.cents BETWEEN t.lo AND t.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_n,
+       CAST(SUM(CASE WHEN e.cents BETWEEN t.lo AND t.hi
+                     THEN e.cents ELSE 0 END) * 1000
+            // SUM(CASE WHEN e.cents BETWEEN t.lo AND t.hi
+                        THEN 1 ELSE 0 END) AS BIGINT)
+         AS trimmed_mean_milli
+FROM ev e JOIN thr t USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
+# deferred: interpolates the drawdown/attribution oracles defined above
+USER_SEGMENTATION_SUITE_SQL = _segmentation_suite_sql()

@@ -433,6 +433,20 @@ def main() -> None:
     print(f"graph edges: {big_edges.count():,}")
     timed("pagerank_2rounds", pagerank_frame(big_edges, 64))
 
+    # r8: fixed-round synchronous LPA at N× graph scale — per round one
+    # shuffle join of the directed edges against the node-sized label
+    # frame + one argmax agg; labels localCheckpoint per round, so cost
+    # should be ~linear in the edge count across rounds
+    from neomarket_clickhouse_indexer_spark.queries.graph_q import lpa_frame
+
+    lpa_edges = (
+        big_edges.select(F.col("c").alias("u"), F.col("s").alias("v"))
+        .distinct()
+        .persist()
+    )
+    timed("lpa_3rounds", lpa_frame(lpa_edges, 64))
+    lpa_edges.unpersist()
+
     # r6: layered-frontier BFS at N× graph scale — the N disjoint
     # subgraph copies grow every frontier ×N (seeds drawn from each
     # replica's id space); per level one equi-join + one anti-join,
