@@ -103,6 +103,8 @@ HEADLINE = [
     "user_max_drawdown",
     "events_multitouch_attribution",
     "docs_vocab_growth",
+    "suppliers_kept_waiting",
+    "customer_order_distribution",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

@@ -1158,6 +1158,19 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "global sort) the exact user count and ppm volume share "
               "above it — the 80/20 diagnostic; oracle = full-sort "
               "rank-k thresholds + identical conditional aggregation"),
+    QuerySpec("suppliers_kept_waiting", R.suppliers_kept_waiting,
+              R.SUPPLIERS_KEPT_WAITING_SQL, ("J8", "A9", "T1", "BONUS"),
+              "TPC-H Q21 shape: the correlated EXISTS + NOT-EXISTS "
+              "quantifier composition rewritten as per-order aggregates "
+              "(n_sup >= 2 AND n_slow == 1) — one shuffle, no correlated "
+              "scan — vs the oracle's literal EXISTS/NOT-EXISTS "
+              "subqueries; deterministic top-k"),
+    QuerySpec("customer_order_distribution",
+              R.customer_order_distribution,
+              R.CUSTOMER_ORDER_DISTRIBUTION_SQL, ("J9", "A1", "BONUS"),
+              "TPC-H Q13 shape: orders-per-customer histogram including "
+              "zero-order customers (left join + double agg) vs the "
+              "oracle's correlated scalar-subquery count"),
     QuerySpec("events_robust_means", TS.events_robust_means,
               TS.EVENTS_ROBUST_MEANS_SQL, ("A1", "A2", "BONUS"),
               "winsorized + trimmed means per type: exact p10/p90 "

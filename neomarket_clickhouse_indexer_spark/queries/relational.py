@@ -913,3 +913,152 @@ SELECT col_name, n, n_distinct, total_bytes, runs,
             ELSE 'plain' END AS encoding
 FROM prof
 """
+
+
+# --- suppliers_kept_waiting: the TPC-H Q21 SHAPE (suppliers who kept
+#     orders waiting) adapted to this schema's date surface (no
+#     l_receiptdate/l_commitdate in the fixture: "slow" = shipped more
+#     than SLOW_LAG_DAYS after the order date). The hard part Q21 tests
+#     is the correlated EXISTS ("another supplier participated in the
+#     order") + NOT EXISTS ("no OTHER supplier was also slow")
+#     composition. Spark-first rewrite: both quantifiers become per-order
+#     AGGREGATES over one pass — n_suppliers >= 2 AND n_slow == 1 AND s
+#     is the slow one — no correlated scan, one shuffle on orderkey,
+#     then a count per supplier and a broadcast name join (top-k with
+#     deterministic (waitcount DESC, s_suppkey) order). Oracle: the
+#     LITERAL Q21 formulation — EXISTS / NOT EXISTS correlated
+#     subqueries — so the declarative aggregate rewrite is proven
+#     equivalent to the quantifier semantics. Reference analog: TPC-H
+#     Q21 (public spec); fixture keys follow the driver testdata.
+
+SLOW_LAG_DAYS = 60
+WAITING_TOP_K = 25
+
+
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                > SLOW_LAG_DAYS
+            ).alias("slow"),
+        )
+        # a supplier may ship several lines of one order: quantifiers
+        # range over DISTINCT (order, supplier[, slow]) participation
+        .distinct()
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("slow").alias("slow")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum(F.col("slow").cast("long")).alias("n_slow"),
+    )
+    # per_o is ORDER-cardinality — never broadcast it; the equi-join on
+    # l_orderkey reuses per_os's hash partitioning (no extra shuffle of
+    # the filtered side beyond the agg that produced per_o)
+    wait = (
+        per_os.filter(F.col("slow"))
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_sup") >= 2) & (F.col("n_slow") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        wait.join(F.broadcast(sup), wait.l_suppkey == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("numwait").cast("long").alias("numwait"),
+        )
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(WAITING_TOP_K)
+    )
+
+
+SUPPLIERS_KEPT_WAITING_SQL = f"""
+WITH lo AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+         date_diff('day', o.o_orderdate, l.l_shipdate) > {SLOW_LAG_DAYS}
+           AS slow
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+),
+p AS MATERIALIZED (
+  SELECT l_orderkey, l_suppkey, MAX(slow) AS slow
+  FROM lo GROUP BY 1, 2
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM p l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.slow
+  -- the literal Q21 quantifiers
+  AND EXISTS (SELECT 1 FROM p l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM p l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.slow)
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey
+LIMIT {WAITING_TOP_K}
+"""
+
+
+# --- customer_order_distribution: the TPC-H Q13 SHAPE (custdist) — the
+#     orders-per-customer histogram INCLUDING zero-order customers (the
+#     left-join-then-histogram composition that trips naive inner-join
+#     rewrites). Spark: left join + two hash aggs. Oracle: a correlated
+#     SCALAR subquery count per customer — a genuinely different
+#     derivation of the same histogram. Deterministic: one row per
+#     c_count. Reference analog: TPC-H Q13 (public spec).
+
+
+def customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_c = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_c.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(
+            F.col("c_count").cast("long").alias("c_count"),
+            F.col("custdist").cast("long").alias("custdist"),
+        )
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  -- correlated scalar-subquery derivation (vs Spark's left join + agg)
+  SELECT c.c_custkey,
+         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+           AS c_count
+  FROM customer c
+)
+GROUP BY 1
+"""
