@@ -105,6 +105,7 @@ HEADLINE = [
     "docs_vocab_growth",
     "suppliers_kept_waiting",
     "customer_order_distribution",
+    "user_gini_inequality",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

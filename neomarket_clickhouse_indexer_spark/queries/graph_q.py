@@ -704,10 +704,21 @@ def parts_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(part_key AS STRING) AS k",
         "stack(1, 'core_deg', CAST(core_deg AS STRING)) AS (metric, value)",
     )
-    return tri.unionByName(core)
+    # r8 growth: LPA communities executed verbatim off the SAME persisted
+    # pruned edge table (its first in-window row)
+    lpa = lpa_frame(edges, P).selectExpr(
+        "'lpa' AS family",
+        "CAST(community AS STRING) AS k",
+        "stack(3, 'n_nodes', CAST(n_nodes AS STRING),"
+        " 'min_member', CAST(min_member AS STRING),"
+        " 'internal_edges', CAST(internal_edges AS STRING))"
+        " AS (metric, value)",
+    )
+    return tri.unionByName(core).unionByName(lpa)
 
 
-PARTS_GRAPH_SUITE_SQL = f"""
+def _graph_suite_sql() -> str:
+    return f"""
 SELECT 'triangles' AS family, CAST(t.part_key AS VARCHAR) AS k, m.metric,
        CASE m.metric WHEN 'rank' THEN CAST(t.rank AS VARCHAR)
                      ELSE CAST(t.tri_cnt AS VARCHAR) END AS value
@@ -717,7 +728,18 @@ UNION ALL
 SELECT 'kcore' AS family, CAST(c.part_key AS VARCHAR) AS k,
        'core_deg' AS metric, CAST(c.core_deg AS VARCHAR) AS value
 FROM ({PARTS_COORDER_KCORE_SQL}) c
+UNION ALL
+SELECT 'lpa' AS family, CAST(l.community AS VARCHAR) AS k, m.metric,
+       CASE m.metric WHEN 'n_nodes' THEN CAST(l.n_nodes AS VARCHAR)
+                     WHEN 'min_member' THEN CAST(l.min_member AS VARCHAR)
+                     ELSE CAST(l.internal_edges AS VARCHAR) END AS value
+FROM ({{LPA}}) l,
+     (SELECT unnest(['n_nodes','min_member','internal_edges'])
+        AS metric) m
 """
+
+
+# bound at module END (interpolates the LPA oracle defined below)
 
 
 # --- parts_coorder_communities: COMMUNITY DETECTION by fixed-round
@@ -866,3 +888,9 @@ GROUP BY 1"""
 
 
 PARTS_COORDER_COMMUNITIES_SQL = _lpa_chain_sql(LPA_ROUNDS)
+
+
+# deferred: interpolates the LPA-communities oracle defined above
+PARTS_GRAPH_SUITE_SQL = _graph_suite_sql().replace(
+    "{LPA}", PARTS_COORDER_COMMUNITIES_SQL
+)

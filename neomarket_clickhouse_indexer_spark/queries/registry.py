@@ -158,9 +158,12 @@ _SPECS: list[QuerySpec] = [
               "fused robust-series audit: EXECUTES quantile selection, "
               "median/MAD outliers, lag-1h/24h autocovariance, forecast "
               "backtesting, the q-digest sketch build with its full "
-              "rank-error audit (grown late-r7) AND the displaced "
-              "props_bucket_agg JSON path from shared persisted "
-              "cents/hourly subtrees; all-STRING value column keeps "
+              "rank-error audit, the displaced props_bucket_agg JSON "
+              "path, and (r8) cusum alarms, counter-reset deltaSum, "
+              "seasonal-residual outliers, the q-digest -State/-Merge "
+              "bound audit, and winsorized/trimmed robust means — all "
+              "from shared persisted cents/hourly subtrees; "
+              "all-STRING value column keeps "
               "DECIMAL(38,0) covariances exact"),
     QuerySpec("wallet_snapshot_positions", E.wallet_snapshot_positions,
               E.WALLET_SNAPSHOT_POSITIONS_SQL, ("O2", "O1", "ST6"),
@@ -297,10 +300,10 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("parts_graph_suite", G.parts_graph_suite,
               G.PARTS_GRAPH_SUITE_SQL, ("J1", "W4", "U3", "BONUS"),
               "fused graph-analytics audit: EXECUTES the degree-ordered "
-              "triangle count AND the fixed-round 2-core peel from ONE "
-              "persisted support-pruned co-order edge table — both r7 "
-              "graph families gain an in-window external check in one "
-              "slot"),
+              "triangle count, the fixed-round 2-core peel, and (r8) "
+              "the synchronous-LPA community detection from ONE "
+              "persisted support-pruned co-order edge table — three "
+              "graph families' external checks in one slot"),
     QuerySpec("knn_rank_fusion", V.knn_rank_fusion, V.KNN_RANK_FUSION_SQL,
               ("VS1", "VS3", "BONUS"),
               "reciprocal-rank fusion of the exact scan and the LSH "
@@ -1158,6 +1161,12 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "global sort) the exact user count and ppm volume share "
               "above it — the 80/20 diagnostic; oracle = full-sort "
               "rank-k thresholds + identical conditional aggregation"),
+    QuerySpec("user_gini_inequality", TS.user_gini_inequality,
+              TS.USER_GINI_INEQUALITY_SQL, ("A1", "W2", "BONUS"),
+              "exact Gini / mean-absolute-difference over per-user "
+              "monetary: sorted-multiset closed form on the hierarchical "
+              "prefix-sum ladder (DECIMAL(38,0) sums) vs the oracle's "
+              "literal quadratic pairwise definition"),
     QuerySpec("suppliers_kept_waiting", R.suppliers_kept_waiting,
               R.SUPPLIERS_KEPT_WAITING_SQL, ("J8", "A9", "T1", "BONUS"),
               "TPC-H Q21 shape: the correlated EXISTS + NOT-EXISTS "

@@ -2400,6 +2400,21 @@ def quantile_select_frame(
         return _qsel_locate(ev, bcum, bc.groupBy("event_type").agg(
             F.sum("cnt").alias("n")
         ), pcts)
+    bcum, ntab = _hier_cum(bc)
+    # n per type comes from the LEVEL-3 table, not a second corpus scan —
+    # at 100 TB the raw frame is read exactly twice (bucket pass + value
+    # pass); every rank computation runs over the domain-bounded
+    # aggregate
+    return _qsel_locate(ev, bcum, ntab, pcts)
+
+
+def _hier_cum(bc: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The hierarchical bucket-axis prefix sum, factored for reuse: given
+    (event_type, b, cnt, p1) counts over ANY int64 axis, return
+    ((event_type, b, cnt, cum), per-type totals) with every window
+    partition <= 2^17 rows at any value range (see the QSEL_FAN note).
+    Reused by the Gini mean-absolute-difference closed form, which
+    needs per-VALUE cumulative counts on the unbounded monetary axis."""
     # level tables (each row count <= the previous level's); exclusive
     # prefixes FOLD TOP-DOWN so the base bucket table joins exactly ONCE
     # (joining e1/e2/e3 into bc separately would shuffle the big table
@@ -2455,13 +2470,7 @@ def quantile_select_frame(
             (F.col("s0") + F.col("e1")).alias("cum"),
         )
     )
-    # n per type comes from the LEVEL-3 table, not a second corpus scan —
-    # at 100 TB the raw frame is read exactly twice (bucket pass + value
-    # pass); every rank computation runs over the domain-bounded
-    # aggregate
-    return _qsel_locate(
-        ev, bcum, l3.groupBy("event_type").agg(F.sum("c3").alias("n")), pcts
-    )
+    return bcum, l3.groupBy("event_type").agg(F.sum("c3").alias("n"))
 
 
 def _qsel_locate(
@@ -3519,6 +3528,21 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'le_ok', CAST(CAST(le_ok AS INT) AS STRING),"
         " 'lt_ok', CAST(CAST(lt_ok AS INT) AS STRING)) AS (metric, value)",
     )
+    # r8 growth 3: winsorized/trimmed robust means off the same cents
+    # subtree (selection thresholds + one conditional aggregation)
+    rbm = robust_means_frame(cents2).selectExpr(
+        "'robust' AS family",
+        "event_type AS k",
+        "stack(8, 'lo_cents', CAST(lo_cents AS STRING),"
+        " 'hi_cents', CAST(hi_cents AS STRING),"
+        " 'n', CAST(n AS STRING),"
+        " 'winsorized_sum', CAST(winsorized_sum AS STRING),"
+        " 'winsorized_mean_milli', CAST(winsorized_mean_milli AS STRING),"
+        " 'trimmed_sum', CAST(trimmed_sum AS STRING),"
+        " 'trimmed_n', CAST(trimmed_n AS STRING),"
+        " 'trimmed_mean_milli', CAST(trimmed_mean_milli AS STRING))"
+        " AS (metric, value)",
+    )
     ssn = seasonal_residual_frame(
         hourly.withColumn("hod", F.col("x") % 24).repartition(
             n_par, "event_type"
@@ -3543,6 +3567,7 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ctr)
         .unionByName(ssn)
         .unionByName(qdm)
+        .unionByName(rbm)
     )
 
 
@@ -3668,6 +3693,22 @@ FROM ({EVENTS_QDIGEST_MERGE_SQL}) d,
      (SELECT unnest(['n','t','t_a','t_b','sketch_nodes','est_cents',
                      'target','cnt_lt','cnt_le','le_ok','lt_ok'])
         AS metric) m
+UNION ALL
+SELECT 'robust' AS family, b.event_type AS k, m.metric,
+       CASE m.metric WHEN 'lo_cents' THEN CAST(b.lo_cents AS VARCHAR)
+                     WHEN 'hi_cents' THEN CAST(b.hi_cents AS VARCHAR)
+                     WHEN 'n' THEN CAST(b.n AS VARCHAR)
+                     WHEN 'winsorized_sum'
+                       THEN CAST(b.winsorized_sum AS VARCHAR)
+                     WHEN 'winsorized_mean_milli'
+                       THEN CAST(b.winsorized_mean_milli AS VARCHAR)
+                     WHEN 'trimmed_sum' THEN CAST(b.trimmed_sum AS VARCHAR)
+                     WHEN 'trimmed_n' THEN CAST(b.trimmed_n AS VARCHAR)
+                     ELSE CAST(b.trimmed_mean_milli AS VARCHAR) END AS value
+FROM ({EVENTS_ROBUST_MEANS_SQL}) b,
+     (SELECT unnest(['lo_cents','hi_cents','n','winsorized_sum',
+                     'winsorized_mean_milli','trimmed_sum','trimmed_n',
+                     'trimmed_mean_milli']) AS metric) m
 """
 
 
@@ -5112,9 +5153,8 @@ GROUP BY 1
 """
 
 
-# deferred: _series_suite_sql() interpolates the counter/seasonal/cusum
-# oracles defined above, so the binding happens once everything exists
-EVENTS_SERIES_SUITE_SQL = _series_suite_sql()
+# (series-suite SQL binding moved to module end: it now also
+# interpolates EVENTS_ROBUST_MEANS_SQL, defined below)
 
 # --- events_robust_means: WINSORIZED + TRIMMED means per event type —
 #     the robust location estimators that complement median/MAD
@@ -5137,7 +5177,15 @@ RM_HI_PCT = 90
 
 
 def events_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir).select("event_type", "cents")
+    return robust_means_frame(
+        _events_cents(spark, sf_dir).select("event_type", "cents")
+    )
+
+
+def robust_means_frame(ev: DataFrame) -> DataFrame:
+    """Core winsorize/trim path over any (event_type, cents) frame —
+    factored out so events_series_suite can feed it from its persisted
+    cents subtree."""
     thr = (
         quantile_select_frame(
             ev, pcts=(RM_LO_PCT, RM_HI_PCT), bounded_axis=True
@@ -5232,5 +5280,90 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- user_gini_inequality: exact GINI / mean-absolute-difference over
+#     the per-user monetary distribution — the scalar companion of the
+#     Pareto concentration curve (how unequal IS the whale economy?).
+#     The naive definition is quadratic (Σ|x_i − x_j| over all pairs);
+#     the closed form over the SORTED multiset,
+#       Σ_v v·c_v·(2·cum_before(v) + c_v − n),
+#     needs per-VALUE cumulative counts on the unbounded monetary axis —
+#     exactly what the hierarchical prefix-sum ladder (_hier_cum)
+#     provides with every window partition <= 2^17 rows at any range.
+#     Sums ride DECIMAL(38,0) (n·v·n exceeds 2^63 at 100 TB; DuckDB's
+#     HUGEINT sum arrives as the same decimal128 kind), gini_ppm =
+#     abs_diff_sum·1e6 DIV (n·Σx) in exact integer arithmetic.
+#     Oracle: the LITERAL pairwise definition (a.user_id < b.user_id
+#     self-join) — the quadratic form the ladder exists to avoid; the
+#     driver-fixture user dimension is small so the oracle stays cheap.
+
+
+def user_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.sum("cents").alias("m")).persist()
+    vc = (
+        per_user.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("all").alias("event_type"),
+            F.col("m").alias("b"),
+            "cnt",
+        )
+        .withColumn("p1", F.expr(f"b DIV {QSEL_FAN}"))
+    )
+    bcum, ntab = _hier_cum(vc)
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("m").alias("sum_cents")
+    )
+    terms = bcum.join(F.broadcast(ntab), "event_type").select(
+        (
+            F.col("b").cast("decimal(38,0)")
+            * F.col("cnt")
+            * (
+                F.lit(2) * (F.col("cum") - F.col("cnt"))
+                + F.col("cnt")
+                - F.col("n")
+            )
+        ).alias("t")
+    )
+    return (
+        terms.agg(F.sum("t").cast("decimal(38,0)").alias("abs_diff_sum"))
+        .crossJoin(tot)  # 1 row x 1 row
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            "abs_diff_sum",
+            F.expr(
+                "CAST((abs_diff_sum * 1000000)"
+                " DIV (CAST(n AS DECIMAL(38,0)) * sum_cents) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+USER_GINI_INEQUALITY_SQL = f"""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id, CAST(SUM({_CENTS}) AS BIGINT) AS m
+  FROM events GROUP BY user_id
+),
+pairs AS (
+  -- the literal quadratic definition over unordered pairs
+  SELECT SUM(CAST(ABS(a.m - b.m) AS HUGEINT)) AS abs_diff_sum
+  FROM per_user a JOIN per_user b ON a.user_id < b.user_id
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(m) AS BIGINT) AS sum_cents
+  FROM per_user
+)
+SELECT t.n, t.sum_cents,
+       p.abs_diff_sum,
+       CAST(p.abs_diff_sum * 1000000
+            // (CAST(t.n AS HUGEINT) * t.sum_cents) AS BIGINT) AS gini_ppm
+FROM pairs p, tot t
+"""
+
+
 # deferred: interpolates the drawdown/attribution oracles defined above
 USER_SEGMENTATION_SUITE_SQL = _segmentation_suite_sql()
+
+# deferred: interpolates the cusum/counter/seasonal/qdmerge/robust oracles
+EVENTS_SERIES_SUITE_SQL = _series_suite_sql()

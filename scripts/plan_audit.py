@@ -37,6 +37,7 @@ INTENTIONAL_CROSS = {
     # executes rfm + volume_concentration verbatim: same 4/9-row
     # broadcast threshold crossJoins (suites inherit component shapes)
     "user_segmentation_suite",
+    "user_gini_inequality",  # 1-row abs-diff total x 1-row n/sum crossJoin
 }
 
 # Unpartitioned Window nodes single-partition-sort their whole input —
@@ -67,6 +68,7 @@ BOUNDED_GLOBAL_WINDOW = {
     # tests/test_qsel_hierarchy.py)
     "user_volume_concentration",
     "user_segmentation_suite",  # executes the same pareto path: same bound
+    "user_gini_inequality",  # same folded ladder-top window: <= 2^8 rows
 }
 
 

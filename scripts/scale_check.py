@@ -444,7 +444,17 @@ def main() -> None:
         .distinct()
         .persist()
     )
-    timed("lpa_3rounds", lpa_frame(lpa_edges, 64))
+    lpa_edges.count()
+    # lpa_frame localCheckpoints EAGERLY at build — the construction IS
+    # the work, so time the build + write together (a bare timed() on
+    # the returned frame would measure only the checkpoint read)
+    for it in range(2):
+        t0 = time.perf_counter()
+        lpa_frame(lpa_edges, 64).write.format("noop").mode("overwrite").save()
+        print(
+            f"lpa_3rounds iter{it}: {time.perf_counter() - t0:.2f}s",
+            flush=True,
+        )
     lpa_edges.unpersist()
 
     # r6: layered-frontier BFS at N× graph scale — the N disjoint

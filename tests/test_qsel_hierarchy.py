@@ -73,3 +73,55 @@ def test_wide_range_selection_exact_and_bounded(spark, seed):
     # and the raw axis really WAS unbounded-scale: without the
     # hierarchy the single per-type window would sort every base bucket
     assert (max(bs) - min(bs)) > cap  # value range forces > 2^17 buckets
+
+
+@pytest.mark.parametrize("seed", [7, 211])
+def test_gini_closed_form_vs_pairwise(spark, seed):
+    """The Gini mean-absolute-difference closed form rides the same
+    ladder at VALUE grain (bucket width 1) — fuzz it on wide-range
+    distributions with planted ties vs the literal pairwise sum."""
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        QSEL_FAN,
+        _hier_cum,
+    )
+
+    rng = np.random.RandomState(seed)
+    vals = np.concatenate(
+        [
+            rng.randint(0, 10**6, size=500),
+            (rng.pareto(0.7, size=80) * 1e9).astype(np.int64),
+            np.repeat(rng.randint(0, 10**4, size=10), 5),  # planted ties
+        ]
+    ).astype(np.int64)
+    df = spark.createDataFrame([(int(v),) for v in vals], "m bigint")
+    vc = (
+        df.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("all").alias("event_type"), F.col("m").alias("b"), "cnt")
+        .withColumn("p1", F.expr(f"b DIV {QSEL_FAN}"))
+    )
+    bcum, ntab = _hier_cum(vc)
+    got = (
+        bcum.join(ntab, "event_type")
+        .select(
+            (
+                F.col("b").cast("decimal(38,0)")
+                * F.col("cnt")
+                * (
+                    F.lit(2) * (F.col("cum") - F.col("cnt"))
+                    + F.col("cnt")
+                    - F.col("n")
+                )
+            ).alias("t")
+        )
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    s = np.sort(vals)
+    n = len(s)
+    want = sum(
+        int(v) * (2 * (i + 1) - n - 1) for i, v in enumerate(s)
+    )  # == sum over unordered pairs of |xi - xj|
+    assert int(got) == want
