@@ -106,6 +106,7 @@ HEADLINE = [
     "suppliers_kept_waiting",
     "customer_order_distribution",
     "user_gini_inequality",
+    "events_hll_register_histogram",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

@@ -1161,6 +1161,16 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "global sort) the exact user count and ppm volume share "
               "above it — the 80/20 diagnostic; oracle = full-sort "
               "rank-k thresholds + identical conditional aggregation"),
+    QuerySpec("events_hll_register_histogram",
+              TS.events_hll_register_histogram,
+              TS.EVENTS_HLL_REGISTER_HISTOGRAM_SQL, ("A3", "BONUS"),
+              "HyperLogLog made deterministic at the REGISTER level: "
+              "md5-derived 256 registers, per-register max-rho (a "
+              "mergeable -State aggregate), register histogram emitted "
+              "all-integer; the two engines derive leading zeros by "
+              "independent formulas (41-len(bin) vs strpos of padded "
+              "binary); the float estimate is a pure function of the "
+              "histogram, checked in tests"),
     QuerySpec("user_gini_inequality", TS.user_gini_inequality,
               TS.USER_GINI_INEQUALITY_SQL, ("A1", "W2", "BONUS"),
               "exact Gini / mean-absolute-difference over per-user "

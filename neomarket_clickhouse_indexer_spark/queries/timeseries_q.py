@@ -5362,6 +5362,95 @@ FROM pairs p, tot t
 """
 
 
+# --- events_hll_register_histogram: HyperLogLog made DETERMINISTIC and
+#     oracle-able at the REGISTER level — the distinct-count sketch the
+#     repo previously exercised only through Spark's builtin
+#     approx_count_distinct (whose registers are engine-internal, so no
+#     cross-engine differential was possible). From-scratch registers:
+#     h = first 12 md5 hex chars of the user id (48 bits, the KMV
+#     convention), register j = top 8 bits (m = 256), w = low 40 bits,
+#     rho = leading-zero count of w within 40 bits + 1 (41 when w = 0).
+#     Per (event_type, j): MAX rho — a plain mergeable aggregate (the
+#     -State/-Merge contract: register-wise max distributes over any
+#     partitioning). The gate emits the REGISTER HISTOGRAM
+#     (event_type, rho, n_registers) — all integer, fully deterministic;
+#     the float harmonic-mean estimate is a pure function of the
+#     histogram and lives in tests/test_sketches.py (within-rel-error
+#     check vs exact), keeping floats out of the gate.
+#     rho derivations deliberately DIFFER: Spark uses
+#     41 - length(bin(w)); the oracle zero-pads the 40-bit binary string
+#     and takes strpos(.., '1') — two independent leading-zero formulas.
+#     At 100 TB: one scan, map-side-combinable max into 256·|types|
+#     cells. Reference analog: ClickHouse uniq()/uniqHLL12
+#     (src/api.ts distinct-user stats).
+
+HLL_B = 8  # 2^8 = 256 registers
+_HLL_W_BITS = 40
+_HLL_RADIX = 1 << (_HLL_W_BITS + HLL_B)  # 48-bit hash space
+
+
+def events_hll_register_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    regs = ev.select(
+        "event_type",
+        h.alias("h"),
+    ).select(
+        "event_type",
+        F.expr(f"h DIV {1 << _HLL_W_BITS}").alias("j"),
+        F.expr(f"h % {1 << _HLL_W_BITS}").alias("w"),
+    ).select(
+        "event_type",
+        "j",
+        F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1))
+        .otherwise(F.lit(_HLL_W_BITS + 1) - F.length(F.bin("w")))
+        .alias("rho"),
+    )
+    return (
+        regs.groupBy("event_type", "j")
+        .agg(F.max("rho").alias("m_rho"))
+        .groupBy("event_type", F.col("m_rho").alias("rho"))
+        .agg(F.count(F.lit(1)).alias("n_registers"))
+        .select(
+            "event_type",
+            F.col("rho").cast("long").alias("rho"),
+            F.col("n_registers").cast("long").alias("n_registers"),
+        )
+    )
+
+
+EVENTS_HLL_REGISTER_HISTOGRAM_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS STRING)), 1, 12)
+              AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type,
+         h // {1 << _HLL_W_BITS} AS j,
+         h % {1 << _HLL_W_BITS} AS w
+  FROM h
+),
+regs AS (
+  -- independent rho derivation: strpos of the first '1' in the
+  -- zero-padded 40-bit binary string (vs Spark's 41 - len(bin(w)))
+  SELECT event_type, j,
+         MAX(CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                  ELSE strpos(lpad(bin(w), {_HLL_W_BITS}, '0'), '1')
+             END) AS m_rho
+  FROM r GROUP BY 1, 2
+)
+SELECT event_type, CAST(m_rho AS BIGINT) AS rho,
+       CAST(COUNT(*) AS BIGINT) AS n_registers
+FROM regs GROUP BY 1, 2
+"""
+
+
 # deferred: interpolates the drawdown/attribution oracles defined above
 USER_SEGMENTATION_SUITE_SQL = _segmentation_suite_sql()
 

@@ -126,3 +126,41 @@ def test_cms_shard_sketches_merge_to_whole(spark):
         .sort_index()
     )
     assert merged.equals(whole)
+
+
+def test_hll_register_histogram_estimate_tracks_exact(spark):
+    """The r8 from-scratch HLL gate emits the register histogram; the
+    float estimate is a pure function of it. Standard HLL with the
+    small-range linear-counting correction must track the exact
+    per-type distinct-user count within the b=8 error envelope."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        HLL_B,
+        events_hll_register_histogram,
+    )
+    from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    m = 1 << HLL_B
+    hist: dict[str, dict[int, int]] = {}
+    for r in events_hll_register_histogram(spark, sf).collect():
+        hist.setdefault(r.event_type, {})[r.rho] = r.n_registers
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for et, h in hist.items():
+        used = sum(h.values())
+        zeros = m - used
+        s = zeros * 1.0 + sum(n * (2.0 ** -rho) for rho, n in h.items())
+        e = alpha * m * m / s
+        if e <= 2.5 * m and zeros > 0:
+            e = m * math.log(m / zeros)  # linear counting
+        assert abs(e - exact[et]) / exact[et] < 0.16, (et, e, exact[et])
