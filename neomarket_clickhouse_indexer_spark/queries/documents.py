@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..sources.tables import load_table
 from .util import sql_dsum
+from .timeseries_q import (
+    EVENTS_HLL_REGISTER_HISTOGRAM_SQL as _HLL_HIST_SQL,
+)
 
 
 def _spread(docs: DataFrame, spark: SparkSession) -> DataFrame:
@@ -2319,7 +2322,18 @@ def docs_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'exact_distinct', CAST(exact_distinct AS DOUBLE),"
         " 'err_ppm', CAST(err_ppm AS DOUBLE)) AS (metric, value)",
     )
-    return cms.unionByName(hh).unionByName(kmv)
+    # r8 growth: the from-scratch HLL register histogram joins the
+    # deterministic-sketch family's gate (local import: avoid a module
+    # cycle at documents<->timeseries import time)
+    from .timeseries_q import events_hll_register_histogram
+
+    hll = events_hll_register_histogram(spark, sf_dir).selectExpr(
+        "'hll' AS sketch",
+        "event_type || '/' || CAST(rho AS STRING) AS k",
+        "stack(1, 'n_registers', CAST(n_registers AS DOUBLE))"
+        " AS (metric, value)",
+    )
+    return cms.unionByName(hh).unionByName(kmv).unionByName(hll)
 
 
 DOCS_SKETCH_SUITE_SQL = f"""
@@ -2349,6 +2363,11 @@ SELECT 'kmv' AS sketch, source AS k, m.metric,
 FROM ({DOCS_KMV_DISTINCT_SQL}),
      (SELECT unnest(['k_used','hk','est_distinct','exact_distinct','err_ppm'])
         AS metric) m
+UNION ALL
+SELECT 'hll' AS sketch,
+       event_type || '/' || CAST(rho AS VARCHAR) AS k,
+       'n_registers' AS metric, CAST(n_registers AS DOUBLE) AS value
+FROM ({_HLL_HIST_SQL})
 """
 
 

@@ -133,10 +133,11 @@ _SPECS: list[QuerySpec] = [
               ("A1", "A2", "T1", "W2", "BONUS"),
               "fused per-user analytics gate: rfm cube + cohort LTV + "
               "Pareto concentration + max drawdown + multi-touch "
-              "attribution executed verbatim via their frame cores from "
-              "ONE persisted corpus scan and ONE shared per-user RFM "
-              "subtree (labeled family/k/metric/value rows, "
-              "all-BIGINT-as-STRING values)"),
+              "attribution + exact Gini executed verbatim via their "
+              "frame cores from ONE persisted corpus scan and ONE "
+              "shared per-user RFM subtree (labeled family/k/metric/"
+              "value rows, exact-as-STRING values incl. the Gini "
+              "DECIMAL(38,0) abs-diff sum)"),
     QuerySpec("docs_profile", D.docs_profile, D.DOCS_PROFILE_SQL,
               ("TX1", "TX2", "TX3", "TX4"),
               "fused per-document analysis pass: quality stats + lang-id + "
@@ -175,8 +176,9 @@ _SPECS: list[QuerySpec] = [
               "fused sketch-family gate (r6 rotation into the slot freed "
               "by folding dup-clusters into the pair audit): EXECUTES the "
               "CMS frequency sketch, the propose/verify heavy-hitter "
-              "pipeline, and the KMV bottom-k distinct sketch with its "
-              "lossless merge — the whole uniqCombined-analog family gets "
+              "pipeline, the KMV bottom-k distinct sketch with its "
+              "lossless merge, and (r8) the from-scratch HLL register "
+              "histogram — the whole uniqCombined-analog family gets "
               "an external check in one slot; components stay "
               "oracle-checked in the tail"),
     QuerySpec("docs_pair_recall_audit", D.docs_pair_recall_audit,

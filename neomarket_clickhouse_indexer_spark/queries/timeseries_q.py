@@ -4838,11 +4838,23 @@ def user_segmentation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'cents', CAST(cents AS STRING),"
         " 'n', CAST(n AS STRING)) AS (metric, value)",
     )
+    # late-r8 growth: the exact-Gini closed form rides the SAME per-user
+    # frame (monetary column); abs_diff_sum is DECIMAL(38,0), exact as
+    # STRING (the fused-suite value-column doctrine)
+    gin = gini_frame(per_user).selectExpr(
+        "'gini' AS family",
+        "'all' AS k",
+        "stack(4, 'n', CAST(n AS STRING),"
+        " 'sum_cents', CAST(sum_cents AS STRING),"
+        " 'abs_diff_sum', CAST(abs_diff_sum AS STRING),"
+        " 'gini_ppm', CAST(gini_ppm AS STRING)) AS (metric, value)",
+    )
     return (
         rfm.unionByName(ltv)
         .unionByName(par)
         .unionByName(mdd)
         .unionByName(att)
+        .unionByName(gin)
     )
 
 
@@ -4898,6 +4910,15 @@ SELECT 'attr' AS family,
                      ELSE CAST(a.n AS VARCHAR) END AS value
 FROM ({EVENTS_MULTITOUCH_ATTRIBUTION_SQL}) a,
      (SELECT unnest(['cents','n']) AS metric) m
+UNION ALL
+SELECT 'gini' AS family, 'all' AS k, m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(g.n AS VARCHAR)
+                     WHEN 'sum_cents' THEN CAST(g.sum_cents AS VARCHAR)
+                     WHEN 'abs_diff_sum' THEN CAST(g.abs_diff_sum AS VARCHAR)
+                     ELSE CAST(g.gini_ppm AS VARCHAR) END AS value
+FROM ({USER_GINI_INEQUALITY_SQL}) g,
+     (SELECT unnest(['n','sum_cents','abs_diff_sum','gini_ppm'])
+        AS metric) m
 """
 
 
@@ -5299,20 +5320,29 @@ GROUP BY 1, 2, 3
 
 def user_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_cents(spark, sf_dir)
-    per_user = ev.groupBy("user_id").agg(F.sum("cents").alias("m")).persist()
+    per_user = (
+        ev.groupBy("user_id").agg(F.sum("cents").alias("monetary")).persist()
+    )
+    return gini_frame(per_user)
+
+
+def gini_frame(per_user: DataFrame) -> DataFrame:
+    """Core Gini closed form over any (persisted) per-user frame with a
+    ``monetary`` column — factored out for user_segmentation_suite
+    subtree sharing."""
     vc = (
-        per_user.groupBy("m")
+        per_user.groupBy("monetary")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             F.lit("all").alias("event_type"),
-            F.col("m").alias("b"),
+            F.col("monetary").alias("b"),
             "cnt",
         )
         .withColumn("p1", F.expr(f"b DIV {QSEL_FAN}"))
     )
     bcum, ntab = _hier_cum(vc)
     tot = per_user.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("m").alias("sum_cents")
+        F.count(F.lit(1)).alias("n"), F.sum("monetary").alias("sum_cents")
     )
     terms = bcum.join(F.broadcast(ntab), "event_type").select(
         (
