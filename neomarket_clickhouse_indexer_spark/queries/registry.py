@@ -1163,6 +1163,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "global sort) the exact user count and ppm volume share "
               "above it — the 80/20 diagnostic; oracle = full-sort "
               "rank-k thresholds + identical conditional aggregation"),
+    QuerySpec("events_ab_arm_stats", TS.events_ab_arm_stats,
+              TS.EVENTS_AB_ARM_STATS_SQL, ("A1", "A2", "BONUS"),
+              "A/B experimentation sufficient statistics: user-level md5 "
+              "arm split, per (type, arm) exact n / sum / sum-of-squares "
+              "(DECIMAL(38,0)); one map-side-combinable scan — the Welch "
+              "t statistic is a pure function of the six numbers, "
+              "checked vs numpy in tests"),
     QuerySpec("events_hll_register_histogram",
               TS.events_hll_register_histogram,
               TS.EVENTS_HLL_REGISTER_HISTOGRAM_SQL, ("A3", "BONUS"),

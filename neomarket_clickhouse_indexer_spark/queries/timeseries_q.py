@@ -5481,6 +5481,63 @@ FROM regs GROUP BY 1, 2
 """
 
 
+# --- events_ab_arm_stats: A/B EXPERIMENTATION sufficient statistics —
+#     the reduction every experimentation platform ships: users split
+#     into arms by a deterministic hash (md5 first hex nibble: 0-7 = A,
+#     8-f = B — the unit of randomization is the USER, so all of a
+#     user's events land in one arm), then per (event_type, arm) the
+#     EXACT sufficient statistics for any two-sample test: n, Σx (cents,
+#     BIGINT) and Σx² (DECIMAL(38,0) — cents² exceeds int64 at corpus
+#     scale; DuckDB's HUGEINT sum arrives as the same decimal128 kind).
+#     The float Welch t statistic is a pure function of these six
+#     numbers per type and is checked against a direct numpy computation
+#     in tests (the autocov sufficient-stat doctrine: floats never enter
+#     the gate). At 100 TB: ONE map-side-combinable scan-aggregation —
+#     the cheapest plan shape there is. Reference analog: the summary
+#     stats endpoints (src/api.ts); arm-splitting is beyond-ref surface.
+
+
+def events_ab_arm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir)
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return (
+        ev.select("event_type", arm.alias("arm"), "cents")
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).cast("decimal(38,0)").alias("sumsq_cents"),
+        )
+        .select(
+            "event_type",
+            "arm",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            "sumsq_cents",
+        )
+    )
+
+
+EVENTS_AB_ARM_STATS_SQL = f"""
+SELECT event_type,
+       CASE WHEN substring(md5(CAST(user_id AS STRING)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7')
+            THEN 'A' ELSE 'B' END AS arm,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents,
+       SUM(CAST({_CENTS} AS HUGEINT) * ({_CENTS})) AS sumsq_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # deferred: interpolates the drawdown/attribution oracles defined above
 USER_SEGMENTATION_SUITE_SQL = _segmentation_suite_sql()
 

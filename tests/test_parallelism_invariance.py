@@ -52,6 +52,19 @@ QUERIES = [
     "docs_kmv_distinct",
     "supplier_pagerank",
     "supplier_shipment_overlap",
+    # r8 additions, chosen for order-sensitive internals: the
+    # hierarchical prefix-sum ladder (join-reassembled running counts);
+    # running-cummax drawdown fold; per-purchase remainder assignment
+    # (row_number over (v_ts, v_id)); synchronous-LPA argmax rounds with
+    # per-round checkpoints; register max + histogram; Q21 top-k with
+    # (numwait, suppkey) total order
+    "user_volume_concentration",
+    "user_max_drawdown",
+    "events_multitouch_attribution",
+    "parts_coorder_communities",
+    "events_hll_register_histogram",
+    "suppliers_kept_waiting",
+    "user_gini_inequality",
 ]
 
 

@@ -164,3 +164,53 @@ def test_hll_register_histogram_estimate_tracks_exact(spark):
         if e <= 2.5 * m and zeros > 0:
             e = m * math.log(m / zeros)  # linear counting
         assert abs(e - exact[et]) / exact[et] < 0.16, (et, e, exact[et])
+
+
+def test_ab_arm_stats_welch_matches_numpy(spark):
+    """The Welch t statistic derived from the gate's exact sufficient
+    statistics must equal the direct numpy computation on the raw
+    per-arm samples (proves the reduction loses nothing)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        _events_cents,
+        events_ab_arm_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stats = {
+        (r.event_type, r.arm): (r.n, r.sum_cents, int(r.sumsq_cents))
+        for r in events_ab_arm_stats(spark, sf).collect()
+    }
+    ev = _events_cents(spark, sf).select(
+        "event_type",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).alias("h"),
+        "cents",
+    ).collect()
+    raw: dict[tuple[str, str], list[int]] = {}
+    for r in ev:
+        arm = "A" if r.h in "01234567" else "B"
+        raw.setdefault((r.event_type, arm), []).append(r.cents)
+    types = {t for t, _ in stats}
+    for t in types:
+        for arm in ("A", "B"):
+            xs = np.array(raw[(t, arm)], dtype=np.float64)
+            n, s, q = stats[(t, arm)]
+            assert n == len(xs) and s == int(xs.sum())
+            assert q == int((xs.astype(object) ** 2).sum())
+        # Welch t from sufficient stats vs numpy means/variances
+        def welch_from_stats(a, b):
+            (na, sa, qa), (nb, sb, qb) = a, b
+            ma, mb = sa / na, sb / nb
+            va = (qa - na * ma * ma) / (na - 1)
+            vb = (qb - nb * mb * mb) / (nb - 1)
+            return (ma - mb) / np.sqrt(va / na + vb / nb)
+
+        t_stats = welch_from_stats(stats[(t, "A")], stats[(t, "B")])
+        xa = np.array(raw[(t, "A")], dtype=np.float64)
+        xb = np.array(raw[(t, "B")], dtype=np.float64)
+        t_np = (xa.mean() - xb.mean()) / np.sqrt(
+            xa.var(ddof=1) / len(xa) + xb.var(ddof=1) / len(xb)
+        )
+        assert abs(t_stats - t_np) < 1e-9, (t, t_stats, t_np)
