@@ -18,6 +18,7 @@ from ..sources.tables import load_table
 from .util import sql_dsum
 from .timeseries_q import (
     EVENTS_HLL_REGISTER_HISTOGRAM_SQL as _HLL_HIST_SQL,
+    events_hll_register_histogram,
 )
 
 
@@ -2323,10 +2324,7 @@ def docs_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'err_ppm', CAST(err_ppm AS DOUBLE)) AS (metric, value)",
     )
     # r8 growth: the from-scratch HLL register histogram joins the
-    # deterministic-sketch family's gate (local import: avoid a module
-    # cycle at documents<->timeseries import time)
-    from .timeseries_q import events_hll_register_histogram
-
+    # deterministic-sketch family's gate
     hll = events_hll_register_histogram(spark, sf_dir).selectExpr(
         "'hll' AS sketch",
         "event_type || '/' || CAST(rho AS STRING) AS k",

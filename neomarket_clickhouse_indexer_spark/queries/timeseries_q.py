@@ -4979,6 +4979,9 @@ def attribution_frame(ev: DataFrame) -> DataFrame:
             (F.col("d_us") > 0)
             & (F.col("d_us") <= ATTR_WINDOW_H * _US_PER_H)
         )
+        # feeds the share/window path AND the direct anti-join — persist
+        # or the 72h expansion join executes twice (late-r5 lesson 3)
+        .persist()
     )
     wk = Window.partitionBy("p_id")
     wr = Window.partitionBy("p_id").orderBy("v_ts", "v_id")

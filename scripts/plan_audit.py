@@ -104,7 +104,10 @@ def global_windows(plan: str) -> int:
 
 for name in sorted(REGISTRY):
     if name in ("domain_ledger_summary", "docs_bpe_merges", "docs_bpe_encode",
-                "docs_bpe_vocab_coverage"):
+                "docs_bpe_vocab_coverage",
+                # LPA localCheckpoints eagerly per round at build time;
+                # its final plan is checkpoint scans (nothing to audit)
+                "parts_coorder_communities"):
         # these run eager work when built (ledger build; K BPE training
         # iterations with per-iteration argmax collects) — skip the
         # plan-only audit; their plans are vocabulary/ledger-bounded
