@@ -108,6 +108,7 @@ HEADLINE = [
     "user_gini_inequality",
     "events_hll_register_histogram",
     "events_ab_arm_stats",
+    "events_value_drift",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

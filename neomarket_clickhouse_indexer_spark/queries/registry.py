@@ -1163,6 +1163,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "global sort) the exact user count and ppm volume share "
               "above it — the 80/20 diagnostic; oracle = full-sort "
               "rank-k thresholds + identical conditional aggregation"),
+    QuerySpec("events_value_drift", TS.events_value_drift,
+              TS.EVENTS_VALUE_DRIFT_SQL, ("A1", "A2", "BONUS"),
+              "distribution-drift monitor (PSI shape) between the "
+              "month's halves: per (type, value-bucket) exact counts + "
+              "integer ppm shares + |delta-share| (TVD terms); one "
+              "map-side-combinable scan; the float PSI is a pure "
+              "function of the histogram, numpy-checked in tests"),
     QuerySpec("events_ab_arm_stats", TS.events_ab_arm_stats,
               TS.EVENTS_AB_ARM_STATS_SQL, ("A1", "A2", "BONUS"),
               "A/B experimentation sufficient statistics: user-level md5 "

@@ -5541,6 +5541,81 @@ GROUP BY 1, 2
 """
 
 
+# --- events_value_drift: DISTRIBUTION-DRIFT monitor between the
+#     month's two halves (the population-stability-index shape every
+#     training-data/feature pipeline runs before trusting a refresh;
+#     day <= 15 vs > 15 — the qdigest_merge split convention). Per
+#     (event_type, value bucket = cents DIV 256, the domain-bounded
+#     histogram axis): exact counts and integer ppm shares per half,
+#     plus the per-bucket |Δshare| ppm — the summable terms of total
+#     variation distance (TVD = Σ|p−q|/2). The float PSI
+#     Σ(p−q)·ln(p/q) is a pure function of this histogram and is
+#     checked against a direct numpy computation in tests (floats never
+#     enter the gate — the HLL/Welch doctrine). At 100 TB: ONE
+#     map-side-combinable scan-aggregation + a broadcast join of the
+#     per-(type, half) totals. Reference analog: the daily rollup
+#     consistency checks (src/build-rollup-1d.ts); drift monitoring is
+#     beyond-ref surface.
+
+
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_cents(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"cents DIV {QSEL_BUCKET}").alias("b"),
+        (F.dayofmonth("ts") <= QD_SPLIT_DAY).cast("int").alias("first_half"),
+    )
+    cells = ev.groupBy("event_type", "b").agg(
+        F.sum("first_half").cast("long").alias("n_first"),
+        F.sum(F.lit(1) - F.col("first_half")).cast("long").alias("n_second"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("n_first").alias("t1"), F.sum("n_second").alias("t2")
+    )
+    return (
+        cells.join(F.broadcast(tots), "event_type")
+        .select(
+            "event_type",
+            F.col("b").cast("long").alias("bucket"),
+            "n_first",
+            "n_second",
+            F.expr("n_first * 1000000 DIV t1").alias("share_first_ppm"),
+            F.expr("n_second * 1000000 DIV t2").alias("share_second_ppm"),
+        )
+        .withColumn(
+            "abs_share_diff_ppm",
+            F.abs(F.col("share_first_ppm") - F.col("share_second_ppm")),
+        )
+    )
+
+
+EVENTS_VALUE_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, {_CENTS} // {QSEL_BUCKET} AS b,
+         CASE WHEN day(CAST(ts AS TIMESTAMP)) <= {QD_SPLIT_DAY}
+              THEN 1 ELSE 0 END AS first_half
+  FROM events
+),
+cells AS MATERIALIZED (
+  SELECT event_type, b,
+         CAST(SUM(first_half) AS BIGINT) AS n_first,
+         CAST(SUM(1 - first_half) AS BIGINT) AS n_second
+  FROM ev GROUP BY 1, 2
+),
+tots AS (
+  SELECT event_type, CAST(SUM(n_first) AS BIGINT) AS t1,
+         CAST(SUM(n_second) AS BIGINT) AS t2
+  FROM cells GROUP BY 1
+)
+SELECT c.event_type, CAST(c.b AS BIGINT) AS bucket, c.n_first, c.n_second,
+       CAST(c.n_first * 1000000 // t.t1 AS BIGINT) AS share_first_ppm,
+       CAST(c.n_second * 1000000 // t.t2 AS BIGINT) AS share_second_ppm,
+       CAST(ABS(c.n_first * 1000000 // t.t1
+                - c.n_second * 1000000 // t.t2) AS BIGINT)
+         AS abs_share_diff_ppm
+FROM cells c JOIN tots t USING (event_type)
+"""
+
+
 # deferred: interpolates the drawdown/attribution oracles defined above
 USER_SEGMENTATION_SUITE_SQL = _segmentation_suite_sql()
 

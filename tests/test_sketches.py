@@ -214,3 +214,52 @@ def test_ab_arm_stats_welch_matches_numpy(spark):
             xa.var(ddof=1) / len(xa) + xb.var(ddof=1) / len(xb)
         )
         assert abs(t_stats - t_np) < 1e-9, (t, t_stats, t_np)
+
+
+def test_value_drift_psi_matches_numpy(spark):
+    """PSI derived from the drift gate's exact histogram equals a direct
+    numpy computation over the raw halves (smoothed shares — the
+    standard epsilon guard for empty cells — applied identically)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        QD_SPLIT_DAY,
+        QSEL_BUCKET,
+        _events_cents,
+        events_value_drift,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_value_drift(spark, sf).collect()
+    raw = _events_cents(spark, sf).select(
+        "event_type",
+        F.expr(f"cents DIV {QSEL_BUCKET}").alias("b"),
+        (F.dayofmonth("ts") <= QD_SPLIT_DAY).cast("int").alias("fh"),
+    ).collect()
+    eps = 1e-6
+    types = {r.event_type for r in rows}
+    for t in types:
+        # PSI from the gate histogram
+        g = [r for r in rows if r.event_type == t]
+        t1, t2 = sum(r.n_first for r in g), sum(r.n_second for r in g)
+        psi_gate = sum(
+            (max(r.n_first / t1, eps) - max(r.n_second / t2, eps))
+            * np.log(max(r.n_first / t1, eps) / max(r.n_second / t2, eps))
+            for r in g
+        )
+        # PSI from the raw rows
+        from collections import Counter
+
+        c1 = Counter(r.b for r in raw if r.event_type == t and r.fh == 1)
+        c2 = Counter(r.b for r in raw if r.event_type == t and r.fh == 0)
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        assert (n1, n2) == (t1, t2)
+        psi_raw = sum(
+            (max(c1.get(b, 0) / n1, eps) - max(c2.get(b, 0) / n2, eps))
+            * np.log(
+                max(c1.get(b, 0) / n1, eps) / max(c2.get(b, 0) / n2, eps)
+            )
+            for b in set(c1) | set(c2)
+        )
+        assert abs(psi_gate - psi_raw) < 1e-12, (t, psi_gate, psi_raw)
