@@ -266,18 +266,50 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
+    # The driver records the LAST 2000 BYTES of stdout: r8's 64-query line
+    # overflowed that window and BENCH_r08.json came back `parsed: null`.
+    # Emit ONE line under a hard 1800-byte budget — summary fields first,
+    # then per-query values (2-decimal, no spaces) slowest-first until the
+    # budget is hit (`elided` counts the cheap tail left out) — and write
+    # the full-precision map to BENCH_FULL.json for the record.
+    with open("BENCH_FULL.json", "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "ingest_sec": ingest_sec,
                 "sf": sf_val,
-            }
+                "ingest_sec": ingest_sec,
+                "queries": timings,
+            },
+            f,
+            indent=1,
         )
-    )
+
+    def _line(qmap: dict[str, float], elided: int) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "ingest_sec": ingest_sec,
+                "n_queries": len(timings),
+                "elided": elided,
+                "queries": qmap,
+            },
+            separators=(",", ":"),
+        )
+
+    by_cost = sorted(timings, key=lambda k: (-timings[k], k))
+    keep: dict[str, float] = {}
+    for name in by_cost:
+        trial = dict(keep)
+        trial[name] = round(timings[name], 2)
+        if len(_line(trial, len(timings) - len(trial))) > 1800:
+            break
+        keep = trial
+    print(_line(keep, len(timings) - len(keep)))
 
 
 if __name__ == "__main__":

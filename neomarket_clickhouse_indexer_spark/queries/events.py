@@ -826,12 +826,17 @@ WHERE rank <= 100
 
 def streaming_candles_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
     import shutil
 
+    from ..sources.sinks import prune_stale_staging
     from ..streaming.incremental import _fold_batch
 
     ev = load_table(spark, sf_dir, "events")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # pid-scoped state dir: concurrent runs over the same fixture (pytest +
+    # driver_sim) must not race on the shared fold state (r8 verdict #1)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    prune_stale_staging("nmci_stream_state_")
     state_dir = f"/tmp/nmci_stream_state_{tag}"
     shutil.rmtree(state_dir, ignore_errors=True)
     # Scope shuffle parallelism to the microbatch loop: a plain driver
@@ -1238,14 +1243,18 @@ LEFT JOIN cnt ON bo.wallet = cnt.wallet AND bo.b = cnt.b
 
 def streaming_positions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
+    import os
     import shutil
 
+    from ..sources.sinks import prune_stale_staging
     from ..streaming.stateful import running_positions_stream
 
     inp = _fifo_input(spark, sf_dir).select(
         "key", "ts", "ord", "side", "qty", "price"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # pid-scoped dirs: concurrent runs must not race on source/checkpoint
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    prune_stale_staging("nmci_stream_pos_")
     src = f"/tmp/nmci_stream_pos_src_{tag}"
     ckpt = f"/tmp/nmci_stream_pos_ckpt_{tag}"
     shutil.rmtree(src, ignore_errors=True)

@@ -258,7 +258,13 @@ def sink_round_trip_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), "volume"),
     )
-    path = "/tmp/nmci_sink_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # pid-scoped: concurrent runs must not race on the round-trip dir
+    sinks.prune_stale_staging("nmci_sink_rt_")
+    path = (
+        "/tmp/nmci_sink_rt_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}"
+    )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     # twice: the second replace must overwrite, not duplicate (S4 contract)
@@ -451,7 +457,10 @@ def rest_sync_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .collect()
     )  # driver-side by design: REST catalogs are driver-sized (S5 doctrine)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # pid-scoped: concurrent runs must not race on the table/checkpoint
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    sinks.prune_stale_staging("nmci_rest_tbl_")
+    sinks.prune_stale_staging("nmci_rest_ckpt_")
     table = f"/tmp/nmci_rest_tbl_{tag}"
     ckpt_path = f"/tmp/nmci_rest_ckpt_{tag}"
     shutil.rmtree(table, ignore_errors=True)

@@ -3557,6 +3557,27 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'max_abs_resid', CAST(max_abs_resid AS STRING))"
         " AS (metric, value)",
     )
+    # r9 growth (r8 verdict task 7): the distribution-drift and A/B-arm
+    # monitors — both single map-side-combinable scan shapes — executed
+    # verbatim off the same persisted scan; sumsq_cents rides the exact
+    # DECIMAL(38,0)-as-STRING path (the autocov cov_num precedent)
+    dft = value_drift_frame(ev).selectExpr(
+        "'drift' AS family",
+        "event_type || '/' || CAST(bucket AS STRING) AS k",
+        "stack(5, 'n_first', CAST(n_first AS STRING),"
+        " 'n_second', CAST(n_second AS STRING),"
+        " 'share_first_ppm', CAST(share_first_ppm AS STRING),"
+        " 'share_second_ppm', CAST(share_second_ppm AS STRING),"
+        " 'abs_share_diff_ppm', CAST(abs_share_diff_ppm AS STRING))"
+        " AS (metric, value)",
+    )
+    ab = ab_arm_stats_frame(ev).selectExpr(
+        "'ab' AS family",
+        "event_type || '/' || arm AS k",
+        "stack(3, 'n', CAST(n AS STRING),"
+        " 'sum_cents', CAST(sum_cents AS STRING),"
+        " 'sumsq_cents', CAST(sumsq_cents AS STRING)) AS (metric, value)",
+    )
     return (
         qsel.unionByName(mad)
         .unionByName(acv)
@@ -3568,6 +3589,8 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssn)
         .unionByName(qdm)
         .unionByName(rbm)
+        .unionByName(dft)
+        .unionByName(ab)
     )
 
 
@@ -3709,6 +3732,27 @@ FROM ({EVENTS_ROBUST_MEANS_SQL}) b,
      (SELECT unnest(['lo_cents','hi_cents','n','winsorized_sum',
                      'winsorized_mean_milli','trimmed_sum','trimmed_n',
                      'trimmed_mean_milli']) AS metric) m
+UNION ALL
+SELECT 'drift' AS family,
+       v.event_type || '/' || CAST(v.bucket AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n_first' THEN CAST(v.n_first AS VARCHAR)
+                     WHEN 'n_second' THEN CAST(v.n_second AS VARCHAR)
+                     WHEN 'share_first_ppm'
+                       THEN CAST(v.share_first_ppm AS VARCHAR)
+                     WHEN 'share_second_ppm'
+                       THEN CAST(v.share_second_ppm AS VARCHAR)
+                     ELSE CAST(v.abs_share_diff_ppm AS VARCHAR) END AS value
+FROM ({EVENTS_VALUE_DRIFT_SQL}) v,
+     (SELECT unnest(['n_first','n_second','share_first_ppm',
+                     'share_second_ppm','abs_share_diff_ppm']) AS metric) m
+UNION ALL
+SELECT 'ab' AS family, w.event_type || '/' || w.arm AS k, m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(w.n AS VARCHAR)
+                     WHEN 'sum_cents' THEN CAST(w.sum_cents AS VARCHAR)
+                     ELSE CAST(w.sumsq_cents AS VARCHAR) END AS value
+FROM ({EVENTS_AB_ARM_STATS_SQL}) w,
+     (SELECT unnest(['n','sum_cents','sumsq_cents']) AS metric) m
 """
 
 
@@ -5501,7 +5545,12 @@ FROM regs GROUP BY 1, 2
 
 
 def events_ab_arm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir)
+    return ab_arm_stats_frame(_events_cents(spark, sf_dir))
+
+
+def ab_arm_stats_frame(ev: DataFrame) -> DataFrame:
+    """Frame core over (event_type, user_id, cents) — the series suite
+    executes this verbatim off its persisted scan (r8 verdict task 7)."""
     arm = F.when(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
             *"01234567"
@@ -5559,7 +5608,13 @@ GROUP BY 1, 2
 
 
 def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir).select(
+    return value_drift_frame(_events_cents(spark, sf_dir))
+
+
+def value_drift_frame(ev0: DataFrame) -> DataFrame:
+    """Frame core over (event_type, ts, cents) — the series suite
+    executes this verbatim off its persisted scan (r8 verdict task 7)."""
+    ev = ev0.select(
         "event_type",
         F.expr(f"cents DIV {QSEL_BUCKET}").alias("b"),
         (F.dayofmonth("ts") <= QD_SPLIT_DAY).cast("int").alias("first_half"),
@@ -5578,8 +5633,14 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").cast("long").alias("bucket"),
             "n_first",
             "n_second",
-            F.expr("n_first * 1000000 DIV t1").alias("share_first_ppm"),
-            F.expr("n_second * 1000000 DIV t2").alias("share_second_ppm"),
+            # GREATEST(...,1): a type whose rows all fall in one half has a
+            # zero divisor — guard identically in both engines (KMV doctrine)
+            F.expr("n_first * 1000000 DIV GREATEST(t1, 1)").alias(
+                "share_first_ppm"
+            ),
+            F.expr("n_second * 1000000 DIV GREATEST(t2, 1)").alias(
+                "share_second_ppm"
+            ),
         )
         .withColumn(
             "abs_share_diff_ppm",
@@ -5607,10 +5668,12 @@ tots AS (
   FROM cells GROUP BY 1
 )
 SELECT c.event_type, CAST(c.b AS BIGINT) AS bucket, c.n_first, c.n_second,
-       CAST(c.n_first * 1000000 // t.t1 AS BIGINT) AS share_first_ppm,
-       CAST(c.n_second * 1000000 // t.t2 AS BIGINT) AS share_second_ppm,
-       CAST(ABS(c.n_first * 1000000 // t.t1
-                - c.n_second * 1000000 // t.t2) AS BIGINT)
+       CAST(c.n_first * 1000000 // GREATEST(t.t1, 1) AS BIGINT)
+         AS share_first_ppm,
+       CAST(c.n_second * 1000000 // GREATEST(t.t2, 1) AS BIGINT)
+         AS share_second_ppm,
+       CAST(ABS(c.n_first * 1000000 // GREATEST(t.t1, 1)
+                - c.n_second * 1000000 // GREATEST(t.t2, 1)) AS BIGINT)
          AS abs_share_diff_ppm
 FROM cells c JOIN tots t USING (event_type)
 """

@@ -309,11 +309,6 @@ WHERE rank <= 3
 #     cluster geometry, LSH by hash buckets.
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= N_QUERIES)
-    return _centroids_of(emb)
-
-
 def _centroids_of(emb: DataFrame) -> DataFrame:
     """Exact per-label centroids of any (label, embedding) frame — the
     decimal-discipline mean both engines derive bit-identically."""
@@ -338,8 +333,14 @@ def knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 1) -> DataFrame:
     Work scales linearly with nprobe (recall/cost knob — the standard IVF
     trade-off); candidates stay a broadcast-probe join, never a full scan.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(spark, sf_dir)
+    return _knn_ivf_core(load_table(spark, sf_dir, "embeddings"), nprobe)
+
+
+def _knn_ivf_core(emb: DataFrame, nprobe: int = 1) -> DataFrame:
+    """Frame core over (vec_id, label, embedding) — the audit passes ONE
+    persisted embeddings frame through all three index paths (the
+    pair_recall_audit shared-subtree lesson)."""
+    cents = _centroids_of(emb.filter(F.col("vec_id") >= N_QUERIES))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -961,9 +962,15 @@ def _pq_subs(df: DataFrame, id_alias: str) -> DataFrame:
     ).select(id_alias, F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
 
 
-def _pq_sub_centroids(assigned: DataFrame) -> DataFrame:
-    """(sub, code, sv) rows -> (sub, code, c_sv) — per-dim means with the
-    _centroid_arrays decimal/ROUND(6) discipline, keyed by subspace."""
+def _pq_sub_codebook(spark: SparkSession, assigned: DataFrame) -> DataFrame:
+    """(sub, code, sv) rows -> literal (sub, code, c_sv) codebook frame.
+
+    Per-dim means keep the _centroid_arrays decimal/ROUND(6) discipline;
+    the ≤ M×K×SUB mean rows are collected and assembled into arrays on
+    the driver (dim-ascending — identical to the former array_sort path),
+    which both clamps the Lloyd lineage (the kmeans_train doctrine) and
+    drops one collect_list shuffle stage per codebook build (r9: the two
+    serial Lloyd jobs were the audit gate's dominant cost)."""
     ex = assigned.select(
         "sub", "code", F.posexplode(F.col("sv")).alias("dim", "v")
     )
@@ -974,12 +981,14 @@ def _pq_sub_centroids(assigned: DataFrame) -> DataFrame:
             6,
         ).alias("mean_v"),
     )
-    return per_dim.groupBy("sub", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
-            lambda s: s["mean_v"],
-        ).alias("c_sv"),
-    )
+    acc: dict[tuple[int, int], dict[int, float]] = {}
+    for r in per_dim.collect():  # driver-sized: ≤ M*K*SUB rows
+        acc.setdefault((r["sub"], r["code"]), {})[r["dim"]] = r["mean_v"]
+    data = [
+        (s, c, [dims[i] for i in range(len(dims))])
+        for (s, c), dims in sorted(acc.items())
+    ]
+    return spark.createDataFrame(data, "sub int, code int, c_sv array<double>")
 
 
 def _d2u(a, b):
@@ -989,11 +998,20 @@ def _d2u(a, b):
 
 
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _knn_pq_adc_core(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _knn_pq_adc_core(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    emb = emb.select("vec_id", "embedding")
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
 
-    csubs = _pq_subs(corpus, "vec_id")
+    # persist: the sub-vector explode feeds the two Lloyd scoring passes
+    # AND the final encode — lazy lineage would replay the corpus explode
+    # three times (the semdedup double-execution lesson)
+    csubs = _pq_subs(corpus, "vec_id").persist()
     cents = _pq_subs(
         corpus.filter(F.col("vec_id") < N_QUERIES + _PQ_K), "cid"
     ).select(
@@ -1004,12 +1022,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        assigned = None
         for it in range(_PQ_ITERS):
-            if it > 0:
-                # clamp the M*K codebook on the driver per iteration —
-                # without this, lineage recomputes earlier Lloyd passes
-                cents = spark.createDataFrame(cents.collect(), cents.schema)
             scored = csubs.join(F.broadcast(cents), "sub").select(
                 "vec_id", "sub", "sv", "code",
                 F.round(_sq_l2(F.col("sv"), F.col("c_sv")), 6).alias("d2"),
@@ -1027,8 +1040,9 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("a.code").alias("code"), F.col("a.sv").alias("sv"),
                 )
             )
-            cents = _pq_sub_centroids(assigned)
-        cents = spark.createDataFrame(cents.collect(), cents.schema)
+            # one collect job per iteration; returns a LITERAL frame, so
+            # lineage never replays earlier Lloyd passes
+            cents = _pq_sub_codebook(spark, assigned)
 
         # final encode against the trained codebook
         codes = (
@@ -1098,6 +1112,9 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "rank", "neighbor_id", "d2u", "adc_d2u")
         )
     finally:
+        # NOT unpersisted here: the returned plan still reads csubs (the
+        # final-encode branch executes at the caller's action); the frame
+        # is (vec, sub) skinny rows — LRU-evictable, never embeddings-wide
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -1221,24 +1238,77 @@ KNN_PQ_ADC_SQL = _pq_sql()
 
 
 def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ivf = knn_ivf(spark, sf_dir).selectExpr(
+    # ONE persisted embeddings scan feeds all three index paths (r8 verdict
+    # task 4: the paths each rebuilt overlapping scan/centroid subtrees and
+    # the audit was the most expensive window slot). The cores are the SAME
+    # functions the standalone entries wrap — a green row still executes
+    # knn_ivf / knn_pq_adc / knn_ivf_incremental verbatim.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).persist()
+    # Scope shuffle parallelism to the WHOLE audit and checkpoint the
+    # 610-row result eagerly: the paths' groupBys/windows key on hundreds
+    # of groups, and a plain driver session's 200 partitions would run the
+    # final union's ~10 shuffle stages as near-empty task storms (the
+    # window-gate conf-scoping doctrine). Eager build = plan_audit's
+    # eager skip set (the LPA precedent).
+    # The three paths are serial driver-blocking builds (pq's Lloyd
+    # collects, incr's append-sink writes, ivf's window job) — overlap
+    # them from a thread pool in the ONE SparkSession (the
+    # streaming_state_suite lesson, 12.6s -> 5s). The conf pin is hoisted
+    # AROUND the pool so per-path set/restore can't race a sibling.
+    from concurrent.futures import ThreadPoolExecutor
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        emb.count()  # materialize the shared cache BEFORE the pool races
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(
+                    lambda f=f: f(spark, emb, sf_dir).localCheckpoint(
+                        eager=True
+                    )
+                )
+                for f in (_audit_ivf_path, _audit_pq_path, _audit_incr_path)
+            ]
+            ivf, pq, incr = (f.result() for f in futs)
+        return ivf.unionByName(pq).unionByName(incr)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _audit_ivf_path(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> DataFrame:
+    return _knn_ivf_core(emb).selectExpr(
         "'ivf' AS path", "query_id", "rank", "neighbor_id",
         "'cosine_sim' AS metric", "CAST(cosine_sim AS DOUBLE) AS value",
     )
-    pq = knn_pq_adc(spark, sf_dir).selectExpr(
+
+
+def _audit_pq_path(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> DataFrame:
+    return _knn_pq_adc_core(spark, emb).selectExpr(
         "'pq' AS path", "query_id", "rank", "neighbor_id",
         "stack(2, 'd2u', CAST(d2u AS DOUBLE),"
         " 'adc_d2u', CAST(adc_d2u AS DOUBLE)) AS (metric, value)",
     )
-    # r8 growth (verdict task 5): the append==rebuild IVF-maintenance
-    # property rides the same gate — knn_ivf_incremental executed
-    # VERBATIM (builds the frozen-codebook cell table incrementally via
-    # the S3 append sink); mapped into the long shape as one row per
-    # corpus vector (query_id = vec_id, neighbor_id = assigned cell,
-    # rank 0 — assignment has no rank axis). The oracle side is the
-    # scratch REBUILD with the same frozen codebook, so a green row IS
-    # the append==rebuild bit-for-bit assertion.
-    incr = knn_ivf_incremental(spark, sf_dir).selectExpr(
+
+
+# r8 growth (verdict task 5): the append==rebuild IVF-maintenance
+# property rides the same gate — knn_ivf_incremental executed
+# VERBATIM (builds the frozen-codebook cell table incrementally via
+# the S3 append sink); mapped into the long shape as one row per
+# corpus vector (query_id = vec_id, neighbor_id = assigned cell,
+# rank 0 — assignment has no rank axis). The oracle side is the
+# scratch REBUILD with the same frozen codebook, so a green row IS
+# the append==rebuild bit-for-bit assertion.
+def _audit_incr_path(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> DataFrame:
+    return _knn_ivf_incremental_core(spark, emb, sf_dir).selectExpr(
         "'ivf_incr' AS path",
         "vec_id AS query_id",
         "CAST(0 AS BIGINT) AS rank",
@@ -1246,7 +1316,6 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'cell_sim' AS metric",
         "CAST(cell_sim AS DOUBLE) AS value",
     )
-    return ivf.unionByName(pq).unionByName(incr)
 
 
 def _ann_index_audit_sql() -> str:
@@ -1950,13 +2019,20 @@ KNN_MMR_RERANK_SQL = _mmr_oracle_sql(MMR_K)
 
 
 def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_ivf_incremental_core(
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir
+    )
+
+
+def _knn_ivf_incremental_core(
+    spark: SparkSession, emb: DataFrame, sf_dir: str
+) -> DataFrame:
     import hashlib
     import os
     import shutil
 
     from ..sources.sinks import append, prune_stale_staging
 
-    emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     is_new = F.pmod(F.col("vec_id"), F.lit(5)) == 4  # deterministic batch
     # frozen codebook: trained on the BASE only; persist() — it feeds both

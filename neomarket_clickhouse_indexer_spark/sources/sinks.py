@@ -22,8 +22,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
-def prune_stale_staging(prefix: str) -> None:
-    """Remove ``/tmp/{prefix}*`` staging dirs left by DEAD processes.
+def prune_stale_staging(prefix: str, max_age_sec: float = 6 * 3600) -> None:
+    """Remove ``/tmp/{prefix}*`` staging dirs/files left by DEAD processes.
 
     The pid-scoped staging discipline (concurrent pytest + driver_sim over
     one sf_dir must not race on a table) means every run mints a fresh
@@ -31,17 +31,40 @@ def prune_stale_staging(prefix: str) -> None:
     unbounded /tmp usage (r7 ADVICE). Called at staging time: any sibling
     whose trailing pid no longer exists is reclaimed; live pids (a
     concurrent run) are left alone.
+
+    Pid liveness alone can pin a dead run forever if its pid was recycled
+    by an unrelated long-lived process (r8 ADVICE), so entries older than
+    ``max_age_sec`` are reclaimed regardless — no gate run lives hours.
     """
+    import time
+
+    now = time.time()
     for p in glob.glob(f"/tmp/{prefix}*"):
         pid_s = p.rsplit("_", 1)[-1]
-        if not pid_s.isdigit() or int(pid_s) == os.getpid():
-            continue
-        try:
-            os.kill(int(pid_s), 0)
-        except ProcessLookupError:
-            shutil.rmtree(p, ignore_errors=True)
-        except PermissionError:
-            pass  # live pid owned by another user: not ours to reclaim
+        stale = False
+        if pid_s.isdigit():
+            if int(pid_s) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                stale = True
+            except PermissionError:
+                pass  # live pid owned by another user: not ours to reclaim
+        # legacy pre-pid tags (bare md5) fall through to the age check
+        if not stale:
+            try:  # recycled-pid fallback: age decides
+                stale = now - os.stat(p).st_mtime > max_age_sec
+            except OSError:
+                continue  # raced with a concurrent reclaim
+        if stale:
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:  # file checkpoints (rest_sync ckpt) stage flat files
+                    os.remove(p)
+                except OSError:
+                    pass
 
 
 def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

@@ -107,7 +107,11 @@ for name in sorted(REGISTRY):
                 "docs_bpe_vocab_coverage",
                 # LPA localCheckpoints eagerly per round at build time;
                 # its final plan is checkpoint scans (nothing to audit)
-                "parts_coorder_communities"):
+                "parts_coorder_communities",
+                # r9: eagerly checkpoints its 610-row union under scoped
+                # shuffle parallelism; component shapes stay audited via
+                # knn_ivf / knn_pq_adc / knn_ivf_incremental
+                "ann_index_audit"):
         # these run eager work when built (ledger build; K BPE training
         # iterations with per-iteration argmax collects) — skip the
         # plan-only audit; their plans are vocabulary/ledger-bounded
