@@ -1354,14 +1354,18 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             f_pos = pool.submit(streaming_positions_state, spark, sf_dir)
             f_pairs = pool.submit(streaming_sequence_pairs, spark, sf_dir)
             f_qd = pool.submit(streaming_qdigest_state, spark, sf_dir)
-            pos_df, pairs_df, qd_df = (
+            # r9 growth (r8 verdict task 6): the wallet-leaderboard
+            # additive -State stream, overlapped as the 4th real stream
+            f_lb = pool.submit(_leaderboard_stream_state, spark, sf_dir)
+            pos_df, pairs_df, qd_df, lb_state = (
                 f_pos.result(),
                 f_pairs.result(),
                 f_qd.result(),
+                f_lb.result(),
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1394,7 +1398,17 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'est_cents', CAST(est_cents AS DOUBLE),"
         " 'target', CAST(target AS DOUBLE)) AS (metric, value)",
     )
-    return pos.unionByName(pairs).unionByName(qd)
+    # all-time -Merge re-agg (A8) of the streamed hourly leaderboard
+    # states; every metric is an exact integer < 2^53 (DOUBLE-lossless)
+    lb = _leaderboard_merge(lb_state, ["wallet"]).selectExpr(
+        "'leaderboard' AS path",
+        "CAST(wallet AS STRING) AS k",
+        "stack(4, 'trades', CAST(trades AS DOUBLE),"
+        " 'volume_cents', CAST(volume_cents AS DOUBLE),"
+        " 'pnl_cents', CAST(pnl_cents AS DOUBLE),"
+        " 'markets', CAST(markets AS DOUBLE)) AS (metric, value)",
+    )
+    return pos.unionByName(pairs).unionByName(qd).unionByName(lb)
 
 
 def _streaming_state_suite_sql() -> str:
@@ -1407,6 +1421,7 @@ def _streaming_state_suite_sql() -> str:
 WITH pos AS ({AVGCOST_USER_POSITIONS_SQL}),
 pairs AS ({STREAMING_SEQUENCE_PAIRS_SQL}),
 qd AS ({STREAMING_QDIGEST_STATE_SQL}),
+lb AS ({STREAMING_LEADERBOARD_ALL_SQL}),
 pos_long AS (
   SELECT 'positions' AS path, CAST(key AS VARCHAR) AS k, m.metric,
          CASE m.metric WHEN 'position' THEN CAST(position AS DOUBLE)
@@ -1432,9 +1447,18 @@ qd_long AS (
                        ELSE CAST(target AS DOUBLE) END AS value
   FROM qd, (SELECT unnest(['n','t','sketch_nodes','est_cents','target'])
               AS metric) m
+),
+lb_long AS (
+  SELECT 'leaderboard' AS path, CAST(wallet AS VARCHAR) AS k, m.metric,
+         CASE m.metric WHEN 'trades' THEN CAST(trades AS DOUBLE)
+                       WHEN 'volume_cents' THEN CAST(volume_cents AS DOUBLE)
+                       WHEN 'pnl_cents' THEN CAST(pnl_cents AS DOUBLE)
+                       ELSE CAST(markets AS DOUBLE) END AS value
+  FROM lb, (SELECT unnest(['trades','volume_cents','pnl_cents','markets'])
+              AS metric) m
 )
 SELECT * FROM pos_long UNION ALL SELECT * FROM pairs_long
-UNION ALL SELECT * FROM qd_long
+UNION ALL SELECT * FROM qd_long UNION ALL SELECT * FROM lb_long
 """
 
 
@@ -1720,4 +1744,184 @@ SELECT c.cohort_week,
 FROM activity a JOIN cohorts c USING (user_id)
 WHERE a.d >= CAST(c.cohort_week AS DATE)
 GROUP BY 1, 2
+"""
+
+
+# --- streaming_leaderboard_1h: the wallet-leaderboard -State/-Merge tier
+#     as a REAL stream (r9, r8 verdict task 6) — the one reference MV
+#     family whose CONTINUOUS form was still batch-incremental only
+#     (clickhouse/init/002_leaderboard_aggregates.sql:6-68: per-hour
+#     per-wallet countState / sumState volume / signed sumState pnl /
+#     uniqExactState markets). State grain (bucket, wallet, market) is
+#     the relational encoding of those partial states: count/sum states
+#     are additive BIGINTs, and the uniqExact state IS the market-grain
+#     key set (ClickHouse serializes the same set; the -Merge read
+#     re-counts it). Three event_id-range chunks staged as parquet files
+#     feed a genuine file-source stream (maxFilesPerTrigger=1 ⇒ 3 real
+#     microbatches); incremental_additive_stream folds each microbatch
+#     into a date-partitioned state table, rewriting only touched dates
+#     (additive merge is order-free, so no mtime ordering is needed —
+#     unlike the sequence automaton). Domain mapping per the ledger
+#     convention: wallet = user_id, market = props.k, sell = +cents /
+#     buy('purchase') = -cents (002_leaderboard_aggregates.sql:25).
+#     At 100 TB: microbatches are time-localized, so the dynamic
+#     partition overwrite touches only the hot dates; state is
+#     (date, wallet, market)-grain — bounded by active pairs, never raw
+#     events. The all-time tier is a re-agg of these states (A8), gated
+#     via the streaming_state_suite growth.
+
+
+def _leaderboard_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import prune_stale_staging
+    from ..streaming.incremental import incremental_additive_stream
+
+    inp = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("wallet"),
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("market"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    prune_stale_staging("nmci_stream_lb_")
+    src = f"/tmp/nmci_stream_lb_src_{tag}"
+    ckpt = f"/tmp/nmci_stream_lb_ckpt_{tag}"
+    state = f"/tmp/nmci_stream_lb_state_{tag}"
+    for d in (src, ckpt, state):
+        shutil.rmtree(d, ignore_errors=True)
+    # ONE staging job writes all three event_id-range chunks (event_id
+    # follows ts in the fixture, so each chunk is time-localized like a
+    # real ingest tail): partitionBy splits the dirs, then the part files
+    # move into src as the stream's input files. Thirds of the id range
+    # replace an approxQuantile pre-scan — additive folding is
+    # order-free, so exact chunk balance is irrelevant.
+    import glob as _glob
+
+    r = inp.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = r[0], r[1]
+    b1, b2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    stage = f"{src}.stage"
+    (
+        inp.withColumn(
+            "chunk",
+            F.when(F.col("event_id") <= b1, 0)
+            .when(F.col("event_id") <= b2, 1)
+            .otherwise(2),
+        )
+        .repartition(3, "chunk")
+        .write.partitionBy("chunk")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        for j, part in enumerate(
+            sorted(_glob.glob(os.path.join(stage, f"chunk={i}", "part-*")))
+        ):
+            shutil.move(part, os.path.join(src, f"chunk-{i:03d}-{j}.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                "wallet",
+                "market",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_trades"),
+                F.sum("cents").alias("volume_cents"),
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", -F.col("cents")
+                    ).otherwise(F.col("cents"))
+                ).alias("pnl_cents"),
+            )
+            .withColumn("bucket_date", F.to_date("bucket"))
+        )
+
+    stream = (
+        spark.readStream.schema(inp.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            incremental_additive_stream(
+                stream,
+                state,
+                ckpt,
+                partials,
+                keys=["bucket", "wallet", "market", "bucket_date"],
+                sum_cols=["n_trades", "volume_cents", "pnl_cents"],
+                partition_col="bucket_date",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(state)
+
+
+def _leaderboard_merge(state: DataFrame, keys: list[str]) -> DataFrame:
+    """-Merge read of the streamed states at any coarser grain (A8)."""
+    return state.groupBy(*keys).agg(
+        F.sum("n_trades").cast("long").alias("trades"),
+        F.sum("volume_cents").cast("long").alias("volume_cents"),
+        F.sum("pnl_cents").cast("long").alias("pnl_cents"),
+        F.countDistinct("market").cast("long").alias("markets"),
+    )
+
+
+def streaming_leaderboard_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _leaderboard_stream_state(spark, sf_dir)
+    return _leaderboard_merge(state, ["bucket", "wallet"]).select(
+        "bucket", "wallet", "trades", "volume_cents", "pnl_cents", "markets"
+    )
+
+
+STREAMING_LEADERBOARD_1H_SQL = f"""
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS bucket, user_id AS wallet,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END AS sgn,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS market
+  FROM {EVENTS_SQL} e
+)
+SELECT bucket, wallet,
+       CAST(COUNT(*) AS BIGINT) AS trades,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents,
+       CAST(SUM(sgn * cents) AS BIGINT) AS pnl_cents,
+       CAST(COUNT(DISTINCT market) AS BIGINT) AS markets
+FROM t
+GROUP BY 1, 2
+"""
+
+# the all-time tier (002_leaderboard_aggregates.sql:41-68) — the
+# streaming_state_suite's 'leaderboard' path reads it as a -Merge
+# re-agg (A8) of the SAME streamed hourly states
+STREAMING_LEADERBOARD_ALL_SQL = f"""
+WITH t AS (
+  SELECT user_id AS wallet,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END AS sgn,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS market
+  FROM {EVENTS_SQL} e
+)
+SELECT wallet,
+       CAST(COUNT(*) AS BIGINT) AS trades,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents,
+       CAST(SUM(sgn * cents) AS BIGINT) AS pnl_cents,
+       CAST(COUNT(DISTINCT market) AS BIGINT) AS markets
+FROM t
+GROUP BY 1
 """

@@ -2071,3 +2071,107 @@ SELECT source,
 FROM assigned
 GROUP BY 1, 2
 """
+
+
+# --- docs_tokenizer_suite: fused tokenizer-arc audit (r9 rotation, r8
+#     verdict task 3) — EXECUTES three corpus-signal families verbatim,
+#     labeled (family, k, metric, value):
+#       simhash     — docs_simhash (DD5; this suite takes its window
+#                     slot, a strict-superset swap — the standalone
+#                     entry stays oracle-checked in the tail);
+#       vocabgrowth — docs_vocab_growth (Heaps'-law curve over nested
+#                     md5 doc buckets, VG_BUCKETS-bounded windows);
+#       bpecov      — docs_bpe_vocab_coverage (the tokenizer capstone:
+#                     BPE merges trained on the 4/5 split, held-out
+#                     fifth profiled per source — OOV/merged ppm,
+#                     bytes-per-token).
+#     The three paths overlap from a thread pool in the one SparkSession
+#     (the ann_index_audit/streaming_state_suite lesson): the BPE path is
+#     driver-paced (per-iteration argmax collects), so the two lazy scan
+#     paths execute under it for free. Eager checkpoint at build =
+#     plan_audit's eager skip set. All values are BIGINT-as-STRING.
+
+
+def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .documents import docs_simhash, docs_vocab_growth
+
+    def _sh() -> DataFrame:
+        return docs_simhash(spark, sf_dir).selectExpr(
+            "'simhash' AS family",
+            "CAST(doc_id AS STRING) AS k",
+            "stack(1, 'simhash', CAST(simhash AS STRING))"
+            " AS (metric, value)",
+        )
+
+    def _vg() -> DataFrame:
+        return docs_vocab_growth(spark, sf_dir).selectExpr(
+            "'vocabgrowth' AS family",
+            "source || '/' || CAST(bucket AS STRING) AS k",
+            "stack(6, 'bucket_tokens', CAST(bucket_tokens AS STRING),"
+            " 'new_words', CAST(new_words AS STRING),"
+            " 'cum_tokens', CAST(cum_tokens AS STRING),"
+            " 'cum_vocab', CAST(cum_vocab AS STRING),"
+            " 'new_word_ppm', CAST(new_word_ppm AS STRING),"
+            " 'vocab_per_mtok', CAST(vocab_per_mtok AS STRING))"
+            " AS (metric, value)",
+        )
+
+    def _cov() -> DataFrame:
+        return docs_bpe_vocab_coverage(spark, sf_dir).selectExpr(
+            "'bpecov' AS family",
+            "source AS k",
+            "stack(7, 'n_docs', CAST(n_docs AS STRING),"
+            " 'n_words', CAST(n_words AS STRING),"
+            " 'n_chars', CAST(n_chars AS STRING),"
+            " 'n_tokens', CAST(n_tokens AS STRING),"
+            " 'oov_ppm', CAST(oov_ppm AS STRING),"
+            " 'merged_ppm', CAST(merged_ppm AS STRING),"
+            " 'bytes_per_token_milli', CAST(bytes_per_token_milli"
+            " AS STRING)) AS (metric, value)",
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(lambda f=f: f().localCheckpoint(eager=True))
+            for f in (_sh, _vg, _cov)
+        ]
+        sh, vg, cov = (f.result() for f in futs)
+    return sh.unionByName(vg).unionByName(cov)
+
+
+def _docs_tokenizer_suite_sql() -> str:
+    from .documents import DOCS_SIMHASH_SQL, DOCS_VOCAB_GROWTH_SQL
+
+    return f"""
+SELECT 'simhash' AS family, CAST(s.doc_id AS VARCHAR) AS k,
+       'simhash' AS metric, CAST(s.simhash AS VARCHAR) AS value
+FROM ({DOCS_SIMHASH_SQL}) s
+UNION ALL
+SELECT 'vocabgrowth' AS family,
+       g.source || '/' || CAST(g.bucket AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'bucket_tokens' THEN CAST(g.bucket_tokens AS VARCHAR)
+                     WHEN 'new_words' THEN CAST(g.new_words AS VARCHAR)
+                     WHEN 'cum_tokens' THEN CAST(g.cum_tokens AS VARCHAR)
+                     WHEN 'cum_vocab' THEN CAST(g.cum_vocab AS VARCHAR)
+                     WHEN 'new_word_ppm' THEN CAST(g.new_word_ppm AS VARCHAR)
+                     ELSE CAST(g.vocab_per_mtok AS VARCHAR) END AS value
+FROM ({DOCS_VOCAB_GROWTH_SQL}) g,
+     (SELECT unnest(['bucket_tokens','new_words','cum_tokens','cum_vocab',
+                     'new_word_ppm','vocab_per_mtok']) AS metric) m
+UNION ALL
+SELECT 'bpecov' AS family, c.source AS k, m.metric,
+       CASE m.metric WHEN 'n_docs' THEN CAST(c.n_docs AS VARCHAR)
+                     WHEN 'n_words' THEN CAST(c.n_words AS VARCHAR)
+                     WHEN 'n_chars' THEN CAST(c.n_chars AS VARCHAR)
+                     WHEN 'n_tokens' THEN CAST(c.n_tokens AS VARCHAR)
+                     WHEN 'oov_ppm' THEN CAST(c.oov_ppm AS VARCHAR)
+                     WHEN 'merged_ppm' THEN CAST(c.merged_ppm AS VARCHAR)
+                     ELSE CAST(c.bytes_per_token_milli AS VARCHAR)
+       END AS value
+FROM ({DOCS_BPE_VOCAB_COVERAGE_SQL}) c,
+     (SELECT unnest(['n_docs','n_words','n_chars','n_tokens','oov_ppm',
+                     'merged_ppm','bytes_per_token_milli']) AS metric) m
+"""

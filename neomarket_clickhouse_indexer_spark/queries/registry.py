@@ -53,10 +53,18 @@ _SPECS: list[QuerySpec] = [
     # ------------------------------------------------------------------
     QuerySpec("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL,
               ("A1", "A2", "P1", "P2"), "TPC-H Q1 shape: wide hash agg"),
-    QuerySpec("regional_supplier_volume", R.regional_supplier_volume,
-              R.REGIONAL_SUPPLIER_VOLUME_SQL, ("J1", "J5", "A1"),
-              "TPC-H Q5 shape: 6-way broadcast-dim join (the reference's "
-              "app-side hash-map join done as broadcast hash joins)"),
+    # r9 rotation (r8 verdict task 3): strict-superset swap — the
+    # relational-shapes suite EXECUTES regional_supplier_volume verbatim
+    # (its q5_volume path) and adds the two never-in-window TPC-H shapes;
+    # the displaced entry stays oracle-checked in the tail.
+    QuerySpec("relational_shapes_suite", R.relational_shapes_suite,
+              R.RELATIONAL_SHAPES_SUITE_SQL,
+              ("J1", "J5", "A1", "J8", "A9", "T1", "J9", "BONUS"),
+              "fused TPC-H-shape audit: EXECUTES the Q5 6-way "
+              "broadcast-dim join+agg, the Q21 EXISTS/NOT-EXISTS "
+              "quantifier rewrite, and the Q13 zero-inclusive custdist "
+              "histogram verbatim, labeled; dsum revenue integerizes "
+              "via identical IEEE FLOOR(x*10000+0.5)"),
     # r7 rotation (verdict task 7): the interval family's in-window slot.
     # returns_conditional moved to the tail — its tags stay covered
     # (A2: pricing_summary/user_type_winloss/category_leaderboard,
@@ -162,7 +170,9 @@ _SPECS: list[QuerySpec] = [
               "rank-error audit, the displaced props_bucket_agg JSON "
               "path, and (r8) cusum alarms, counter-reset deltaSum, "
               "seasonal-residual outliers, the q-digest -State/-Merge "
-              "bound audit, and winsorized/trimmed robust means — all "
+              "bound audit, winsorized/trimmed robust means, and (r9) "
+              "the month-half distribution-drift monitor plus the "
+              "A/B-arm sufficient statistics — all "
               "from shared persisted cents/hourly subtrees; "
               "all-STRING value column keeps "
               "DECIMAL(38,0) covariances exact"),
@@ -196,8 +206,20 @@ _SPECS: list[QuerySpec] = [
               "labeled by path; one persisted candidate subtree feeds "
               "every verify path (all displaced/absorbed entries stay "
               "oracle-checked in the tail)"),
-    QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
-              ("DD5",), "16-bit SimHash document signatures"),
+    # r9 rotation (r8 verdict task 3): strict-superset swap — the
+    # tokenizer suite EXECUTES docs_simhash verbatim and brings the two
+    # never-in-window tokenizer families (Heaps'-law vocab growth, BPE
+    # held-out OOV/coverage) into the window; docs_simhash stays
+    # oracle-checked in the tail.
+    QuerySpec("docs_tokenizer_suite", PL.docs_tokenizer_suite,
+              PL._docs_tokenizer_suite_sql(),
+              ("DD5", "TX1", "TX3", "W2", "A1", "BONUS"),
+              "fused tokenizer-arc audit: EXECUTES the 16-bit SimHash "
+              "signatures, the Heaps'-law vocabulary-growth curve "
+              "(VG_BUCKETS-bounded windows), and the BPE held-out "
+              "vocab-coverage capstone (train on 4/5, profile the held "
+              "fifth: OOV/merged ppm, bytes-per-token) — three paths "
+              "overlapped via a thread pool, values BIGINT-as-STRING"),
     QuerySpec("docs_word_filter_top", D.docs_word_filter_top,
               D.DOCS_WORD_FILTER_TOP_SQL, ("J4", "A6"),
               "FUSED J4→A6: array-membership semi-join filter feeding the "
@@ -259,13 +281,18 @@ _SPECS: list[QuerySpec] = [
               "event-time watermark accept/drop rule replayed as a batch "
               "audit"),
     QuerySpec("streaming_state_suite", E.streaming_state_suite,
-              E._streaming_state_suite_sql(), ("ST6", "ST1", "ST4", "A3"),
-              "fused ST6 gate (r6 rotation; grown late-r7): EXECUTES all "
-              "THREE real applyInPandasWithState streaming queries — "
-              "avg-cost positions, the greedy pair automaton, AND the "
-              "q-digest sketch state — each over 3 genuine "
-              "microbatches, unpivoted long vs the batch oracles; "
-              "displaced components stay oracle-checked in the tail"),
+              E._streaming_state_suite_sql(),
+              ("ST6", "ST1", "ST3", "ST4", "A3", "A8"),
+              "fused streaming-state gate (r6 rotation; grown late-r7, "
+              "r9): EXECUTES all three real applyInPandasWithState "
+              "streaming queries — avg-cost positions, the greedy pair "
+              "automaton, the q-digest sketch state — AND (r9) the "
+              "wallet-leaderboard additive -State stream "
+              "(streaming_leaderboard_1h's core, read at the all-time "
+              "-Merge grain), four streams overlapped in one pool, each "
+              "over 3 genuine microbatches, unpivoted long vs the batch "
+              "oracles; displaced components stay oracle-checked in the "
+              "tail"),
     QuerySpec("rest_sync_incremental", O.rest_sync_incremental,
               O.REST_SYNC_INCREMENTAL_SQL, ("S5", "S6", "W3"),
               "two paginated+checkpointed sync rounds (watermark + "
@@ -1259,6 +1286,27 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "degrees per round, node-sized state) vs the oracle's "
               "unrolled MATERIALIZED n1..nL chain — the "
               "kmeans/BPE unrolling doctrine on a graph"),
+    # r9: displaced from the window by their strict-superset suites
+    # (relational_shapes_suite / docs_tokenizer_suite execute them
+    # verbatim); still oracle-checked here.
+    QuerySpec("regional_supplier_volume", R.regional_supplier_volume,
+              R.REGIONAL_SUPPLIER_VOLUME_SQL, ("J1", "J5", "A1"),
+              "TPC-H Q5 shape: 6-way broadcast-dim join (the reference's "
+              "app-side hash-map join done as broadcast hash joins)"),
+    QuerySpec("docs_simhash", D.docs_simhash, D.DOCS_SIMHASH_SQL,
+              ("DD5",), "16-bit SimHash document signatures"),
+    # r9 (r8 verdict task 6): the wallet-leaderboard -State/-Merge tier
+    # as a REAL 3-microbatch file-source stream; also executed verbatim
+    # in-window via streaming_state_suite's 'leaderboard' path.
+    QuerySpec("streaming_leaderboard_1h", E.streaming_leaderboard_1h,
+              E.STREAMING_LEADERBOARD_1H_SQL,
+              ("ST1", "ST3", "ST4", "A7", "A8", "A3", "BONUS"),
+              "hourly wallet-leaderboard partial states (count/sum "
+              "volume/signed pnl/uniqExact-as-key-set markets at "
+              "(bucket, wallet, market) grain) maintained by "
+              "incremental_additive_stream across 3 genuine "
+              "microbatches, -Merge read at (bucket, wallet) == the "
+              "direct batch aggregation oracle"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

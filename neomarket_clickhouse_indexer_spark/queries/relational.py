@@ -1062,3 +1062,64 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+# --- relational_shapes_suite: fused TPC-H-shape audit (r9 rotation,
+#     r8 verdict task 3) — EXECUTES three canonical relational shapes
+#     verbatim and unpivots each to labeled (family, k, metric, value)
+#     rows so one gate pins all three result sets:
+#       q5_volume    — regional_supplier_volume (the 6-way broadcast-dim
+#                      join + agg; this suite takes its window slot, a
+#                      strict-superset swap — the displaced entry stays
+#                      oracle-checked in the tail);
+#       q21_waiting  — suppliers_kept_waiting (the EXISTS/NOT-EXISTS
+#                      quantifier composition rewritten as per-order
+#                      aggregates vs the oracle's literal subqueries);
+#       q13_custdist — customer_order_distribution (zero-inclusive
+#                      orders-per-customer histogram vs the oracle's
+#                      correlated scalar-subquery count).
+#     Values ride the fused-suite STRING discipline: counts are BIGINT,
+#     the lone double (dsum revenue, already exact at 4dp) integerizes
+#     via the identical IEEE FLOOR(x*10000+0.5) both engines perform
+#     (the props_bucket_agg precedent).
+
+
+def relational_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = regional_supplier_volume(spark, sf_dir).selectExpr(
+        "'q5_volume' AS family",
+        "r_name || '/' || n_name AS k",
+        "stack(1, 'revenue_e4', CAST(CAST(FLOOR(revenue * 10000 + 0.5)"
+        " AS BIGINT) AS STRING)) AS (metric, value)",
+    )
+    waitq = suppliers_kept_waiting(spark, sf_dir).selectExpr(
+        "'q21_waiting' AS family",
+        "CAST(s_suppkey AS STRING) AS k",
+        "stack(2, 's_name', s_name,"
+        " 'numwait', CAST(numwait AS STRING)) AS (metric, value)",
+    )
+    custd = customer_order_distribution(spark, sf_dir).selectExpr(
+        "'q13_custdist' AS family",
+        "CAST(c_count AS STRING) AS k",
+        "stack(1, 'custdist', CAST(custdist AS STRING)) AS (metric, value)",
+    )
+    return reg.unionByName(waitq).unionByName(custd)
+
+
+RELATIONAL_SHAPES_SUITE_SQL = f"""
+SELECT 'q5_volume' AS family, r.r_name || '/' || r.n_name AS k,
+       'revenue_e4' AS metric,
+       CAST(CAST(FLOOR(r.revenue * 10000 + 0.5) AS BIGINT) AS VARCHAR)
+         AS value
+FROM ({REGIONAL_SUPPLIER_VOLUME_SQL}) r
+UNION ALL
+SELECT 'q21_waiting' AS family, CAST(w.s_suppkey AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 's_name' THEN w.s_name
+                     ELSE CAST(w.numwait AS VARCHAR) END AS value
+FROM ({SUPPLIERS_KEPT_WAITING_SQL}) w,
+     (SELECT unnest(['s_name','numwait']) AS metric) m
+UNION ALL
+SELECT 'q13_custdist' AS family, CAST(c.c_count AS VARCHAR) AS k,
+       'custdist' AS metric, CAST(c.custdist AS VARCHAR) AS value
+FROM ({CUSTOMER_ORDER_DISTRIBUTION_SQL}) c
+"""

@@ -111,7 +111,11 @@ for name in sorted(REGISTRY):
                 # r9: eagerly checkpoints its 610-row union under scoped
                 # shuffle parallelism; component shapes stay audited via
                 # knn_ivf / knn_pq_adc / knn_ivf_incremental
-                "ann_index_audit"):
+                "ann_index_audit",
+                # r9: runs the BPE training collects at build and
+                # checkpoints its paths eagerly; component shapes stay
+                # audited via docs_simhash / docs_vocab_growth
+                "docs_tokenizer_suite"):
         # these run eager work when built (ledger build; K BPE training
         # iterations with per-iteration argmax collects) — skip the
         # plan-only audit; their plans are vocabulary/ledger-bounded
