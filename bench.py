@@ -109,6 +109,10 @@ HEADLINE = [
     "events_hll_register_histogram",
     "events_ab_arm_stats",
     "events_value_drift",
+    # r9 additions: two series-analytics scans + the Good-Turing spectrum
+    "events_type_xcorr",
+    "events_type_transition_matrix",
+    "docs_count_of_counts",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

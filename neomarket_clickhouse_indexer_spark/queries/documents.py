@@ -3012,3 +3012,73 @@ SELECT t.source,
 FROM tok t
 LEFT JOIN nv n ON n.source = t.source AND n.b = t.b
 """
+
+
+# --- docs_count_of_counts: GOOD-TURING frequency-of-frequencies (r9) —
+#     the count-of-counts histogram N_r (how many distinct words occur
+#     exactly r times) per source, plus the classic Good-Turing adjusted
+#     count r* = (r+1)·N_{r+1}/N_r in exact milli-units (0 where N_{r+1}
+#     is absent — the raw estimator's convention) and the unseen-mass
+#     numerator N_1 (GT assigns P(unseen) = N_1/N). The smoothing input
+#     every language-model estimator (Katz, simple GT) starts from, and
+#     the third corpus-statistics signal on the tokenizer arc (vocab
+#     growth measures NEW words, this measures the frequency SPECTRUM).
+#     At 100 TB: word counts partial-aggregate map-side; the r axis is
+#     O(max word frequency) distinct values with the mass concentrated
+#     at small r (Zipf), so the second aggregation is tiny; the
+#     N_{r+1} lookup is a self-join on the r-histogram (broadcastable).
+#     Reference analog: none (beyond-ref corpus analytics).
+
+
+def count_of_counts_frame(docs: DataFrame) -> DataFrame:
+    from ..functions import text as TX
+
+    wc = (
+        docs.select(
+            "source", F.explode(TX.tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    hist = wc.groupBy("source", "r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = hist.select(
+        "source", (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        hist.join(nxt, ["source", "r"], "left")
+        .select(
+            "source",
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.coalesce(F.col("n_r1"), F.lit(0)).cast("long").alias("n_r1"),
+            F.expr("(r + 1) * coalesce(n_r1, 0) * 1000 DIV n_r").alias(
+                "r_star_milli"
+            ),
+        )
+    )
+
+
+def docs_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return count_of_counts_frame(load_table(spark, sf_dir, "documents"))
+
+
+DOCS_COUNT_OF_COUNTS_SQL = f"""
+WITH cwc AS MATERIALIZED (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS r
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE len(word) >= 1
+  GROUP BY 1, 2
+),
+chist AS MATERIALIZED (
+  SELECT source, r, CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM cwc GROUP BY 1, 2
+)
+SELECT h.source, h.r, h.n_r,
+       CAST(COALESCE(n2.n_r, 0) AS BIGINT) AS n_r1,
+       CAST((h.r + 1) * COALESCE(n2.n_r, 0) * 1000 // h.n_r AS BIGINT)
+         AS r_star_milli
+FROM chist h
+LEFT JOIN chist n2 ON n2.source = h.source AND n2.r = h.r + 1
+"""

@@ -2095,7 +2095,11 @@ GROUP BY 1, 2
 def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
-    from .documents import docs_simhash, docs_vocab_growth
+    from .documents import (
+        docs_count_of_counts,
+        docs_simhash,
+        docs_vocab_growth,
+    )
 
     def _sh() -> DataFrame:
         return docs_simhash(spark, sf_dir).selectExpr(
@@ -2132,17 +2136,33 @@ def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS STRING)) AS (metric, value)",
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    # r9 growth 2: the Good-Turing count-of-counts (the frequency
+    # SPECTRUM companion of the vocab-growth curve) as a 4th pooled path
+    def _gt() -> DataFrame:
+        return docs_count_of_counts(spark, sf_dir).selectExpr(
+            "'goodturing' AS family",
+            "source || '/' || CAST(r AS STRING) AS k",
+            "stack(3, 'n_r', CAST(n_r AS STRING),"
+            " 'n_r1', CAST(n_r1 AS STRING),"
+            " 'r_star_milli', CAST(r_star_milli AS STRING))"
+            " AS (metric, value)",
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [
             pool.submit(lambda f=f: f().localCheckpoint(eager=True))
-            for f in (_sh, _vg, _cov)
+            for f in (_sh, _vg, _cov, _gt)
         ]
-        sh, vg, cov = (f.result() for f in futs)
-    return sh.unionByName(vg).unionByName(cov)
+        sh, vg, cov, gt = (f.result() for f in futs)
+    return sh.unionByName(vg).unionByName(cov).unionByName(gt)
 
 
 def _docs_tokenizer_suite_sql() -> str:
-    from .documents import DOCS_SIMHASH_SQL, DOCS_VOCAB_GROWTH_SQL
+    from .documents import (
+        DOCS_COUNT_OF_COUNTS_SQL,
+        DOCS_SIMHASH_SQL,
+        DOCS_VOCAB_GROWTH_SQL,
+    )
 
     return f"""
 SELECT 'simhash' AS family, CAST(s.doc_id AS VARCHAR) AS k,
@@ -2174,4 +2194,12 @@ SELECT 'bpecov' AS family, c.source AS k, m.metric,
 FROM ({DOCS_BPE_VOCAB_COVERAGE_SQL}) c,
      (SELECT unnest(['n_docs','n_words','n_chars','n_tokens','oov_ppm',
                      'merged_ppm','bytes_per_token_milli']) AS metric) m
+UNION ALL
+SELECT 'goodturing' AS family,
+       t.source || '/' || CAST(t.r AS VARCHAR) AS k, m.metric,
+       CASE m.metric WHEN 'n_r' THEN CAST(t.n_r AS VARCHAR)
+                     WHEN 'n_r1' THEN CAST(t.n_r1 AS VARCHAR)
+                     ELSE CAST(t.r_star_milli AS VARCHAR) END AS value
+FROM ({DOCS_COUNT_OF_COUNTS_SQL}) t,
+     (SELECT unnest(['n_r','n_r1','r_star_milli']) AS metric) m
 """

@@ -171,8 +171,10 @@ _SPECS: list[QuerySpec] = [
               "path, and (r8) cusum alarms, counter-reset deltaSum, "
               "seasonal-residual outliers, the q-digest -State/-Merge "
               "bound audit, winsorized/trimmed robust means, and (r9) "
-              "the month-half distribution-drift monitor plus the "
-              "A/B-arm sufficient statistics — all "
+              "the month-half distribution-drift monitor, the A/B-arm "
+              "sufficient statistics, cross-type lead-lag correlation, "
+              "the Markov transition fit, the integer EWMA control "
+              "chart, and the day-bitmap -Merge tier — all "
               "from shared persisted cents/hourly subtrees; "
               "all-STRING value column keeps "
               "DECIMAL(38,0) covariances exact"),
@@ -216,9 +218,10 @@ _SPECS: list[QuerySpec] = [
               ("DD5", "TX1", "TX3", "W2", "A1", "BONUS"),
               "fused tokenizer-arc audit: EXECUTES the 16-bit SimHash "
               "signatures, the Heaps'-law vocabulary-growth curve "
-              "(VG_BUCKETS-bounded windows), and the BPE held-out "
+              "(VG_BUCKETS-bounded windows), the BPE held-out "
               "vocab-coverage capstone (train on 4/5, profile the held "
-              "fifth: OOV/merged ppm, bytes-per-token) — three paths "
+              "fifth: OOV/merged ppm, bytes-per-token), and the "
+              "Good-Turing count-of-counts spectrum — four paths "
               "overlapped via a thread pool, values BIGINT-as-STRING"),
     QuerySpec("docs_word_filter_top", D.docs_word_filter_top,
               D.DOCS_WORD_FILTER_TOP_SQL, ("J4", "A6"),
@@ -1307,6 +1310,48 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "incremental_additive_stream across 3 genuine "
               "microbatches, -Merge read at (bucket, wallet) == the "
               "direct batch aggregation oracle"),
+    # r9 beyond-ref additions — each executed verbatim in-window via a
+    # suite path (xcorr/markov: events_series_suite; goodturing:
+    # docs_tokenizer_suite).
+    QuerySpec("events_type_xcorr", TS.events_type_xcorr,
+              TS.EVENTS_TYPE_XCORR_SQL, ("A1", "W2", "BONUS"),
+              "cross-type lead-lag correlation sufficient stats at lag "
+              "0h/24h over the hourly cents series (pairs where both "
+              "series have the hour): exact n/Σa/Σb/Σab/cov_num in "
+              "DECIMAL(38,0); Spark's sparse shifted join vs the "
+              "oracle's dense per-pair hour-spine LAG; Pearson r is a "
+              "pure function of the stats (numpy-parity pytest)"),
+    QuerySpec("events_type_transition_matrix",
+              TS.events_type_transition_matrix,
+              TS.EVENTS_TYPE_TRANSITION_MATRIX_SQL, ("W4", "A1", "BONUS"),
+              "first-order Markov transition matrix of the per-user "
+              "clickstream: per (prev, next) exact counts, row totals "
+              "and integer-ppm probabilities; Spark per-user LAG window "
+              "vs the oracle's quantifier adjacency (correlated "
+              "NOT-EXISTS nothing-strictly-between)"),
+    QuerySpec("docs_count_of_counts", D.docs_count_of_counts,
+              D.DOCS_COUNT_OF_COUNTS_SQL, ("TX1", "A1", "BONUS"),
+              "Good-Turing frequency-of-frequencies per source: N_r "
+              "histogram of word counts, N_{r+1} lookup and the "
+              "adjusted count r* = (r+1)N_{r+1}/N_r in exact "
+              "milli-units — the smoothing input of Katz/simple-GT "
+              "language models"),
+    QuerySpec("events_ewma_control", TS.events_ewma_control,
+              TS.EVENTS_EWMA_CONTROL_SQL, ("A1", "W2", "BONUS"),
+              "integer EWMA control chart over the hourly cents series: "
+              "m += (s - m) DIV 4 stays in exact integers (power-of-two "
+              "alpha), residuals against the pre-update state; ONE "
+              "F.aggregate fold per calendar-bounded series vs the "
+              "oracle's literal recursive CTE; executed in-window as "
+              "events_series_suite's 'ewma' path"),
+    QuerySpec("events_day_bitmap_stats", TS.events_day_bitmap_stats,
+              TS.EVENTS_DAY_BITMAP_STATS_SQL, ("A3", "A1", "BONUS"),
+              "groupBitmap-analog day-mask aggregates: per-user BIGINT "
+              "activity bitmask (bit_or of day bits), then per type the "
+              "OR/AND merged masks, popcount coverage/common days and "
+              "summed active days — the mergeable exact-set encoding "
+              "for a bounded universe; executed in-window as "
+              "events_series_suite's 'bitmap' path"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -3578,6 +3578,45 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'sum_cents', CAST(sum_cents AS STRING),"
         " 'sumsq_cents', CAST(sumsq_cents AS STRING)) AS (metric, value)",
     )
+    # r9 growths 2: the cross-type lead-lag correlation stats ride the
+    # SAME persisted hourly series as autocov/forecast, and the Markov
+    # transition fit rides the persisted raw scan
+    xc = xcorr_frame(hourly).selectExpr(
+        "'xcorr' AS family",
+        "type_a || '/' || type_b || '/' || CAST(lag_h AS STRING) AS k",
+        "stack(5, 'n_pairs', CAST(n_pairs AS STRING),"
+        " 'sum_a', CAST(sum_a AS STRING),"
+        " 'sum_b', CAST(sum_b AS STRING),"
+        " 'sum_ab', CAST(sum_ab AS STRING),"
+        " 'cov_num', CAST(cov_num AS STRING)) AS (metric, value)",
+    )
+    mkv = transition_matrix_frame(ev).selectExpr(
+        "'markov' AS family",
+        "prev_type || '/' || next_type AS k",
+        "stack(3, 'n', CAST(n AS STRING),"
+        " 'row_total', CAST(row_total AS STRING),"
+        " 'p_ppm', CAST(p_ppm AS STRING)) AS (metric, value)",
+    )
+    # r9 growths 3: the integer EWMA control chart rides the persisted
+    # hourly series; the day-bitmap -Merge tier rides the raw scan
+    ewm = ewma_control_frame(hourly).selectExpr(
+        "'ewma' AS family",
+        "event_type || '/' || CAST(x AS STRING) AS k",
+        "stack(3, 's', CAST(s AS STRING),"
+        " 'ewma', CAST(ewma AS STRING),"
+        " 'resid', CAST(resid AS STRING)) AS (metric, value)",
+    )
+    bmp = day_bitmap_frame(ev).selectExpr(
+        "'bitmap' AS family",
+        "event_type AS k",
+        "stack(6, 'n_users', CAST(n_users AS STRING),"
+        " 'or_mask', CAST(or_mask AS STRING),"
+        " 'and_mask', CAST(and_mask AS STRING),"
+        " 'coverage_days', CAST(coverage_days AS STRING),"
+        " 'common_days', CAST(common_days AS STRING),"
+        " 'sum_user_days', CAST(sum_user_days AS STRING))"
+        " AS (metric, value)",
+    )
     return (
         qsel.unionByName(mad)
         .unionByName(acv)
@@ -3591,6 +3630,10 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rbm)
         .unionByName(dft)
         .unionByName(ab)
+        .unionByName(xc)
+        .unionByName(mkv)
+        .unionByName(ewm)
+        .unionByName(bmp)
     )
 
 
@@ -3753,6 +3796,45 @@ SELECT 'ab' AS family, w.event_type || '/' || w.arm AS k, m.metric,
                      ELSE CAST(w.sumsq_cents AS VARCHAR) END AS value
 FROM ({EVENTS_AB_ARM_STATS_SQL}) w,
      (SELECT unnest(['n','sum_cents','sumsq_cents']) AS metric) m
+UNION ALL
+SELECT 'xcorr' AS family,
+       x.type_a || '/' || x.type_b || '/' || CAST(x.lag_h AS VARCHAR) AS k,
+       m.metric,
+       CASE m.metric WHEN 'n_pairs' THEN CAST(x.n_pairs AS VARCHAR)
+                     WHEN 'sum_a' THEN CAST(x.sum_a AS VARCHAR)
+                     WHEN 'sum_b' THEN CAST(x.sum_b AS VARCHAR)
+                     WHEN 'sum_ab' THEN CAST(x.sum_ab AS VARCHAR)
+                     ELSE CAST(x.cov_num AS VARCHAR) END AS value
+FROM ({EVENTS_TYPE_XCORR_SQL}) x,
+     (SELECT unnest(['n_pairs','sum_a','sum_b','sum_ab','cov_num'])
+        AS metric) m
+UNION ALL
+SELECT 'markov' AS family, t.prev_type || '/' || t.next_type AS k,
+       m.metric,
+       CASE m.metric WHEN 'n' THEN CAST(t.n AS VARCHAR)
+                     WHEN 'row_total' THEN CAST(t.row_total AS VARCHAR)
+                     ELSE CAST(t.p_ppm AS VARCHAR) END AS value
+FROM ({EVENTS_TYPE_TRANSITION_MATRIX_SQL}) t,
+     (SELECT unnest(['n','row_total','p_ppm']) AS metric) m
+UNION ALL
+SELECT 'ewma' AS family,
+       w2.event_type || '/' || CAST(w2.x AS VARCHAR) AS k, m.metric,
+       CASE m.metric WHEN 's' THEN CAST(w2.s AS VARCHAR)
+                     WHEN 'ewma' THEN CAST(w2.ewma AS VARCHAR)
+                     ELSE CAST(w2.resid AS VARCHAR) END AS value
+FROM ({EVENTS_EWMA_CONTROL_SQL}) w2,
+     (SELECT unnest(['s','ewma','resid']) AS metric) m
+UNION ALL
+SELECT 'bitmap' AS family, bm.event_type AS k, m.metric,
+       CASE m.metric WHEN 'n_users' THEN CAST(bm.n_users AS VARCHAR)
+                     WHEN 'or_mask' THEN CAST(bm.or_mask AS VARCHAR)
+                     WHEN 'and_mask' THEN CAST(bm.and_mask AS VARCHAR)
+                     WHEN 'coverage_days' THEN CAST(bm.coverage_days AS VARCHAR)
+                     WHEN 'common_days' THEN CAST(bm.common_days AS VARCHAR)
+                     ELSE CAST(bm.sum_user_days AS VARCHAR) END AS value
+FROM ({EVENTS_DAY_BITMAP_STATS_SQL}) bm,
+     (SELECT unnest(['n_users','or_mask','and_mask','coverage_days',
+                     'common_days','sum_user_days']) AS metric) m
 """
 
 
@@ -5676,6 +5758,386 @@ SELECT c.event_type, CAST(c.b AS BIGINT) AS bucket, c.n_first, c.n_second,
                 - c.n_second * 1000000 // GREATEST(t.t2, 1)) AS BIGINT)
          AS abs_share_diff_ppm
 FROM cells c JOIN tots t USING (event_type)
+"""
+
+
+# --- events_type_xcorr: CROSS-type lead-lag correlation sufficient
+#     statistics (r9) — the companion of events_hourly_autocov across
+#     SERIES: for every unordered type pair (a < b) and lag h ∈ {0, 24},
+#     pair b's hourly-cents value at hour x with a's at hour x - h
+#     (pairs exist only where BOTH series have the hour — the sparse
+#     semantics autocov uses) and emit the exact sufficient statistics
+#     n_pairs / Σa / Σb / Σab / cov_num for the Pearson numerator. The
+#     float r is a pure function of these (checked against numpy in
+#     tests — the autocov/Welch doctrine; floats never enter the gate).
+#     At 100 TB: the hourly series is calendar-bounded (one row per
+#     (type, hour)), the pair join keys on the hour index, and the
+#     output is |type-enum|²-bounded — scan-dominated like autocov.
+#     Spark joins the shifted sparse series; the oracle derives the same
+#     pairs by LAG over a per-pair dense hour spine (absent hours NULL,
+#     dropped) — a genuinely different pairing construction.
+#     Reference analog: none (beyond-ref analytics surface; nearest is
+#     the hourly volume MV, clickhouse/init/001:559-586).
+
+XCORR_LAGS = (0, 24)
+
+
+def xcorr_frame(hourly: DataFrame) -> DataFrame:
+    outs = []
+    for lag in XCORR_LAGS:
+        a_side = hourly.selectExpr(
+            "event_type AS type_a", f"x + {lag} AS x", "s AS a"
+        )
+        b_side = hourly.selectExpr("event_type AS type_b", "x", "s AS b")
+        pairs = a_side.join(b_side, "x").filter(
+            F.col("type_a") < F.col("type_b")
+        )
+        outs.append(
+            pairs.groupBy("type_a", "type_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("a").alias("sum_a"),
+                F.sum("b").alias("sum_b"),
+                F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias(
+                    "sum_ab"
+                ),
+            )
+            .select(
+                "type_a",
+                "type_b",
+                F.lit(lag).cast("long").alias("lag_h"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("sum_a").cast("long").alias("sum_a"),
+                F.col("sum_b").cast("long").alias("sum_b"),
+                F.col("sum_ab").cast("decimal(38,0)").alias("sum_ab"),
+                F.expr(
+                    "CAST(CAST(n_pairs AS DECIMAL(38,0)) * sum_ab "
+                    "- CAST(sum_a AS DECIMAL(38,0)) * sum_b "
+                    "AS DECIMAL(38,0))"
+                ).alias("cov_num"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def events_type_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: feeds both join sides, for every lag
+    return xcorr_frame(_hourly_frame(_events_cents(spark, sf_dir)).persist())
+
+
+def _xcorr_lag_sql(lag: int) -> str:
+    # dense per-pair hour spine + LAG, vs Spark's sparse shifted join
+    return f"""
+SELECT type_a, type_b, CAST({lag} AS BIGINT) AS lag_h,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a) AS BIGINT) AS sum_a,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(CAST(a AS HUGEINT) * b) AS DECIMAL(38,0)) AS sum_ab,
+       CAST(COUNT(*) * SUM(CAST(a AS HUGEINT) * b)
+            - CAST(SUM(a) AS HUGEINT) * SUM(b) AS DECIMAL(38,0)) AS cov_num
+FROM (
+  SELECT p.type_a, p.type_b, sp.x,
+         LAG(ha.s, {lag}) OVER (PARTITION BY p.type_a, p.type_b
+                                ORDER BY sp.x) AS a,
+         hb.s AS b
+  FROM xpairs p
+  JOIN xspine sp ON sp.x BETWEEN p.x0 AND p.x1
+  LEFT JOIN xhourly ha ON ha.event_type = p.type_a AND ha.x = sp.x
+  LEFT JOIN xhourly hb ON hb.event_type = p.type_b AND hb.x = sp.x
+)
+WHERE a IS NOT NULL AND b IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+EVENTS_TYPE_XCORR_SQL = f"""
+WITH xev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) * 24
+           + CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         {_CENTS} AS cents
+  FROM events
+),
+xhourly AS MATERIALIZED (
+  SELECT event_type, x, CAST(SUM(cents) AS BIGINT) AS s
+  FROM xev GROUP BY 1, 2
+),
+xspans AS MATERIALIZED (
+  SELECT event_type, MIN(x) AS x0, MAX(x) AS x1 FROM xhourly GROUP BY 1
+),
+xpairs AS MATERIALIZED (
+  -- spine spans the union of both series' ranges (LAG over the dense
+  -- axis then reproduces exactly the shifted-join pairing)
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         LEAST(a.x0, b.x0) AS x0, GREATEST(a.x1, b.x1) + {max(XCORR_LAGS)}
+           AS x1
+  FROM xspans a JOIN xspans b ON a.event_type < b.event_type
+),
+xspine AS MATERIALIZED (
+  SELECT UNNEST(generate_series(
+    (SELECT MIN(x0) FROM xpairs), (SELECT MAX(x1) FROM xpairs))) AS x
+)
+{_xcorr_lag_sql(0)}
+UNION ALL
+{_xcorr_lag_sql(24)}
+"""
+
+
+# --- events_type_transition_matrix: first-order MARKOV-CHAIN fit of the
+#     per-user clickstream (r9) — the user-journey model every product
+#     analytics stack ships (and the generalization of events_top_paths'
+#     fixed triples): per user, order events by (ts, event_id); each
+#     adjacent pair contributes one (prev_type, next_type) transition.
+#     Output per cell: exact count, the row total, and the transition
+#     probability as integer ppm (n·1e6 DIV row total). Spark derives
+#     adjacency with a per-user LAG window; the oracle derives it by the
+#     QUANTIFIER definition — (e1, e2) are adjacent iff NO event of the
+#     same user falls strictly between them (correlated NOT EXISTS, the
+#     suppliers_kept_waiting doctrine) — a genuinely different
+#     construction of the same pair set. At 100 TB: the window
+#     partitions by user (the wallet_event_scans shape), transitions
+#     partial-aggregate map-side into a |type-enum|²-bounded matrix.
+#     Reference analog: none (beyond-ref; nearest is the activity feed).
+
+
+def transition_matrix_frame(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tots = cells.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        cells.join(F.broadcast(tots), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("row_total").cast("long").alias("row_total"),
+            F.expr("n * 1000000 DIV row_total").alias("p_ppm"),
+        )
+    )
+
+
+def events_type_transition_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return transition_matrix_frame(_events_cents(spark, sf_dir))
+
+
+EVENTS_TYPE_TRANSITION_MATRIX_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+),
+adj AS (
+  -- quantifier adjacency: e2 follows e1 with nothing strictly between
+  SELECT e1.event_type AS prev_type, e2.event_type AS next_type
+  FROM e e1 JOIN e e2
+    ON e1.user_id = e2.user_id
+   AND (e1.ts, e1.event_id) < (e2.ts, e2.event_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e e3
+    WHERE e3.user_id = e1.user_id
+      AND (e1.ts, e1.event_id) < (e3.ts, e3.event_id)
+      AND (e3.ts, e3.event_id) < (e2.ts, e2.event_id)
+  )
+),
+cells AS MATERIALIZED (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM adj GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS p_ppm
+FROM cells
+"""
+
+
+# --- events_ewma_control: integer EWMA control chart (r9) — the
+#     exponentially-weighted moving average monitor every ops stack runs
+#     on its metric streams, with the float killed by construction: with
+#     α = 1/4 the recursion m_t = m_{t-1} + (s_t − m_{t-1}) DIV 4 stays
+#     in exact integers (Spark DIV and DuckDB // both truncate toward
+#     zero on negatives — verified in CLAUDE.md), so the carried state
+#     is bit-identical cross-engine at any length. Emits per (type,
+#     hour): the observation s, the post-update ewma, and the residual
+#     s − m_{t−1} against the PRE-update state (the control-chart
+#     statistic). Spark folds each type's calendar-bounded hourly series
+#     with ONE F.aggregate over the sorted (x, s) array (≤ month-hours
+#     rows per type — the sequence-automaton doctrine); the oracle is
+#     the literal recursive CTE. At 100 TB: the hourly pre-agg collapses
+#     the corpus before any sequence work, series length is calendar-
+#     bounded, per-type arrays are KB-sized.
+#     Reference analog: none (beyond-ref ops monitoring).
+
+EWMA_SHIFT = 4  # alpha = 1/4
+
+
+def _ewma_step(acc, e):
+    """Fold step: append (x, s, ewma, resid) given the running array.
+
+    DIV-toward-zero via double division by 2^k then long cast: (s−m)/4
+    is EXACT in binary floating point (power-of-two divisor, |s−m| far
+    below 2^52) and the long cast truncates toward zero — the same
+    semantics as Spark DIV / DuckDB // on negatives."""
+    prev = F.element_at(acc, -1)
+    first = F.size(acc) == 0
+    resid = F.when(first, F.lit(0).cast("long")).otherwise(
+        e["s"] - prev["ewma"]
+    )
+    m_new = F.when(first, e["s"]).otherwise(
+        prev["ewma"]
+        + ((e["s"] - prev["ewma"]) / F.lit(float(EWMA_SHIFT))).cast("long")
+    )
+    return F.concat(
+        acc,
+        F.array(
+            F.struct(
+                e["x"].alias("x"),
+                e["s"].alias("s"),
+                m_new.alias("ewma"),
+                resid.alias("resid"),
+            )
+        ),
+    )
+
+
+def ewma_control_frame(hourly: DataFrame) -> DataFrame:
+    pts = hourly.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("x"), F.col("s")))
+        ).alias("pts")
+    )
+    acc_t = "array<struct<x:bigint,s:bigint,ewma:bigint,resid:bigint>>"
+    fold = pts.select(
+        "event_type",
+        F.aggregate(
+            "pts", F.expr(f"CAST(array() AS {acc_t})"), _ewma_step
+        ).alias("out"),
+    )
+    return fold.select("event_type", F.explode("out").alias("o")).select(
+        "event_type",
+        F.col("o.x").alias("x"),
+        F.col("o.s").alias("s"),
+        F.col("o.ewma").cast("long").alias("ewma"),
+        F.col("o.resid").cast("long").alias("resid"),
+    )
+
+
+def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_control_frame(_hourly_frame(_events_cents(spark, sf_dir)))
+
+
+EVENTS_EWMA_CONTROL_SQL = f"""
+WITH RECURSIVE eev AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) * 24
+           + CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+         {_CENTS} AS cents
+  FROM events
+),
+ehourly AS MATERIALIZED (
+  SELECT event_type, x, CAST(SUM(cents) AS BIGINT) AS s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn
+  FROM eev GROUP BY 1, 2
+),
+scan AS (
+  SELECT event_type, rn, x, s, s AS ewma, CAST(0 AS BIGINT) AS resid
+  FROM ehourly WHERE rn = 1
+  UNION ALL
+  SELECT h.event_type, h.rn, h.x, h.s,
+         sc.ewma + (h.s - sc.ewma) // {EWMA_SHIFT},
+         h.s - sc.ewma
+  FROM scan sc JOIN ehourly h
+    ON h.event_type = sc.event_type AND h.rn = sc.rn + 1
+)
+SELECT event_type, x, s, CAST(ewma AS BIGINT) AS ewma,
+       CAST(resid AS BIGINT) AS resid
+FROM scan
+"""
+
+
+# --- events_day_bitmap_stats: bitmap-index aggregates (r9) — the
+#     groupBitmap/groupBitmapOr analog of ClickHouse's bitmap family
+#     re-expressed on a BIGINT day-mask: each user's activity mask sets
+#     bit (day−1) of the fixture month (30 bits), built with bit_or;
+#     per type the -Merge tier reports exact user counts, the OR / AND
+#     of all member masks (any-day coverage / every-user-common days),
+#     their popcounts, and the summed per-user active-day popcounts.
+#     Both engines compute bit_or/bit_and aggregates and bit_count
+#     natively (JVM-side / vectorized). At 100 TB: the mask build is one
+#     map-side-combinable groupBy; masks are 8 bytes per (user, type) —
+#     the bitmap tier every retention dashboard reads instead of raw
+#     events. Reference analog: uniqExact MV states
+#     (clickhouse/init/002:13) — the bitmap is the mergeable exact-set
+#     encoding for a bounded universe.
+
+
+def day_bitmap_frame(ev: DataFrame) -> DataFrame:
+    masks = (
+        ev.select(
+            "event_type",
+            "user_id",
+            # SQL shiftleft: the Python API wants a literal shift amount
+            F.expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)").alias(
+                "daybit"
+            ),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.bit_or("daybit").alias("mask"))
+    )
+    return (
+        masks.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.bit_or("mask").alias("or_mask"),
+            F.bit_and("mask").alias("and_mask"),
+            F.sum(F.bit_count("mask")).alias("sum_user_days"),
+        )
+        .select(
+            "event_type",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("or_mask").cast("long").alias("or_mask"),
+            F.col("and_mask").cast("long").alias("and_mask"),
+            F.bit_count("or_mask").cast("long").alias("coverage_days"),
+            F.bit_count("and_mask").cast("long").alias("common_days"),
+            F.col("sum_user_days").cast("long").alias("sum_user_days"),
+        )
+    )
+
+
+def events_day_bitmap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return day_bitmap_frame(_events_cents(spark, sf_dir))
+
+
+EVENTS_DAY_BITMAP_STATS_SQL = """
+WITH masks AS MATERIALIZED (
+  SELECT event_type, user_id,
+         CAST(bit_or(1::BIGINT << (day(CAST(ts AS TIMESTAMP)) - 1))
+              AS BIGINT) AS mask
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(bit_or(mask) AS BIGINT) AS or_mask,
+       CAST(bit_and(mask) AS BIGINT) AS and_mask,
+       CAST(bit_count(bit_or(mask)) AS BIGINT) AS coverage_days,
+       CAST(bit_count(bit_and(mask)) AS BIGINT) AS common_days,
+       CAST(SUM(bit_count(mask)) AS BIGINT) AS sum_user_days
+FROM masks
+GROUP BY 1
 """
 
 

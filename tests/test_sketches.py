@@ -263,3 +263,53 @@ def test_value_drift_psi_matches_numpy(spark):
             for b in set(c1) | set(c2)
         )
         assert abs(psi_gate - psi_raw) < 1e-12, (t, psi_gate, psi_raw)
+
+
+def test_type_xcorr_pearson_matches_numpy(spark):
+    """Pearson r derived from the xcorr gate's exact sufficient stats
+    must equal numpy's corrcoef on the aligned raw hourly series (proves
+    the integer reduction loses nothing — the Welch/PSI doctrine)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.queries.timeseries_q import (
+        _events_cents,
+        _hourly_frame,
+        events_type_xcorr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stats = {
+        (r.type_a, r.type_b, r.lag_h): (
+            r.n_pairs, r.sum_a, r.sum_b, int(r.sum_ab), int(r.cov_num)
+        )
+        for r in events_type_xcorr(spark, sf).collect()
+    }
+    assert stats, "xcorr gate returned no pairs"
+    series: dict[str, dict[int, int]] = {}
+    for r in _hourly_frame(_events_cents(spark, sf)).collect():
+        series.setdefault(r.event_type, {})[r.x] = r.s
+    checked = 0
+    for (ta, tb, lag), (n, sa, sb, sab, cov) in stats.items():
+        xs, ys = [], []
+        for x, b in series[tb].items():
+            a = series[ta].get(x - lag)
+            if a is not None:
+                xs.append(a)
+                ys.append(b)
+        assert n == len(xs) and sa == sum(xs) and sb == sum(ys)
+        assert sab == sum(a * b for a, b in zip(xs, ys))
+        if n < 2:
+            continue
+        a_arr = np.array(xs, dtype=np.float64)
+        b_arr = np.array(ys, dtype=np.float64)
+        if a_arr.std() == 0 or b_arr.std() == 0:
+            continue
+        # r from the exact integer stats
+        var_a = n * sum(v * v for v in xs) - sa * sa
+        var_b = n * sum(v * v for v in ys) - sb * sb
+        r_stats = cov / np.sqrt(float(var_a) * float(var_b))
+        r_np = np.corrcoef(a_arr, b_arr)[0, 1]
+        assert abs(r_stats - r_np) < 1e-9, (ta, tb, lag, r_stats, r_np)
+        checked += 1
+    assert checked > 0
