@@ -109,10 +109,14 @@ HEADLINE = [
     "events_hll_register_histogram",
     "events_ab_arm_stats",
     "events_value_drift",
-    # r9 additions: two series-analytics scans + the Good-Turing spectrum
+    # r9 additions: series analytics, corpus spectrum, reshaping surfaces
     "events_type_xcorr",
     "events_type_transition_matrix",
     "docs_count_of_counts",
+    "events_ewma_control",
+    "events_day_bitmap_stats",
+    "events_cube_volume",
+    "events_daily_type_pivot",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

@@ -1925,3 +1925,86 @@ SELECT wallet,
 FROM t
 GROUP BY 1
 """
+
+
+# --- events_cube_volume / events_daily_type_pivot: the two relational
+#     reshaping surfaces the engine had not yet gated (r9).
+#
+#     CUBE: all four grouping sets of (event_type, day_part) with
+#     grouping ids — the OLAP companion of regional_rollup's ROLLUP
+#     (ClickHouse GROUP BY ... WITH CUBE). Exact integer cents.
+#
+#     PIVOT: the day × type volume matrix with an EXPLICIT pivot value
+#     list — the scale-correct form: passing the values avoids Spark's
+#     otherwise-mandatory collect-distinct pre-scan of the pivot column
+#     (a full extra corpus pass at 100 TB), and makes the output schema
+#     static, which any downstream contract (and the driver comparator)
+#     needs anyway. Absent cells coalesce to 0. The oracle is the
+#     classic conditional-aggregation rewrite with identical aliases.
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("hour(ts) DIV 6").cast("long").alias("day_part"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return ev.cube("event_type", "day_part").agg(
+        F.sum("cents").cast("long").alias("volume_cents"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("long").alias("level"),
+    )
+
+
+EVENTS_CUBE_VOLUME_SQL = f"""
+SELECT event_type, day_part,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day_part) AS BIGINT)
+         AS level
+FROM (
+  SELECT event_type, CAST(hour(ts) // 6 AS BIGINT) AS day_part,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM {EVENTS_SQL} e
+)
+GROUP BY CUBE (event_type, day_part)
+"""
+
+
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        # midnight timestamp, not DATE: Spark DateType toPandas()-es to
+        # object datetime.date while DuckDB DATE arrives as datetime64 —
+        # the comparator's value equality needs the same representation
+        # (the fifo_daily_rollup precedent)
+        F.to_date("ts").cast("timestamp").alias("day"),
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    piv = (
+        ev.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum("cents"))
+    )
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"c_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+EVENTS_DAILY_TYPE_PIVOT_SQL = f"""
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       {", ".join(
+           "CAST(COALESCE(SUM(CASE WHEN event_type = '" + t + "' THEN "
+           "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) "
+           "AS c_" + t
+           for t in EVENT_TYPES
+       )}
+FROM events
+GROUP BY 1
+"""

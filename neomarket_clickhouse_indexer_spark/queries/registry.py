@@ -58,13 +58,15 @@ _SPECS: list[QuerySpec] = [
     # (its q5_volume path) and adds the two never-in-window TPC-H shapes;
     # the displaced entry stays oracle-checked in the tail.
     QuerySpec("relational_shapes_suite", R.relational_shapes_suite,
-              R.RELATIONAL_SHAPES_SUITE_SQL,
+              R._bind_relational_suite_sql(),
               ("J1", "J5", "A1", "J8", "A9", "T1", "J9", "BONUS"),
-              "fused TPC-H-shape audit: EXECUTES the Q5 6-way "
+              "fused relational-shape audit: EXECUTES the Q5 6-way "
               "broadcast-dim join+agg, the Q21 EXISTS/NOT-EXISTS "
-              "quantifier rewrite, and the Q13 zero-inclusive custdist "
-              "histogram verbatim, labeled; dsum revenue integerizes "
-              "via identical IEEE FLOOR(x*10000+0.5)"),
+              "quantifier rewrite, the Q13 zero-inclusive custdist "
+              "histogram, and (r9) the CUBE grouping sets + "
+              "explicit-value PIVOT reshaping surfaces verbatim, "
+              "labeled; dsum revenue integerizes via identical IEEE "
+              "FLOOR(x*10000+0.5)"),
     # r7 rotation (verdict task 7): the interval family's in-window slot.
     # returns_conditional moved to the tail — its tags stay covered
     # (A2: pricing_summary/user_type_winloss/category_leaderboard,
@@ -1352,6 +1354,19 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "summed active days — the mergeable exact-set encoding "
               "for a bounded universe; executed in-window as "
               "events_series_suite's 'bitmap' path"),
+    QuerySpec("events_cube_volume", E.events_cube_volume,
+              E.EVENTS_CUBE_VOLUME_SQL, ("A1", "BONUS"),
+              "CUBE grouping sets over (event_type, day_part) with "
+              "grouping ids — the OLAP companion of regional_rollup's "
+              "ROLLUP; exact integer cents; executed in-window as "
+              "relational_shapes_suite's 'cube' path"),
+    QuerySpec("events_daily_type_pivot", E.events_daily_type_pivot,
+              E.EVENTS_DAILY_TYPE_PIVOT_SQL, ("A1", "A2", "BONUS"),
+              "day x type volume PIVOT with an EXPLICIT value list (no "
+              "collect-distinct pre-scan — the scale-correct form; "
+              "static schema) vs the oracle's conditional-aggregation "
+              "rewrite; executed in-window as relational_shapes_suite's "
+              "'pivot' path"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1102,7 +1102,35 @@ def relational_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(c_count AS STRING) AS k",
         "stack(1, 'custdist', CAST(custdist AS STRING)) AS (metric, value)",
     )
-    return reg.unionByName(waitq).unionByName(custd)
+    # r9 growth 2: the CUBE grouping-sets and explicit-value PIVOT
+    # reshaping surfaces, executed verbatim (NULL grouping keys render
+    # as the sentinel '~' — sorts after all real values, cross-engine)
+    from .events import EVENT_TYPES, events_cube_volume, events_daily_type_pivot
+
+    cube = events_cube_volume(spark, sf_dir).selectExpr(
+        "'cube' AS family",
+        "coalesce(event_type, '~') || '/' ||"
+        " coalesce(CAST(day_part AS STRING), '~') AS k",
+        "stack(3, 'volume_cents', CAST(volume_cents AS STRING),"
+        " 'n', CAST(n AS STRING),"
+        " 'level', CAST(level AS STRING)) AS (metric, value)",
+    )
+    pvt = events_daily_type_pivot(spark, sf_dir).selectExpr(
+        "'pivot' AS family",
+        "date_format(day, 'yyyy-MM-dd') AS k",
+        "stack({}, {}) AS (metric, value)".format(
+            len(EVENT_TYPES),
+            ", ".join(
+                f"'c_{t}', CAST(c_{t} AS STRING)" for t in EVENT_TYPES
+            ),
+        ),
+    )
+    return (
+        reg.unionByName(waitq)
+        .unionByName(custd)
+        .unionByName(cube)
+        .unionByName(pvt)
+    )
 
 
 RELATIONAL_SHAPES_SUITE_SQL = f"""
@@ -1122,4 +1150,41 @@ UNION ALL
 SELECT 'q13_custdist' AS family, CAST(c.c_count AS VARCHAR) AS k,
        'custdist' AS metric, CAST(c.custdist AS VARCHAR) AS value
 FROM ({CUSTOMER_ORDER_DISTRIBUTION_SQL}) c
+UNION ALL
+SELECT 'cube' AS family,
+       COALESCE(cb.event_type, '~') || '/' ||
+       COALESCE(CAST(cb.day_part AS VARCHAR), '~') AS k,
+       m.metric,
+       CASE m.metric WHEN 'volume_cents' THEN CAST(cb.volume_cents AS VARCHAR)
+                     WHEN 'n' THEN CAST(cb.n AS VARCHAR)
+                     ELSE CAST(cb.level AS VARCHAR) END AS value
+FROM ({{CUBE_SQL}}) cb,
+     (SELECT unnest(['volume_cents','n','level']) AS metric) m
+UNION ALL
+SELECT 'pivot' AS family, strftime(pv.day, '%Y-%m-%d') AS k, m.metric,
+       CASE m.metric {{PIVOT_CASES}}
+       END AS value
+FROM ({{PIVOT_SQL}}) pv,
+     (SELECT unnest([{{PIVOT_METRICS}}]) AS metric) m
 """
+
+
+def _bind_relational_suite_sql() -> str:
+    # deferred binding: the cube/pivot SQL lives in events.py (events
+    # domain) and relational.py loads first in the registry import order
+    from .events import (
+        EVENT_TYPES,
+        EVENTS_CUBE_VOLUME_SQL,
+        EVENTS_DAILY_TYPE_PIVOT_SQL,
+    )
+
+    cases = " ".join(
+        f"WHEN 'c_{t}' THEN CAST(pv.c_{t} AS VARCHAR)"
+        for t in EVENT_TYPES[:-1]
+    ) + f" ELSE CAST(pv.c_{EVENT_TYPES[-1]} AS VARCHAR)"
+    metrics = ",".join(f"'c_{t}'" for t in EVENT_TYPES)
+    return RELATIONAL_SHAPES_SUITE_SQL.replace(
+        "{CUBE_SQL}", EVENTS_CUBE_VOLUME_SQL
+    ).replace("{PIVOT_SQL}", EVENTS_DAILY_TYPE_PIVOT_SQL).replace(
+        "{PIVOT_CASES}", cases
+    ).replace("{PIVOT_METRICS}", metrics)
