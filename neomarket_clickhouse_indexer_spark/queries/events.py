@@ -2008,3 +2008,196 @@ SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
 FROM events
 GROUP BY 1
 """
+
+
+# --- events_growth_accounting: the DAU growth-accounting decomposition
+#     (r9) — the standard MAU/DAU framework: every active (user, day) is
+#     classified NEW (first-ever active day), RETAINED (also active the
+#     previous day) or RESURRECTED (returning after a gap >= 2 days);
+#     CHURNED counts users whose previous active day was exactly the
+#     previous day but who are not active today (charged to today).
+#     Identity per day: dau = new + retained + resurrected, and
+#     yesterday's dau = today's retained + today's churned — both
+#     asserted by the oracle differential because each engine derives
+#     the classes independently. Spark: one distinct (user, day) frame,
+#     per-user LAG + MIN windows, then a day regroup; churn is the same
+#     frame re-keyed to day+1 via an anti-join of the next-day actives.
+#     The oracle derives every class by EXISTS/NOT-EXISTS self-joins on
+#     (user, day±1) — no windows at all. At 100 TB: the distinct
+#     (user, day) frame is the bounded activity grid; windows partition
+#     per user; the day regroup is map-side combinable.
+#     Reference analog: none (beyond-ref growth analytics).
+
+
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return growth_accounting_frame(load_table(spark, sf_dir, "events"))
+
+
+def growth_accounting_frame(ev: DataFrame) -> DataFrame:
+    """Frame core over (user_id, ts) — the series suite executes this
+    verbatim off its persisted scan."""
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    cls = act.select(
+        "user_id",
+        "d",
+        # first-ever day <=> no LAG predecessor, so one window serves
+        # both the new-user and the gap classification
+        F.lag("d").over(w).alias("prev_d"),
+    ).select(
+        "d",
+        F.when(F.col("prev_d").isNull(), F.lit("new"))
+        .when(F.datediff("d", "prev_d") == 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("cls"),
+    )
+    per_day = (
+        cls.groupBy("d")
+        .pivot("cls", ["new", "retained", "resurrected"])
+        .agg(F.count(F.lit(1)))
+    )
+    # churned on day X: active on X-1, not active on X — the same
+    # activity frame shifted, minus next-day actives (left anti join)
+    churn = (
+        act.select("user_id", F.date_add("d", 1).alias("d"))
+        .join(act, ["user_id", "d"], "left_anti")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        per_day.join(churn, ["d"], "full")
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.coalesce("new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("retained", F.lit(0)).cast("long").alias(
+                "n_retained"
+            ),
+            F.coalesce("resurrected", F.lit(0)).cast("long").alias(
+                "n_resurrected"
+            ),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias(
+                "n_churned"
+            ),
+        )
+    )
+
+
+EVENTS_GROWTH_ACCOUNTING_SQL = """
+WITH act AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+),
+days AS (
+  SELECT d FROM act
+  UNION
+  SELECT d + 1 FROM act
+),
+cls AS (
+  -- windowless derivation: every class via EXISTS on (user, d-1) and
+  -- NOT EXISTS on any earlier activity
+  SELECT a.d,
+         CASE WHEN NOT EXISTS (SELECT 1 FROM act p
+                               WHERE p.user_id = a.user_id AND p.d < a.d)
+                THEN 'new'
+              WHEN EXISTS (SELECT 1 FROM act p
+                           WHERE p.user_id = a.user_id AND p.d = a.d - 1)
+                THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM act a
+),
+per_day AS (
+  SELECT d,
+         CAST(COALESCE(SUM(CASE WHEN cls = 'new' THEN 1 END), 0)
+              AS BIGINT) AS n_new,
+         CAST(COALESCE(SUM(CASE WHEN cls = 'retained' THEN 1 END), 0)
+              AS BIGINT) AS n_retained,
+         CAST(COALESCE(SUM(CASE WHEN cls = 'resurrected' THEN 1 END), 0)
+              AS BIGINT) AS n_resurrected
+  FROM cls GROUP BY d
+),
+churn AS (
+  SELECT y.d + 1 AS d, CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM act y
+  WHERE NOT EXISTS (SELECT 1 FROM act t
+                    WHERE t.user_id = y.user_id AND t.d = y.d + 1)
+  GROUP BY y.d + 1
+)
+SELECT CAST(dd.d AS TIMESTAMP) AS day,
+       COALESCE(p.n_new, 0) AS n_new,
+       COALESCE(p.n_retained, 0) AS n_retained,
+       COALESCE(p.n_resurrected, 0) AS n_resurrected,
+       COALESCE(c.n_churned, 0) AS n_churned
+FROM (SELECT DISTINCT d FROM days) dd
+LEFT JOIN per_day p ON p.d = dd.d
+LEFT JOIN churn c ON c.d = dd.d
+WHERE COALESCE(p.n_new, 0) + COALESCE(p.n_retained, 0)
+      + COALESCE(p.n_resurrected, 0) + COALESCE(c.n_churned, 0) > 0
+"""
+
+
+# --- events_bag_setops: EXCEPT ALL / INTERSECT ALL bag semantics (r9) —
+#     the multiset set-operations surface (U3's DISTINCT covers only set
+#     semantics): over the per-type multiset of user_ids (one element
+#     per event), purchase EXCEPT ALL click keeps each user max(p−c, 0)
+#     times and purchase INTERSECT ALL click keeps min(p, c) — the bag
+#     algebra every SQL engine defines and naive DISTINCT rewrites get
+#     wrong. Spark executes the NATIVE exceptAll/intersectAll operators
+#     (hash-based replication counting under the hood); the result is
+#     re-aggregated to (user_id, multiplicity) so the gate output is
+#     deterministic. The oracle uses DuckDB's native EXCEPT ALL /
+#     INTERSECT ALL — engine-native on both sides, closed-form
+#     max/min(p,c) checked in pytest. At 100 TB: both operators are one
+#     hash shuffle on the element key, same cost class as the groupBy
+#     that would compute the closed form.
+#     Reference analog: none (beyond-ref SQL-surface parity).
+
+
+def events_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bag_setops_frame(load_table(spark, sf_dir, "events"))
+
+
+def bag_setops_frame(ev: DataFrame) -> DataFrame:
+    """Frame core over (event_type, user_id) — the series suite executes
+    this verbatim off its persisted scan."""
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    c = ev.filter(F.col("event_type") == "click").select("user_id")
+    exc = (
+        p.exceptAll(c)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(
+            F.lit("except_all").alias("op"),
+            "user_id",
+            F.col("multiplicity").cast("long").alias("multiplicity"),
+        )
+    )
+    inter = (
+        p.intersectAll(c)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .select(
+            F.lit("intersect_all").alias("op"),
+            "user_id",
+            F.col("multiplicity").cast("long").alias("multiplicity"),
+        )
+    )
+    return exc.unionByName(inter)
+
+
+EVENTS_BAG_SETOPS_SQL = """
+WITH p AS MATERIALIZED (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+),
+c AS MATERIALIZED (
+  SELECT user_id FROM events WHERE event_type = 'click'
+)
+SELECT 'except_all' AS op, user_id,
+       CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM c)
+GROUP BY user_id
+UNION ALL
+SELECT 'intersect_all' AS op, user_id,
+       CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM c)
+GROUP BY user_id
+"""

@@ -1367,6 +1367,22 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "static schema) vs the oracle's conditional-aggregation "
               "rewrite; executed in-window as relational_shapes_suite's "
               "'pivot' path"),
+    QuerySpec("events_growth_accounting", E.events_growth_accounting,
+              E.EVENTS_GROWTH_ACCOUNTING_SQL, ("A1", "W2", "BONUS"),
+              "DAU growth accounting: every active (user, day) classed "
+              "new/retained/resurrected by a per-user LAG window, churn "
+              "charged to the day after via a shifted anti-join — vs "
+              "the oracle's windowless EXISTS/NOT-EXISTS derivation of "
+              "every class; executed in-window as events_series_suite's "
+              "'growth' path"),
+    QuerySpec("events_bag_setops", E.events_bag_setops,
+              E.EVENTS_BAG_SETOPS_SQL, ("U3", "A1", "BONUS"),
+              "EXCEPT ALL / INTERSECT ALL bag semantics over per-type "
+              "user multisets — Spark's native exceptAll/intersectAll "
+              "vs DuckDB's native bag operators, re-aggregated to "
+              "(user, multiplicity); closed form max/min(p,c) asserted "
+              "in pytest; executed in-window as events_series_suite's "
+              "'bagops' path"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -3617,6 +3617,23 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'sum_user_days', CAST(sum_user_days AS STRING))"
         " AS (metric, value)",
     )
+    # r9 growths 4: growth accounting + bag set-ops off the same scan
+    from .events import bag_setops_frame, growth_accounting_frame
+
+    grw = growth_accounting_frame(ev).selectExpr(
+        "'growth' AS family",
+        "date_format(day, 'yyyy-MM-dd') AS k",
+        "stack(4, 'n_new', CAST(n_new AS STRING),"
+        " 'n_retained', CAST(n_retained AS STRING),"
+        " 'n_resurrected', CAST(n_resurrected AS STRING),"
+        " 'n_churned', CAST(n_churned AS STRING)) AS (metric, value)",
+    )
+    bag = bag_setops_frame(ev).selectExpr(
+        "'bagops' AS family",
+        "op || '/' || CAST(user_id AS STRING) AS k",
+        "stack(1, 'multiplicity', CAST(multiplicity AS STRING))"
+        " AS (metric, value)",
+    )
     return (
         qsel.unionByName(mad)
         .unionByName(acv)
@@ -3634,11 +3651,17 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mkv)
         .unionByName(ewm)
         .unionByName(bmp)
+        .unionByName(grw)
+        .unionByName(bag)
     )
 
 
 def _series_suite_sql() -> str:
-    from .events import PROPS_BUCKET_AGG_SQL
+    from .events import (
+        EVENTS_BAG_SETOPS_SQL,
+        EVENTS_GROWTH_ACCOUNTING_SQL,
+        PROPS_BUCKET_AGG_SQL,
+    )
 
     return f"""
 SELECT 'qsel' AS family,
@@ -3835,6 +3858,20 @@ SELECT 'bitmap' AS family, bm.event_type AS k, m.metric,
 FROM ({EVENTS_DAY_BITMAP_STATS_SQL}) bm,
      (SELECT unnest(['n_users','or_mask','and_mask','coverage_days',
                      'common_days','sum_user_days']) AS metric) m
+UNION ALL
+SELECT 'growth' AS family, strftime(g.day, '%Y-%m-%d') AS k, m.metric,
+       CASE m.metric WHEN 'n_new' THEN CAST(g.n_new AS VARCHAR)
+                     WHEN 'n_retained' THEN CAST(g.n_retained AS VARCHAR)
+                     WHEN 'n_resurrected'
+                       THEN CAST(g.n_resurrected AS VARCHAR)
+                     ELSE CAST(g.n_churned AS VARCHAR) END AS value
+FROM ({EVENTS_GROWTH_ACCOUNTING_SQL}) g,
+     (SELECT unnest(['n_new','n_retained','n_resurrected','n_churned'])
+        AS metric) m
+UNION ALL
+SELECT 'bagops' AS family, s.op || '/' || CAST(s.user_id AS VARCHAR) AS k,
+       'multiplicity' AS metric, CAST(s.multiplicity AS VARCHAR) AS value
+FROM ({EVENTS_BAG_SETOPS_SQL}) s
 """
 
 

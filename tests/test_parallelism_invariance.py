@@ -65,6 +65,16 @@ QUERIES = [
     "events_hll_register_histogram",
     "suppliers_kept_waiting",
     "user_gini_inequality",
+    # r9 additions, chosen for order-sensitive internals: the EWMA
+    # F.aggregate fold (sequential state over a collected sorted array);
+    # the per-user LAG adjacency; bit_or/bit_and merge order; the
+    # streamed additive leaderboard fold (3 microbatches whose merge
+    # order must not matter); pivot column fill
+    "events_ewma_control",
+    "events_type_transition_matrix",
+    "events_day_bitmap_stats",
+    "streaming_leaderboard_1h",
+    "events_daily_type_pivot",
 ]
 
 

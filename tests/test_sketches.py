@@ -313,3 +313,39 @@ def test_type_xcorr_pearson_matches_numpy(spark):
         assert abs(r_stats - r_np) < 1e-9, (ta, tb, lag, r_stats, r_np)
         checked += 1
     assert checked > 0
+
+
+def test_bag_setops_closed_form(spark):
+    """exceptAll/intersectAll multiplicities must equal the closed form
+    max(p-c, 0) / min(p, c) of the per-user event counts."""
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.queries.events import (
+        events_bag_setops,
+    )
+    from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.op, r.user_id): r.multiplicity
+        for r in events_bag_setops(spark, sf).collect()
+    }
+    counts: dict[int, list[int]] = {}
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in ev:
+        counts.setdefault(r.user_id, [0, 0])[
+            0 if r.event_type == "purchase" else 1
+        ] = r.n
+    want = {}
+    for u, (p, c) in counts.items():
+        if p - c > 0:
+            want[("except_all", u)] = p - c
+        if min(p, c) > 0:
+            want[("intersect_all", u)] = min(p, c)
+    assert got == want
