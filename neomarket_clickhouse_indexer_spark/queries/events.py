@@ -1354,18 +1354,25 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             f_pos = pool.submit(streaming_positions_state, spark, sf_dir)
             f_pairs = pool.submit(streaming_sequence_pairs, spark, sf_dir)
             f_qd = pool.submit(streaming_qdigest_state, spark, sf_dir)
             # r9 growth (r8 verdict task 6): the wallet-leaderboard
             # additive -State stream, overlapped as the 4th real stream
             f_lb = pool.submit(_leaderboard_stream_state, spark, sf_dir)
-            pos_df, pairs_df, qd_df, lb_state = (
+            # r9 growth 2: the session-window stream (ST5's REAL
+            # streaming form) and the stream-stream interval join as the
+            # 5th and 6th overlapped streams
+            f_sess = pool.submit(_sessions_stream_frame, spark, sf_dir)
+            f_ssj = pool.submit(_stream_join_frame, spark, sf_dir)
+            pos_df, pairs_df, qd_df, lb_state, sess_df, ssj_df = (
                 f_pos.result(),
                 f_pairs.result(),
                 f_qd.result(),
                 f_lb.result(),
+                f_sess.result(),
+                f_ssj.result(),
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1408,7 +1415,32 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'pnl_cents', CAST(pnl_cents AS DOUBLE),"
         " 'markets', CAST(markets AS DOUBLE)) AS (metric, value)",
     )
-    return pos.unionByName(pairs).unionByName(qd).unionByName(lb)
+    # session bounds ride as epoch-microsecond integers (exact < 2^53;
+    # derived from the NTZ round-trip values, not raw NTZ epoch — both
+    # engines integerize the SAME wall-clock value, so the CLAUDE.md
+    # NTZ-epoch hazard does not apply: the k column carries the identity)
+    # duration in MICROSECONDS (exact at fixture precision and < 2^53 —
+    # the CLAUDE.md second-granularity timestampdiff hazard avoided)
+    sess = sess_df.selectExpr(
+        "'sessions' AS path",
+        "CAST(user_id AS STRING) || '/' ||"
+        " date_format(session_start, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS k",
+        "stack(2, 'n_events', CAST(n_events AS DOUBLE),"
+        " 'sess_us', CAST(timestampdiff(MICROSECOND, session_start,"
+        " session_end) AS DOUBLE)) AS (metric, value)",
+    )
+    ssj = ssj_df.selectExpr(
+        "'ssjoin' AS path",
+        "CAST(v_id AS STRING) AS k",
+        "stack(1, 'p_id', CAST(p_id AS DOUBLE)) AS (metric, value)",
+    )
+    return (
+        pos.unionByName(pairs)
+        .unionByName(qd)
+        .unionByName(lb)
+        .unionByName(sess)
+        .unionByName(ssj)
+    )
 
 
 def _streaming_state_suite_sql() -> str:
@@ -1422,6 +1454,8 @@ WITH pos AS ({AVGCOST_USER_POSITIONS_SQL}),
 pairs AS ({STREAMING_SEQUENCE_PAIRS_SQL}),
 qd AS ({STREAMING_QDIGEST_STATE_SQL}),
 lb AS ({STREAMING_LEADERBOARD_ALL_SQL}),
+sess AS ({STREAMING_SESSIONS_WINDOWED_SQL}),
+ssj AS ({STREAMING_STREAM_JOIN_1H_SQL}),
 pos_long AS (
   SELECT 'positions' AS path, CAST(key AS VARCHAR) AS k, m.metric,
          CASE m.metric WHEN 'position' THEN CAST(position AS DOUBLE)
@@ -1456,9 +1490,25 @@ lb_long AS (
                        ELSE CAST(markets AS DOUBLE) END AS value
   FROM lb, (SELECT unnest(['trades','volume_cents','pnl_cents','markets'])
               AS metric) m
+),
+sess_long AS (
+  SELECT 'sessions' AS path,
+         CAST(user_id AS VARCHAR) || '/' ||
+         strftime(session_start, '%Y-%m-%d %H:%M:%S.%f') AS k,
+         m.metric,
+         CASE m.metric WHEN 'n_events' THEN CAST(n_events AS DOUBLE)
+              ELSE CAST(date_diff('microsecond', session_start,
+                                  session_end) AS DOUBLE) END AS value
+  FROM sess, (SELECT unnest(['n_events','sess_us']) AS metric) m
+),
+ssj_long AS (
+  SELECT 'ssjoin' AS path, CAST(v_id AS VARCHAR) AS k,
+         'p_id' AS metric, CAST(p_id AS DOUBLE) AS value
+  FROM ssj
 )
 SELECT * FROM pos_long UNION ALL SELECT * FROM pairs_long
 UNION ALL SELECT * FROM qd_long UNION ALL SELECT * FROM lb_long
+UNION ALL SELECT * FROM sess_long UNION ALL SELECT * FROM ssj_long
 """
 
 
@@ -2200,4 +2250,212 @@ SELECT 'intersect_all' AS op, user_id,
        CAST(COUNT(*) AS BIGINT) AS multiplicity
 FROM (SELECT user_id FROM p INTERSECT ALL SELECT user_id FROM c)
 GROUP BY user_id
+"""
+
+
+# --- streaming_sessions_windowed / streaming_stream_join_1h: the two
+#     Structured-Streaming surfaces that were pytest-proven but not yet
+#     ORACLE-gated (r9) — both now real chunked file-source streams whose
+#     final answer is checked against a genuinely different batch SQL.
+#
+#     SESSIONS (ST5): the SAME native session_window expression
+#     user_sessions runs in batch, driven through a real watermarked
+#     stream in complete mode (state merges across 3 microbatches; a
+#     bridging event in a later chunk must merge two earlier islands).
+#     Oracle = the gaps-and-islands rewrite. Timestamps round-trip
+#     NTZ -> LTZ (session_window needs LTZ) -> NTZ, an identity in any
+#     fixed session timezone, so the gate is tz-safe (CLAUDE.md NTZ
+#     doctrine; the fixture is January — no DST boundary).
+#
+#     STREAM-STREAM JOIN: views ⋈ purchases within 1 hour event-time,
+#     both sides independent watermarked streams consumed
+#     chunk-by-chunk — the cross-stream enrichment shape whose state the
+#     watermark horizon bounds at scale. Oracle = the batch interval
+#     join. Reference analog: the MV insert cascade (SURVEY §1.1); a
+#     JOIN across two live streams is beyond the reference's engine.
+
+
+def _sessions_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import prune_stale_staging
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    prune_stale_staging("nmci_stream_sess_")
+    src = f"/tmp/nmci_stream_sess_src_{tag}"
+    ckpt = f"/tmp/nmci_stream_sess_ckpt_{tag}"
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    r = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = r[0], r[1]
+    b1, b2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    parts = [
+        ev.filter(F.col("event_id") <= b1),
+        ev.filter((F.col("event_id") > b1) & (F.col("event_id") <= b2)),
+        ev.filter(F.col("event_id") > b2),
+    ]
+    parts[0].coalesce(1).write.mode("overwrite").parquet(src)
+    for p in parts[1:]:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    sess = stream.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"stream_sessions_{tag}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        "user_id",
+        F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def streaming_sessions_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _sessions_stream_frame(spark, sf_dir)
+
+
+STREAMING_SESSIONS_WINDOWED_SQL = f"""
+WITH sordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {EVENTS_SQL} e
+),
+sflagged AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM sordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sflagged
+GROUP BY user_id, sess_id
+"""
+
+
+def _stream_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import prune_stale_staging
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").cast("timestamp").alias("vts"),
+        F.col("event_id").alias("v_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("pts"),
+        F.col("event_id").alias("p_id"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    prune_stale_staging("nmci_stream_ssj_")
+    vdir = f"/tmp/nmci_stream_ssj_v_{tag}"
+    pdir = f"/tmp/nmci_stream_ssj_p_{tag}"
+    ckpt = f"/tmp/nmci_stream_ssj_ckpt_{tag}"
+    for d in (vdir, pdir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    for frame, out, idc in ((views, vdir, "v_id"), (purchases, pdir, "p_id")):
+        r = frame.agg(F.min(idc), F.max(idc)).first()
+        mid = r[0] + (r[1] - r[0]) // 2
+        frame.filter(F.col(idc) <= mid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        frame.filter(F.col(idc) > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+
+    cond = "v_user = p_user AND pts > vts AND pts <= vts + INTERVAL 1 HOUR"
+    vs = (
+        spark.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vdir)
+        .withWatermark("vts", "1 hour")
+    )
+    ps = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .withWatermark("pts", "1 hour")
+    )
+    joined = vs.join(ps, F.expr(cond)).select("v_id", "p_id")
+    name = f"stream_ssj_{tag}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        F.col("v_id").cast("long").alias("v_id"),
+        F.col("p_id").cast("long").alias("p_id"),
+    )
+
+
+def streaming_stream_join_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream_join_frame(spark, sf_dir)
+
+
+STREAMING_STREAM_JOIN_1H_SQL = f"""
+WITH sv AS MATERIALIZED (
+  SELECT user_id, ts, event_id FROM {EVENTS_SQL} e
+  WHERE event_type = 'view'
+),
+sp AS MATERIALIZED (
+  SELECT user_id, ts, event_id FROM {EVENTS_SQL} e
+  WHERE event_type = 'purchase'
+)
+SELECT CAST(sv.event_id AS BIGINT) AS v_id,
+       CAST(sp.event_id AS BIGINT) AS p_id
+FROM sv JOIN sp
+  ON sv.user_id = sp.user_id
+ AND sp.ts > sv.ts AND sp.ts <= sv.ts + INTERVAL 1 HOUR
 """

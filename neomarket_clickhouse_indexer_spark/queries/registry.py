@@ -294,10 +294,11 @@ _SPECS: list[QuerySpec] = [
               "automaton, the q-digest sketch state — AND (r9) the "
               "wallet-leaderboard additive -State stream "
               "(streaming_leaderboard_1h's core, read at the all-time "
-              "-Merge grain), four streams overlapped in one pool, each "
-              "over 3 genuine microbatches, unpivoted long vs the batch "
-              "oracles; displaced components stay oracle-checked in the "
-              "tail"),
+              "-Merge grain), the session-window stream, and the "
+              "stream-stream interval join: SIX real streams overlapped "
+              "in one pool, each over real microbatches, unpivoted long "
+              "vs the batch oracles; displaced components stay "
+              "oracle-checked in the tail"),
     QuerySpec("rest_sync_incremental", O.rest_sync_incremental,
               O.REST_SYNC_INCREMENTAL_SQL, ("S5", "S6", "W3"),
               "two paginated+checkpointed sync rounds (watermark + "
@@ -1383,6 +1384,21 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "(user, multiplicity); closed form max/min(p,c) asserted "
               "in pytest; executed in-window as events_series_suite's "
               "'bagops' path"),
+    QuerySpec("streaming_sessions_windowed",
+              E.streaming_sessions_windowed,
+              E.STREAMING_SESSIONS_WINDOWED_SQL, ("ST5", "ST1", "BONUS"),
+              "native session_window driven through a REAL watermarked "
+              "3-microbatch stream in complete mode (cross-batch state "
+              "merge) vs the gaps-and-islands oracle rewrite; NTZ->LTZ "
+              "->NTZ round trip keeps the gate tz-safe; executed "
+              "in-window as streaming_state_suite's 'sessions' path"),
+    QuerySpec("streaming_stream_join_1h", E.streaming_stream_join_1h,
+              E.STREAMING_STREAM_JOIN_1H_SQL, ("ST5", "ST1", "J6", "BONUS"),
+              "watermarked stream-stream interval join (views x "
+              "purchases within 1h), both sides real chunked streams — "
+              "state bounded by the watermark horizon — vs the batch "
+              "interval-join oracle; executed in-window as "
+              "streaming_state_suite's 'ssjoin' path"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
