@@ -119,6 +119,8 @@ HEADLINE = [
     "events_daily_type_pivot",
     "events_growth_accounting",
     "events_bag_setops",
+    "docs_source_overlap",
+    "schema_evolution_read",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

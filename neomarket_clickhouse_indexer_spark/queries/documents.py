@@ -3082,3 +3082,97 @@ SELECT h.source, h.r, h.n_r,
 FROM chist h
 LEFT JOIN chist n2 ON n2.source = h.source AND n2.r = h.r + 1
 """
+
+
+# --- docs_source_overlap: cross-source N-GRAM OVERLAP matrix (r9) — the
+#     between-source leakage diagnostic a decontamination pipeline runs
+#     before trusting per-source splits (TX7 finds doc-level test
+#     contamination; this measures corpus-level 3-gram sharing between
+#     every source pair). Gram identity is the first-16-hex md5 of the
+#     shingle as a BIGINT — both engines derive the SAME key (exact
+#     differential; the documented md5-band collision epsilon applies,
+#     ~n²/2^64). Per pair (a < b): shared distinct grams, each side's
+#     distinct total, and containment ppm against the smaller side.
+#     At 100 TB: the distinct (source, gram) frame shuffles once on the
+#     8-byte key; a gram's bucket is bounded by the SOURCE COUNT (≤
+#     sources per gram), so the per-gram pair expansion is |S|² worst
+#     case — never corpus-quadratic. Reference analog: none (beyond-ref
+#     corpus analytics; SemDeDup/decontam family).
+
+
+def source_overlap_frame(docs: DataFrame) -> DataFrame:
+    from ..functions import text as TX
+
+    g = (
+        docs.select(
+            "source",
+            F.explode(TX.shingles(TX.tokens(F.col("text")), 3)).alias("sh"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gk"),
+        )
+        .distinct()
+    )
+    per_source = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("source").alias("src_a"), "gk")
+    b = g.select(F.col("source").alias("src_b"), "gk")
+    shared = (
+        a.join(b, "gk")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("grams_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared_grams").cast("long").alias("shared_grams"),
+            F.col("grams_a").cast("long").alias("grams_a"),
+            F.col("grams_b").cast("long").alias("grams_b"),
+            F.expr(
+                "shared_grams * 1000000 DIV LEAST(grams_a, grams_b)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_frame(load_table(spark, sf_dir, "documents"))
+
+
+DOCS_SOURCE_OVERLAP_SQL = f"""
+WITH og AS MATERIALIZED (
+  SELECT DISTINCT source,
+         CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS gk
+  FROM (
+    SELECT source, UNNEST({_SHINGLES}) AS sh FROM documents
+  )
+),
+per_source AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+  FROM og GROUP BY 1
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams,
+       CAST(ANY_VALUE(pa.n_grams) AS BIGINT) AS grams_a,
+       CAST(ANY_VALUE(pb.n_grams) AS BIGINT) AS grams_b,
+       CAST(COUNT(*) * 1000000
+            // LEAST(ANY_VALUE(pa.n_grams), ANY_VALUE(pb.n_grams))
+            AS BIGINT) AS containment_ppm
+FROM og a
+JOIN og b ON a.gk = b.gk AND a.source < b.source
+JOIN per_source pa ON pa.source = a.source
+JOIN per_source pb ON pb.source = b.source
+GROUP BY 1, 2
+"""

@@ -1590,3 +1590,56 @@ SELECT CAST(q_version AS BIGINT) AS q_version,
 FROM pit
 GROUP BY 1, 2
 """
+
+
+# --- schema_evolution_read: mergeSchema ingest across batch generations
+#     (r9) — the source-layer capability every long-lived table needs:
+#     an early batch written WITHOUT a column (pre-migration producer)
+#     and a later batch WITH it land in one directory; the reader merges
+#     the schemas (spark.read.option mergeSchema; missing columns NULL)
+#     and aggregates across generations. Generations split
+#     deterministically on o_orderkey % 2; the oracle replays the same
+#     generation rule over the base table (CASE-NULLs the column for the
+#     old generation). At 100 TB this is parquet schema evolution —
+#     no rewrite of historical files, reader-side reconciliation, the
+#     same contract as ClickHouse ALTER ADD COLUMN defaults.
+#     Reference analog: migration 003_add_usdc_flow_columns.sql (the
+#     reference adds columns to live tables; its history tables keep
+#     serving — SURVEY §1).
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    sinks.prune_stale_staging("nmci_schema_evo_")
+    path = (
+        "/tmp/nmci_schema_evo_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )  # pre-migration schema: no status column
+    new_gen = orders.filter(F.col("o_orderkey") % 2 == 1)
+    old_gen.write.mode("overwrite").parquet(path)
+    new_gen.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "volume"),
+        )
+        .select("o_orderstatus", F.col("n_orders").cast("long").alias("n_orders"), "volume")
+    )
+
+
+SCHEMA_EVOLUTION_READ_SQL = f"""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", "volume")}
+FROM orders
+GROUP BY 1
+"""

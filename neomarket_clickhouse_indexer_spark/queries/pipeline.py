@@ -2098,6 +2098,7 @@ def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .documents import (
         docs_count_of_counts,
         docs_simhash,
+        docs_source_overlap,
         docs_vocab_growth,
     )
 
@@ -2148,19 +2149,38 @@ def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (metric, value)",
         )
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # r9 growth 3: the cross-source 3-gram overlap matrix (between-source
+    # leakage diagnostic) as a 5th pooled path
+    def _ov() -> DataFrame:
+        return docs_source_overlap(spark, sf_dir).selectExpr(
+            "'overlap' AS family",
+            "src_a || '/' || src_b AS k",
+            "stack(4, 'shared_grams', CAST(shared_grams AS STRING),"
+            " 'grams_a', CAST(grams_a AS STRING),"
+            " 'grams_b', CAST(grams_b AS STRING),"
+            " 'containment_ppm', CAST(containment_ppm AS STRING))"
+            " AS (metric, value)",
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         futs = [
             pool.submit(lambda f=f: f().localCheckpoint(eager=True))
-            for f in (_sh, _vg, _cov, _gt)
+            for f in (_sh, _vg, _cov, _gt, _ov)
         ]
-        sh, vg, cov, gt = (f.result() for f in futs)
-    return sh.unionByName(vg).unionByName(cov).unionByName(gt)
+        sh, vg, cov, gt, ov = (f.result() for f in futs)
+    return (
+        sh.unionByName(vg)
+        .unionByName(cov)
+        .unionByName(gt)
+        .unionByName(ov)
+    )
 
 
 def _docs_tokenizer_suite_sql() -> str:
     from .documents import (
         DOCS_COUNT_OF_COUNTS_SQL,
         DOCS_SIMHASH_SQL,
+        DOCS_SOURCE_OVERLAP_SQL,
         DOCS_VOCAB_GROWTH_SQL,
     )
 
@@ -2202,4 +2222,13 @@ SELECT 'goodturing' AS family,
                      ELSE CAST(t.r_star_milli AS VARCHAR) END AS value
 FROM ({DOCS_COUNT_OF_COUNTS_SQL}) t,
      (SELECT unnest(['n_r','n_r1','r_star_milli']) AS metric) m
+UNION ALL
+SELECT 'overlap' AS family, o.src_a || '/' || o.src_b AS k, m.metric,
+       CASE m.metric WHEN 'shared_grams' THEN CAST(o.shared_grams AS VARCHAR)
+                     WHEN 'grams_a' THEN CAST(o.grams_a AS VARCHAR)
+                     WHEN 'grams_b' THEN CAST(o.grams_b AS VARCHAR)
+                     ELSE CAST(o.containment_ppm AS VARCHAR) END AS value
+FROM ({DOCS_SOURCE_OVERLAP_SQL}) o,
+     (SELECT unnest(['shared_grams','grams_a','grams_b',
+                     'containment_ppm']) AS metric) m
 """

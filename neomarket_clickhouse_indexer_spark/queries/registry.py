@@ -1399,6 +1399,20 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "state bounded by the watermark horizon — vs the batch "
               "interval-join oracle; executed in-window as "
               "streaming_state_suite's 'ssjoin' path"),
+    QuerySpec("docs_source_overlap", D.docs_source_overlap,
+              D.DOCS_SOURCE_OVERLAP_SQL, ("TX7", "DD2", "BONUS"),
+              "cross-source 3-gram overlap matrix (between-source "
+              "leakage): md5-keyed distinct gram sets, pair join "
+              "bounded per gram by the source count, containment ppm "
+              "vs the smaller side; executed in-window as "
+              "docs_tokenizer_suite's 'overlap' path"),
+    QuerySpec("schema_evolution_read", O.schema_evolution_read,
+              O.SCHEMA_EVOLUTION_READ_SQL, ("S3", "P9", "BONUS"),
+              "mergeSchema ingest across batch generations: an old "
+              "batch written without a column + a new batch with it, "
+              "read back merged (missing values NULL) and aggregated — "
+              "vs the oracle replaying the generation rule over the "
+              "base table"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
