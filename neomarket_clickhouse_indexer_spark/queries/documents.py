@@ -1342,19 +1342,27 @@ SELECT lang, n_docs, total_chars, CAST(i - 1 AS BIGINT) AS pos, doc_id FROM ex
 SETSIM_TAU_NUM, SETSIM_TAU_DEN = 4, 5  # tau = 0.8 token-set Jaccard
 
 
-def docs_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_setsim_join(
+    spark: SparkSession, sf_dir: str, _cache_out: list | None = None
+) -> DataFrame:
     docs = _spread(load_table(spark, sf_dir, "documents"), spark)
-    return setsim_pairs(docs)
+    return setsim_pairs(docs, _cache_out)
 
 
-def setsim_pairs(docs: DataFrame) -> DataFrame:
+def setsim_pairs(
+    docs: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
     """Core prefix-filtered join over any (doc_id, text) frame — split out
     so the hypothesis property test can drive it with adversarial corpora
-    (tests/test_setsim_property.py: result == all-pairs brute force)."""
+    (tests/test_setsim_property.py: result == all-pairs brute force).
+    ``_cache_out``: callers that materialize the result eagerly (the pair
+    audit) collect the internal persisted frame here and release it."""
     tok = docs.select(
         "doc_id",
         F.array_distinct(TX.tokens(F.col("text"))).alias("tok"),
     ).withColumn("sz", F.size("tok").cast("long")).persist()
+    if _cache_out is not None:
+        _cache_out.append(tok)
 
     ix = tok.select("doc_id", "sz", F.explode("tok").alias("token"))
     df_tbl = ix.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -1496,7 +1504,8 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = jaccard_verify_frame(pairs, sh).select(
         F.lit("lsh").alias("path"), "doc_a", "doc_b", "jaccard"
     )
-    ss = docs_setsim_join(spark, sf_dir).select(
+    released: list = []
+    ss = docs_setsim_join(spark, sf_dir, _cache_out=released).select(
         F.lit("setsim").alias("path"), "doc_a", "doc_b", "jaccard"
     )
     # third path (r6 slot-freeing fusion): the connected-components
@@ -1547,13 +1556,22 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hybrid").alias("path"), "doc_a", "doc_b",
         F.col("cosine_sim").alias("jaccard"),
     )
-    return (
+    # eager checkpoint + RELEASE the candidate subtrees: without this a
+    # long sim session accumulates every suite's persisted frames and
+    # later entries pay the cache-pressure tax (r9: this audit itself
+    # slowed 13s -> 31s between the round's first and last full sim)
+    out = (
         lsh.unionByName(ss)
         .unionByName(cl)
         .unionByName(ct)
         .unionByName(incr)
         .unionByName(hy)
-    )
+    ).localCheckpoint(eager=True)
+    pairs.unpersist()
+    sh.unpersist()
+    for f in released:
+        f.unpersist()
+    return out
 
 
 def _pair_recall_audit_sql() -> str:

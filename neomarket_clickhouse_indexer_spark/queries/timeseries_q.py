@@ -3634,7 +3634,9 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(1, 'multiplicity', CAST(multiplicity AS STRING))"
         " AS (metric, value)",
     )
-    return (
+    # eager checkpoint + RELEASE the shared subtrees (the segmentation
+    # suite's session-cache-pressure rationale)
+    out = (
         qsel.unionByName(mad)
         .unionByName(acv)
         .unionByName(fct)
@@ -3653,7 +3655,10 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bmp)
         .unionByName(grw)
         .unionByName(bag)
-    )
+    ).localCheckpoint(eager=True)
+    for f in (hourly_n, hourly, ev):
+        f.unpersist()
+    return out
 
 
 def _series_suite_sql() -> str:
@@ -5012,13 +5017,20 @@ def user_segmentation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'abs_diff_sum', CAST(abs_diff_sum AS STRING),"
         " 'gini_ppm', CAST(gini_ppm AS STRING)) AS (metric, value)",
     )
-    return (
+    # eager checkpoint + RELEASE the shared subtrees: a 240-entry sim
+    # session otherwise accumulates every suite's persisted frames and
+    # later entries pay the cache-pressure tax (r9: three untouched doc
+    # gates slowed 2-3x between the round's first and last full sim)
+    out = (
         rfm.unionByName(ltv)
         .unionByName(par)
         .unionByName(mdd)
         .unionByName(att)
         .unionByName(gin)
-    )
+    ).localCheckpoint(eager=True)
+    per_user.unpersist()
+    ev.unpersist()
+    return out
 
 
 def _segmentation_suite_sql() -> str:

@@ -115,7 +115,14 @@ for name in sorted(REGISTRY):
                 # r9: runs the BPE training collects at build and
                 # checkpoints its paths eagerly; component shapes stay
                 # audited via docs_simhash / docs_vocab_growth
-                "docs_tokenizer_suite"):
+                "docs_tokenizer_suite",
+                # r9 cache-pressure fix: these suites now checkpoint
+                # eagerly at build and release their persisted subtrees;
+                # component shapes stay audited via their standalone
+                # entries
+                "events_series_suite",
+                "user_segmentation_suite",
+                "docs_pair_recall_audit"):
         # these run eager work when built (ledger build; K BPE training
         # iterations with per-iteration argmax collects) — skip the
         # plan-only audit; their plans are vocabulary/ledger-bounded
