@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..sources.tables import load_table
-from .util import sql_dsum
 from .timeseries_q import (
     EVENTS_HLL_REGISTER_HISTOGRAM_SQL as _HLL_HIST_SQL,
     events_hll_register_histogram,
