@@ -37,6 +37,19 @@ def _spread(docs: DataFrame, spark: SparkSession) -> DataFrame:
     return docs
 
 
+def tokenized_docs_frame(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, tok) — the shared word-grain frame the tokenizer
+    arc (simhash / vocab growth / Good-Turing / source overlap) derives
+    from. Tokenization is the corpus-scale cost these families share: the
+    tokenizer suite persists ONE of these and feeds every path from it
+    instead of re-tokenizing the corpus per path (r9 verdict finding #3).
+    At 100 TB the persisted frame is words-not-text sized and lives only
+    for the suite's single fused pass."""
+    return docs.select(
+        "source", "doc_id", TX.tokens(F.col("text")).alias("tok")
+    )
+
+
 # --- docs_dedup_exact: exact duplicate collapse by content hash; keeps the
 #     lowest doc_id per hash (deterministic winner), reports cluster size.
 
@@ -497,11 +510,12 @@ GROUP BY lang
 SIMHASH_BITS = 16
 
 
-def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
-    exploded = docs.select(
+def simhash_frame(tokd: DataFrame) -> DataFrame:
+    """Core over a pre-tokenized (doc_id, tok) frame — the tokenizer suite
+    executes this verbatim off its shared persisted tokenization."""
+    exploded = tokd.select(
         "doc_id",
-        F.explode(TX.tokens(F.col("text"))).alias("w"),
+        F.explode("tok").alias("w"),
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
@@ -519,6 +533,11 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    return simhash_frame(tokenized_docs_frame(docs))
 
 
 _SIMHASH_BIT_SUMS = ", ".join(
@@ -2935,8 +2954,10 @@ GROUP BY doc_id
 VG_BUCKETS = 8
 
 
-def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def vocab_growth_frame(tokd: DataFrame) -> DataFrame:
+    """Core over a pre-tokenized (source, doc_id, tok) frame — the
+    tokenizer suite executes this verbatim off its shared persisted
+    tokenization."""
     b = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
@@ -2944,8 +2965,8 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         % VG_BUCKETS
     )
     wc = (
-        docs.select(
-            "source", b.alias("b"), F.explode(TX.tokens(F.col("text"))).alias("word")
+        tokd.select(
+            "source", b.alias("b"), F.explode("tok").alias("word")
         )
         .filter(F.length("word") >= 1)
         .groupBy("source", "b", "word")
@@ -2987,6 +3008,12 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vocab_per_mtok"
             ),
         )
+    )
+
+
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_growth_frame(
+        tokenized_docs_frame(load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -3047,13 +3074,11 @@ LEFT JOIN nv n ON n.source = t.source AND n.b = t.b
 #     Reference analog: none (beyond-ref corpus analytics).
 
 
-def count_of_counts_frame(docs: DataFrame) -> DataFrame:
-    from ..functions import text as TX
-
+def count_of_counts_frame(tokd: DataFrame) -> DataFrame:
+    """Core over a pre-tokenized (source, tok) frame — the tokenizer
+    suite executes this verbatim off its shared persisted tokenization."""
     wc = (
-        docs.select(
-            "source", F.explode(TX.tokens(F.col("text"))).alias("word")
-        )
+        tokd.select("source", F.explode("tok").alias("word"))
         .filter(F.length("word") >= 1)
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("r"))
@@ -3077,7 +3102,9 @@ def count_of_counts_frame(docs: DataFrame) -> DataFrame:
 
 
 def docs_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return count_of_counts_frame(load_table(spark, sf_dir, "documents"))
+    return count_of_counts_frame(
+        tokenized_docs_frame(load_table(spark, sf_dir, "documents"))
+    )
 
 
 DOCS_COUNT_OF_COUNTS_SQL = f"""
@@ -3117,13 +3144,22 @@ LEFT JOIN chist n2 ON n2.source = h.source AND n2.r = h.r + 1
 #     corpus analytics; SemDeDup/decontam family).
 
 
-def source_overlap_frame(docs: DataFrame) -> DataFrame:
-    from ..functions import text as TX
+def source_overlap_frame(
+    tokd: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
+    """Core over a pre-tokenized (source, tok) frame.
 
+    ``g`` (the distinct (source, gram-key) frame) feeds THREE consumers —
+    the self-join's both sides and ``per_source`` — so it is persisted
+    here; lazy lineage would re-shingle/re-hash the corpus once per
+    consumer (r9 verdict finding #1: the executed plan had 4 FileScans of
+    documents). Eager callers (the tokenizer suite) collect the frame via
+    ``_cache_out`` and release it after materializing; the standalone gate
+    leaves it LRU-evictable (the setsim_pairs precedent)."""
     g = (
-        docs.select(
+        tokd.select(
             "source",
-            F.explode(TX.shingles(TX.tokens(F.col("text")), 3)).alias("sh"),
+            F.explode(TX.shingles(F.col("tok"), 3)).alias("sh"),
         )
         .select(
             "source",
@@ -3132,7 +3168,10 @@ def source_overlap_frame(docs: DataFrame) -> DataFrame:
             .alias("gk"),
         )
         .distinct()
+        .persist()
     )
+    if _cache_out is not None:
+        _cache_out.append(g)
     per_source = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = g.select(F.col("source").alias("src_a"), "gk")
     b = g.select(F.col("source").alias("src_b"), "gk")
@@ -3165,7 +3204,11 @@ def source_overlap_frame(docs: DataFrame) -> DataFrame:
 
 
 def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return source_overlap_frame(load_table(spark, sf_dir, "documents"))
+    return source_overlap_frame(
+        tokenized_docs_frame(
+            _spread(load_table(spark, sf_dir, "documents"), spark)
+        )
+    )
 
 
 DOCS_SOURCE_OVERLAP_SQL = f"""

@@ -1293,7 +1293,12 @@ def streaming_positions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timeout would otherwise read a partially-folded
+            # state and surface as a confusing hash mismatch
+            raise RuntimeError(
+                f"stream {name} did not terminate within 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update-mode memory sink appends every per-batch emission; the row
@@ -1916,7 +1921,12 @@ def _leaderboard_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timeout would otherwise read a partially-folded
+            # state and surface as a confusing hash mismatch
+            raise RuntimeError(
+                f"stream for {state} did not terminate within 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(state)
@@ -2083,10 +2093,22 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting_frame(load_table(spark, sf_dir, "events"))
 
 
-def growth_accounting_frame(ev: DataFrame) -> DataFrame:
+def growth_accounting_frame(
+    ev: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
     """Frame core over (user_id, ts) — the series suite executes this
-    verbatim off its persisted scan."""
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    verbatim off its persisted scan.
+
+    ``act`` (the distinct user-day frame) feeds THREE consumers — the LAG
+    classification window, the churn day-shift, and the churn anti-join's
+    right side — so it is persisted here (the semdedup double-execution
+    lesson; r9 verdict finding #2). Eager callers collect it via
+    ``_cache_out`` and release it after materializing."""
+    act = (
+        ev.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
+    )
+    if _cache_out is not None:
+        _cache_out.append(act)
     w = Window.partitionBy("user_id").orderBy("d")
     cls = act.select(
         "user_id",
@@ -2309,6 +2331,13 @@ def _sessions_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
+        # NOTE: complete output mode IGNORES this watermark — no late-data
+        # dropping is in effect. Complete mode is required here because a
+        # session island can span microbatches (a later file's events can
+        # merge two earlier sessions), so every batch must re-emit the
+        # full merged state; the watermark is kept only because Spark
+        # requires an event-time column declaration for session_window
+        # aggregations on streams.
         .withWatermark("ts", "0 seconds")
     )
     sess = stream.groupBy(
@@ -2327,7 +2356,12 @@ def _sessions_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timeout would otherwise read a partially-folded
+            # state and surface as a confusing hash mismatch
+            raise RuntimeError(
+                f"stream {name} did not terminate within 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
@@ -2431,7 +2465,12 @@ def _stream_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timeout would otherwise read a partially-folded
+            # state and surface as a confusing hash mismatch
+            raise RuntimeError(
+                f"stream {name} did not terminate within 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(

@@ -2085,25 +2085,37 @@ GROUP BY 1, 2
 #                     BPE merges trained on the 4/5 split, held-out
 #                     fifth profiled per source — OOV/merged ppm,
 #                     bytes-per-token).
-#     The three paths overlap from a thread pool in the one SparkSession
+#     The paths overlap from a thread pool in the one SparkSession
 #     (the ann_index_audit/streaming_state_suite lesson): the BPE path is
-#     driver-paced (per-iteration argmax collects), so the two lazy scan
-#     paths execute under it for free. Eager checkpoint at build =
-#     plan_audit's eager skip set. All values are BIGINT-as-STRING.
+#     driver-paced (per-iteration argmax collects), so the lazy scan
+#     paths execute under it for free. r10 refit (r9 verdict task 2): the
+#     four word-grain paths (simhash, vocabgrowth, goodturing, overlap)
+#     execute their frame cores off ONE persisted tokenization
+#     (tokenized_docs_frame) instead of re-scanning and re-tokenizing the
+#     corpus per path; only bpecov keeps its own scan (character-grain
+#     symbols over a train/held-out doc split — a genuinely different
+#     grain). Eager checkpoint at build = plan_audit's eager skip set.
+#     All values are BIGINT-as-STRING.
 
 
 def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     from .documents import (
-        docs_count_of_counts,
-        docs_simhash,
-        docs_source_overlap,
-        docs_vocab_growth,
+        _spread,
+        count_of_counts_frame,
+        simhash_frame,
+        source_overlap_frame,
+        tokenized_docs_frame,
+        vocab_growth_frame,
     )
 
+    docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+    tokd = tokenized_docs_frame(docs).persist()
+    released: list = [tokd]
+
     def _sh() -> DataFrame:
-        return docs_simhash(spark, sf_dir).selectExpr(
+        return simhash_frame(tokd).selectExpr(
             "'simhash' AS family",
             "CAST(doc_id AS STRING) AS k",
             "stack(1, 'simhash', CAST(simhash AS STRING))"
@@ -2111,7 +2123,7 @@ def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _vg() -> DataFrame:
-        return docs_vocab_growth(spark, sf_dir).selectExpr(
+        return vocab_growth_frame(tokd).selectExpr(
             "'vocabgrowth' AS family",
             "source || '/' || CAST(bucket AS STRING) AS k",
             "stack(6, 'bucket_tokens', CAST(bucket_tokens AS STRING),"
@@ -2140,7 +2152,7 @@ def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 growth 2: the Good-Turing count-of-counts (the frequency
     # SPECTRUM companion of the vocab-growth curve) as a 4th pooled path
     def _gt() -> DataFrame:
-        return docs_count_of_counts(spark, sf_dir).selectExpr(
+        return count_of_counts_frame(tokd).selectExpr(
             "'goodturing' AS family",
             "source || '/' || CAST(r AS STRING) AS k",
             "stack(3, 'n_r', CAST(n_r AS STRING),"
@@ -2152,7 +2164,7 @@ def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 growth 3: the cross-source 3-gram overlap matrix (between-source
     # leakage diagnostic) as a 5th pooled path
     def _ov() -> DataFrame:
-        return docs_source_overlap(spark, sf_dir).selectExpr(
+        return source_overlap_frame(tokd, _cache_out=released).selectExpr(
             "'overlap' AS family",
             "src_a || '/' || src_b AS k",
             "stack(4, 'shared_grams', CAST(shared_grams AS STRING),"
@@ -2162,12 +2174,37 @@ def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (metric, value)",
         )
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futs = [
-            pool.submit(lambda f=f: f().localCheckpoint(eager=True))
-            for f in (_sh, _vg, _cov, _gt, _ov)
-        ]
-        sh, vg, cov, gt, ov = (f.result() for f in futs)
+    # conf pin hoisted AROUND the pool (the ann_index_audit doctrine): the
+    # word-grain groupBys key on vocabulary-sized groups and a plain
+    # driver session's 200 shuffle partitions would run them as near-empty
+    # task storms. Every value is integer-exact, so partitioning cannot
+    # perturb results.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            # the BPE path is driver-paced and scans its own grain: start
+            # it first, then materialize the shared tokenization under it
+            # so the four word-grain paths never race an unbuilt cache
+            fut_cov = pool.submit(
+                lambda: _cov().localCheckpoint(eager=True)
+            )
+            tokd.count()
+            futs = [
+                pool.submit(lambda f=f: f().localCheckpoint(eager=True))
+                for f in (_sh, _vg, _gt, _ov)
+            ]
+            sh, vg, gt, ov = (f.result() for f in futs)
+            cov = fut_cov.result()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # all paths eagerly checkpointed: release the shared subtrees (the
+    # session-cache-pressure doctrine, commit 35904bc)
+    for df in released:
+        df.unpersist()
     return (
         sh.unionByName(vg)
         .unionByName(cov)

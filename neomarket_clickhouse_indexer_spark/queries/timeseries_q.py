@@ -711,7 +711,12 @@ def streaming_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timeout would otherwise read a partially-folded
+            # state and surface as a confusing hash mismatch
+            raise RuntimeError(
+                f"stream {name} did not terminate within 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update-mode memory sink appends every per-batch emission; the row
@@ -3620,7 +3625,8 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 growths 4: growth accounting + bag set-ops off the same scan
     from .events import bag_setops_frame, growth_accounting_frame
 
-    grw = growth_accounting_frame(ev).selectExpr(
+    released: list = []
+    grw = growth_accounting_frame(ev, _cache_out=released).selectExpr(
         "'growth' AS family",
         "date_format(day, 'yyyy-MM-dd') AS k",
         "stack(4, 'n_new', CAST(n_new AS STRING),"
@@ -3656,7 +3662,7 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(grw)
         .unionByName(bag)
     ).localCheckpoint(eager=True)
-    for f in (hourly_n, hourly, ev):
+    for f in (hourly_n, hourly, ev, *released):
         f.unpersist()
     return out
 
@@ -4330,7 +4336,12 @@ def streaming_qdigest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # a timeout would otherwise read a partially-folded
+            # state and surface as a confusing hash mismatch
+            raise RuntimeError(
+                f"stream {name} did not terminate within 300s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update-mode memory sink appends every per-batch emission; the row
@@ -5845,8 +5856,13 @@ def xcorr_frame(hourly: DataFrame) -> DataFrame:
             pairs.groupBy("type_a", "type_b")
             .agg(
                 F.count(F.lit(1)).alias("n_pairs"),
-                F.sum("a").alias("sum_a"),
-                F.sum("b").alias("sum_b"),
+                # sum a/b through DECIMAL(38,0) like sum_ab/cov_num (r9
+                # ADVICE): a bare long sum would wrap silently at scale
+                # where the oracle's HUGEINT->BIGINT cast errors; the
+                # decimal->long cast below nulls on overflow instead,
+                # which the gate hash surfaces loudly
+                F.sum(F.col("a").cast("decimal(38,0)")).alias("sum_a_dec"),
+                F.sum(F.col("b").cast("decimal(38,0)")).alias("sum_b_dec"),
                 F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias(
                     "sum_ab"
                 ),
@@ -5856,9 +5872,18 @@ def xcorr_frame(hourly: DataFrame) -> DataFrame:
                 "type_b",
                 F.lit(lag).cast("long").alias("lag_h"),
                 F.col("n_pairs").cast("long").alias("n_pairs"),
-                F.col("sum_a").cast("long").alias("sum_a"),
-                F.col("sum_b").cast("long").alias("sum_b"),
+                F.col("sum_a_dec").cast("long").alias("sum_a"),
+                F.col("sum_b_dec").cast("long").alias("sum_b"),
                 F.col("sum_ab").cast("decimal(38,0)").alias("sum_ab"),
+            )
+            .select(
+                "type_a",
+                "type_b",
+                "lag_h",
+                "n_pairs",
+                "sum_a",
+                "sum_b",
+                "sum_ab",
                 F.expr(
                     "CAST(CAST(n_pairs AS DECIMAL(38,0)) * sum_ab "
                     "- CAST(sum_a AS DECIMAL(38,0)) * sum_b "

@@ -1003,15 +1003,21 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_pq_adc_core(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _knn_pq_adc_core(
+    spark: SparkSession, emb: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
     emb = emb.select("vec_id", "embedding")
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
 
     # persist: the sub-vector explode feeds the two Lloyd scoring passes
     # AND the final encode — lazy lineage would replay the corpus explode
-    # three times (the semdedup double-execution lesson)
+    # three times (the semdedup double-execution lesson). Callers that
+    # materialize the result eagerly (the index audit) collect the frame
+    # via ``_cache_out`` and release it (the setsim_pairs discipline).
     csubs = _pq_subs(corpus, "vec_id").persist()
+    if _cache_out is not None:
+        _cache_out.append(csubs)
     cents = _pq_subs(
         corpus.filter(F.col("vec_id") < N_QUERIES + _PQ_K), "cid"
     ).select(
@@ -1114,7 +1120,8 @@ def _knn_pq_adc_core(spark: SparkSession, emb: DataFrame) -> DataFrame:
     finally:
         # NOT unpersisted here: the returned plan still reads csubs (the
         # final-encode branch executes at the caller's action); the frame
-        # is (vec, sub) skinny rows — LRU-evictable, never embeddings-wide
+        # is (vec, sub) skinny rows — LRU-evictable, never embeddings-wide.
+        # Eager callers release it through ``_cache_out`` above.
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -1263,23 +1270,30 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         emb.count()  # materialize the shared cache BEFORE the pool races
+        released: list = [emb]
         with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
                 pool.submit(
-                    lambda f=f: f(spark, emb, sf_dir).localCheckpoint(
-                        eager=True
-                    )
+                    lambda f=f: f(
+                        spark, emb, sf_dir, released
+                    ).localCheckpoint(eager=True)
                 )
                 for f in (_audit_ivf_path, _audit_pq_path, _audit_incr_path)
             ]
             ivf, pq, incr = (f.result() for f in futs)
+        # every path is eagerly checkpointed: release the shared scan and
+        # the pq path's csubs persist, or they pin executor memory for the
+        # rest of a long gate session (the commit-35904bc pressure class)
+        for df in released:
+            df.unpersist()
         return ivf.unionByName(pq).unionByName(incr)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _audit_ivf_path(
-    spark: SparkSession, emb: DataFrame, sf_dir: str
+    spark: SparkSession, emb: DataFrame, sf_dir: str,
+    _cache_out: list | None = None,
 ) -> DataFrame:
     return _knn_ivf_core(emb).selectExpr(
         "'ivf' AS path", "query_id", "rank", "neighbor_id",
@@ -1288,9 +1302,10 @@ def _audit_ivf_path(
 
 
 def _audit_pq_path(
-    spark: SparkSession, emb: DataFrame, sf_dir: str
+    spark: SparkSession, emb: DataFrame, sf_dir: str,
+    _cache_out: list | None = None,
 ) -> DataFrame:
-    return _knn_pq_adc_core(spark, emb).selectExpr(
+    return _knn_pq_adc_core(spark, emb, _cache_out).selectExpr(
         "'pq' AS path", "query_id", "rank", "neighbor_id",
         "stack(2, 'd2u', CAST(d2u AS DOUBLE),"
         " 'adc_d2u', CAST(adc_d2u AS DOUBLE)) AS (metric, value)",
@@ -1306,7 +1321,8 @@ def _audit_pq_path(
 # scratch REBUILD with the same frozen codebook, so a green row IS
 # the append==rebuild bit-for-bit assertion.
 def _audit_incr_path(
-    spark: SparkSession, emb: DataFrame, sf_dir: str
+    spark: SparkSession, emb: DataFrame, sf_dir: str,
+    _cache_out: list | None = None,
 ) -> DataFrame:
     return _knn_ivf_incremental_core(spark, emb, sf_dir).selectExpr(
         "'ivf_incr' AS path",

@@ -33,8 +33,11 @@ def prune_stale_staging(prefix: str, max_age_sec: float = 6 * 3600) -> None:
     concurrent run) are left alone.
 
     Pid liveness alone can pin a dead run forever if its pid was recycled
-    by an unrelated long-lived process (r8 ADVICE), so entries older than
-    ``max_age_sec`` are reclaimed regardless — no gate run lives hours.
+    by an unrelated long-lived process (r8 ADVICE), so entries whose pid is
+    dead, recycled (process provably started AFTER the dir was staged), or
+    absent (legacy bare-md5 tags) fall back to an age check. A pid that is
+    alive AND predates its dir is the legitimate owner — never reclaimed,
+    however old the dir (r9 ADVICE: a >6h soak run must keep its state).
     """
     import time
 
@@ -50,7 +53,19 @@ def prune_stale_staging(prefix: str, max_age_sec: float = 6 * 3600) -> None:
             except ProcessLookupError:
                 stale = True
             except PermissionError:
-                pass  # live pid owned by another user: not ours to reclaim
+                continue  # live pid of another user: not ours to reclaim
+            else:
+                # alive: /proc/<pid> ctime is the process start time — a
+                # process YOUNGER than the dir cannot have staged it, so
+                # the pid was recycled and the age fallback may decide;
+                # otherwise (or where /proc is unreadable) leave it alone
+                try:
+                    if os.stat(f"/proc/{pid_s}").st_ctime <= os.stat(
+                        p
+                    ).st_mtime:
+                        continue
+                except OSError:
+                    continue
         # legacy pre-pid tags (bare md5) fall through to the age check
         if not stale:
             try:  # recycled-pid fallback: age decides

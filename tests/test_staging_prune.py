@@ -1,11 +1,14 @@
 """prune_stale_staging: dead-pid staging dirs are reclaimed, the live
 process's own dirs and FRESH non-pid (legacy) siblings are left alone;
-anything past the age cutoff is reclaimed regardless (recycled-pid and
-legacy-tag fallback, r8 ADVICE)."""
+the age cutoff reclaims dead/legacy entries AND live-pid entries whose
+process started after the dir was staged (recycled pid) — but a live pid
+that predates its dir is the legitimate owner and survives any age
+(r8 + r9 ADVICE)."""
 
 from __future__ import annotations
 
 import os
+import subprocess
 import time
 import uuid
 
@@ -39,26 +42,38 @@ def test_prune_age_fallback_reclaims_old_entries():
     )
 
     prefix = f"nmci_test_prage_{uuid.uuid4().hex[:8]}_"
-    old_live = f"/tmp/{prefix}aaaa_1"  # pid 1 is always live (init)
+    # pid 1 started at boot, i.e. BEFORE the (backdated) dir: a live pid
+    # that predates its dir is the legitimate owner — survives any age
+    old_owner = f"/tmp/{prefix}aaaa_1"
     old_legacy = f"/tmp/{prefix}bbbb_nothex"
     old_file = f"/tmp/{prefix}cccc_99999999"  # flat-file checkpoint shape
     mine_old = f"/tmp/{prefix}dddd_{os.getpid()}"
-    os.makedirs(old_live, exist_ok=True)
+    # a live process that started AFTER the dir's (backdated) mtime: the
+    # pid must have been recycled, so the age fallback reclaims the dir
+    child = subprocess.Popen(["sleep", "60"])
+    old_recycled = f"/tmp/{prefix}eeee_{child.pid}"
+    os.makedirs(old_owner, exist_ok=True)
     os.makedirs(old_legacy, exist_ok=True)
     os.makedirs(mine_old, exist_ok=True)
+    os.makedirs(old_recycled, exist_ok=True)
     with open(old_file, "w") as f:
         f.write("ckpt")
     past = time.time() - 10 * 3600
-    for p in (old_live, old_legacy, old_file, mine_old):
+    for p in (old_owner, old_legacy, old_file, mine_old, old_recycled):
         os.utime(p, (past, past))
     try:
         prune_stale_staging(prefix, max_age_sec=6 * 3600)
-        assert not os.path.exists(old_live), "aged recycled-pid dir reclaimed"
+        assert os.path.exists(old_owner), "live pre-dating owner survives"
         assert not os.path.exists(old_legacy), "aged legacy-tag dir reclaimed"
         assert not os.path.exists(old_file), "aged dead-pid FILE reclaimed"
         assert os.path.exists(mine_old), "own-pid dir survives any age"
+        assert not os.path.exists(
+            old_recycled
+        ), "aged dir of a YOUNGER live pid (recycled) reclaimed"
     finally:
-        for p in (old_live, old_legacy, mine_old):
+        child.kill()
+        child.wait()
+        for p in (old_owner, old_legacy, mine_old, old_recycled):
             if os.path.exists(p):
                 os.rmdir(p)
         if os.path.exists(old_file):
