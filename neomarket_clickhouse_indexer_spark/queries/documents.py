@@ -1508,6 +1508,23 @@ WHERE inter_n * {SETSIM_TAU_DEN} >= (sa.sz + sb.sz - inter_n) * {SETSIM_TAU_NUM}
 
 
 def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conf pin scoped to the whole audit (the ann_index_audit doctrine):
+    # the verify paths' joins/groupBys key on candidate-pair cardinality
+    # and a plain driver session's 200 shuffle partitions run them as
+    # near-empty task storms; every emitted value is an exact integer
+    # ratio, so partitioning cannot perturb results
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        return _pair_recall_audit_body(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _pair_recall_audit_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clusters import connected_components
 
     # ONE persisted candidate subtree feeds the lsh-verify, cluster, and
@@ -1517,39 +1534,54 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table is likewise built once for both exact-verify paths.
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs_near_dup_pairs(spark, sf_dir).persist()
+    # materialize BEFORE the pooled paths race: each would otherwise
+    # recompute the cold LSH chain (the series-suite cold-race fix, r10)
+    pairs.count()
     sh = candidate_shingles(docs, pairs)
+    sh.count()  # feeds both exact-verify paths concurrently
 
-    lsh = jaccard_verify_frame(pairs, sh).select(
-        F.lit("lsh").alias("path"), "doc_a", "doc_b", "jaccard"
-    )
+    def _lsh() -> DataFrame:
+        return jaccard_verify_frame(pairs, sh).select(
+            F.lit("lsh").alias("path"), "doc_a", "doc_b", "jaccard"
+        )
+
     released: list = []
-    ss = docs_setsim_join(spark, sf_dir, _cache_out=released).select(
-        F.lit("setsim").alias("path"), "doc_a", "doc_b", "jaccard"
-    )
+
+    def _ss() -> DataFrame:
+        return docs_setsim_join(spark, sf_dir, _cache_out=released).select(
+            F.lit("setsim").alias("path"), "doc_a", "doc_b", "jaccard"
+        )
+
     # third path (r6 slot-freeing fusion): the connected-components
     # clustering over the SAME LSH candidate pairs (label propagation vs
     # the oracle's recursive-CTE closure) rides along as
     # (doc_id, cluster_id) rows — a strict superset of the displaced
     # docs_dup_clusters window entry
-    cl = connected_components(pairs).select(
-        F.lit("cluster").alias("path"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("cluster_id").alias("doc_b"),
-        F.lit(0.0).alias("jaccard"),
-    )
+    def _cl() -> DataFrame:
+        return connected_components(pairs).select(
+            F.lit("cluster").alias("path"),
+            F.col("doc_id").alias("doc_a"),
+            F.col("cluster_id").alias("doc_b"),
+            F.lit(0.0).alias("jaccard"),
+        )
+
     # fourth path (late-r6 strict-superset growth): the asymmetric
     # containment verify over the same candidates — max-direction
     # containment carried in the jaccard slot as exact ppm/1e6 (integer
     # operands, same IEEE division both engines)
-    ct = containment_verify_frame(pairs, sh).select(
-        F.lit("containment").alias("path"),
-        "doc_a",
-        "doc_b",
-        (
-            F.greatest(F.col("cont_a_ppm"), F.col("cont_b_ppm")).cast("double")
-            / F.lit(1_000_000.0)
-        ).alias("jaccard"),
-    )
+    def _ct() -> DataFrame:
+        return containment_verify_frame(pairs, sh).select(
+            F.lit("containment").alias("path"),
+            "doc_a",
+            "doc_b",
+            (
+                F.greatest(
+                    F.col("cont_a_ppm"), F.col("cont_b_ppm")
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("jaccard"),
+        )
+
     # fifth path (r7, the r6 verdict's rotation ask): the INCREMENTAL
     # band-table maintenance differential — base corpus hashed once, the
     # arriving batch hashed ALONE and appended, candidate pairs from the
@@ -1558,33 +1590,46 @@ def docs_pair_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the MV-maintenance property that makes LSH dedup viable at
     # 100 TB (reference MV analog, clickhouse/init/001_create_tables.sql:
     # 389-430): per-batch hashing cost, not per-corpus.
-    incr = docs_bands_incremental(spark, sf_dir).select(
-        F.lit("lsh_incr").alias("path"),
-        "doc_a",
-        "doc_b",
-        F.lit(0.0).alias("jaccard"),
-    )
+    def _incr() -> DataFrame:
+        return docs_bands_incremental(spark, sf_dir).select(
+            F.lit("lsh_incr").alias("path"),
+            "doc_a",
+            "doc_b",
+            F.lit(0.0).alias("jaccard"),
+        )
+
     # sixth path (r7 breadth rotation): the DD3 hybrid lexical+semantic
     # verify — embedding cosine over the SAME persisted candidates
     # (docs_hybrid_near_dup's whole logic), cosine carried in the
     # jaccard slot; nearly free given the shared subtree (the embedding
     # join touches only candidate ids)
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    hy = hybrid_verify_frame(pairs, emb).select(
-        F.lit("hybrid").alias("path"), "doc_a", "doc_b",
-        F.col("cosine_sim").alias("jaccard"),
-    )
-    # eager checkpoint + RELEASE the candidate subtrees: without this a
-    # long sim session accumulates every suite's persisted frames and
-    # later entries pay the cache-pressure tax (r9: this audit itself
-    # slowed 13s -> 31s between the round's first and last full sim)
+    def _hy() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        return hybrid_verify_frame(pairs, emb).select(
+            F.lit("hybrid").alias("path"), "doc_a", "doc_b",
+            F.col("cosine_sim").alias("jaccard"),
+        )
+
+    # NOT thread-pooled: measured at the sf0.01 gate on the sim's
+    # local[8], a 6-path pool was SLOWER than the single eager union job
+    # (9.9s vs 7.4s warm) — unlike ann_index_audit/streaming_state_suite,
+    # only two paths here are driver-paced (LPA checkpoints, the append
+    # sink) and the lazy majority already overlaps inside the union job;
+    # six pooled jobs just thrash the 8 task slots. The win came from the
+    # pin + warm-cache materializations above.
     out = (
-        lsh.unionByName(ss)
-        .unionByName(cl)
-        .unionByName(ct)
-        .unionByName(incr)
-        .unionByName(hy)
+        _lsh().unionByName(_ss())
+        .unionByName(_cl())
+        .unionByName(_ct())
+        .unionByName(_incr())
+        .unionByName(_hy())
     ).localCheckpoint(eager=True)
+    # eager checkpoint done: RELEASE the candidate subtrees — without
+    # this a long sim session accumulates every suite's persisted frames
+    # and later entries pay the cache-pressure tax (r9: this audit itself
+    # slowed 13s -> 31s between the round's first and last full sim)
     pairs.unpersist()
     sh.unpersist()
     for f in released:

@@ -3421,6 +3421,25 @@ FROM risk
 
 
 def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scope shuffle parallelism to the whole suite (the ann_index_audit
+    # conf-pin doctrine): the plain driver session plans every window /
+    # un-repartitioned groupBy across the 19 branches at 200 partitions,
+    # and the eager union job pays ~200 near-empty tasks per such stage.
+    # The result is checkpointed eagerly inside, so restoring after is
+    # safe. Measured at the sf0.01 gate on the sim's local[8]: warm
+    # spark-side 20.0s -> single-digit with the pin.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        return _series_suite_body(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .events import props_bucket_agg
 
     n_par = spark.sparkContext.defaultParallelism
@@ -3437,6 +3456,16 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_par, "event_type")
         .persist()
     )
+    # Materialize the shared caches BEFORE the eager union job: its ~19
+    # branches otherwise START CONCURRENTLY against cold persists and
+    # each recomputes the same events-scan/hourly partitions (Spark's
+    # block manager dedups nothing mid-flight — a sibling task only sees
+    # a cached partition AFTER the first computer finishes). Measured at
+    # the sf0.01 gate: 30.9s cold-raced vs ~15.5s for the same 19 paths
+    # run sequentially over warm caches (r10; the ann_index_audit
+    # emb.count() precedent).
+    hourly.count()  # populates ev transitively, then hourly
+    hourly_n.count()
 
     qsel = quantile_select_frame(cents2, bounded_axis=True).selectExpr(
         "'qsel' AS family",
@@ -3640,6 +3669,10 @@ def events_series_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(1, 'multiplicity', CAST(multiplicity AS STRING))"
         " AS (metric, value)",
     )
+    # materialize growth's persisted user-day frame too — it feeds three
+    # branches of the union job (same cold-race class as above)
+    for f in released:
+        f.count()
     # eager checkpoint + RELEASE the shared subtrees (the segmentation
     # suite's session-cache-pressure rationale)
     out = (
@@ -4971,8 +5004,25 @@ GROUP BY 1, 2
 #     exact, every metric is BIGINT by construction.
 
 def user_segmentation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same conf-pin scope as events_series_suite (six-branch eager union)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        return _segmentation_suite_body(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_cents(spark, sf_dir).persist()
     per_user = _per_user_rfm(ev).persist()
+    # materialize BEFORE the eager union job: its six branches start
+    # concurrently and would re-race the cold persists (the series-suite
+    # cold-race fix, r10 — per_user's scan of ev warms ev transitively)
+    per_user.count()
     rfm = rfm_segments_frame(per_user).selectExpr(
         "'rfm' AS family",
         "CAST(r_seg AS STRING) || '/' || CAST(f_seg AS STRING) || '/' ||"
