@@ -16,12 +16,31 @@ only the eval fingerprints sit in memory.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import determinism as DET
 from ..functions import text as TX
 from ..sources.tables import load_table
+
+
+@contextmanager
+def _pinned_parallelism(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to defaultParallelism (the
+    ann_index_audit conf-pin doctrine) around driver-paced loops whose
+    per-iteration jobs would otherwise run 200 near-empty tasks per
+    shuffle on the plain driver session. Exact-integer paths only."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 # --- docs_quality_filter: Gopher/C4-style document quality rules with a
 #     violation bitmask. Thresholds are exact rationals compared by
@@ -1357,26 +1376,44 @@ def _bpe_words(
 def _bpe_train(words: DataFrame) -> list[tuple]:
     """Run BPE_ITERS merge-learning iterations over the word-frequency
     table; returns [(iteration, a, b, merged, pair_cnt, syms_after)] —
-    driver state is one merge rule + one count per iteration, bounded."""
-    rows = []
+    driver state is one merge rule + one count per iteration, bounded.
+
+    ONE blocking job per iteration (+1 final): the previous iteration's
+    ``syms_after`` total rides the NEXT iteration's argmax job as a
+    unioned NULL-keyed row instead of its own collect — training is
+    scheduler-latency-bound on the vocab-sized frame (measured: the
+    two-collect loop dominated docs_bpe_* gate cost at sf0.01), so
+    halving the driver round-trips halves the gate cost."""
+    rows: list[tuple] = []
     cur = words
+    pending: tuple | None = None  # (it, a, b, pc) awaiting syms_after
+    pair_col = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+    )
+    total_col = F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("pc")
     for it in range(1, BPE_ITERS + 1):
-        pair_col = F.expr(
-            "transform(sequence(1, size(syms) - 1),"
-            " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
-        )
-        top = (
+        top_df = (
             cur.filter(F.size("syms") >= 2)
             .select("cnt", F.explode(pair_col).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("cnt").alias("pc"))
             .orderBy(F.desc("pc"), F.asc("pair"))
             .limit(1)
-            .collect()  # ONE row per iteration — bounded driver state
         )
-        a, b = top[0]["pair"].split(" ", 1)
-        pc = top[0]["pc"]
-        nxt = cur.select(
+        stat = top_df.unionByName(
+            cur.agg(total_col).select(
+                F.lit(None).cast("string").alias("pair"), "pc"
+            )
+        ).collect()  # TWO rows per iteration — bounded driver state
+        top = next(r for r in stat if r["pair"] is not None)
+        total = next(r for r in stat if r["pair"] is None)["pc"]
+        if pending is not None:  # total over cur == syms_after of it-1
+            pit, pa, pb, ppc = pending
+            rows.append((pit, pa, pb, pa + pb, ppc, int(total)))
+        a, b = top["pair"].split(" ", 1)
+        pending = (it, a, b, int(top["pc"]))
+        cur = cur.select(
             "word",
             "cnt",
             F.aggregate(
@@ -1385,16 +1422,15 @@ def _bpe_train(words: DataFrame) -> list[tuple]:
                 _bpe_merge_fold(a, b),
             ).alias("syms"),
         ).persist()
-        syms_after = nxt.agg(
-            F.sum(F.col("cnt") * F.size("syms")).alias("s")
-        ).collect()[0]["s"]
-        rows.append((it, a, b, a + b, int(pc), int(syms_after)))
-        cur = nxt
+    syms_after = cur.agg(total_col).collect()[0]["pc"]
+    pit, pa, pb, ppc = pending
+    rows.append((pit, pa, pb, pa + pb, ppc, int(syms_after)))
     return rows
 
 
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = _bpe_train(_bpe_words(spark, sf_dir))
+    with _pinned_parallelism(spark):
+        rows = _bpe_train(_bpe_words(spark, sf_dir))
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -1511,7 +1547,8 @@ DOCS_BPE_MERGES_SQL = _bpe_oracle_sql(BPE_ITERS)
 
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _bpe_words(spark, sf_dir)
-    rules = [(r[1], r[2]) for r in _bpe_train(words)]
+    with _pinned_parallelism(spark):
+        rules = [(r[1], r[2]) for r in _bpe_train(words)]
     docs = load_table(spark, sf_dir, "documents")
     dw = (
         docs.select(
@@ -1620,7 +1657,8 @@ def docs_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_words = _bpe_words(
         spark, sf_dir, doc_filter=f"NOT ({BPE_HELDOUT_PRED})"
     )
-    rules = [(r[1], r[2]) for r in _bpe_train(train_words)]
+    with _pinned_parallelism(spark):
+        rules = [(r[1], r[2]) for r in _bpe_train(train_words)]
     # trained character vocabulary: every distinct char of the train
     # corpus (w0 symbols are single chars) — tiny, broadcast
     train_chars = (
