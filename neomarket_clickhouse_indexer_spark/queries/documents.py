@@ -2382,6 +2382,23 @@ WHERE c.n >= total.t // {_HH_PHI_DEN}
 
 
 def docs_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conf pin scoped to the whole suite (the ann_index_audit doctrine):
+    # the sketch paths' groupBys key on token/register cardinality and a
+    # plain driver session's 200 shuffle partitions run them as
+    # near-empty task storms; all values are deterministic integers/
+    # exact doubles, so partitioning cannot perturb results
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        return _sketch_suite_body(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _sketch_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = docs_cms_counts(spark, sf_dir).selectExpr(
         "'cms' AS sketch", "token AS k",
         "stack(3, 'true_n', CAST(true_n AS DOUBLE),"

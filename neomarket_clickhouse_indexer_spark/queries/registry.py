@@ -352,7 +352,10 @@ _SPECS: list[QuerySpec] = [
               "knn_pq_adc (Lloyd codebooks + asymmetric lookup-table "
               "distances) side by side, labeled — VS5's PQ path gets its "
               "first in-window external check; the displaced knn_ivf "
-              "stays oracle-checked in the tail"),
+              "stays oracle-checked in the tail; r10 growth: the NSW "
+              "graph-ANN adjacency (knn_nsw_graph's frame core, "
+              "NN-descent construction) rides as a 4th labeled path — "
+              "the graph-ANN family gated in-window from day one"),
     QuerySpec("multimodal_frame_dedup", M.multimodal_frame_dedup,
               M.MULTIMODAL_FRAME_DEDUP_SQL, ("MM", "DD1", "BONUS"),
               "cross-media duplicate-frame detection: executor-side "
@@ -1104,6 +1107,17 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "direction views, per-node rank windows, pair kept only "
               "if each endpoint top-K ranks the other (both ranks "
               "emitted)"),
+    QuerySpec("knn_nsw_graph", V.knn_nsw_graph,
+              V.KNN_NSW_GRAPH_SQL, ("VS3", "W4", "BONUS"),
+              "graph-based ANN (the HNSW/NSW family): NN-descent-style "
+              "construction — LSH-bucketed candidate kNN graph refined "
+              "by NSW_ROUNDS neighbor-of-neighbor rounds, per-node "
+              "top-K by 6dp cosine with id tiebreaks; the deterministic "
+              "final adjacency IS the gated state (HLL-registers "
+              "doctrine), recall@K vs exact pinned in tests/test_nsw.py; "
+              "standalone form — also runs inside ann_index_audit for "
+              "its in-window check; oracle = unrolled MATERIALIZED "
+              "round CTEs"),
     QuerySpec("user_churn_hazard", TS.user_churn_hazard,
               TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
               "survival analysis: Nelson-Aalen cumulative churn hazard "

@@ -223,15 +223,16 @@ def _hyperplanes() -> list[list[int]]:
 _PLANES = _hyperplanes()
 
 
-def _bucket_expr(emb: str, n_planes: int = N_PLANES):
+def _bucket_expr(emb: str, n_planes: int = N_PLANES, start: int = 0):
     """Σ_j (sign(emb·w_j) > 0) << j as a Spark column.
 
     Each plane's dot product is a zip_with+aggregate fold over a literal
     weight array — 8 compact folds instead of a 512-term expression tree
     (which made codegen/compile dominate the query). ``n_planes`` < 8
-    uses the FIRST planes only (coarser buckets, e.g. knn_mutual_pairs)."""
+    uses the FIRST planes only (coarser buckets, e.g. knn_mutual_pairs);
+    ``start`` shifts the slice (the NSW multi-bucketing forest)."""
     total = None
-    for j, row in enumerate(_PLANES[:n_planes]):
+    for j, row in enumerate(_PLANES[start:start + n_planes]):
         weights = F.array(*[F.lit(float(w)) for w in row])
         dot_j = F.aggregate(
             F.zip_with(F.col(emb), weights, lambda x, w: x.cast("double") * w),
@@ -243,9 +244,9 @@ def _bucket_expr(emb: str, n_planes: int = N_PLANES):
     return total.cast("long")
 
 
-def _bucket_sql(emb: str, n_planes: int = N_PLANES) -> str:
+def _bucket_sql(emb: str, n_planes: int = N_PLANES, start: int = 0) -> str:
     parts = []
-    for j, row in enumerate(_PLANES[:n_planes]):
+    for j, row in enumerate(_PLANES[start:start + n_planes]):
         dot_j = " + ".join(
             f"CAST({emb}[{d + 1}] AS DOUBLE) * ({w})" for d, w in enumerate(row)
         )
@@ -1271,22 +1272,29 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb.count()  # materialize the shared cache BEFORE the pool races
         released: list = [emb]
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(
                     lambda f=f: f(
                         spark, emb, sf_dir, released
                     ).localCheckpoint(eager=True)
                 )
-                for f in (_audit_ivf_path, _audit_pq_path, _audit_incr_path)
+                for f in (
+                    _audit_ivf_path,
+                    _audit_pq_path,
+                    _audit_incr_path,
+                    _audit_nsw_path,
+                )
             ]
-            ivf, pq, incr = (f.result() for f in futs)
+            ivf, pq, incr, nsw = (f.result() for f in futs)
         # every path is eagerly checkpointed: release the shared scan and
         # the pq path's csubs persist, or they pin executor memory for the
         # rest of a long gate session (the commit-35904bc pressure class)
         for df in released:
             df.unpersist()
-        return ivf.unionByName(pq).unionByName(incr)
+        return (
+            ivf.unionByName(pq).unionByName(incr).unionByName(nsw)
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -1334,6 +1342,20 @@ def _audit_incr_path(
     )
 
 
+# r10 growth (r9 verdict task 6): the graph-ANN family — knn_nsw_graph's
+# frame core executed VERBATIM off the shared persisted scan, giving the
+# NSW adjacency its in-window external check from day one (the evidence
+# rotation doctrine); recall@K vs exact is pinned in tests/test_nsw.py
+def _audit_nsw_path(
+    spark: SparkSession, emb: DataFrame, sf_dir: str,
+    _cache_out: list | None = None,
+) -> DataFrame:
+    return nsw_frame(emb, _cache_out).selectExpr(
+        "'nsw' AS path", "query_id", "rank", "neighbor_id",
+        "'cosine_sim' AS metric", "CAST(cosine_sim AS DOUBLE) AS value",
+    )
+
+
 def _ann_index_audit_sql() -> str:
     return f"""
 SELECT 'ivf' AS path, query_id, rank, neighbor_id,
@@ -1349,6 +1371,10 @@ SELECT 'ivf_incr' AS path, vec_id AS query_id, CAST(0 AS BIGINT) AS rank,
        cell AS neighbor_id, 'cell_sim' AS metric,
        CAST(cell_sim AS DOUBLE) AS value
 FROM ({{IVF_INCR}})
+UNION ALL
+SELECT 'nsw' AS path, query_id, rank, neighbor_id,
+       'cosine_sim' AS metric, CAST(cosine_sim AS DOUBLE) AS value
+FROM ({{NSW}})
 """
 
 
@@ -2281,7 +2307,280 @@ KNN_MUTUAL_PAIRS_SQL = KNN_MUTUAL_PAIRS_SQL.format(
 )
 
 
+# --- knn_nsw_graph: graph-based ANN (the HNSW/NSW family — the one
+#     industry-standard ANN class the engine lacked; r9 verdict task 6).
+#     A navigable-small-world-style neighbor graph built WITHOUT
+#     sequential insertion: LSH-FOREST initialization (NSW_BUCKETINGS
+#     overlapping hyperplane bucketings — a single bucketing is an
+#     equivalence relation, so neighbor-of-neighbor expansion can never
+#     leave a bucket; overlapping bucketings are what make the graph
+#     navigable, measured r0 recall 0.06 → 0.19 on the fixture) followed
+#     by NSW_ROUNDS rounds of SYMMETRIZED neighbor-of-neighbor
+#     refinement: candidates = current edges ∪ two-hop walks over the
+#     undirected edge set (in-neighbors count — the NN-descent
+#     "reverse neighbor" rule, Dong et al., WWW'11), re-scored and cut
+#     to the per-node top-NSW_K by (cosine desc, id asc).
+#
+#     Determinism: buckets derive from the fixed md5 hyperplanes with
+#     the MUTUAL_BUCKET_CAP md5-order cap per (bucketing, bucket);
+#     every score is cosine pre-rounded to 6dp with dst-id tiebreaks, so
+#     the FINAL ADJACENCY is a pure function of the corpus — the
+#     oracle-able "deterministic state" (the HLL-register-histogram
+#     doctrine: gate the state, check the quality metric in pytest).
+#     Recall@K vs exact brute force is pinned in tests/test_nsw.py,
+#     including that each refinement round strictly improves it
+#     (0.189 → 0.247 → 0.272 at sf0.001).
+#
+#     100 TB: round-0 is NSW_BUCKETINGS capped bucket joins (never
+#     all-pairs); each refinement round is one self-join on the node key
+#     over N*K edges (≤ (2K)^2 candidates per node) + one embeddings
+#     hash join + one rank window — linear in N with constant rounds.
+#     The edge frame persists per round (the k-core peel lineage
+#     lesson). Reference has no vector surface; beyond-ref (SURVEY
+#     mandate: similarity-search scale path).
+
+NSW_K = 4
+NSW_ROUNDS = 2
+# 4 overlapping 5-plane slices of the fixed 8-plane md5 matrix: 32
+# buckets each, offset by one plane — the forest that breaks bucket
+# transitivity (measured: 1 bucketing never improves past 0.0565; the
+# forest refines 0.189 → 0.272)
+NSW_BUCKETINGS = [(0, 5), (1, 5), (2, 5), (3, 5)]
+
+
+def knn_nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager under a conf pin (the suite-gate doctrine): the build is a
+    # ~15-stage iterative plan whose shuffles would each pay 200
+    # near-empty tasks on the plain driver session; the per-round
+    # persists are released after the checkpoint
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = nsw_frame(
+            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def nsw_frame(
+    emb: DataFrame,
+    _cache_out: list | None = None,
+    rounds: int = NSW_ROUNDS,
+) -> DataFrame:
+    """NSW adjacency over any (vec_id, embedding) frame: (query_id, rank,
+    neighbor_id, cosine_sim) after ``rounds`` refinement rounds
+    (parameterized so tests can pin that refinement IMPROVES recall)."""
+    n_par = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.select("vec_id", "embedding").persist()
+    caches = [base]
+    src_emb = base.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a")
+    )
+    dst_emb = base.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b")
+    )
+
+    def _score_and_cut(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(src_emb, "src")
+            .join(dst_emb, "dst")
+            .select(
+                "src",
+                "dst",
+                VX.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("cosine_sim"), F.asc("dst")
+        )
+        # EAGER checkpoint, not persist: each round's plan would otherwise
+        # carry the whole upstream lineage — including the four 5x64
+        # literal-array bucket expressions — through Catalyst analysis
+        # again (the k-core peel lesson: persists do not clamp lineage)
+        return (
+            scored.repartition(n_par, "src")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= NSW_K)
+            .localCheckpoint(eager=True)
+        )
+
+    # round 0: the LSH forest — all four buckets computed in ONE
+    # projection (one codegen of the literal-array plane folds), capped
+    # by ONE window over the exploded (bucketing, bucket) keys, paired
+    # by ONE self-join, deduped before scoring (a pair can share
+    # bucketings)
+    long = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bk"),
+                        _bucket_expr(
+                            "embedding", n_planes=n, start=start
+                        ).alias("bucket"),
+                    )
+                    for k, (start, n) in enumerate(NSW_BUCKETINGS)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.bk").alias("bk"), F.col("s.bucket").alias("bucket"))
+    wcap = Window.partitionBy("bk", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    capped = (
+        long.withColumn("r", F.row_number().over(wcap))
+        .filter(F.col("r") <= MUTUAL_BUCKET_CAP)
+        .drop("r")
+    )
+    cand0 = (
+        capped.select(F.col("vec_id").alias("src"), "bk", "bucket")
+        .join(
+            capped.select(F.col("vec_id").alias("dst"), "bk", "bucket"),
+            ["bk", "bucket"],
+        )
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = _score_and_cut(cand0.distinct())
+    caches.append(edges)
+    for _ in range(rounds):
+        # NN-descent: expand over the UNDIRECTED edge set (reverse
+        # neighbors count), then re-score edges ∪ two-hop candidates
+        und = edges.select("src", "dst").unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        two_hop = (
+            und.select("src", F.col("dst").alias("mid"))
+            .join(und.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+        )
+        cand = edges.select("src", "dst").unionByName(two_hop).distinct()
+        edges = _score_and_cut(cand)
+        caches.append(edges)
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+    return edges.select(
+        F.col("src").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("dst").cast("long").alias("neighbor_id"),
+        "cosine_sim",
+    )
+
+
+def _nsw_sql() -> str:
+    # per-vector norms precomputed ONCE (identical expression to the
+    # per-pair _ANORM, so the double is bit-identical); buckets likewise
+    # computed once per bucketing before the cap window
+    forest = ",\n".join(
+        f"""b{k} AS MATERIALIZED (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           ROW_NUMBER() OVER (
+             PARTITION BY bucket
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+    FROM (SELECT vec_id,
+                 {_bucket_sql("embedding", n, start=start)} AS bucket
+          FROM embeddings)
+  ) WHERE r <= {MUTUAL_BUCKET_CAP}
+)"""
+        for k, (start, n) in enumerate(NSW_BUCKETINGS)
+    )
+    pair_union = "\n    UNION\n".join(
+        f"""    SELECT x.vec_id AS src, y.vec_id AS dst
+    FROM b{k} x JOIN b{k} y
+      ON x.bucket = y.bucket AND x.vec_id <> y.vec_id"""
+        for k in range(len(NSW_BUCKETINGS))
+    )
+    head = f"""
+WITH nrm AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, {_ANORM} AS nn
+  FROM embeddings a
+),
+{forest},
+c0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+{pair_union}
+  )
+),
+s0 AS MATERIALIZED (
+  SELECT c.src, c.dst,
+         ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
+  FROM c0 c
+  JOIN nrm a ON a.vec_id = c.src
+  JOIN nrm b ON b.vec_id = c.dst
+),
+e0 AS MATERIALIZED (
+  SELECT src, dst, cosine_sim FROM (
+    SELECT src, dst, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cosine_sim DESC, dst) AS rank
+    FROM s0
+  ) WHERE rank <= {NSW_K}
+)"""
+    rounds = []
+    for i in range(1, NSW_ROUNDS + 1):
+        # every CTE a later member references is MATERIALIZED (the
+        # recursive/chained-CTE re-evaluation doctrine, CLAUDE.md r6)
+        rounds.append(f""",
+u{i} AS MATERIALIZED (
+  SELECT src, dst FROM e{i - 1}
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e{i - 1}
+),
+c{i} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e{i - 1}
+    UNION
+    SELECT x.src, y.dst
+    FROM u{i} x JOIN u{i} y ON x.dst = y.src
+    WHERE x.src <> y.dst
+  )
+),
+s{i} AS MATERIALIZED (
+  SELECT c.src, c.dst,
+         ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
+  FROM c{i} c
+  JOIN nrm a ON a.vec_id = c.src
+  JOIN nrm b ON b.vec_id = c.dst
+),
+e{i} AS MATERIALIZED (
+  SELECT src, dst, cosine_sim FROM (
+    SELECT src, dst, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cosine_sim DESC, dst) AS rank
+    FROM s{i}
+  ) WHERE rank <= {NSW_K}
+)""")
+    tail = f"""
+SELECT CAST(src AS BIGINT) AS query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY src
+                               ORDER BY cosine_sim DESC, dst) AS BIGINT)
+         AS rank,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM e{NSW_ROUNDS}
+"""
+    return head + "".join(rounds) + tail
+
+
+KNN_NSW_GRAPH_SQL = _nsw_sql()
+
+
 # deferred binding: interpolate the incremental-IVF oracle defined above
 ANN_INDEX_AUDIT_SQL = _ann_index_audit_sql().replace(
     "{IVF_INCR}", KNN_IVF_INCREMENTAL_SQL
-)
+).replace("{NSW}", KNN_NSW_GRAPH_SQL)

@@ -122,7 +122,16 @@ for name in sorted(REGISTRY):
                 # entries
                 "events_series_suite",
                 "user_segmentation_suite",
-                "docs_pair_recall_audit"):
+                "docs_pair_recall_audit",
+                # r10: NN-descent rounds checkpoint eagerly at build
+                # (the k-core lineage doctrine); its bucket-window /
+                # capped-pair-join shapes stay audited via
+                # knn_mutual_pairs
+                "knn_nsw_graph",
+                # r10: eager checkpoint under the scoped conf pin;
+                # component shapes stay audited via docs_cms_counts /
+                # docs_heavy_hitters / docs_kmv_distinct
+                "docs_sketch_suite"):
         # these run eager work when built (ledger build; K BPE training
         # iterations with per-iteration argmax collects) — skip the
         # plan-only audit; their plans are vocabulary/ledger-bounded

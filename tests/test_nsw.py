@@ -1,0 +1,83 @@
+"""NSW graph-ANN quality pins at sf0.001 (r9 verdict task 6): the
+driver gate hashes the deterministic final adjacency; THIS file pins the
+quality claim behind it — recall@K vs exact brute force, and that each
+NN-descent refinement round strictly improves it (the reason the
+operator exists; a flat curve means the expansion degenerated back into
+the bucket-transitivity trap the LSH forest is there to break).
+
+Measured on the fixture: recall@4 = 0.1885 (round 0, LSH forest) →
+0.2470 (round 1) → 0.2715 (round 2). The corpus is near-orthogonal
+synthetic noise — the hardest case for ANN — so the absolute recall is
+modest by construction; the pinned MONOTONE IMPROVEMENT is the
+mechanism check."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+    NSW_K,
+    nsw_frame,
+)
+from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def exact_edges():
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = np.round(xn @ xn.T, 6)
+    np.fill_diagonal(cos, -2)
+    edges = set()
+    for i in range(len(ids)):
+        top = sorted(
+            range(len(ids)), key=lambda j: (-cos[i, j], ids[j])
+        )[:NSW_K]
+        edges.update((int(ids[i]), int(ids[j])) for j in top)
+    return edges, cos, {int(v): i for i, v in enumerate(ids)}
+
+
+@pytest.fixture(scope="module")
+def nsw_rounds(spark):
+    emb = load_table(spark, SF, "embeddings")
+    return {
+        r: nsw_frame(emb, rounds=r).collect() for r in (0, 1, 2)
+    }
+
+
+def _recall(rows, exact):
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    return len(got & exact) / len(exact)
+
+
+def test_refinement_strictly_improves_recall(nsw_rounds, exact_edges):
+    exact, _, _ = exact_edges
+    r0, r1, r2 = (_recall(nsw_rounds[r], exact) for r in (0, 1, 2))
+    assert r0 < r1 < r2, (r0, r1, r2)
+    # pinned bands around the measured fixture values (deterministic
+    # modulo cross-platform ulp ties at the 6dp rounding boundary)
+    assert abs(r0 - 0.1885) < 0.01, r0
+    assert abs(r1 - 0.2470) < 0.01, r1
+    assert abs(r2 - 0.2715) < 0.01, r2
+
+
+def test_adjacency_shape(nsw_rounds):
+    rows = nsw_rounds[2]
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert len(by_q) == 500
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, NSW_K + 1))
+
+
+def test_scores_match_reference_cosine(nsw_rounds, exact_edges):
+    _, cos, idx = exact_edges
+    for r in nsw_rounds[2]:
+        ref = cos[idx[r["query_id"]], idx[r["neighbor_id"]]]
+        assert abs(r["cosine_sim"] - ref) <= 1e-6, (r, ref)
