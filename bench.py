@@ -121,6 +121,10 @@ HEADLINE = [
     "events_bag_setops",
     "docs_source_overlap",
     "schema_evolution_read",
+    # r10 addition: graph-ANN (NSW). Eager construction (per-round
+    # checkpoints) — bench times build+read together, the honest total
+    # for an eager frame (the LPA timer lesson).
+    "knn_nsw_graph",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
     # at ANY sf — data volume is dimension-bounded), not data-path

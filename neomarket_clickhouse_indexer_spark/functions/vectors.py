@@ -37,3 +37,9 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_rounded(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(cosine(a, b), scale)
+
+
+# NOTE (r10): an unrolled flat dim-term dot expression was tried for the
+# NSW pair scorer and was 2x SLOWER than the zip_with+aggregate fold at
+# sf0.1 (codegen compile blowup on the 64-term tree — the same failure
+# mode that made _bucket_expr switch to compact folds). Keep the folds.

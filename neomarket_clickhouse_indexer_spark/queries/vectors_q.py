@@ -2379,13 +2379,24 @@ def nsw_frame(
     neighbor_id, cosine_sim) after ``rounds`` refinement rounds
     (parameterized so tests can pin that refinement IMPROVES recall)."""
     n_par = emb.sparkSession.sparkContext.defaultParallelism
-    base = emb.select("vec_id", "embedding").persist()
+    # per-vector norm precomputed ONCE (identical expression to the
+    # per-pair VX.norm fold, so the double is bit-identical) — the pair
+    # scorer runs per CANDIDATE and the HOF folds are interpreted, not
+    # codegen'd; dropping two 64-element norm folds per pair cut the
+    # sf0.1 bench entry ~2x
+    base = emb.select(
+        "vec_id", "embedding", VX.norm(F.col("embedding")).alias("nn")
+    ).persist()
     caches = [base]
     src_emb = base.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("emb_a")
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nn").alias("nn_a"),
     )
     dst_emb = base.select(
-        F.col("vec_id").alias("dst"), F.col("embedding").alias("emb_b")
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nn").alias("nn_b"),
     )
 
     def _score_and_cut(cand: DataFrame) -> DataFrame:
@@ -2395,9 +2406,14 @@ def nsw_frame(
             .select(
                 "src",
                 "dst",
-                VX.cosine_rounded(F.col("emb_a"), F.col("emb_b"), 6).alias(
-                    "cosine_sim"
-                ),
+                # NOT dot_unrolled: the flat 64-term tree re-triggered the
+                # _bucket_expr codegen-compile blowup (15.8s vs 7.6s warm
+                # at sf0.1) — the interpreted fold wins for per-pair work
+                F.round(
+                    VX.dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("nn_a") * F.col("nn_b")),
+                    6,
+                ).alias("cosine_sim"),
             )
         )
         w = Window.partitionBy("src").orderBy(
