@@ -1107,6 +1107,16 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "direction views, per-node rank windows, pair kept only "
               "if each endpoint top-K ranks the other (both ranks "
               "emitted)"),
+    QuerySpec("knn_nsw_search", V.knn_nsw_search,
+              V.KNN_NSW_SEARCH_SQL, ("VS3", "W4", "BONUS"),
+              "graph-ANN SERVE path: deterministic greedy beam search "
+              "(beam 8, 3 fixed hops, md5-chosen entry points) over the "
+              "corpus-split NSW graph, same query/corpus split and "
+              "output shape as knn_bruteforce so the exact scan is the "
+              "recall reference (hop-monotone recall pinned in "
+              "tests/test_nsw.py); per-query work O(B*K*H) scores — "
+              "never a corpus scan; oracle = the graph chain + unrolled "
+              "MATERIALIZED hop CTEs with NOT-EXISTS visited dedup"),
     QuerySpec("knn_nsw_graph", V.knn_nsw_graph,
               V.KNN_NSW_GRAPH_SQL, ("VS3", "W4", "BONUS"),
               "graph-based ANN (the HNSW/NSW family): NN-descent-style "

@@ -2497,7 +2497,11 @@ def nsw_frame(
     )
 
 
-def _nsw_sql() -> str:
+def _nsw_cte_chain(corpus_where: str = "") -> str:
+    """The shared NSW-graph CTE prefix (nrm, b0..b3, c0/s0/e0,
+    u/c/s/e per round) over ``embeddings [WHERE corpus_where]`` — used
+    by the graph oracle (no filter) and the beam-search oracle (graph
+    restricted to the corpus split)."""
     # per-vector norms precomputed ONCE (identical expression to the
     # per-pair _ANORM, so the double is bit-identical); buckets likewise
     # computed once per bucketing before the cap window
@@ -2510,7 +2514,7 @@ def _nsw_sql() -> str:
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
     FROM (SELECT vec_id,
                  {_bucket_sql("embedding", n, start=start)} AS bucket
-          FROM embeddings)
+          FROM embeddings {corpus_where})
   ) WHERE r <= {MUTUAL_BUCKET_CAP}
 )"""
         for k, (start, n) in enumerate(NSW_BUCKETINGS)
@@ -2581,7 +2585,11 @@ e{i} AS MATERIALIZED (
     FROM s{i}
   ) WHERE rank <= {NSW_K}
 )""")
-    tail = f"""
+    return head + "".join(rounds)
+
+
+def _nsw_sql() -> str:
+    return _nsw_cte_chain() + f"""
 SELECT CAST(src AS BIGINT) AS query_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY src
                                ORDER BY cosine_sim DESC, dst) AS BIGINT)
@@ -2590,10 +2598,209 @@ SELECT CAST(src AS BIGINT) AS query_id,
        cosine_sim
 FROM e{NSW_ROUNDS}
 """
-    return head + "".join(rounds) + tail
 
 
 KNN_NSW_GRAPH_SQL = _nsw_sql()
+
+
+# --- knn_nsw_search: query-time GREEDY BEAM SEARCH over the NSW graph —
+#     the serve half of the graph-ANN story (build = knn_nsw_graph).
+#     Same query/corpus split and output shape as knn_bruteforce, so the
+#     exact scan IS the recall reference (pinned in tests/test_nsw.py).
+#
+#     Semantics (all deterministic): the graph is built over the CORPUS
+#     (vec_id >= N_QUERIES) only; NSW_SEARCH_E entry nodes are the
+#     corpus ids with the smallest (md5, id) keys; every hop expands the
+#     current per-query beam (top-NSW_SEARCH_B of everything scored so
+#     far) through the adjacency, scores the new candidates against the
+#     query, and merges them into the visited set; after NSW_SEARCH_H
+#     hops the per-query top-TOP_K of the visited set is returned.
+#     Fixed hop count keeps the oracle an unrolled MATERIALIZED chain
+#     (no fixpoint) and the differential exact.
+#
+#     100 TB: the graph is a prebuilt artifact (N*K edges); each hop is
+#     one hash join of (queries x beam) rows against the adjacency plus
+#     one scoring join against the corpus — per-query work is
+#     O(B*K*H) score evaluations, never a corpus scan. This is the
+#     published NSW/HNSW serving shape (Malkov & Yashunin) run as set
+#     operations so a batch of queries shares every join.
+
+NSW_SEARCH_B = 8   # beam width
+NSW_SEARCH_H = 3   # fixed hop count
+NSW_SEARCH_E = 4   # md5-chosen entry points
+
+
+def knn_nsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager under a conf pin, like the graph build it wraps
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = nsw_search_frame(
+            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+        )
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def nsw_search_frame(
+    emb: DataFrame,
+    _cache_out: list | None = None,
+    hops: int = NSW_SEARCH_H,
+) -> DataFrame:
+    """Beam search for the vec_id < N_QUERIES queries over the NSW graph
+    of the rest; (query_id, rank, neighbor_id, cosine_sim) like
+    knn_bruteforce (``hops`` parameterized for the recall-curve test)."""
+    n_par = emb.sparkSession.sparkContext.defaultParallelism
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    caches: list = []
+    g = (
+        nsw_frame(corpus, _cache_out=caches)
+        .select(
+            F.col("query_id").alias("node"),
+            F.col("neighbor_id").alias("nxt"),
+        )
+    )
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        VX.norm(F.col("embedding")).alias("q_norm"),
+    ).persist()
+    cdf = corpus.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("c_emb"),
+        VX.norm(F.col("embedding")).alias("c_norm"),
+    ).persist()
+    caches.extend([qdf, cdf])
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+
+    def _score(cand: DataFrame) -> DataFrame:
+        # cand: (query_id, node) -> scored rows, same arithmetic as
+        # knn_bruteforce (factored norms; bit-identical doubles)
+        return (
+            cand.join(F.broadcast(qdf), "query_id")
+            .join(cdf, "node")
+            .select(
+                "query_id",
+                "node",
+                F.round(
+                    VX.dot(F.col("q_emb"), F.col("c_emb"))
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cosine_sim"),
+            )
+        )
+
+    entries = (
+        corpus.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(NSW_SEARCH_E)
+        .select(F.col("vec_id").alias("node"))
+    )
+    visited = _score(
+        qdf.select("query_id").crossJoin(F.broadcast(entries))
+    ).localCheckpoint(eager=True)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("node")
+    )
+    for _ in range(hops):
+        beam = (
+            visited.withColumn("r", F.row_number().over(wb))
+            .filter(F.col("r") <= NSW_SEARCH_B)
+            .select("query_id", "node")
+        )
+        expanded = (
+            beam.join(g, "node")
+            .select("query_id", F.col("nxt").alias("node"))
+            .distinct()
+            # skip already-scored nodes: pure dedup (the score is a
+            # deterministic function of the pair, so this cannot change
+            # the result set, only the work)
+            .join(visited.select("query_id", "node"), ["query_id", "node"],
+                  "left_anti")
+        )
+        visited = (
+            visited.unionByName(_score(expanded))
+            .repartition(n_par, "query_id")
+            .localCheckpoint(eager=True)  # clamp per-hop lineage
+        )
+    return (
+        visited.withColumn("rank", F.row_number().over(wb).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "rank",
+            F.col("node").cast("long").alias("neighbor_id"),
+            "cosine_sim",
+        )
+    )
+
+
+def _nsw_search_sql() -> str:
+    chain = _nsw_cte_chain(f"WHERE vec_id >= {N_QUERIES}")
+    hops = []
+    for i in range(1, NSW_SEARCH_H + 1):
+        hops.append(f""",
+f{i - 1} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, node) AS r
+    FROM v{i - 1}
+  ) WHERE r <= {NSW_SEARCH_B}
+),
+x{i} AS MATERIALIZED (
+  SELECT DISTINCT f.query_id, g.dst AS node
+  FROM f{i - 1} f JOIN e{NSW_ROUNDS} g ON g.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} v
+                    WHERE v.query_id = f.query_id AND v.node = g.dst)
+),
+v{i} AS MATERIALIZED (
+  SELECT query_id, node, cosine_sim FROM v{i - 1}
+  UNION ALL
+  SELECT x.query_id, x.node,
+         ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
+  FROM x{i} x
+  JOIN nrm a ON a.vec_id = x.query_id
+  JOIN nrm b ON b.vec_id = x.node
+)""")
+    return chain + f""",
+ent AS MATERIALIZED (
+  SELECT vec_id AS node FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS r
+    FROM embeddings WHERE vec_id >= {N_QUERIES}
+  ) WHERE r <= {NSW_SEARCH_E}
+),
+v0 AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, e.node,
+         ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
+  FROM nrm a CROSS JOIN ent e
+  JOIN nrm b ON b.vec_id = e.node
+  WHERE a.vec_id < {N_QUERIES}
+){"".join(hops)}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(node AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM (
+  SELECT query_id, node, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, node) AS rank
+  FROM v{NSW_SEARCH_H}
+) WHERE rank <= {TOP_K}
+"""
+
+
+KNN_NSW_SEARCH_SQL = _nsw_search_sql()
 
 
 # deferred binding: interpolate the incremental-IVF oracle defined above

@@ -128,6 +128,10 @@ for name in sorted(REGISTRY):
                 # capped-pair-join shapes stay audited via
                 # knn_mutual_pairs
                 "knn_nsw_graph",
+                # r10: beam search checkpoints eagerly per hop over the
+                # eager graph build; its join/window shapes are the
+                # audited knn_bruteforce / knn_mutual_pairs classes
+                "knn_nsw_search",
                 # r10: eager checkpoint under the scoped conf pin;
                 # component shapes stay audited via docs_cms_counts /
                 # docs_heavy_hitters / docs_kmv_distinct

@@ -81,3 +81,29 @@ def test_scores_match_reference_cosine(nsw_rounds, exact_edges):
     for r in nsw_rounds[2]:
         ref = cos[idx[r["query_id"]], idx[r["neighbor_id"]]]
         assert abs(r["cosine_sim"] - ref) <= 1e-6, (r, ref)
+
+
+def test_beam_search_recall_grows_with_hops(spark):
+    """The serve path: beam search over the corpus-split graph must pull
+    recall@10 monotonically toward the exact scan as hops increase —
+    measured 0.00 (entries only) → 0.02 → 0.10 → 0.16 on the fixture
+    (near-orthogonal noise; the curve, not the absolute, is the check)."""
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        knn_bruteforce,
+        nsw_search_frame,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings")
+    recalls = []
+    for h in (0, 1, 3):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in nsw_search_frame(emb, hops=h).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls[0] < recalls[1] < recalls[2], recalls
+    assert abs(recalls[2] - 0.16) < 0.03, recalls
