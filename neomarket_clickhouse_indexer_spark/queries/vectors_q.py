@@ -199,28 +199,34 @@ N_PLANES = 8
 DIM = 64
 
 
-def _hyperplanes() -> list[list[int]]:
-    """Deterministic ±1 matrix from md5 bits (no RNG — reproducible in SQL
-    and across rounds)."""
+def _gen_plane(j: int) -> list[int]:
+    """Deterministic ±1 plane row from md5 bits (no RNG — reproducible in
+    SQL and across rounds); row j is a pure function of j, so the matrix
+    extends consistently to any plane count (the NSW scale harness uses
+    more planes to hold bucket size constant as the corpus grows)."""
     import hashlib
 
-    planes: list[list[int]] = []
-    for j in range(N_PLANES):
-        row: list[int] = []
-        d = 0
-        while len(row) < DIM:
-            h = hashlib.md5(f"plane-{j}-{d}".encode()).digest()
-            for byte in h:
-                for bit in range(8):
-                    if len(row) >= DIM:
-                        break
-                    row.append(1 if (byte >> bit) & 1 else -1)
-            d += 1
-        planes.append(row)
-    return planes
+    row: list[int] = []
+    d = 0
+    while len(row) < DIM:
+        h = hashlib.md5(f"plane-{j}-{d}".encode()).digest()
+        for byte in h:
+            for bit in range(8):
+                if len(row) >= DIM:
+                    break
+                row.append(1 if (byte >> bit) & 1 else -1)
+        d += 1
+    return row
 
 
-_PLANES = _hyperplanes()
+_PLANES = [_gen_plane(j) for j in range(N_PLANES)]
+
+
+def _plane_rows(end: int) -> list[list[int]]:
+    """The first ``end`` plane rows, growing the cached matrix on demand."""
+    while len(_PLANES) < end:
+        _PLANES.append(_gen_plane(len(_PLANES)))
+    return _PLANES[:end]
 
 
 def _bucket_expr(emb: str, n_planes: int = N_PLANES, start: int = 0):
@@ -232,7 +238,7 @@ def _bucket_expr(emb: str, n_planes: int = N_PLANES, start: int = 0):
     uses the FIRST planes only (coarser buckets, e.g. knn_mutual_pairs);
     ``start`` shifts the slice (the NSW multi-bucketing forest)."""
     total = None
-    for j, row in enumerate(_PLANES[start:start + n_planes]):
+    for j, row in enumerate(_plane_rows(start + n_planes)[start:]):
         weights = F.array(*[F.lit(float(w)) for w in row])
         dot_j = F.aggregate(
             F.zip_with(F.col(emb), weights, lambda x, w: x.cast("double") * w),
@@ -246,7 +252,7 @@ def _bucket_expr(emb: str, n_planes: int = N_PLANES, start: int = 0):
 
 def _bucket_sql(emb: str, n_planes: int = N_PLANES, start: int = 0) -> str:
     parts = []
-    for j, row in enumerate(_PLANES[start:start + n_planes]):
+    for j, row in enumerate(_plane_rows(start + n_planes)[start:]):
         dot_j = " + ".join(
             f"CAST({emb}[{d + 1}] AS DOUBLE) * ({w})" for d, w in enumerate(row)
         )
@@ -2374,10 +2380,17 @@ def nsw_frame(
     emb: DataFrame,
     _cache_out: list | None = None,
     rounds: int = NSW_ROUNDS,
+    bucketings: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """NSW adjacency over any (vec_id, embedding) frame: (query_id, rank,
     neighbor_id, cosine_sim) after ``rounds`` refinement rounds
-    (parameterized so tests can pin that refinement IMPROVES recall)."""
+    (parameterized so tests can pin that refinement IMPROVES recall).
+    ``bucketings`` overrides the forest's (start, n_planes) slices — the
+    scale harness raises n_planes with the corpus so bucket size (and
+    with it per-node round-0 work) stays constant; production sizing is
+    n_planes ≈ log2(N / target_bucket_size)."""
+    if bucketings is None:
+        bucketings = NSW_BUCKETINGS
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     # per-vector norm precomputed ONCE (identical expression to the
     # per-pair VX.norm fold, so the double is bit-identical) — the pair
@@ -2446,7 +2459,7 @@ def nsw_frame(
                             "embedding", n_planes=n, start=start
                         ).alias("bucket"),
                     )
-                    for k, (start, n) in enumerate(NSW_BUCKETINGS)
+                    for k, (start, n) in enumerate(bucketings)
                 ]
             )
         ).alias("s"),

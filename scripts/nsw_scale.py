@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Standalone NSW scale differential (the pagerank/LPA protocol): fresh
+session per scale, replicate the sf0.1 embeddings Nx with a per-replica
+CIRCULAR DIMENSION SHIFT (deterministic, norm-preserving, and NOT
+LSH-invariant — identical copies would stack every bucket Nx and the cap
+would turn the run into a cap-truncation test instead of a scale test),
+then time nsw_frame with the forest's plane count raised to hold bucket
+size roughly constant: n_planes ~ log2(N / target_bucket_size), the
+production sizing rule documented on nsw_frame.
+
+Usage: python3 scripts/nsw_scale.py <N> [n_planes]
+Run once per scale IN SEPARATE PROCESSES on a quiet host (min-of-2,
+report steady iter1 — the in-session contamination lesson, BENCH.md).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from neomarket_clickhouse_indexer_spark.queries.vectors_q import nsw_frame
+from neomarket_clickhouse_indexer_spark.session import get_spark
+from neomarket_clickhouse_indexer_spark.sources.tables import load_table
+
+
+def main() -> None:
+    n = int(sys.argv[1])
+    spark = get_spark("nsw_scale", cores=32, shuffle_partitions=64)
+    base = load_table(spark, "/root/testdata/sf0.1", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    scaled_path = f"/tmp/nsw_scale_emb_x{n}.parquet"
+    if not os.path.exists(scaled_path):
+        reps = spark.range(n).withColumnRenamed("id", "rep")
+        dim = 64
+        shift = (F.col("rep") % dim).cast("int")
+        (
+            base.crossJoin(reps)
+            .select(
+                (F.col("vec_id") + F.col("rep") * 10_000_000).alias(
+                    "vec_id"
+                ),
+                F.when(shift == 0, F.col("embedding"))
+                .otherwise(
+                    F.concat(
+                        F.slice(
+                            "embedding", shift + 1, F.lit(dim) - shift
+                        ),
+                        F.slice("embedding", 1, shift),
+                    )
+                )
+                .alias("embedding"),
+            )
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(scaled_path)
+        )
+    emb = spark.read.parquet(scaled_path)
+    n_vecs = emb.count()
+    # hold bucket size ~32: the scale knob is plane count, not the cap
+    n_planes = (
+        int(sys.argv[2])
+        if len(sys.argv) > 2
+        else max(5, math.ceil(math.log2(max(n_vecs, 64) / 32)))
+    )
+    bucketings = [(k, n_planes) for k in range(4)]
+    print(
+        f"x{n}: {n_vecs:,} vectors, forest 4 x {n_planes} planes "
+        f"(~{n_vecs / 2**n_planes:.0f}/bucket)",
+        flush=True,
+    )
+    for it in range(2):
+        t0 = time.perf_counter()
+        caches: list = []
+        out = nsw_frame(emb, _cache_out=caches, bucketings=bucketings)
+        cnt = out.count()  # the build is eager; count reads checkpoints
+        print(
+            f"nsw_build x{n} iter{it}: {time.perf_counter() - t0:.2f}s "
+            f"({cnt:,} edges)",
+            flush=True,
+        )
+        for df in caches:
+            df.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
