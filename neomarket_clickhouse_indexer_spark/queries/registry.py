@@ -1107,6 +1107,15 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "direction views, per-node rank windows, pair kept only "
               "if each endpoint top-K ranks the other (both ranks "
               "emitted)"),
+    QuerySpec("embeddings_sq8_audit", V.embeddings_sq8_audit,
+              V.EMBEDDINGS_SQ8_AUDIT_SQL, ("VS5", "A1", "BONUS"),
+              "int8 scalar quantization (the FAISS/Milvus SQ8 index "
+              "tier): per-dim min/max ranges (DIM-row broadcast) map "
+              "each float to an 8-bit code; per-vector code checksums + "
+              "exact reconstruction-error accounting, all integer "
+              "micro-unit arithmetic (non-negative DIV operands agree "
+              "across engines); one corpus scan, no shuffle beyond the "
+              "final per-vector agg"),
     QuerySpec("knn_nsw_search", V.knn_nsw_search,
               V.KNN_NSW_SEARCH_SQL, ("VS3", "W4", "BONUS"),
               "graph-ANN SERVE path: deterministic greedy beam search "

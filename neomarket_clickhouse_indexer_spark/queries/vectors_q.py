@@ -2816,6 +2816,110 @@ FROM (
 KNN_NSW_SEARCH_SQL = _nsw_search_sql()
 
 
+# --- embeddings_sq8_audit: int8 SCALAR QUANTIZATION (the SQ8 index tier
+#     of FAISS/Milvus — the remaining standard vector-compression family
+#     next to PQ): per-dimension min/max ranges over the corpus, each
+#     float mapped to an 8-bit code, reconstructed, and the per-vector
+#     distortion accounted exactly. 4x memory cut for the serving tier;
+#     the audit quantifies what it costs in reconstruction error.
+#
+#     Determinism: floats enter as micro-units (FLOOR(x*1e6 + 0.5), the
+#     _CENTS_LI discipline); code = ((vu - lo) * 255) DIV (hi - lo) and
+#     reconstruction rec = lo + (code * (hi - lo)) DIV 255 are integer
+#     ops on NON-NEGATIVE operands, where Spark DIV and DuckDB // agree
+#     exactly. Output is one row per vector: dims, the code-vector
+#     checksum (sum + xxhash-free plain sum of code*dim weights would be
+#     engine-specific, so a plain Σ code and Σ code*(dim+1) pin order),
+#     total/max absolute reconstruction error in micro-units.
+#
+#     100 TB: per-dim ranges are a DIM-row broadcast (one map-side-
+#     combinable agg); the quantize/reconstruct pass is one corpus scan
+#     with no shuffle besides the final per-vector hash agg. Reference
+#     has no vector surface; beyond-ref (SURVEY similarity-search
+#     mandate — compression tier).
+
+def embeddings_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+        .alias("vu"),
+    )
+    ranges = ex.groupBy("dim").agg(
+        F.min("vu").alias("lo"), F.max("vu").alias("hi")
+    )
+    coded = (
+        ex.join(F.broadcast(ranges), "dim")
+        .withColumn(
+            "code",
+            F.expr(
+                "CASE WHEN hi = lo THEN CAST(0 AS BIGINT)"
+                " ELSE ((vu - lo) * 255) DIV (hi - lo) END"
+            ),
+        )
+        .withColumn(
+            "rec",
+            F.expr("lo + (code * (hi - lo)) DIV 255"),
+        )
+    )
+    return (
+        coded.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum("code").cast("long").alias("code_sum"),
+            F.sum(F.expr("code * (dim + 1)")).cast("long").alias(
+                "code_weighted_sum"
+            ),
+            F.sum(F.expr("ABS(vu - rec)")).cast("long").alias(
+                "abs_err_micro"
+            ),
+            F.max(F.expr("ABS(vu - rec)")).cast("long").alias(
+                "max_err_micro"
+            ),
+        )
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "n_dims",
+            "code_sum",
+            "code_weighted_sum",
+            "abs_err_micro",
+            "max_err_micro",
+        )
+    )
+
+
+EMBEDDINGS_SQ8_AUDIT_SQL = """
+WITH ex AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS vu
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+ranges AS (
+  SELECT dim, MIN(vu) AS lo, MAX(vu) AS hi FROM ex GROUP BY dim
+),
+coded AS (
+  SELECT e.vec_id, e.dim, e.vu, r.lo, r.hi,
+         CASE WHEN r.hi = r.lo THEN CAST(0 AS BIGINT)
+              ELSE ((e.vu - r.lo) * 255) // (r.hi - r.lo) END AS code
+  FROM ex e JOIN ranges r USING (dim)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(SUM(code * (dim + 1)) AS BIGINT) AS code_weighted_sum,
+       CAST(SUM(ABS(vu - (lo + (code * (hi - lo)) // 255))) AS BIGINT)
+         AS abs_err_micro,
+       CAST(MAX(ABS(vu - (lo + (code * (hi - lo)) // 255))) AS BIGINT)
+         AS max_err_micro
+FROM coded
+GROUP BY vec_id
+"""
+
+
 # deferred binding: interpolate the incremental-IVF oracle defined above
 ANN_INDEX_AUDIT_SQL = _ann_index_audit_sql().replace(
     "{IVF_INCR}", KNN_IVF_INCREMENTAL_SQL
