@@ -354,8 +354,9 @@ _SPECS: list[QuerySpec] = [
               "first in-window external check; the displaced knn_ivf "
               "stays oracle-checked in the tail; r10 growth: the NSW "
               "graph-ANN adjacency (knn_nsw_graph's frame core, "
-              "NN-descent construction) rides as a 4th labeled path — "
-              "the graph-ANN family gated in-window from day one"),
+              "NN-descent construction) and the SQ8 scalar-quantization "
+              "audit (sq8_audit_frame) ride as 4th/5th labeled paths — "
+              "both r10 families gated in-window from day one"),
     QuerySpec("multimodal_frame_dedup", M.multimodal_frame_dedup,
               M.MULTIMODAL_FRAME_DEDUP_SQL, ("MM", "DD1", "BONUS"),
               "cross-media duplicate-frame detection: executor-side "

@@ -1278,7 +1278,7 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb.count()  # materialize the shared cache BEFORE the pool races
         released: list = [emb]
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
             futs = [
                 pool.submit(
                     lambda f=f: f(
@@ -1290,16 +1290,20 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _audit_pq_path,
                     _audit_incr_path,
                     _audit_nsw_path,
+                    _audit_sq8_path,
                 )
             ]
-            ivf, pq, incr, nsw = (f.result() for f in futs)
+            ivf, pq, incr, nsw, sq8 = (f.result() for f in futs)
         # every path is eagerly checkpointed: release the shared scan and
         # the pq path's csubs persist, or they pin executor memory for the
         # rest of a long gate session (the commit-35904bc pressure class)
         for df in released:
             df.unpersist()
         return (
-            ivf.unionByName(pq).unionByName(incr).unionByName(nsw)
+            ivf.unionByName(pq)
+            .unionByName(incr)
+            .unionByName(nsw)
+            .unionByName(sq8)
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1362,6 +1366,27 @@ def _audit_nsw_path(
     )
 
 
+# r10 growth 2: the SQ8 scalar-quantization family — sq8_audit_frame
+# executed verbatim off the shared persisted scan; all five stats are
+# integers < 2^53, exact in the DOUBLE value column
+def _audit_sq8_path(
+    spark: SparkSession, emb: DataFrame, sf_dir: str,
+    _cache_out: list | None = None,
+) -> DataFrame:
+    return sq8_audit_frame(emb).selectExpr(
+        "'sq8' AS path",
+        "vec_id AS query_id",
+        "CAST(0 AS BIGINT) AS rank",
+        "CAST(0 AS BIGINT) AS neighbor_id",
+        "stack(5, 'n_dims', CAST(n_dims AS DOUBLE),"
+        " 'code_sum', CAST(code_sum AS DOUBLE),"
+        " 'code_weighted_sum', CAST(code_weighted_sum AS DOUBLE),"
+        " 'abs_err_micro', CAST(abs_err_micro AS DOUBLE),"
+        " 'max_err_micro', CAST(max_err_micro AS DOUBLE))"
+        " AS (metric, value)",
+    )
+
+
 def _ann_index_audit_sql() -> str:
     return f"""
 SELECT 'ivf' AS path, query_id, rank, neighbor_id,
@@ -1381,6 +1406,18 @@ UNION ALL
 SELECT 'nsw' AS path, query_id, rank, neighbor_id,
        'cosine_sim' AS metric, CAST(cosine_sim AS DOUBLE) AS value
 FROM ({{NSW}})
+UNION ALL
+SELECT 'sq8' AS path, vec_id AS query_id, CAST(0 AS BIGINT) AS rank,
+       CAST(0 AS BIGINT) AS neighbor_id, m.metric,
+       CASE m.metric
+            WHEN 'n_dims' THEN CAST(n_dims AS DOUBLE)
+            WHEN 'code_sum' THEN CAST(code_sum AS DOUBLE)
+            WHEN 'code_weighted_sum' THEN CAST(code_weighted_sum AS DOUBLE)
+            WHEN 'abs_err_micro' THEN CAST(abs_err_micro AS DOUBLE)
+            ELSE CAST(max_err_micro AS DOUBLE) END AS value
+FROM ({{SQ8}}),
+     (SELECT unnest(['n_dims','code_sum','code_weighted_sum',
+                     'abs_err_micro','max_err_micro']) AS metric) m
 """
 
 
@@ -2839,7 +2876,12 @@ KNN_NSW_SEARCH_SQL = _nsw_search_sql()
 #     mandate — compression tier).
 
 def embeddings_sq8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_audit_frame(load_table(spark, sf_dir, "embeddings"))
+
+
+def sq8_audit_frame(emb: DataFrame) -> DataFrame:
+    """Core path over any (vec_id, embedding) frame — executed verbatim
+    by ann_index_audit's 'sq8' path (in-window evidence rotation)."""
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "v")
     ).select(
@@ -2921,6 +2963,9 @@ GROUP BY vec_id
 
 
 # deferred binding: interpolate the incremental-IVF oracle defined above
-ANN_INDEX_AUDIT_SQL = _ann_index_audit_sql().replace(
-    "{IVF_INCR}", KNN_IVF_INCREMENTAL_SQL
-).replace("{NSW}", KNN_NSW_GRAPH_SQL)
+ANN_INDEX_AUDIT_SQL = (
+    _ann_index_audit_sql()
+    .replace("{IVF_INCR}", KNN_IVF_INCREMENTAL_SQL)
+    .replace("{NSW}", KNN_NSW_GRAPH_SQL)
+    .replace("{SQ8}", EMBEDDINGS_SQ8_AUDIT_SQL)
+)
