@@ -124,6 +124,12 @@ HEADLINE = [
     # r10 addition: graph-ANN (NSW). Eager construction (per-round
     # checkpoints) — bench times build+read together, the honest total
     # for an eager frame (the LPA timer lesson).
+    # knn_nsw_search is NOT benched: its wall is H driver-paced hop
+    # round-trips over beam-sized frames (scheduler latency, not
+    # data-path throughput — the kcore/bpe_merges rationale); the gate +
+    # the hop-recall test pin it. embeddings_sq8_audit rides
+    # ann_index_audit's gate; its standalone scan shape is the
+    # knn-family's, already benched.
     "knn_nsw_graph",
     # parts_coorder_kcore is NOT benched: 3 peel rounds + final count =
     # ~8 tiny-stage jobs whose wall time is scheduler latency (~2s/round
