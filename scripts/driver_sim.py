@@ -28,6 +28,9 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
 fails = []
+from neomarket_clickhouse_indexer_spark.queries import REGISTRY
+window_names = set(list(REGISTRY.keys())[:50])
+window_sec = total_sec = 0.0
 for name in sorted(qs):
     t0 = time.time()
     sdf = qs[name](spark, "/root/testdata/sf0.01")
@@ -59,5 +62,10 @@ for name in sorted(qs):
                 ok = False; break
     status = "OK" if ok else "MISMATCH"
     if not ok: fails.append(name)
-    print(f"{status} {name} ({len(sp)} rows, {time.time()-t0:.1f}s)")
+    dt = time.time() - t0
+    total_sec += dt
+    if name in window_names:
+        window_sec += dt
+    print(f"{status} {name} ({len(sp)} rows, {dt:.1f}s)")
+print(f"WINDOW(first-50): {window_sec:.1f}s  TOTAL: {total_sec:.1f}s")
 print("RESULT:", "PASS" if not fails else f"FAIL {fails}")
