@@ -250,27 +250,40 @@ GROUP BY event_type
 
 
 def sink_round_trip_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    rollup = orders.select(
-        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
-        "o_totalprice",
-    ).groupBy("order_month").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum(F.col("o_totalprice"), "volume"),
+    # conf pin scoped to the whole round trip: the rollup groupBy and the
+    # two partitioned writes otherwise run 200 near-empty tasks each on
+    # the plain driver session (dsum values are partitioning-invariant)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
-    # pid-scoped: concurrent runs must not race on the round-trip dir
-    sinks.prune_stale_staging("nmci_sink_rt_")
-    path = (
-        "/tmp/nmci_sink_rt_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        + f"_{os.getpid()}"
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    # twice: the second replace must overwrite, not duplicate (S4 contract)
-    sinks.replace_partitions(rollup, path, ["order_month"])
-    sinks.replace_partitions(rollup, path, ["order_month"])
-    out = sinks.read(spark, path)
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        rollup = orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_totalprice",
+        ).groupBy("order_month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "volume"),
+        ).persist()
+        rollup.count()  # one aggregation pass feeds BOTH replace writes
+        # pid-scoped: concurrent runs must not race on the round-trip dir
+        sinks.prune_stale_staging("nmci_sink_rt_")
+        path = (
+            "/tmp/nmci_sink_rt_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+            + f"_{os.getpid()}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        # twice: the second replace must overwrite, not duplicate (S4)
+        sinks.replace_partitions(rollup, path, ["order_month"])
+        sinks.replace_partitions(rollup, path, ["order_month"])
+        rollup.unpersist()
+        out = sinks.read(spark, path)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # partition column comes back as the partition directory value
     return out.select(
         F.col("order_month").cast("string").alias("order_month"),
