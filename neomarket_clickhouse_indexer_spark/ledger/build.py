@@ -63,6 +63,11 @@ def _replay_wallet(wallet: str, g: pd.DataFrame,
             if row.payout_ratios is not None
             else [],
         }
+        # optional column: negRisk conversions carry the minted legs
+        # (ledger-engine.ts:1670-1751); absent for every other caller
+        mint = getattr(row, "mint_token_ids", None)
+        if mint is not None:
+            ev["mint_token_ids"] = list(mint)
         events.append(ev)
     eng.replay(events)
     return eng

@@ -454,7 +454,74 @@ def _domain_events(
             F.lit(None).cast("array<string>")
         ).alias("outcome_token_ids"),
         F.lit(None).cast("array<double>").alias("payout_ratios"),
+        F.lit(None).cast("array<string>").alias("mint_token_ids"),
     )
+
+
+def _injected_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negRisk conversion + resolution events, one of each per
+    wallet (the validation_quarantine injection doctrine): the driver
+    fixtures ship no adapter_conversion events (DIVERGENCES.md #5), so these
+    drive the engine's conversion handler (ledger-engine.ts:1670-1751) and
+    resolution write-off (ledger-engine.ts:1865-1910) under external gates.
+
+    Exactness design (no cross-row float folds reach the oracle):
+
+    - the burned leg (``tok-no-N``) is minted ONLY by integer splits at
+      unit cost 1/2, so its consumed FIFO cost is ``0.5 * Σ int`` — a dyadic
+      rational identical under ANY association order;
+    - conversion qty = 2^40 (consumes the whole position; larger than any
+      fixture inventory) so the minted leg's unit cost ``carry / 2^40`` and
+      the resolution's consumed cost ``2^40 * (carry / 2^40)`` are exact
+      power-of-two exponent shifts — the resolution loss is exactly
+      ``-carry``;
+    - cash received = ``user_id % 7`` (exact small integer).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.get_json_object(F.col("props"), "$.k").isNotNull()
+    )
+    users = ev.select("user_id").distinct()
+    wallet = F.concat(F.lit("0xw"), F.col("user_id").cast("string"))
+    cond = F.concat(F.lit("c"), (F.col("user_id") % 10).cast("string"))
+    no = F.concat(F.lit("tok-no-"), (F.col("user_id") % 10).cast("string"))
+    conv_tok = F.concat(
+        F.lit("tok-conv-"), (F.col("user_id") % 10).cast("string")
+    )
+
+    def _shared(typ: str, ts: str):
+        return [
+            wallet.alias("wallet"),
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.lit(0).cast("long").alias("block_number"),
+            F.lit(0).cast("long").alias("log_index"),
+            F.lit(typ).alias("type"),
+            F.lit("").alias("token_id"),
+            cond.alias("condition_id"),
+        ]
+
+    conv = users.select(
+        *_shared("adapter_conversion", "2030-01-01 00:00:00"),
+        F.lit(float(2**40)).alias("qty"),
+        (F.col("user_id") % 7).cast("double").alias("usdc"),
+        F.lit(0.0).alias("fee"),
+        F.lit(False).alias("is_buy"),
+        F.lit(False).alias("is_in"),
+        F.array(no).alias("outcome_token_ids"),
+        F.lit(None).cast("array<double>").alias("payout_ratios"),
+        F.array(conv_tok).alias("mint_token_ids"),
+    )
+    reso = users.select(
+        *_shared("resolution", "2030-01-02 00:00:00"),
+        F.lit(0.0).alias("qty"),
+        F.lit(0.0).alias("usdc"),
+        F.lit(0.0).alias("fee"),
+        F.lit(False).alias("is_buy"),
+        F.lit(False).alias("is_in"),
+        F.array(conv_tok).alias("outcome_token_ids"),
+        F.array(F.lit(0.0)).alias("payout_ratios"),
+        F.lit(None).cast("array<string>").alias("mint_token_ids"),
+    )
+    return conv.unionByName(reso)
 
 
 def domain_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,10 +544,24 @@ def domain_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replaces the round-1 rows-only check (VERDICT.md 'What's missing' #2);
     the state-machine internals stay covered by tests/test_ledger_engine.py
     goldens and the order-sensitive differentials.
+
+    r11: the replay now ALSO executes the engine's hardest branches — the
+    negRisk conversion handler (ledger-engine.ts:1670-1751) and the
+    resolution write-off (ledger-engine.ts:1865-1910) — via one injected
+    adapter_conversion + resolution pair per wallet
+    (:func:`_injected_conversion_events`). The integer-split domain
+    (``integer_splits=True``) keeps the burned leg's FIFO cost an exact
+    dyadic rational, so the conversion's cash/cost/realized and the
+    resolution loss are pure functions of the input the oracle recomputes
+    exactly; ``n_conversions``/``n_resolution_losses`` assert the injected
+    branches actually emitted (= 1 per wallet).
     """
     from ..ledger.build import build_wallet_ledger
 
-    entries = build_wallet_ledger(_domain_events(spark, sf_dir))
+    events = _domain_events(spark, sf_dir, integer_splits=True).unionByName(
+        _injected_conversion_events(spark, sf_dir)
+    )
+    entries = build_wallet_ledger(events)
     t = F.col("event_type")
     cash = F.col("usdc_delta")
     oc_delta = (
@@ -492,12 +573,24 @@ def domain_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             -F.col("cost_basis"),
         )
+        .when(
+            # conversion: burn total_cost, mint carry = max(cost - cash, 0)
+            t == "adapter_conversion",
+            F.greatest(F.col("cost_basis") - cash, F.lit(0.0))
+            - F.col("cost_basis"),
+        )
         .otherwise(F.lit(0.0))
     )
     contrib = oc_delta + cash - F.col("realized_pnl")
 
     def _cash(types: list[str], alias: str):
         return dsum(F.when(t.isin(*types), cash).otherwise(F.lit(0.0)), alias)
+
+    def _realized(types: list[str], alias: str):
+        return dsum(
+            F.when(t.isin(*types), F.col("realized_pnl")).otherwise(F.lit(0.0)),
+            alias,
+        )
 
     return entries.groupBy("wallet").agg(
         F.count(F.lit(1)).alias("n_entries"),
@@ -507,6 +600,19 @@ def domain_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cash(["split"], "split_cash"),
         _cash(["fee_refund", "fee_withdrawal"], "fee_cash"),
         dsum(cash, "net_cashflow"),
+        F.count(F.when(t == "adapter_conversion", 1)).alias("n_conversions"),
+        _cash(["adapter_conversion"], "conv_cash"),
+        dsum(
+            F.when(t == "adapter_conversion", F.col("cost_basis")).otherwise(
+                F.lit(0.0)
+            ),
+            "conv_cost",
+        ),
+        _realized(["adapter_conversion"], "conv_realized"),
+        F.count(F.when(t == "resolution_loss", 1)).alias(
+            "n_resolution_losses"
+        ),
+        _realized(["resolution_loss"], "res_loss_realized"),
         F.round(F.abs(F.sum(contrib.cast(DEC))), 4)
         .cast("double")
         .alias("conservation_residual"),
@@ -514,48 +620,70 @@ def domain_ledger_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Oracle: recompute the pure projections straight from the events table by
-# mirroring _domain_events + the engine's emission guards (on_split skips
-# amount <= 1e-9); the conservation identity is asserted as literal 0.
+# mirroring _domain_events (integer splits always emit) and the injected
+# conversion/resolution pair's closed-form outcome: the burned leg's FIFO
+# cost is exactly 0.5 * Σ split ints (dyadic, association-free), conversion
+# realized = max(cash - cost, 0), resolution loss = -max(cost - cash, 0)
+# (written 0.0 - GREATEST so a zero loss is +0.0 in both engines); the
+# conservation identity is asserted as literal 0.
 DOMAIN_LEDGER_SUMMARY_SQL = f"""
 WITH src AS (
   SELECT '0xw' || CAST(user_id AS VARCHAR) AS wallet,
-         event_type, value,
+         user_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
          'tok-yes-' || CAST(user_id % 10 AS VARCHAR) AS yes_token
   FROM {EVENTS_SQL} e
   WHERE json_extract_string(props, '$.k') IS NOT NULL
 ),
-m AS (
+cw AS (
   SELECT wallet,
-         CASE
-           WHEN event_type IN ('purchase', 'click', 'view') THEN TRUE
-           WHEN event_type = 'signup' THEN value / 10.0 > 1e-9
-           ELSE TRUE
-         END AS emitted,
-         CASE
-           WHEN event_type IN ('purchase', 'click', 'view') THEN yes_token
-           WHEN event_type = 'signup' THEN yes_token
-           ELSE ''
-         END AS token,
+         CAST(ANY_VALUE(user_id) % 7 AS DOUBLE) AS cash,
+         0.5 * CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                                      THEN (k % 3) + 1 END), 0) AS DOUBLE)
+           AS burn_cost
+  FROM src GROUP BY wallet
+),
+mrows AS (
+  SELECT wallet,
+         CASE WHEN event_type IN ('purchase', 'click', 'view', 'signup')
+              THEN yes_token ELSE '' END AS token,
          CASE WHEN event_type = 'purchase' THEN -value / 100.0 ELSE 0.0 END AS buy_c,
          CASE WHEN event_type = 'click' THEN value / 100.0 ELSE 0.0 END AS sell_c,
-         CASE WHEN event_type = 'signup' AND value / 10.0 > 1e-9
-              THEN -value / 10.0 ELSE 0.0 END AS split_c,
+         CASE WHEN event_type = 'signup' THEN -CAST((k % 3) + 1 AS DOUBLE)
+              ELSE 0.0 END AS split_c,
          CASE WHEN event_type NOT IN ('purchase', 'click', 'signup', 'view')
-              THEN value / 1000.0 ELSE 0.0 END AS fee_c
+              THEN value / 1000.0 ELSE 0.0 END AS fee_c,
+         0.0 AS conv_c
   FROM src
+  UNION ALL
+  -- the injected conversion entry's cashflow (the resolution-loss entry
+  -- and transfers carry usdc_delta = 0 and quantize to nothing)
+  SELECT wallet, NULL AS token, 0.0, 0.0, 0.0, 0.0, cash AS conv_c FROM cw
+),
+agg AS (
+  SELECT wallet,
+         CAST(COUNT(*) + 1 AS BIGINT) AS n_entries,
+         CAST(COUNT(DISTINCT token) + 2 AS BIGINT) AS n_tokens,
+         {sql_dsum("buy_c", "buy_cash")},
+         {sql_dsum("sell_c", "sell_cash")},
+         {sql_dsum("split_c", "split_cash")},
+         {sql_dsum("fee_c", "fee_cash")},
+         {sql_dsum("conv_c", "conv_cash")},
+         {sql_dsum("buy_c + sell_c + split_c + fee_c + conv_c", "net_cashflow")}
+  FROM mrows
+  GROUP BY wallet
 )
-SELECT wallet,
-       COUNT(*) FILTER (WHERE emitted) AS n_entries,
-       COUNT(DISTINCT CASE WHEN emitted THEN token END) AS n_tokens,
-       {sql_dsum("buy_c", "buy_cash")},
-       {sql_dsum("sell_c", "sell_cash")},
-       {sql_dsum("split_c", "split_cash")},
-       {sql_dsum("fee_c", "fee_cash")},
-       {sql_dsum("buy_c + sell_c + split_c + fee_c", "net_cashflow")},
+SELECT a.wallet,
+       a.n_entries, a.n_tokens, a.buy_cash, a.sell_cash, a.split_cash,
+       a.fee_cash, a.net_cashflow,
+       CAST(1 AS BIGINT) AS n_conversions,
+       a.conv_cash,
+       c.burn_cost AS conv_cost,
+       GREATEST(c.cash - c.burn_cost, 0.0) AS conv_realized,
+       CAST(1 AS BIGINT) AS n_resolution_losses,
+       0.0 - GREATEST(c.burn_cost - c.cash, 0.0) AS res_loss_realized,
        CAST(0.0 AS DOUBLE) AS conservation_residual
-FROM m
-GROUP BY wallet
-HAVING COUNT(*) FILTER (WHERE emitted) > 0
+FROM agg a JOIN cw c USING (wallet)
 """
 
 

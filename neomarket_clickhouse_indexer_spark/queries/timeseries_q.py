@@ -2736,8 +2736,8 @@ def autocov_frame(hourly: DataFrame) -> DataFrame:
             pairs.groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_pairs"),
-                F.sum("a").alias("sum_a"),
-                F.sum("b").alias("sum_b"),
+                F.sum(F.col("a").cast("decimal(38,0)")).alias("sum_a"),
+                F.sum(F.col("b").cast("decimal(38,0)")).alias("sum_b"),
                 F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias(
                     "sum_ab"
                 ),

@@ -53,8 +53,13 @@ def prune_stale_staging(prefix: str, max_age_sec: float = 6 * 3600) -> None:
             except ProcessLookupError:
                 stale = True
             except PermissionError:
-                continue  # live pid of another user: not ours to reclaim
-            else:
+                # live pid of ANOTHER user: /proc/<pid> stat is still
+                # readable, so the same recycled-pid start-time test
+                # below decides (r10 ADVICE: a blanket `continue` here
+                # let a recycled pid grabbed by another user's daemon
+                # pin the dir forever)
+                pass
+            if not stale:
                 # alive: /proc/<pid> ctime is the process start time — a
                 # process YOUNGER than the dir cannot have staged it, so
                 # the pid was recycled and the age fallback may decide;

@@ -102,6 +102,48 @@ def test_distributed_equals_local(spark, fixture_events):
         assert got_sorted[col].tolist() == pytest.approx(want[col].tolist())
 
 
+def test_distributed_conversion_mint_passthrough(spark):
+    """build_wallet_ledger forwards the optional mint_token_ids column to
+    the engine's conversion handler (ledger-engine.ts:1670-1751): the minted
+    leg must carry the burned basis and the follow-up resolution must write
+    it off exactly (the domain_ledger_summary injection's closed form)."""
+    evs = []
+    for w in range(4):
+        wallet = f"0xconv{w:02d}"
+        # two integer splits → no-leg inventory 3+1=4 at unit cost 0.5
+        evs.append(_ev(wallet, 0, "split", usdc=3.0,
+                       outcome_token_ids=["yes", "no"]))
+        evs.append(_ev(wallet, 1, "split", usdc=1.0,
+                       outcome_token_ids=["yes", "no"]))
+        conv = _ev(wallet, 2, "adapter_conversion", qty=float(2**40),
+                   usdc=float(w), outcome_token_ids=["no"])
+        conv["mint_token_ids"] = ["conv"]
+        evs.append(conv)
+        reso = _ev(wallet, 3, "resolution", outcome_token_ids=["conv"],
+                   payout_ratios=[0.0])
+        reso["mint_token_ids"] = None
+        evs.append(reso)
+    schema = NORMALIZED_SCHEMA + ", mint_token_ids array<string>"
+    df = spark.createDataFrame(evs, schema)
+    got = build_wallet_ledger(df).toPandas()
+    conv_rows = got[got.event_type == "adapter_conversion"].set_index("wallet")
+    loss_rows = got[got.event_type == "resolution_loss"].set_index("wallet")
+    assert len(conv_rows) == 4 and len(loss_rows) == 4
+    for w in range(4):
+        wallet = f"0xconv{w:02d}"
+        burn_cost = 0.5 * 4  # 2.0, exact dyadic
+        cash = float(w)
+        carry = max(burn_cost - cash, 0.0)
+        assert conv_rows.loc[wallet, "cost_basis"] == burn_cost
+        assert conv_rows.loc[wallet, "usdc_delta"] == cash
+        assert conv_rows.loc[wallet, "realized_pnl"] == max(
+            cash - burn_cost, 0.0
+        )
+        # the 2^40 qty makes the mint basis and its write-off EXACT floats
+        assert loss_rows.loc[wallet, "realized_pnl"] == -carry
+        assert loss_rows.loc[wallet, "cost_basis"] == carry
+
+
 def test_replay_invariants(spark, fixture_events):
     """O7-style invariants: Σ realized(entries) == Σ realized(events);
     snapshots cumulative realized matches final realized."""

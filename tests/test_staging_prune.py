@@ -59,8 +59,12 @@ def test_prune_age_fallback_reclaims_old_entries():
     with open(old_file, "w") as f:
         f.write("ckpt")
     past = time.time() - 10 * 3600
-    for p in (old_owner, old_legacy, old_file, mine_old, old_recycled):
+    for p in (old_legacy, old_file, mine_old, old_recycled):
         os.utime(p, (past, past))
+    # the owner dir must POSTDATE pid 1's start or the recycled-pid test
+    # (correctly) reclassifies it: clamp on hosts with uptime < 10h
+    owner_past = max(past, os.stat("/proc/1").st_ctime + 1)
+    os.utime(old_owner, (owner_past, owner_past))
     try:
         prune_stale_staging(prefix, max_age_sec=6 * 3600)
         assert os.path.exists(old_owner), "live pre-dating owner survives"
