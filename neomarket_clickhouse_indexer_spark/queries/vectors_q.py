@@ -2371,19 +2371,29 @@ KNN_MUTUAL_PAIRS_SQL = KNN_MUTUAL_PAIRS_SQL.format(
 #     oracle-able "deterministic state" (the HLL-register-histogram
 #     doctrine: gate the state, check the quality metric in pytest).
 #     Recall@K vs exact brute force is pinned in tests/test_nsw.py,
-#     including that each refinement round strictly improves it
-#     (0.189 → 0.247 → 0.272 at sf0.001).
+#     including that each refinement round strictly improves it.
+#
+#     r11 quality tune: the graph DEGREE (NSW_K) went 4 → 10 while the
+#     expansion stays SAMPLED at the per-node top-NSW_EXPAND edges (the
+#     deterministic analog of NN-descent's rho-sampling, Dong et al.
+#     WWW'11 §2.3) — a wide adjacency is what beam search needs for
+#     coverage, but expansion cost is (2*NSW_EXPAND)^2, not (2K)^2, so
+#     the candidate volume stays at the old K=4 level. Measured at
+#     sf0.001: beam recall@10 went 0.16 → ≥0.5 (pinned) at roughly
+#     unchanged build cost.
 #
 #     100 TB: round-0 is NSW_BUCKETINGS capped bucket joins (never
 #     all-pairs); each refinement round is one self-join on the node key
-#     over N*K edges (≤ (2K)^2 candidates per node) + one embeddings
-#     hash join + one rank window — linear in N with constant rounds.
-#     The edge frame persists per round (the k-core peel lineage
-#     lesson). Reference has no vector surface; beyond-ref (SURVEY
-#     mandate: similarity-search scale path).
+#     over the rank≤NSW_EXPAND edge subset (≤ (2*NSW_EXPAND)^2
+#     candidates per node) + one embeddings hash join + one rank
+#     window — linear in N with constant rounds. The edge frame
+#     persists per round (the k-core peel lineage lesson). Reference
+#     has no vector surface; beyond-ref (SURVEY mandate:
+#     similarity-search scale path).
 
-NSW_K = 4
+NSW_K = 10
 NSW_ROUNDS = 2
+NSW_EXPAND = 4  # rank cap on the edges that participate in expansion
 # 4 overlapping 5-plane slices of the fixed 8-plane md5 matrix: 32
 # buckets each, offset by one plane — the forest that breaks bucket
 # transitivity (measured: 1 bucketing never improves past 0.0565; the
@@ -2509,6 +2519,14 @@ def nsw_frame(
         .filter(F.col("r") <= MUTUAL_BUCKET_CAP)
         .drop("r")
     )
+    # feeds BOTH sides of the self-join below — persist AND materialize
+    # first (the late-r5 self-join rule + the r10 cold-cache race: the
+    # join's branches start concurrently, so an unmaterialized persist
+    # would run the 4-bucketing literal-array projection + cap window
+    # twice anyway)
+    capped = capped.persist()
+    capped.count()
+    caches.append(capped)
     cand0 = (
         capped.select(F.col("vec_id").alias("src"), "bk", "bucket")
         .join(
@@ -2521,12 +2539,13 @@ def nsw_frame(
     edges = _score_and_cut(cand0.distinct())
     caches.append(edges)
     for _ in range(rounds):
-        # NN-descent: expand over the UNDIRECTED edge set (reverse
-        # neighbors count), then re-score edges ∪ two-hop candidates
-        und = edges.select("src", "dst").unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        # NN-descent: expand over the UNDIRECTED rank<=NSW_EXPAND edge
+        # subset (reverse neighbors count; the rank cap is the
+        # deterministic rho-sample), then re-score ALL current edges ∪
+        # the two-hop candidates
+        sub = edges.filter(F.col("rank") <= NSW_EXPAND).select("src", "dst")
+        und = sub.unionByName(
+            sub.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         two_hop = (
             und.select("src", F.col("dst").alias("mid"))
@@ -2594,7 +2613,7 @@ s0 AS MATERIALIZED (
   JOIN nrm b ON b.vec_id = c.dst
 ),
 e0 AS MATERIALIZED (
-  SELECT src, dst, cosine_sim FROM (
+  SELECT src, dst, cosine_sim, rank FROM (
     SELECT src, dst, cosine_sim,
            ROW_NUMBER() OVER (PARTITION BY src
                               ORDER BY cosine_sim DESC, dst) AS rank
@@ -2607,9 +2626,9 @@ e0 AS MATERIALIZED (
         # recursive/chained-CTE re-evaluation doctrine, CLAUDE.md r6)
         rounds.append(f""",
 u{i} AS MATERIALIZED (
-  SELECT src, dst FROM e{i - 1}
+  SELECT src, dst FROM e{i - 1} WHERE rank <= {NSW_EXPAND}
   UNION ALL
-  SELECT dst AS src, src AS dst FROM e{i - 1}
+  SELECT dst AS src, src AS dst FROM e{i - 1} WHERE rank <= {NSW_EXPAND}
 ),
 c{i} AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
@@ -2628,7 +2647,7 @@ s{i} AS MATERIALIZED (
   JOIN nrm b ON b.vec_id = c.dst
 ),
 e{i} AS MATERIALIZED (
-  SELECT src, dst, cosine_sim FROM (
+  SELECT src, dst, cosine_sim, rank FROM (
     SELECT src, dst, cosine_sim,
            ROW_NUMBER() OVER (PARTITION BY src
                               ORDER BY cosine_sim DESC, dst) AS rank
@@ -2675,9 +2694,9 @@ KNN_NSW_GRAPH_SQL = _nsw_sql()
 #     published NSW/HNSW serving shape (Malkov & Yashunin) run as set
 #     operations so a batch of queries shares every join.
 
-NSW_SEARCH_B = 8   # beam width
-NSW_SEARCH_H = 3   # fixed hop count
-NSW_SEARCH_E = 4   # md5-chosen entry points
+NSW_SEARCH_B = 16  # beam width
+NSW_SEARCH_H = 4   # fixed hop count
+NSW_SEARCH_E = 8   # md5-chosen entry points
 
 
 def knn_nsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2933,12 +2952,12 @@ def sq8_audit_frame(emb: DataFrame) -> DataFrame:
     )
 
 
-EMBEDDINGS_SQ8_AUDIT_SQL = """
+EMBEDDINGS_SQ8_AUDIT_SQL = f"""
 WITH ex AS (
   SELECT vec_id, i - 1 AS dim,
          CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
               AS BIGINT) AS vu
-  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+  FROM embeddings, (SELECT unnest(generate_series(1, {DIM})) AS i)
 ),
 ranges AS (
   SELECT dim, MIN(vu) AS lo, MAX(vu) AS hi FROM ex GROUP BY dim

@@ -5,11 +5,13 @@ NN-descent refinement round strictly improves it (the reason the
 operator exists; a flat curve means the expansion degenerated back into
 the bucket-transitivity trap the LSH forest is there to break).
 
-Measured on the fixture: recall@4 = 0.1885 (round 0, LSH forest) →
-0.2470 (round 1) → 0.2715 (round 2). The corpus is near-orthogonal
-synthetic noise — the hardest case for ANN — so the absolute recall is
-modest by construction; the pinned MONOTONE IMPROVEMENT is the
-mechanism check."""
+Measured on the fixture (r11 tune: degree NSW_K=10 with rank<=4
+sampled expansion): edge recall@10 = 0.1760 (round 0, LSH forest) →
+0.2234 (round 1) → 0.2456 (round 2). The corpus is near-orthogonal
+synthetic noise — the hardest case for ANN — so the absolute edge
+recall is modest by construction; the pinned MONOTONE IMPROVEMENT is
+the mechanism check, and the SERVE metric (beam recall@10 >= 0.5,
+below) is the quality floor the wide degree buys."""
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -60,9 +62,9 @@ def test_refinement_strictly_improves_recall(nsw_rounds, exact_edges):
     assert r0 < r1 < r2, (r0, r1, r2)
     # pinned bands around the measured fixture values (deterministic
     # modulo cross-platform ulp ties at the 6dp rounding boundary)
-    assert abs(r0 - 0.1885) < 0.01, r0
-    assert abs(r1 - 0.2470) < 0.01, r1
-    assert abs(r2 - 0.2715) < 0.01, r2
+    assert abs(r0 - 0.1760) < 0.01, r0
+    assert abs(r1 - 0.2234) < 0.01, r1
+    assert abs(r2 - 0.2456) < 0.01, r2
 
 
 def test_adjacency_shape(nsw_rounds):
@@ -86,9 +88,12 @@ def test_scores_match_reference_cosine(nsw_rounds, exact_edges):
 def test_beam_search_recall_grows_with_hops(spark):
     """The serve path: beam search over the corpus-split graph must pull
     recall@10 monotonically toward the exact scan as hops increase —
-    measured 0.00 (entries only) → 0.02 → 0.10 → 0.16 on the fixture
-    (near-orthogonal noise; the curve, not the absolute, is the check)."""
+    measured 0.00 (entries only) → 0.14 → 0.60 → 0.64 at hops
+    0/1/3/4 on the fixture after the r11 degree-10 tune (was 0.16 at
+    the old degree-4 graph). The >= 0.5 floor is the r10 verdict's
+    quality target; the monotone curve is the mechanism check."""
     from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        NSW_SEARCH_H,
         knn_bruteforce,
         nsw_search_frame,
     )
@@ -99,11 +104,12 @@ def test_beam_search_recall_grows_with_hops(spark):
     }
     emb = load_table(spark, SF, "embeddings")
     recalls = []
-    for h in (0, 1, 3):
+    for h in (0, 1, NSW_SEARCH_H):
         got = {
             (r["query_id"], r["neighbor_id"])
             for r in nsw_search_frame(emb, hops=h).collect()
         }
         recalls.append(len(got & exact) / len(exact))
     assert recalls[0] < recalls[1] < recalls[2], recalls
-    assert abs(recalls[2] - 0.16) < 0.03, recalls
+    assert recalls[2] >= 0.5, recalls
+    assert abs(recalls[2] - 0.64) < 0.03, recalls
