@@ -2362,9 +2362,10 @@ def events_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quantile_select_frame(
-    ev_cents: DataFrame,
+    ev_cents: DataFrame | None,
     pcts: tuple[int, ...] = QSEL_PCTS,
     bounded_axis: bool = False,
+    _hist: DataFrame | None = None,
 ) -> DataFrame:
     """Core path over any (event_type, cents) frame — factored out so
     scripts/scale_check.py can drive it at N× event scale, and so
@@ -2378,19 +2379,35 @@ def quantile_select_frame(
     serial stages). Leave it False for any DERIVED axis whose range grows
     with the corpus (per-user monetary/frequency) — the hierarchical
     ladder then bounds every window partition at <= 2^17 rows for any
-    int64 range."""
-    ev = ev_cents.select(
-        "event_type",
-        "cents",
-        F.expr(f"cents DIV {QSEL_BUCKET}").alias("b"),
-    )
+    int64 range.
+
+    ``_hist`` (r11): a prebuilt value-grain histogram (event_type, cents,
+    cnt) replaces the raw frame entirely — rank selection is a pure
+    function of the histogram, so a caller that already owns one (the
+    series suite shares ONE corpus pass across qsel/mad/robust/q-digest)
+    pays zero additional corpus scans. Results are bit-identical: every
+    aggregate below is a weighted sum."""
+    if _hist is not None:
+        ev = _hist.select(
+            "event_type",
+            "cents",
+            F.col("cnt").alias("w"),
+            F.expr(f"cents DIV {QSEL_BUCKET}").alias("b"),
+        )
+    else:
+        ev = ev_cents.select(
+            "event_type",
+            "cents",
+            F.lit(1).cast("long").alias("w"),
+            F.expr(f"cents DIV {QSEL_BUCKET}").alias("b"),
+        )
     # DIV truncates toward zero and composes (trunc(trunc(a/m)/n) ==
     # trunc(a/(m*n)) for positive divisors), and is monotone in b — so
     # parent buckets partition the axis into CONTIGUOUS runs and ordering
     # by the child key within a parent is ordering by cents.
     bc = (
         ev.groupBy("event_type", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("w").alias("cnt"))
         .withColumn("p1", F.expr(f"b DIV {QSEL_FAN}"))
     )
     if bounded_axis:
@@ -2517,7 +2534,7 @@ def _qsel_locate(
     return (
         ev.join(F.broadcast(tgt), ["event_type", "b"])
         .groupBy("event_type", "q_pct", "n", "k", "offset", "cents")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("w").alias("c"))
         .select(
             "event_type",
             "q_pct",
@@ -2597,30 +2614,54 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mad_outliers_frame(ev: DataFrame) -> DataFrame:
+def mad_outliers_frame(
+    ev: DataFrame, _hist: DataFrame | None = None
+) -> DataFrame:
     """Core path over any (event_type, cents) frame — factored out so
-    events_series_suite can feed it from the shared persisted subtree."""
-    med = quantile_select_frame(ev, pcts=(50,), bounded_axis=True).select(
-        "event_type", F.col("value_cents").alias("med_cents")
+    events_series_suite can feed it from the shared persisted subtree.
+
+    r11: runs entirely off a value-grain histogram — ONE corpus pass
+    (or zero with a caller-shared ``_hist``) instead of the old five
+    (2x selection + deviation rescan + final count): the deviation
+    distribution |x - med| is a pure RE-KEYING of the value histogram,
+    so both medians, the outlier count and n are exact weighted folds
+    over <= 2^17 rows per type. Output is bit-identical."""
+    hist = _hist
+    if hist is None:
+        hist = (
+            ev.groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        hist.count()  # materialize before the fan-out (cold-race rule)
+    med = quantile_select_frame(
+        None, pcts=(50,), bounded_axis=True, _hist=hist
+    ).select("event_type", F.col("value_cents").alias("med_cents"))
+    dev_hist = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            "med_cents",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("cents"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        F.abs(F.col("cents") - F.col("med_cents")).alias("cents"),
-    )
-    mad = quantile_select_frame(dev, pcts=(50,), bounded_axis=True).select(
-        "event_type", F.col("value_cents").alias("mad_cents")
-    )
-    stats = med.join(mad, "event_type")
+    mad = quantile_select_frame(
+        None,
+        pcts=(50,),
+        bounded_axis=True,
+        _hist=dev_hist.select("event_type", "cents", "cnt"),
+    ).select("event_type", F.col("value_cents").alias("mad_cents"))
     return (
-        ev.join(F.broadcast(stats), "event_type")
+        dev_hist.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med_cents", "mad_cents")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("n"),
             F.sum(
-                (
-                    F.abs(F.col("cents") - F.col("med_cents"))
-                    > F.lit(MAD_K_FACTOR) * F.col("mad_cents")
-                ).cast("long")
+                F.when(
+                    F.col("cents") > F.lit(MAD_K_FACTOR) * F.col("mad_cents"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
             ).alias("n_outliers"),
         )
         .select(
@@ -3011,17 +3052,34 @@ def events_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qdigest_frame(_events_cents(spark, sf_dir))
 
 
-def qdigest_frame(ev_cents: DataFrame) -> DataFrame:
+def qdigest_frame(
+    ev_cents: DataFrame, _hist: DataFrame | None = None
+) -> DataFrame:
     """Core path over any (event_type, cents) frame — factored out so
     scripts/scale_check.py can drive it at N× event scale (the sketch
-    state is universe-bounded, so N× rows should cost ~one extra scan)."""
+    state is universe-bounded, so N× rows should cost ~one extra scan).
+    r11: with a caller-shared value-grain ``_hist`` the leaf histogram is
+    a tiny re-key (clamp) and the rank audit a weighted fold — zero
+    corpus scans; standalone, the audit now reads the leaf histogram
+    instead of rescanning the corpus (one scan, was two)."""
     import pandas as pd
 
     cap = (1 << QD_BITS) - 1
-    ev = ev_cents.select(
-        "event_type", F.greatest(F.least(F.col("cents"), F.lit(cap)), F.lit(0)).alias("v")
-    )
-    leaf = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    clamp_v = F.greatest(
+        F.least(F.col("cents"), F.lit(cap)), F.lit(0)
+    ).alias("v")
+    if _hist is not None:
+        leaf = (
+            _hist.select("event_type", clamp_v, "cnt")
+            .groupBy("event_type", "v")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        leaf = (
+            ev_cents.select("event_type", clamp_v)
+            .groupBy("event_type", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         et = pdf["event_type"].iloc[0]
@@ -3062,17 +3120,17 @@ def qdigest_frame(ev_cents: DataFrame) -> DataFrame:
         "est_cents long, target long",
     )
     aud = (
-        ev.join(
+        leaf.join(
             F.broadcast(est.select("event_type", "q_pct", "est_cents")),
             "event_type",
         )
         .groupBy("event_type", "q_pct", "est_cents")
         .agg(
             F.sum(
-                F.when(F.col("v") < F.col("est_cents"), 1).otherwise(0)
+                F.when(F.col("v") < F.col("est_cents"), F.col("cnt")).otherwise(0)
             ).alias("cnt_lt"),
             F.sum(
-                F.when(F.col("v") <= F.col("est_cents"), 1).otherwise(0)
+                F.when(F.col("v") <= F.col("est_cents"), F.col("cnt")).otherwise(0)
             ).alias("cnt_le"),
         )
     )
@@ -3466,15 +3524,43 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emb.count() precedent).
     hourly.count()  # populates ev transitively, then hourly
     hourly_n.count()
+    # r11: ONE value-grain histogram pass feeds ALL five distribution
+    # paths (qsel, mad, robust, q-digest, q-digest-merge) — rank
+    # selection, winsorize/trim folds and sketch leaves are pure
+    # functions of (event_type[, half], cents) counts, so the suite pays
+    # one corpus aggregation where it paid ~8 passes (profiled: the mad
+    # path alone was 2.9s of the 16s gate). hist2 carries the q-digest
+    # split flag; hist is its rollup.
+    hist2 = (
+        ev.groupBy(
+            "event_type",
+            (F.dayofmonth("ts") <= QD_SPLIT_DAY).cast("int").alias(
+                "first_half"
+            ),
+            "cents",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition(n_par, "event_type")
+        .persist()
+    )
+    hist = (
+        hist2.groupBy("event_type", "cents")
+        .agg(F.sum("cnt").alias("cnt"))
+        .persist()
+    )
+    hist2.count()
+    hist.count()
 
-    qsel = quantile_select_frame(cents2, bounded_axis=True).selectExpr(
+    qsel = quantile_select_frame(
+        cents2, bounded_axis=True, _hist=hist
+    ).selectExpr(
         "'qsel' AS family",
         "event_type || '/' || CAST(q_pct AS STRING) AS k",
         "stack(3, 'n', CAST(n AS STRING),"
         " 'rank_k', CAST(k AS STRING),"
         " 'value_cents', CAST(value_cents AS STRING)) AS (metric, value)",
     )
-    mad = mad_outliers_frame(cents2).selectExpr(
+    mad = mad_outliers_frame(cents2, _hist=hist).selectExpr(
         "'mad' AS family",
         "event_type AS k",
         "stack(5, 'n', CAST(n AS STRING),"
@@ -3505,7 +3591,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feed the sketch from the suite's persisted cents subtree (NOT
     # events_qdigest_quantiles(spark, sf_dir), which would re-scan the raw
     # corpus — one extra scan per gate run; r7 ADVICE)
-    qd = qdigest_frame(cents2).selectExpr(
+    qd = qdigest_frame(cents2, _hist=hist).selectExpr(
         "'qdigest' AS family",
         "event_type || '/' || CAST(q_pct AS STRING) AS k",
         "stack(9, 'n', CAST(n AS STRING),"
@@ -3547,7 +3633,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8 growth 2: the q-digest -State/-Merge audit (the last r7 family
     # without an in-window row) executed verbatim off the same persisted
     # scan; booleans ride as 0/1 ints (CAST path identical cross-engine)
-    qdm = qdigest_merge_frame(ev).selectExpr(
+    qdm = qdigest_merge_frame(ev, _hist2=hist2).selectExpr(
         "'qdmerge' AS family",
         "event_type || '/' || CAST(q_pct AS STRING) AS k",
         "stack(11, 'n', CAST(n AS STRING),"
@@ -3564,7 +3650,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r8 growth 3: winsorized/trimmed robust means off the same cents
     # subtree (selection thresholds + one conditional aggregation)
-    rbm = robust_means_frame(cents2).selectExpr(
+    rbm = robust_means_frame(cents2, _hist=hist).selectExpr(
         "'robust' AS family",
         "event_type AS k",
         "stack(8, 'lo_cents', CAST(lo_cents AS STRING),"
@@ -3695,7 +3781,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(grw)
         .unionByName(bag)
     ).localCheckpoint(eager=True)
-    for f in (hourly_n, hourly, ev, *released):
+    for f in (hourly_n, hourly, hist2, hist, ev, *released):
         f.unpersist()
     return out
 
@@ -3951,21 +4037,38 @@ def events_qdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qdigest_merge_frame(_events_cents(spark, sf_dir))
 
 
-def qdigest_merge_frame(ev_cents: DataFrame) -> DataFrame:
+def qdigest_merge_frame(
+    ev_cents: DataFrame, _hist2: DataFrame | None = None
+) -> DataFrame:
     """Core -State/-Merge audit over any (event_type, ts, cents) frame —
     factored out so events_series_suite can feed it from its persisted
-    corpus scan."""
+    corpus scan. r11: ``_hist2`` is a caller-shared (event_type,
+    first_half, cents, cnt) histogram — the leaf table becomes a tiny
+    clamp re-key and the rank audit a weighted fold, zero corpus scans."""
     import pandas as pd
 
     cap = (1 << QD_BITS) - 1
-    ev = ev_cents.select(
-        "event_type",
-        F.greatest(F.least(F.col("cents"), F.lit(cap)), F.lit(0)).alias("v"),
-        (F.dayofmonth("ts") <= QD_SPLIT_DAY).cast("int").alias("first_half"),
-    )
-    leaf = ev.groupBy("event_type", "first_half", "v").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    clamp_v = F.greatest(
+        F.least(F.col("cents"), F.lit(cap)), F.lit(0)
+    ).alias("v")
+    if _hist2 is not None:
+        leaf = (
+            _hist2.select("event_type", "first_half", clamp_v, "cnt")
+            .groupBy("event_type", "first_half", "v")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        leaf = (
+            ev_cents.select(
+                "event_type",
+                clamp_v,
+                (F.dayofmonth("ts") <= QD_SPLIT_DAY)
+                .cast("int")
+                .alias("first_half"),
+            )
+            .groupBy("event_type", "first_half", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         et = pdf["event_type"].iloc[0]
@@ -4013,17 +4116,17 @@ def qdigest_merge_frame(ev_cents: DataFrame) -> DataFrame:
         "sketch_nodes long, est_cents long, target long",
     )
     aud = (
-        ev.join(
+        leaf.join(
             F.broadcast(est.select("event_type", "q_pct", "est_cents")),
             "event_type",
         )
         .groupBy("event_type", "q_pct", "est_cents")
         .agg(
             F.sum(
-                F.when(F.col("v") < F.col("est_cents"), 1).otherwise(0)
+                F.when(F.col("v") < F.col("est_cents"), F.col("cnt")).otherwise(0)
             ).alias("cnt_lt"),
             F.sum(
-                F.when(F.col("v") <= F.col("est_cents"), 1).otherwise(0)
+                F.when(F.col("v") <= F.col("est_cents"), F.col("cnt")).otherwise(0)
             ).alias("cnt_le"),
         )
     )
@@ -5442,13 +5545,26 @@ def events_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def robust_means_frame(ev: DataFrame) -> DataFrame:
+def robust_means_frame(
+    ev: DataFrame, _hist: DataFrame | None = None
+) -> DataFrame:
     """Core winsorize/trim path over any (event_type, cents) frame —
     factored out so events_series_suite can feed it from its persisted
-    cents subtree."""
+    cents subtree. r11: thresholds AND the clamp/trim folds run off the
+    value-grain histogram (one corpus pass standalone, zero with a
+    caller-shared ``_hist``); every sum is a weighted fold, results
+    bit-identical."""
+    hist = _hist
+    if hist is None:
+        hist = (
+            ev.groupBy("event_type", "cents")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        hist.count()  # materialize before the fan-out (cold-race rule)
     thr = (
         quantile_select_frame(
-            ev, pcts=(RM_LO_PCT, RM_HI_PCT), bounded_axis=True
+            None, pcts=(RM_LO_PCT, RM_HI_PCT), bounded_axis=True, _hist=hist
         )
         .groupBy("event_type")
         .agg(
@@ -5461,25 +5577,27 @@ def robust_means_frame(ev: DataFrame) -> DataFrame:
         )
     )
     return (
-        ev.join(F.broadcast(thr), "event_type")
+        hist.join(F.broadcast(thr), "event_type")
         .groupBy("event_type", "lo", "hi")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("n"),
             F.sum(
                 F.greatest(F.least(F.col("cents"), F.col("hi")), F.col("lo"))
+                * F.col("cnt")
             ).alias("winsorized_sum"),
             F.sum(
                 F.when(
                     (F.col("cents") >= F.col("lo"))
                     & (F.col("cents") <= F.col("hi")),
-                    F.col("cents"),
+                    F.col("cents") * F.col("cnt"),
                 ).otherwise(F.lit(0))
             ).alias("trimmed_sum"),
             F.sum(
-                (
+                F.when(
                     (F.col("cents") >= F.col("lo"))
-                    & (F.col("cents") <= F.col("hi"))
-                ).cast("long")
+                    & (F.col("cents") <= F.col("hi")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
             ).alias("trimmed_n"),
         )
         .select(

@@ -35,6 +35,9 @@ def main() -> None:
           flush=True)
 
     n_par = spark.sparkContext.defaultParallelism
+    # per-path timings mirror the suite body exactly: same conf pin, same
+    # persisted subtrees (incl. the r11 shared value-grain histograms)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_par))
     ev = TS._events_cents(spark, sf_dir).persist()
     ev.count()
     cents2 = ev.select("event_type", "cents")
@@ -47,6 +50,25 @@ def main() -> None:
         .persist()
     )
     hourly_n.count()
+    hist2 = (
+        ev.groupBy(
+            "event_type",
+            (F.dayofmonth("ts") <= TS.QD_SPLIT_DAY).cast("int").alias(
+                "first_half"
+            ),
+            "cents",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition(n_par, "event_type")
+        .persist()
+    )
+    hist = (
+        hist2.groupBy("event_type", "cents")
+        .agg(F.sum("cnt").alias("cnt"))
+        .persist()
+    )
+    hist2.count()
+    hist.count()
 
     from neomarket_clickhouse_indexer_spark.queries.events import (
         bag_setops_frame,
@@ -55,16 +77,18 @@ def main() -> None:
     )
 
     paths = {
-        "qsel": lambda: TS.quantile_select_frame(cents2, bounded_axis=True),
-        "mad": lambda: TS.mad_outliers_frame(cents2),
+        "qsel": lambda: TS.quantile_select_frame(
+            cents2, bounded_axis=True, _hist=hist
+        ),
+        "mad": lambda: TS.mad_outliers_frame(cents2, _hist=hist),
         "autocov": lambda: TS.autocov_frame(hourly),
         "forecast": lambda: TS.forecast_backtest_frame(hourly),
-        "qdigest": lambda: TS.qdigest_frame(cents2),
+        "qdigest": lambda: TS.qdigest_frame(cents2, _hist=hist),
         "props": lambda: props_bucket_agg(spark, sf_dir),
         "cusum": lambda: TS.cusum_alarms_frame(hourly_n),
         "ctr": lambda: TS.counter_delta_frame(ev),
-        "qdmerge": lambda: TS.qdigest_merge_frame(ev),
-        "robust": lambda: TS.robust_means_frame(cents2),
+        "qdmerge": lambda: TS.qdigest_merge_frame(ev, _hist2=hist2),
+        "robust": lambda: TS.robust_means_frame(cents2, _hist=hist),
         "seasonal": lambda: TS.seasonal_residual_frame(
             hourly.withColumn("hod", F.col("x") % 24).repartition(
                 n_par, "event_type")),
@@ -86,8 +110,9 @@ def main() -> None:
         print(f"  path {name}: {dt:.2f}s", flush=True)
     for dt, name in sorted(rows, reverse=True):
         print(f"SORTED {name}: {dt:.2f}s")
-    for f in (hourly_n, hourly, ev):
+    for f in (hourly_n, hourly, hist2, hist, ev):
         f.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
 
     t0 = time.perf_counter()
     TS.user_segmentation_suite(spark, sf_dir)
