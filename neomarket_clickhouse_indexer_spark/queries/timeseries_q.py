@@ -2631,6 +2631,14 @@ def mad_outliers_frame(
         hist = (
             ev.groupBy("event_type", "cents")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            # downstream of a CACHED frame the plain session's 200
+            # shuffle partitions get NO AQE coalescing; pre-partitioning
+            # by event_type (a subset of every downstream groupBy/window
+            # key) makes the whole selection chain exchange-free
+            # (measured 7.4s -> 0.97s per selection at sf0.01 — the
+            # supplier_pagerank rule)
+            .repartition(ev.sparkSession.sparkContext.defaultParallelism,
+                         "event_type")
             .persist()
         )
         hist.count()  # materialize before the fan-out (cold-race rule)
@@ -2645,7 +2653,15 @@ def mad_outliers_frame(
             F.abs(F.col("cents") - F.col("med_cents")).alias("cents"),
         )
         .agg(F.sum("cnt").alias("cnt"))
+        # the deviation histogram feeds BOTH the MAD selection and the
+        # final fold, and broadcast(mad) embeds it a second time — left
+        # lazy, the med-selection subplan re-executes per branch at the
+        # plain session's 200 shuffle partitions (standalone entry
+        # regressed 2.3s -> 11.8s at sf0.01). Persist + count (cold-race
+        # rule) runs the med selection exactly once; <= 2^17 rows/type.
+        .persist()
     )
+    dev_hist.count()
     mad = quantile_select_frame(
         None,
         pcts=(50,),
@@ -5559,6 +5575,10 @@ def robust_means_frame(
         hist = (
             ev.groupBy("event_type", "cents")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            # pre-partition by event_type so the selection chain over the
+            # cached histogram is exchange-free (see mad_outliers_frame)
+            .repartition(ev.sparkSession.sparkContext.defaultParallelism,
+                         "event_type")
             .persist()
         )
         hist.count()  # materialize before the fan-out (cold-race rule)

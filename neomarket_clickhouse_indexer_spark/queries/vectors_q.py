@@ -2428,6 +2428,7 @@ def nsw_frame(
     _cache_out: list | None = None,
     rounds: int = NSW_ROUNDS,
     bucketings: list[tuple[int, int]] | None = None,
+    k: int = NSW_K,
 ) -> DataFrame:
     """NSW adjacency over any (vec_id, embedding) frame: (query_id, rank,
     neighbor_id, cosine_sim) after ``rounds`` refinement rounds
@@ -2486,7 +2487,7 @@ def nsw_frame(
         return (
             scored.repartition(n_par, "src")
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= NSW_K)
+            .filter(F.col("rank") <= k)
             .localCheckpoint(eager=True)
         )
 
