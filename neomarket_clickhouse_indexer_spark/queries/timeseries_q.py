@@ -3567,7 +3567,18 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist2.count()
     hist.count()
 
-    qsel = quantile_select_frame(
+    # r11: the 19 family builders are DRIVER-PACED at construction time
+    # (internal selection persists/counts, broadcast collects) — built
+    # serially they cost ~10.5s of the gate before the eager union job
+    # even starts (profiled at sf0.01; the union's lazy tails were never
+    # the problem). Pool the CONSTRUCTIONS (the r9 pooling rule: pools
+    # pay for driver-paced work only) — every shared subtree is already
+    # materialized above so no thunk can cold-race a sibling, and none
+    # of the builders sets session confs (the suite's pin is hoisted
+    # around the whole body).
+    released: list = []
+    thunks: dict = {}
+    thunks["qsel"] = lambda: quantile_select_frame(
         cents2, bounded_axis=True, _hist=hist
     ).selectExpr(
         "'qsel' AS family",
@@ -3576,7 +3587,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'rank_k', CAST(k AS STRING),"
         " 'value_cents', CAST(value_cents AS STRING)) AS (metric, value)",
     )
-    mad = mad_outliers_frame(cents2, _hist=hist).selectExpr(
+    thunks["mad"] = lambda: mad_outliers_frame(cents2, _hist=hist).selectExpr(
         "'mad' AS family",
         "event_type AS k",
         "stack(5, 'n', CAST(n AS STRING),"
@@ -3585,7 +3596,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'n_outliers', CAST(n_outliers AS STRING),"
         " 'outlier_ppm', CAST(outlier_ppm AS STRING)) AS (metric, value)",
     )
-    acv = autocov_frame(hourly).selectExpr(
+    thunks["acv"] = lambda: autocov_frame(hourly).selectExpr(
         "'autocov' AS family",
         "event_type || '/' || CAST(lag_h AS STRING) AS k",
         "stack(5, 'n_pairs', CAST(n_pairs AS STRING),"
@@ -3594,7 +3605,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'sum_ab', CAST(sum_ab AS STRING),"
         " 'cov_num', CAST(cov_num AS STRING)) AS (metric, value)",
     )
-    fct = forecast_backtest_frame(hourly).selectExpr(
+    thunks["fct"] = lambda: forecast_backtest_frame(hourly).selectExpr(
         "'forecast' AS family",
         "event_type || '/' || CAST(lag_h AS STRING) AS k",
         "stack(6, 'n_pairs', CAST(n_pairs AS STRING),"
@@ -3607,7 +3618,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feed the sketch from the suite's persisted cents subtree (NOT
     # events_qdigest_quantiles(spark, sf_dir), which would re-scan the raw
     # corpus — one extra scan per gate run; r7 ADVICE)
-    qd = qdigest_frame(cents2, _hist=hist).selectExpr(
+    thunks["qd"] = lambda: qdigest_frame(cents2, _hist=hist).selectExpr(
         "'qdigest' AS family",
         "event_type || '/' || CAST(q_pct AS STRING) AS k",
         "stack(9, 'n', CAST(n AS STRING),"
@@ -3620,14 +3631,14 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'le_ok', CAST(le_ok AS STRING),"
         " 'lt_ok', CAST(lt_ok AS STRING)) AS (metric, value)",
     )
-    props = props_bucket_agg(spark, sf_dir).selectExpr(
+    thunks["props"] = lambda: props_bucket_agg(spark, sf_dir).selectExpr(
         "'props' AS family",
         "CAST(k_bucket AS STRING) AS k",
         "stack(2, 'n', CAST(n AS STRING),"
         " 'total_value_e4', CAST(CAST(FLOOR(total_value * 10000 + 0.5)"
         " AS BIGINT) AS STRING)) AS (metric, value)",
     )
-    csm = cusum_alarms_frame(hourly_n).selectExpr(
+    thunks["csm"] = lambda: cusum_alarms_frame(hourly_n).selectExpr(
         "'cusum' AS family",
         "event_type || '/' || CAST(datediff(bucket, DATE '2024-01-01') * 24"
         " + hour(bucket) AS STRING) AS k",
@@ -3636,7 +3647,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'cusum', CAST(cusum AS STRING),"
         " 'threshold', CAST(threshold AS STRING)) AS (metric, value)",
     )
-    ctr = counter_delta_frame(ev).selectExpr(
+    thunks["ctr"] = lambda: counter_delta_frame(ev).selectExpr(
         "'ctr' AS family",
         "event_type AS k",
         "stack(5, 'n', CAST(n AS STRING),"
@@ -3649,7 +3660,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r8 growth 2: the q-digest -State/-Merge audit (the last r7 family
     # without an in-window row) executed verbatim off the same persisted
     # scan; booleans ride as 0/1 ints (CAST path identical cross-engine)
-    qdm = qdigest_merge_frame(ev, _hist2=hist2).selectExpr(
+    thunks["qdm"] = lambda: qdigest_merge_frame(ev, _hist2=hist2).selectExpr(
         "'qdmerge' AS family",
         "event_type || '/' || CAST(q_pct AS STRING) AS k",
         "stack(11, 'n', CAST(n AS STRING),"
@@ -3666,7 +3677,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r8 growth 3: winsorized/trimmed robust means off the same cents
     # subtree (selection thresholds + one conditional aggregation)
-    rbm = robust_means_frame(cents2, _hist=hist).selectExpr(
+    thunks["rbm"] = lambda: robust_means_frame(cents2, _hist=hist).selectExpr(
         "'robust' AS family",
         "event_type AS k",
         "stack(8, 'lo_cents', CAST(lo_cents AS STRING),"
@@ -3679,7 +3690,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'trimmed_mean_milli', CAST(trimmed_mean_milli AS STRING))"
         " AS (metric, value)",
     )
-    ssn = seasonal_residual_frame(
+    thunks["ssn"] = lambda: seasonal_residual_frame(
         hourly.withColumn("hod", F.col("x") % 24).repartition(
             n_par, "event_type"
         )
@@ -3697,7 +3708,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # monitors — both single map-side-combinable scan shapes — executed
     # verbatim off the same persisted scan; sumsq_cents rides the exact
     # DECIMAL(38,0)-as-STRING path (the autocov cov_num precedent)
-    dft = value_drift_frame(ev).selectExpr(
+    thunks["dft"] = lambda: value_drift_frame(ev).selectExpr(
         "'drift' AS family",
         "event_type || '/' || CAST(bucket AS STRING) AS k",
         "stack(5, 'n_first', CAST(n_first AS STRING),"
@@ -3707,7 +3718,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'abs_share_diff_ppm', CAST(abs_share_diff_ppm AS STRING))"
         " AS (metric, value)",
     )
-    ab = ab_arm_stats_frame(ev).selectExpr(
+    thunks["ab"] = lambda: ab_arm_stats_frame(ev).selectExpr(
         "'ab' AS family",
         "event_type || '/' || arm AS k",
         "stack(3, 'n', CAST(n AS STRING),"
@@ -3717,7 +3728,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 growths 2: the cross-type lead-lag correlation stats ride the
     # SAME persisted hourly series as autocov/forecast, and the Markov
     # transition fit rides the persisted raw scan
-    xc = xcorr_frame(hourly).selectExpr(
+    thunks["xc"] = lambda: xcorr_frame(hourly).selectExpr(
         "'xcorr' AS family",
         "type_a || '/' || type_b || '/' || CAST(lag_h AS STRING) AS k",
         "stack(5, 'n_pairs', CAST(n_pairs AS STRING),"
@@ -3726,7 +3737,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'sum_ab', CAST(sum_ab AS STRING),"
         " 'cov_num', CAST(cov_num AS STRING)) AS (metric, value)",
     )
-    mkv = transition_matrix_frame(ev).selectExpr(
+    thunks["mkv"] = lambda: transition_matrix_frame(ev).selectExpr(
         "'markov' AS family",
         "prev_type || '/' || next_type AS k",
         "stack(3, 'n', CAST(n AS STRING),"
@@ -3735,14 +3746,14 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r9 growths 3: the integer EWMA control chart rides the persisted
     # hourly series; the day-bitmap -Merge tier rides the raw scan
-    ewm = ewma_control_frame(hourly).selectExpr(
+    thunks["ewm"] = lambda: ewma_control_frame(hourly).selectExpr(
         "'ewma' AS family",
         "event_type || '/' || CAST(x AS STRING) AS k",
         "stack(3, 's', CAST(s AS STRING),"
         " 'ewma', CAST(ewma AS STRING),"
         " 'resid', CAST(resid AS STRING)) AS (metric, value)",
     )
-    bmp = day_bitmap_frame(ev).selectExpr(
+    thunks["bmp"] = lambda: day_bitmap_frame(ev).selectExpr(
         "'bitmap' AS family",
         "event_type AS k",
         "stack(6, 'n_users', CAST(n_users AS STRING),"
@@ -3756,8 +3767,7 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9 growths 4: growth accounting + bag set-ops off the same scan
     from .events import bag_setops_frame, growth_accounting_frame
 
-    released: list = []
-    grw = growth_accounting_frame(ev, _cache_out=released).selectExpr(
+    thunks["grw"] = lambda: growth_accounting_frame(ev, _cache_out=released).selectExpr(
         "'growth' AS family",
         "date_format(day, 'yyyy-MM-dd') AS k",
         "stack(4, 'n_new', CAST(n_new AS STRING),"
@@ -3765,12 +3775,17 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'n_resurrected', CAST(n_resurrected AS STRING),"
         " 'n_churned', CAST(n_churned AS STRING)) AS (metric, value)",
     )
-    bag = bag_setops_frame(ev).selectExpr(
+    thunks["bag"] = lambda: bag_setops_frame(ev).selectExpr(
         "'bagops' AS family",
         "op || '/' || CAST(user_id AS STRING) AS k",
         "stack(1, 'multiplicity', CAST(multiplicity AS STRING))"
         " AS (metric, value)",
     )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {n: pool.submit(t) for n, t in thunks.items()}
+        fr = {n: f.result() for n, f in futs.items()}
     # materialize growth's persisted user-day frame too — it feeds three
     # branches of the union job (same cold-race class as above)
     for f in released:
@@ -3778,24 +3793,24 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager checkpoint + RELEASE the shared subtrees (the segmentation
     # suite's session-cache-pressure rationale)
     out = (
-        qsel.unionByName(mad)
-        .unionByName(acv)
-        .unionByName(fct)
-        .unionByName(qd)
-        .unionByName(props)
-        .unionByName(csm)
-        .unionByName(ctr)
-        .unionByName(ssn)
-        .unionByName(qdm)
-        .unionByName(rbm)
-        .unionByName(dft)
-        .unionByName(ab)
-        .unionByName(xc)
-        .unionByName(mkv)
-        .unionByName(ewm)
-        .unionByName(bmp)
-        .unionByName(grw)
-        .unionByName(bag)
+        fr["qsel"].unionByName(fr["mad"])
+        .unionByName(fr["acv"])
+        .unionByName(fr["fct"])
+        .unionByName(fr["qd"])
+        .unionByName(fr["props"])
+        .unionByName(fr["csm"])
+        .unionByName(fr["ctr"])
+        .unionByName(fr["ssn"])
+        .unionByName(fr["qdm"])
+        .unionByName(fr["rbm"])
+        .unionByName(fr["dft"])
+        .unionByName(fr["ab"])
+        .unionByName(fr["xc"])
+        .unionByName(fr["mkv"])
+        .unionByName(fr["ewm"])
+        .unionByName(fr["bmp"])
+        .unionByName(fr["grw"])
+        .unionByName(fr["bag"])
     ).localCheckpoint(eager=True)
     for f in (hourly_n, hourly, hist2, hist, ev, *released):
         f.unpersist()
@@ -5142,14 +5157,15 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrently and would re-race the cold persists (the series-suite
     # cold-race fix, r10 — per_user's scan of ev warms ev transitively)
     per_user.count()
-    rfm = rfm_segments_frame(per_user).selectExpr(
+    thunks: dict = {}
+    thunks["rfm"] = lambda: rfm_segments_frame(per_user).selectExpr(
         "'rfm' AS family",
         "CAST(r_seg AS STRING) || '/' || CAST(f_seg AS STRING) || '/' ||"
         " CAST(m_seg AS STRING) AS k",
         "stack(2, 'n_users', CAST(n_users AS STRING),"
         " 'sum_cents', CAST(sum_cents AS STRING)) AS (metric, value)",
     )
-    ltv = ltv_curves_frame(ev).selectExpr(
+    thunks["ltv"] = lambda: ltv_curves_frame(ev).selectExpr(
         "'ltv' AS family",
         "CAST(cohort_week AS STRING) || '/' || CAST(week_offset AS STRING)"
         " AS k",
@@ -5157,7 +5173,7 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'cum_cents', CAST(cum_cents AS STRING),"
         " 'ltv_ppm', CAST(ltv_ppm AS STRING)) AS (metric, value)",
     )
-    par = volume_concentration_frame(per_user).selectExpr(
+    thunks["par"] = lambda: volume_concentration_frame(per_user).selectExpr(
         "'pareto' AS family",
         "CAST(pct AS STRING) AS k",
         "stack(4, 'thr_cents', CAST(thr_cents AS STRING),"
@@ -5170,7 +5186,7 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted scan — max drawdown (running-cummax fold vs the oracle's
     # quadratic pair definition) and linear multi-touch attribution
     # (credit-conserving DIV-k shares); both all-BIGINT
-    mdd = max_drawdown_frame(ev).selectExpr(
+    thunks["mdd"] = lambda: max_drawdown_frame(ev).selectExpr(
         "'mdd' AS family",
         "CAST(user_id AS STRING) AS k",
         "stack(5, 'n_events', CAST(n_events AS STRING),"
@@ -5180,7 +5196,7 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'underwater_events', CAST(underwater_events AS STRING))"
         " AS (metric, value)",
     )
-    att = attribution_frame(ev).selectExpr(
+    thunks["att"] = lambda: attribution_frame(ev).selectExpr(
         "'attr' AS family",
         "CAST(user_id AS STRING) || '/' || CAST(lag_h AS STRING) AS k",
         "stack(2, 'cents', CAST(cents AS STRING),"
@@ -5189,7 +5205,7 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # late-r8 growth: the exact-Gini closed form rides the SAME per-user
     # frame (monetary column); abs_diff_sum is DECIMAL(38,0), exact as
     # STRING (the fused-suite value-column doctrine)
-    gin = gini_frame(per_user).selectExpr(
+    thunks["gin"] = lambda: gini_frame(per_user).selectExpr(
         "'gini' AS family",
         "'all' AS k",
         "stack(4, 'n', CAST(n AS STRING),"
@@ -5201,12 +5217,20 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session otherwise accumulates every suite's persisted frames and
     # later entries pay the cache-pressure tax (r9: three untouched doc
     # gates slowed 2-3x between the round's first and last full sim)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # r11: the six builders are driver-paced at construction (threshold
+    # collects, ladder persists) — pool the constructions like the
+    # series suite; every shared subtree is materialized above
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = {n: pool.submit(t) for n, t in thunks.items()}
+        fr = {n: f.result() for n, f in futs.items()}
     out = (
-        rfm.unionByName(ltv)
-        .unionByName(par)
-        .unionByName(mdd)
-        .unionByName(att)
-        .unionByName(gin)
+        fr["rfm"].unionByName(fr["ltv"])
+        .unionByName(fr["par"])
+        .unionByName(fr["mdd"])
+        .unionByName(fr["att"])
+        .unionByName(fr["gin"])
     ).localCheckpoint(eager=True)
     per_user.unpersist()
     ev.unpersist()
