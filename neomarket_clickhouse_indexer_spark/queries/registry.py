@@ -1138,6 +1138,17 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "standalone form — also runs inside ann_index_audit for "
               "its in-window check; oracle = unrolled MATERIALIZED "
               "round CTEs"),
+    QuerySpec("knn_hnsw_search", V.knn_hnsw_search,
+              V.KNN_HNSW_SEARCH_SQL, ("VS3", "W4", "BONUS"),
+              "MULTI-LAYER NSW (the HNSW hierarchy): md5-sampled nested "
+              "layers (1/8 per level, 495/78/10 fixture pyramid), one "
+              "NSW build per layer with population-scaled bucketings, "
+              "then layer-DESCENDING beam search (narrow beams up top, "
+              "full beam only at layer 0) — one gate pins both the layered "
+              "adjacency state and the serve results in long format; "
+              "descent recall@10 beats the flat beam (pinned in "
+              "tests/test_hnsw.py); oracle = three prefixed MATERIALIZED "
+              "graph chains + unrolled descent-hop CTEs"),
     QuerySpec("user_churn_hazard", TS.user_churn_hazard,
               TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
               "survival analysis: Nelson-Aalen cumulative churn hazard "

@@ -2567,16 +2567,21 @@ def nsw_frame(
     )
 
 
-def _nsw_cte_chain(corpus_where: str = "") -> str:
-    """The shared NSW-graph CTE prefix (nrm, b0..b3, c0/s0/e0,
-    u/c/s/e per round) over ``embeddings [WHERE corpus_where]`` — used
-    by the graph oracle (no filter) and the beam-search oracle (graph
-    restricted to the corpus split)."""
-    # per-vector norms precomputed ONCE (identical expression to the
-    # per-pair _ANORM, so the double is bit-identical); buckets likewise
-    # computed once per bucketing before the cap window
+def _nsw_forest_sql(
+    p: str,
+    corpus_where: str,
+    bucketings: list[tuple[int, int]],
+    k: int = NSW_K,
+    rounds: int = NSW_ROUNDS,
+    expand: int = NSW_EXPAND,
+) -> str:
+    """One NSW graph as a CTE-chain FRAGMENT ({p}b*, {p}c0/s0/e0,
+    {p}u/c/s/e per round — no WITH keyword, references the shared
+    ``nrm`` CTE) over ``embeddings [WHERE corpus_where]``. ``p``
+    prefixes every CTE name so the HNSW oracle can instantiate one
+    chain per layer in a single statement."""
     forest = ",\n".join(
-        f"""b{k} AS MATERIALIZED (
+        f"""{p}b{j} AS MATERIALIZED (
   SELECT vec_id, bucket FROM (
     SELECT vec_id, bucket,
            ROW_NUMBER() OVER (
@@ -2587,75 +2592,89 @@ def _nsw_cte_chain(corpus_where: str = "") -> str:
           FROM embeddings {corpus_where})
   ) WHERE r <= {MUTUAL_BUCKET_CAP}
 )"""
-        for k, (start, n) in enumerate(NSW_BUCKETINGS)
+        for j, (start, n) in enumerate(bucketings)
     )
     pair_union = "\n    UNION\n".join(
         f"""    SELECT x.vec_id AS src, y.vec_id AS dst
-    FROM b{k} x JOIN b{k} y
+    FROM {p}b{j} x JOIN {p}b{j} y
       ON x.bucket = y.bucket AND x.vec_id <> y.vec_id"""
-        for k in range(len(NSW_BUCKETINGS))
+        for j in range(len(bucketings))
     )
-    head = f"""
-WITH nrm AS MATERIALIZED (
-  SELECT a.vec_id, a.embedding, {_ANORM} AS nn
-  FROM embeddings a
-),
-{forest},
-c0 AS MATERIALIZED (
+    head = f"""{forest},
+{p}c0 AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
 {pair_union}
   )
 ),
-s0 AS MATERIALIZED (
+{p}s0 AS MATERIALIZED (
   SELECT c.src, c.dst,
          ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
-  FROM c0 c
+  FROM {p}c0 c
   JOIN nrm a ON a.vec_id = c.src
   JOIN nrm b ON b.vec_id = c.dst
 ),
-e0 AS MATERIALIZED (
+{p}e0 AS MATERIALIZED (
   SELECT src, dst, cosine_sim, rank FROM (
     SELECT src, dst, cosine_sim,
            ROW_NUMBER() OVER (PARTITION BY src
                               ORDER BY cosine_sim DESC, dst) AS rank
-    FROM s0
-  ) WHERE rank <= {NSW_K}
+    FROM {p}s0
+  ) WHERE rank <= {k}
 )"""
-    rounds = []
-    for i in range(1, NSW_ROUNDS + 1):
+    parts = []
+    for i in range(1, rounds + 1):
         # every CTE a later member references is MATERIALIZED (the
         # recursive/chained-CTE re-evaluation doctrine, CLAUDE.md r6)
-        rounds.append(f""",
-u{i} AS MATERIALIZED (
-  SELECT src, dst FROM e{i - 1} WHERE rank <= {NSW_EXPAND}
+        parts.append(f""",
+{p}u{i} AS MATERIALIZED (
+  SELECT src, dst FROM {p}e{i - 1} WHERE rank <= {expand}
   UNION ALL
-  SELECT dst AS src, src AS dst FROM e{i - 1} WHERE rank <= {NSW_EXPAND}
+  SELECT dst AS src, src AS dst FROM {p}e{i - 1} WHERE rank <= {expand}
 ),
-c{i} AS MATERIALIZED (
+{p}c{i} AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM e{i - 1}
+    SELECT src, dst FROM {p}e{i - 1}
     UNION
     SELECT x.src, y.dst
-    FROM u{i} x JOIN u{i} y ON x.dst = y.src
+    FROM {p}u{i} x JOIN {p}u{i} y ON x.dst = y.src
     WHERE x.src <> y.dst
   )
 ),
-s{i} AS MATERIALIZED (
+{p}s{i} AS MATERIALIZED (
   SELECT c.src, c.dst,
          ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
-  FROM c{i} c
+  FROM {p}c{i} c
   JOIN nrm a ON a.vec_id = c.src
   JOIN nrm b ON b.vec_id = c.dst
 ),
-e{i} AS MATERIALIZED (
+{p}e{i} AS MATERIALIZED (
   SELECT src, dst, cosine_sim, rank FROM (
     SELECT src, dst, cosine_sim,
            ROW_NUMBER() OVER (PARTITION BY src
                               ORDER BY cosine_sim DESC, dst) AS rank
-    FROM s{i}
-  ) WHERE rank <= {NSW_K}
+    FROM {p}s{i}
+  ) WHERE rank <= {k}
 )""")
-    return head + "".join(rounds)
+    return head + "".join(parts)
+
+
+_NRM_CTE = f"""
+WITH nrm AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, {_ANORM} AS nn
+  FROM embeddings a
+),
+"""
+
+
+def _nsw_cte_chain(corpus_where: str = "") -> str:
+    """The shared NSW-graph CTE prefix (nrm, b0..b3, c0/s0/e0,
+    u/c/s/e per round) over ``embeddings [WHERE corpus_where]`` — used
+    by the graph oracle (no filter) and the beam-search oracle (graph
+    restricted to the corpus split)."""
+    # per-vector norms precomputed ONCE (identical expression to the
+    # per-pair _ANORM, so the double is bit-identical); buckets likewise
+    # computed once per bucketing before the cap window
+    return _NRM_CTE + _nsw_forest_sql("", corpus_where, NSW_BUCKETINGS)
 
 
 def _nsw_sql() -> str:
@@ -2871,6 +2890,323 @@ FROM (
 
 
 KNN_NSW_SEARCH_SQL = _nsw_search_sql()
+
+
+# --- knn_hnsw_search: MULTI-LAYER NSW (the HNSW hierarchy, Malkov &
+#     Yashunin TPAMI'18) — the r10 verdict's stretch task. One gate
+#     entry pins BOTH halves in a long format: part='adj' rows are the
+#     full layered adjacency state (layer 0 = the flat corpus NSW graph,
+#     layers 1..2 = NSW graphs over md5-sampled nested subsets), and
+#     part='serve' rows are the layer-descending beam search results
+#     for the query split.
+#
+#     Layer assignment (deterministic, no RNG — the md5 doctrine):
+#     node v belongs to layer >= l iff the first l hex chars of
+#     md5(CAST(vec_id AS STRING)) are each in {'0','1'} — a 1/8
+#     geometric per-level sample (HNSW's exponentially decaying layer
+#     distribution) that both engines compute identically. Fixture
+#     pyramid: 495 / 78 / 10 nodes.
+#
+#     Layers are NESTED (layer 2 ⊂ layer 1 ⊂ layer 0), so every node
+#     found while searching layer l+1 exists in layer l — the descent
+#     invariant that makes the per-layer beam cut over the carried
+#     visited set well-defined. Per-layer bucketings shrink with the
+#     population (3 planes for layer 1, 1 plane for layer 2) so bucket
+#     size stays ~constant — the production sizing rule from nsw_frame's
+#     docstring applied per layer.
+#
+#     Serve: entry = the HNSW_E md5-smallest layer-2 nodes; each layer l
+#     runs HNSW_HOPS[l] beam-expand-score hops at width HNSW_BEAMS[l]
+#     over layer l's adjacency, carrying the scored visited set down
+#     (narrow beams up top — the HNSW "ef=1 descent" shape — and the
+#     full beam only at layer 0). The hierarchy's measured win at the
+#     fixture (pinned in tests/test_hnsw.py): recall@10 = 0.74 at
+#     ~742 scores/query (2 + 1·2·K + 2·4·K + 4·16·K) vs the flat beam
+#     search's 0.64 at ~648 — and the FLAT search needs beam 24
+#     (~968 scores/query, measured 0.74) to match, i.e. equal recall at
+#     0.77x the scored work.
+#
+#     100 TB: the layered graph is Σ_l N/8^l · K edges ≈ 1.14·N·K — 14%
+#     over the flat graph for asymptotically better entry points (upper
+#     layers are the express lanes; entry cost is O(B·K·H) per layer,
+#     never a scan of anything). Build = 3 independent nsw_frame builds,
+#     the upper two over 8x/64x-smaller corpora (negligible next to
+#     layer 0). Reference has no vector surface; beyond-ref (SURVEY
+#     similarity-search mandate — the hierarchy tier).
+
+HNSW_LEVELS = 3
+HNSW_BUCKETINGS = [
+    NSW_BUCKETINGS,                       # layer 0: 495 nodes, 32 buckets
+    [(0, 3), (1, 3), (2, 3), (3, 3)],     # layer 1: 78 nodes, 8 buckets
+    [(0, 1), (1, 1)],                     # layer 2: 10 nodes, 2 buckets
+]
+HNSW_BEAMS = [16, 4, 2]   # per-layer beam width, layer-indexed
+HNSW_HOPS = [4, 2, 1]     # per-layer hop count, layer-indexed
+# refinement rounds per layer: full NN-descent on layers 0-1 (layer 1
+# is the routing layer — its graph quality feeds straight into entry
+# placement; sweep: rounds [2,1,0] lost 6 recall points), but layer 2
+# (10 nodes over two overlapping 2-bucket forests) is near-complete at
+# round 0 and each skipped round drops an eager-checkpoint stage whose
+# cost at this size is pure scheduler overhead
+HNSW_ROUNDS = [NSW_ROUNDS, NSW_ROUNDS, 0]
+HNSW_E = 2                # md5-chosen entry nodes at the top layer
+
+
+def _hnsw_level_pred(level: int):
+    """Spark predicate: vec_id belongs to layer >= ``level``."""
+    h = F.md5(F.col("vec_id").cast("string"))
+    pred = F.lit(True)
+    for i in range(1, level + 1):
+        pred = pred & F.substring(h, i, 1).isin("0", "1")
+    return pred
+
+
+def _hnsw_level_where(level: int) -> str:
+    """DuckDB WHERE clause for the corpus split of layer >= ``level``."""
+    conds = [f"vec_id >= {N_QUERIES}"]
+    for i in range(1, level + 1):
+        conds.append(
+            f"substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1) IN ('0','1')"
+        )
+    return "WHERE " + " AND ".join(conds)
+
+
+def knn_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager under a conf pin, like the flat graph build it generalizes
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = hnsw_search_frame(
+            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def hnsw_search_frame(
+    emb: DataFrame,
+    _cache_out: list | None = None,
+) -> DataFrame:
+    """Layered NSW build + descending beam search over any
+    (vec_id, embedding) frame; long output (part, layer, query_id,
+    rank, neighbor_id, cosine_sim) — part='adj' is the per-layer
+    adjacency state, part='serve' the final per-query top-K."""
+    n_par = emb.sparkSession.sparkContext.defaultParallelism
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    caches: list = []
+    # the three layer graphs: independent NSW builds over nested
+    # md5-sampled subsets (layer 0 reuses the flat-graph parameters)
+    # the three builds are driver-paced (per-round eager checkpoints) —
+    # overlap them from a thread pool (the ann_index_audit doctrine);
+    # layer 0 dominates, so pooled wall ~= the flat build's
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(lvl: int) -> DataFrame:
+        nodes = corpus.filter(_hnsw_level_pred(lvl))
+        return nsw_frame(
+            nodes, _cache_out=caches,
+            rounds=HNSW_ROUNDS[lvl],
+            bucketings=HNSW_BUCKETINGS[lvl],
+        )
+
+    with ThreadPoolExecutor(max_workers=HNSW_LEVELS) as pool:
+        futs = [pool.submit(_build, lvl) for lvl in range(HNSW_LEVELS)]
+        adjs = [f.result() for f in futs]
+    qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        VX.norm(F.col("embedding")).alias("q_norm"),
+    ).persist()
+    cdf = corpus.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("c_emb"),
+        VX.norm(F.col("embedding")).alias("c_norm"),
+    ).persist()
+    caches.extend([qdf, cdf])
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+
+    def _score(cand: DataFrame) -> DataFrame:
+        # same arithmetic as nsw_search_frame / knn_bruteforce
+        return (
+            cand.join(F.broadcast(qdf), "query_id")
+            .join(cdf, "node")
+            .select(
+                "query_id",
+                "node",
+                F.round(
+                    VX.dot(F.col("q_emb"), F.col("c_emb"))
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    6,
+                ).alias("cosine_sim"),
+            )
+        )
+
+    entries = (
+        corpus.filter(_hnsw_level_pred(HNSW_LEVELS - 1))
+        .select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(HNSW_E)
+        .select(F.col("vec_id").alias("node"))
+    )
+    visited = _score(
+        qdf.select("query_id").crossJoin(F.broadcast(entries))
+    ).localCheckpoint(eager=True)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("node")
+    )
+    # descend: top layer first, full beam only at layer 0; nesting
+    # guarantees every beam node exists in the layer being searched
+    # or contributes nothing to the expansion join (never wrong, only
+    # narrower)
+    for lvl in range(HNSW_LEVELS - 1, -1, -1):
+        g = adjs[lvl].select(
+            F.col("query_id").alias("node"),
+            F.col("neighbor_id").alias("nxt"),
+        )
+        for _ in range(HNSW_HOPS[lvl]):
+            beam = (
+                visited.withColumn("r", F.row_number().over(wb))
+                .filter(F.col("r") <= HNSW_BEAMS[lvl])
+                .select("query_id", "node")
+            )
+            expanded = (
+                beam.join(g, "node")
+                .select("query_id", F.col("nxt").alias("node"))
+                .distinct()
+                .join(
+                    visited.select("query_id", "node"),
+                    ["query_id", "node"],
+                    "left_anti",
+                )
+            )
+            visited = (
+                visited.unionByName(_score(expanded))
+                .repartition(n_par, "query_id")
+                .localCheckpoint(eager=True)  # clamp per-hop lineage
+            )
+    serve = (
+        visited.withColumn("rank", F.row_number().over(wb).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.lit("serve").alias("part"),
+            F.lit(-1).cast("long").alias("layer"),
+            F.col("query_id").cast("long").alias("query_id"),
+            "rank",
+            F.col("node").cast("long").alias("neighbor_id"),
+            "cosine_sim",
+        )
+    )
+    adj_parts = [
+        adjs[lvl].select(
+            F.lit("adj").alias("part"),
+            F.lit(lvl).cast("long").alias("layer"),
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cosine_sim",
+        )
+        for lvl in range(HNSW_LEVELS)
+    ]
+    out = serve
+    for ap in adj_parts:
+        out = out.unionByName(ap)
+    return out
+
+
+def _hnsw_sql() -> str:
+    # three layer chains under one shared nrm CTE, then the unrolled
+    # descent hops (global hop counter across layers so CTE names stay
+    # unique); every referenced CTE MATERIALIZED (CLAUDE.md r6 rule)
+    chains = ",\n".join(
+        _nsw_forest_sql(
+            f"g{lvl}_", _hnsw_level_where(lvl), HNSW_BUCKETINGS[lvl],
+            rounds=HNSW_ROUNDS[lvl],
+        )
+        for lvl in range(HNSW_LEVELS)
+    )
+    hops = []
+    j = 0
+    for lvl in range(HNSW_LEVELS - 1, -1, -1):
+        for _ in range(HNSW_HOPS[lvl]):
+            j += 1
+            hops.append(f""",
+f{j - 1} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, node) AS r
+    FROM v{j - 1}
+  ) WHERE r <= {HNSW_BEAMS[lvl]}
+),
+x{j} AS MATERIALIZED (
+  SELECT DISTINCT f.query_id, g.dst AS node
+  FROM f{j - 1} f JOIN g{lvl}_e{HNSW_ROUNDS[lvl]} g ON g.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM v{j - 1} v
+                    WHERE v.query_id = f.query_id AND v.node = g.dst)
+),
+v{j} AS MATERIALIZED (
+  SELECT query_id, node, cosine_sim FROM v{j - 1}
+  UNION ALL
+  SELECT x.query_id, x.node,
+         ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
+  FROM x{j} x
+  JOIN nrm a ON a.vec_id = x.query_id
+  JOIN nrm b ON b.vec_id = x.node
+)""")
+    n_hops = j
+    adj_selects = "\n  UNION ALL\n".join(
+        f"""  SELECT 'adj' AS part, CAST({lvl} AS BIGINT) AS layer,
+         CAST(src AS BIGINT) AS query_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src
+                                 ORDER BY cosine_sim DESC, dst)
+              AS BIGINT) AS rank,
+         CAST(dst AS BIGINT) AS neighbor_id, cosine_sim
+  FROM g{lvl}_e{HNSW_ROUNDS[lvl]}"""
+        for lvl in range(HNSW_LEVELS)
+    )
+    return _NRM_CTE + chains + f""",
+ent AS MATERIALIZED (
+  SELECT vec_id AS node FROM (
+    SELECT vec_id,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS r
+    FROM embeddings {_hnsw_level_where(HNSW_LEVELS - 1)}
+  ) WHERE r <= {HNSW_E}
+),
+v0 AS MATERIALIZED (
+  SELECT a.vec_id AS query_id, e.node,
+         ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
+  FROM nrm a CROSS JOIN ent e
+  JOIN nrm b ON b.vec_id = e.node
+  WHERE a.vec_id < {N_QUERIES}
+){"".join(hops)}
+SELECT 'serve' AS part, CAST(-1 AS BIGINT) AS layer,
+       CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(node AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM (
+  SELECT query_id, node, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, node) AS rank
+  FROM v{n_hops}
+) WHERE rank <= {TOP_K}
+UNION ALL
+SELECT part, layer, query_id, rank, neighbor_id, cosine_sim FROM (
+{adj_selects}
+)
+"""
+
+
+KNN_HNSW_SEARCH_SQL = _hnsw_sql()
 
 
 # --- embeddings_sq8_audit: int8 SCALAR QUANTIZATION (the SQ8 index tier

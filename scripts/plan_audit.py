@@ -132,6 +132,10 @@ for name in sorted(REGISTRY):
                 # eager graph build; its join/window shapes are the
                 # audited knn_bruteforce / knn_mutual_pairs classes
                 "knn_nsw_search",
+                # r11: three eager layer builds + eager per-hop descent
+                # checkpoints; same audited shapes as knn_nsw_graph /
+                # knn_nsw_search
+                "knn_hnsw_search",
                 # r10: eager checkpoint under the scoped conf pin;
                 # component shapes stay audited via docs_cms_counts /
                 # docs_heavy_hitters / docs_kmv_distinct
