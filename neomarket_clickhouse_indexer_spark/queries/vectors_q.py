@@ -2993,11 +2993,16 @@ def knn_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hnsw_search_frame(
     emb: DataFrame,
     _cache_out: list | None = None,
+    bucketings: list | None = None,
 ) -> DataFrame:
     """Layered NSW build + descending beam search over any
     (vec_id, embedding) frame; long output (part, layer, query_id,
     rank, neighbor_id, cosine_sim) — part='adj' is the per-layer
-    adjacency state, part='serve' the final per-query top-K."""
+    adjacency state, part='serve' the final per-query top-K.
+    ``bucketings`` overrides the per-layer forest sizing (the scale
+    harness grows plane counts with the corpus, layer-indexed)."""
+    if bucketings is None:
+        bucketings = HNSW_BUCKETINGS
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     caches: list = []
@@ -3013,7 +3018,7 @@ def hnsw_search_frame(
         return nsw_frame(
             nodes, _cache_out=caches,
             rounds=HNSW_ROUNDS[lvl],
-            bucketings=HNSW_BUCKETINGS[lvl],
+            bucketings=bucketings[lvl],
         )
 
     with ThreadPoolExecutor(max_workers=HNSW_LEVELS) as pool:

@@ -9,8 +9,14 @@ size roughly constant: n_planes ~ log2(N / target_bucket_size), the
 production sizing rule documented on nsw_frame.
 
 Usage: python3 scripts/nsw_scale.py <N> [n_planes]
+       python3 scripts/nsw_scale.py <N> --hnsw
 Run once per scale IN SEPARATE PROCESSES on a quiet host (min-of-2,
 report steady iter1 — the in-session contamination lesson, BENCH.md).
+
+--hnsw times the full LAYERED build + descent serve instead: per-layer
+plane counts follow the same constant-bucket rule against each layer's
+1/8-sampled population (L1 = n_planes - 3, L2 = n_planes - 6, floored
+at 1), so upper-layer cost stays a constant fraction of layer 0's.
 """
 
 from __future__ import annotations
@@ -24,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from neomarket_clickhouse_indexer_spark.queries.vectors_q import nsw_frame
+from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+    hnsw_search_frame,
+    nsw_frame,
+)
 from neomarket_clickhouse_indexer_spark.session import get_spark
 from neomarket_clickhouse_indexer_spark.sources.tables import load_table
 
@@ -63,12 +72,39 @@ def main() -> None:
         )
     emb = spark.read.parquet(scaled_path)
     n_vecs = emb.count()
+    hnsw = len(sys.argv) > 2 and sys.argv[2] == "--hnsw"
     # hold bucket size ~32: the scale knob is plane count, not the cap
     n_planes = (
         int(sys.argv[2])
-        if len(sys.argv) > 2
+        if len(sys.argv) > 2 and not hnsw
         else max(5, math.ceil(math.log2(max(n_vecs, 64) / 32)))
     )
+    if hnsw:
+        per_layer = [
+            [(k, max(1, n_planes - 3 * lvl)) for k in range(4 if lvl < 2 else 2)]
+            for lvl in range(3)
+        ]
+        print(
+            f"x{n}: {n_vecs:,} vectors, layered forests "
+            f"{[b[0][1] for b in per_layer]} planes",
+            flush=True,
+        )
+        for it in range(2):
+            t0 = time.perf_counter()
+            caches: list = []
+            out = hnsw_search_frame(
+                emb, _cache_out=caches, bucketings=per_layer
+            )
+            cnt = out.count()
+            print(
+                f"hnsw_build+serve x{n} iter{it}: "
+                f"{time.perf_counter() - t0:.2f}s ({cnt:,} rows)",
+                flush=True,
+            )
+            for df in caches:
+                df.unpersist()
+        spark.stop()
+        return
     bucketings = [(k, n_planes) for k in range(4)]
     print(
         f"x{n}: {n_vecs:,} vectors, forest 4 x {n_planes} planes "
