@@ -1138,6 +1138,16 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "standalone form — also runs inside ann_index_audit for "
               "its in-window check; oracle = unrolled MATERIALIZED "
               "round CTEs"),
+    QuerySpec("knn_ivfpq_adc", V.knn_ivfpq_adc,
+              V.KNN_IVFPQ_ADC_SQL, ("VS4", "BONUS"),
+              "IVF-PQ with RESIDUAL encoding (FAISS IndexIVFPQ, the "
+              "standard billion-scale composition): per-cell exact "
+              "centroids, PQ codebooks Lloyd-trained on residuals "
+              "x - centroid(cell), top-1 cell probe by 6dp cosine, "
+              "query-residual ADC over the probed cell's codes only, "
+              "exact re-rank of the shortlist on raw embeddings; "
+              "micro-unit integer distances; ADC-vs-exact quality "
+              "pinned in tests/test_ivfpq.py"),
     QuerySpec("knn_hnsw_search", V.knn_hnsw_search,
               V.KNN_HNSW_SEARCH_SQL, ("VS3", "W4", "BONUS"),
               "MULTI-LAYER NSW (the HNSW hierarchy): md5-sampled nested "

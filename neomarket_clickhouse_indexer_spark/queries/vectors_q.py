@@ -1240,6 +1240,342 @@ SELECT query_id, rank, neighbor_id, d2u, adc_d2u FROM (
 KNN_PQ_ADC_SQL = _pq_sql()
 
 
+# --- knn_ivfpq_adc: IVF-PQ with RESIDUAL encoding — the composition of
+#     the coarse quantizer (knn_ivf's cells) and product quantization
+#     (knn_pq_adc's codebooks) that is the standard billion-scale index
+#     (FAISS IndexIVFPQ; Jégou et al., "Product Quantization for
+#     Nearest Neighbor Search", TPAMI'11 §IV: quantize the RESIDUAL
+#     x − c(cell(x)), not x — residual energy is what's left after the
+#     coarse step, so the same code budget buys finer resolution).
+#
+#     Pipeline (all deterministic): per-label exact centroids (the
+#     knn_ivf cells) → corpus residuals r = x − centroid(label) →
+#     PQ codebooks Lloyd-trained on residual sub-vectors (same
+#     _PQ_ITERS machinery, md5-free init = first K corpus residuals) →
+#     per-query: probe the top-1 cell by 6dp-rounded cosine, form the
+#     QUERY residual against the probed centroid, ADC over the codes of
+#     that cell only, exact re-rank of the shortlist on RAW embeddings.
+#     Output shape = knn_pq_adc (query_id, rank, neighbor_id, d2u,
+#     adc_d2u), distances in exact integer micro-units.
+#
+#     100 TB: codebook state is M·K·S doubles (driver-bounded); corpus
+#     state is 16 bytes/vector + a label; the ADC join touches ONLY the
+#     probed cell's codes (1/n_cells of the corpus per query — the IVF
+#     pruning composed under the PQ compression); raw vectors are
+#     gathered for RERANK×queries rows only. Reference has no vector
+#     surface; beyond-ref (SURVEY similarity-search mandate — the
+#     composed index tier).
+
+
+def knn_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_ivfpq_core(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _knn_ivfpq_core(
+    spark: SparkSession, emb: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
+    emb = emb.select("vec_id", "label", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = _centroids_of(corpus)
+    # residual corpus, column named `embedding` so the PQ sub-vector
+    # helpers apply unchanged; doubles subtract exactly in both engines
+    res = (
+        corpus.join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.zip_with(
+                "embedding", "centroid",
+                lambda x, c: x.cast("double") - c,
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    if _cache_out is not None:
+        _cache_out.append(res)
+    # persist: feeds the Lloyd passes AND the final encode (the
+    # _knn_pq_adc_core rationale)
+    csubs = _pq_subs(res, "vec_id").persist()
+    if _cache_out is not None:
+        _cache_out.append(csubs)
+    cb = _pq_subs(
+        res.filter(F.col("vec_id") < N_QUERIES + _PQ_K), "cid"
+    ).select(
+        "sub", (F.col("cid") - N_QUERIES).cast("int").alias("code"),
+        F.col("sv").alias("c_sv"),
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(_PQ_ITERS):
+            scored = csubs.join(F.broadcast(cb), "sub").select(
+                "vec_id", "sub", "sv", "code",
+                F.round(_sq_l2(F.col("sv"), F.col("c_sv")), 6).alias("d2"),
+            )
+            assigned = (
+                scored.groupBy("vec_id", "sub")
+                .agg(
+                    F.min_by(
+                        F.struct(F.col("code"), F.col("sv")),
+                        F.struct(F.col("d2"), F.col("code")),
+                    ).alias("a")
+                )
+                .select(
+                    "vec_id", "sub",
+                    F.col("a.code").alias("code"), F.col("a.sv").alias("sv"),
+                )
+            )
+            cb = _pq_sub_codebook(spark, assigned)
+
+        codes = (
+            csubs.join(F.broadcast(cb), "sub")
+            .select(
+                "vec_id", "sub", "code",
+                F.round(_sq_l2(F.col("sv"), F.col("c_sv")), 6).alias("d2"),
+            )
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by(F.col("code"), F.struct(F.col("d2"), F.col("code")))
+                .alias("code")
+            )
+        )
+
+        # coarse probe: top-1 cell by 6dp cosine (the knn_ivf rule),
+        # centroid carried for the query-residual subtraction
+        w_cell = Window.partitionBy("query_id").orderBy(
+            F.desc("cell_sim"), F.asc("label")
+        )
+        probed = (
+            queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+            )
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "query_id", "q_emb", "label", "centroid",
+                VX.cosine_rounded(
+                    F.col("q_emb"), F.col("centroid"), 6
+                ).alias("cell_sim"),
+            )
+            .withColumn("r", F.row_number().over(w_cell))
+            .filter(F.col("r") == 1)
+            .select(
+                "query_id", "q_emb",
+                F.col("label").alias("probe_label"), "centroid",
+            )
+        )
+        qres = probed.select(
+            F.col("query_id").alias("vec_id"),
+            F.zip_with(
+                "q_emb", "centroid", lambda x, c: x.cast("double") - c
+            ).alias("embedding"),
+        )
+        lut = (
+            _pq_subs(qres, "query_id")
+            .join(F.broadcast(cb), "sub")
+            .select(
+                "query_id", "sub", "code",
+                _d2u(F.col("sv"), F.col("c_sv")).alias("d2u"),
+            )
+        )
+        # cell-restricted ADC: only the probed cell's codes are touched
+        adc = (
+            codes.join(res.select("vec_id", "label"), "vec_id")
+            .join(
+                F.broadcast(probed.select("query_id", "probe_label")),
+                F.col("label") == F.col("probe_label"),
+            )
+            .join(F.broadcast(lut), ["query_id", "sub", "code"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.sum("d2u").cast("long").alias("adc_d2u"))
+        )
+        aw = Window.partitionBy("query_id").orderBy(
+            F.asc("adc_d2u"), F.asc("neighbor_id")
+        )
+        shortlist = (
+            adc.withColumn("arank", F.row_number().over(aw))
+            .filter(F.col("arank") <= _PQ_RERANK)
+            .select("query_id", "neighbor_id", "adc_d2u")
+        )
+        exact = (
+            shortlist.join(
+                corpus.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("n_emb"),
+                ),
+                "neighbor_id",
+            )
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("q_emb"),
+                    )
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id", "neighbor_id", "adc_d2u",
+                _d2u(F.col("q_emb"), F.col("n_emb")).alias("d2u"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("d2u"), F.asc("neighbor_id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "neighbor_id", "d2u", "adc_d2u")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _ivfpq_sql() -> str:
+    S, M, K, NQ = _PQ_SUB, _PQ_M, _PQ_K, N_QUERIES
+    # slices come from the RESIDUAL list (column `resid`), everything
+    # else mirrors _pq_sql's Lloyd chain verbatim
+    slice_ = (
+        f"list_transform(generate_series(1, {S}), "
+        f"i -> resid[sub * {S} + i])"
+    )
+    d2 = (
+        f"ROUND(list_sum(list_transform(generate_series(1, {S}), "
+        "i -> (s.sv[i] - c.c_sv[i]) * (s.sv[i] - c.c_sv[i]))), 6)"
+    )
+    qd2 = d2.replace("s.sv", "q.sv")
+    it_ctes = []
+    prev = "cent0"
+    for t in range(1, _PQ_ITERS + 1):
+        it_ctes.append(f"""
+scored{t} AS (
+  SELECT s.vec_id, s.sub, s.sv, c.code, {d2} AS d2
+  FROM subs s JOIN {prev} c ON s.sub = c.sub
+),
+assigned{t} AS (
+  SELECT vec_id, sub, code, sv FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) AS rn
+    FROM scored{t}
+  ) WHERE rn = 1
+),
+ex{t} AS (
+  SELECT sub, code, unnest(sv) AS v,
+         unnest(generate_series(1, {S})) AS dim
+  FROM assigned{t}
+),
+dims{t} AS (
+  SELECT sub, code, dim,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_v
+  FROM ex{t} GROUP BY 1, 2, 3
+),
+cent{t} AS (
+  SELECT sub, code, list(mean_v ORDER BY dim) AS c_sv
+  FROM dims{t} GROUP BY sub, code
+)""")
+        prev = f"cent{t}"
+    return f"""
+WITH {_CENT},
+res AS MATERIALIZED (
+  SELECT e.vec_id, e.label,
+         list_transform(generate_series(1, len(e.embedding)),
+                        i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+           AS resid
+  FROM embeddings e JOIN centroids c ON c.label = e.label
+  WHERE e.vec_id >= {NQ}
+),
+subs AS MATERIALIZED (
+  SELECT vec_id, sub, {slice_} AS sv
+  FROM res, (SELECT unnest(generate_series(0, {M - 1})) AS sub)
+),
+cent0 AS (
+  SELECT sub, CAST(vec_id - {NQ} AS INT) AS code, sv AS c_sv
+  FROM subs WHERE vec_id < {NQ} + {K}
+),{",".join(it_ctes)},
+enc AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                              ORDER BY {d2}, c.code) AS rn
+    FROM subs s JOIN {prev} c ON s.sub = c.sub
+  ) WHERE rn = 1
+),
+probe AS MATERIALIZED (
+  SELECT query_id, probe_label FROM (
+    SELECT q.vec_id AS query_id, centroids.label AS probe_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_QC_DOT} / ({_QNORM} * {_CENT_NORM}), 6) DESC,
+                      centroids.label) AS r
+    FROM embeddings q, centroids
+    WHERE q.vec_id < {NQ}
+  ) WHERE r = 1
+),
+qres AS MATERIALIZED (
+  SELECT p.query_id AS vec_id,
+         list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) - c.centroid[i])
+           AS resid
+  FROM probe p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN centroids c ON c.label = p.probe_label
+),
+qsubs AS (
+  SELECT vec_id AS query_id, sub, {slice_} AS sv
+  FROM qres, (SELECT unnest(generate_series(0, {M - 1})) AS sub)
+),
+lut AS MATERIALIZED (
+  SELECT q.query_id, q.sub, c.code,
+         CAST(FLOOR({qd2} * 1e6 + 0.5) AS BIGINT) AS d2u
+  FROM qsubs q JOIN {prev} c ON q.sub = c.sub
+),
+adc AS MATERIALIZED (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM(l.d2u) AS BIGINT) AS adc_d2u
+  FROM enc e
+  JOIN res r ON r.vec_id = e.vec_id
+  JOIN probe p ON p.probe_label = r.label
+  JOIN lut l ON l.query_id = p.query_id
+            AND e.sub = l.sub AND e.code = l.code
+  GROUP BY 1, 2
+),
+shortlist AS MATERIALIZED (
+  SELECT query_id, neighbor_id, adc_d2u FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2u, neighbor_id) AS arank
+    FROM adc
+  ) WHERE arank <= {_PQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_d2u,
+         CAST(FLOOR(ROUND(list_sum(list_transform(
+                generate_series(1, {M * S}),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.embedding[i] AS DOUBLE))
+                     * (CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.embedding[i] AS DOUBLE)))), 6) * 1e6 + 0.5)
+              AS BIGINT) AS d2u
+  FROM shortlist s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+)
+SELECT query_id, rank, neighbor_id, d2u, adc_d2u FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2u, neighbor_id) AS BIGINT)
+              AS rank
+  FROM exact
+) WHERE rank <= {TOP_K}
+"""
+
+
+KNN_IVFPQ_ADC_SQL = _ivfpq_sql()
+
+
 # --- ann_index_audit: VS4+VS5 fused gate (r6 rotation) — EXECUTES both
 #     quantization-family ANN retrievers side by side, labeled: the IVF
 #     coarse-quantizer path (knn_ivf: probe the best cell, exact re-rank
