@@ -75,6 +75,12 @@ QUERIES = [
     "events_day_bitmap_stats",
     "streaming_leaderboard_1h",
     "events_daily_type_pivot",
+    # r11 additions, chosen for order-sensitive internals: the layered
+    # descent's per-hop beam cut + pooled layer builds (three concurrent
+    # NSW builds whose bucket-cap windows must not race); the residual
+    # Lloyd chain -> cell-restricted ADC -> exhaustive in-cell re-rank
+    "knn_hnsw_search",
+    "knn_ivfpq_adc",
 ]
 
 
