@@ -1138,6 +1138,14 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "standalone form — also runs inside ann_index_audit for "
               "its in-window check; oracle = unrolled MATERIALIZED "
               "round CTEs"),
+    QuerySpec("knn_bq_hamming", V.knn_bq_hamming,
+              V.KNN_BQ_HAMMING_SQL, ("VS4", "BONUS"),
+              "BINARY QUANTIZATION — the 1-bit/dim compression tier: "
+              "sign codes in two 32-bit words (bit 63 overflows "
+              "DuckDB's checked shift / wraps in Spark), Hamming "
+              "shortlist via xor+bit_count over the 8-byte code scan, "
+              "exact re-rank on raw embeddings; shortlist recall@10 = "
+              "0.70 pinned in tests/test_ivfpq.py"),
     QuerySpec("knn_ivfpq_adc", V.knn_ivfpq_adc,
               V.KNN_IVFPQ_ADC_SQL, ("VS4", "BONUS"),
               "IVF-PQ with RESIDUAL encoding (FAISS IndexIVFPQ, the "

@@ -1576,6 +1576,169 @@ SELECT query_id, rank, neighbor_id, d2u, adc_d2u FROM (
 KNN_IVFPQ_ADC_SQL = _ivfpq_sql()
 
 
+# --- knn_bq_hamming: BINARY QUANTIZATION — the extreme compression rung
+#     below SQ8 (1 bit/dim: the sign of each dimension), the "BQ" tier
+#     modern vector stores ship for first-pass filtering. Candidates
+#     come from a linear scan of the 8-byte-per-vector code table by
+#     Hamming distance (XOR + popcount — the cheapest possible scan),
+#     then the shortlist re-ranks exactly on raw embeddings.
+#
+#     Determinism: bit j of the code is CAST(x_j AS DOUBLE) > 0 — the
+#     fixture's dims are zero-centered (49.3% positive), so codes are
+#     informative. The 64 bits live in TWO 32-bit words (lo = dims
+#     0-31, hi = dims 32-63): a single 64-bit word would need bit 63,
+#     where DuckDB's checked shift overflows and Spark's wraps negative
+#     — the split keeps both engines in non-negative BIGINT territory.
+#     Hamming = bit_count(xor(lo)) + bit_count(xor(hi)), identical
+#     cross-engine (the r9 bit-op parity note); shortlist ties break by
+#     neighbor_id.
+#
+#     100 TB: the code table is 16 bytes + id per vector (a 16x cut vs
+#     SQ8, 256x vs raw doubles); the Hamming pass is a map-side scan
+#     with a per-partition top-R — no shuffle ever carries embeddings,
+#     and raw vectors are gathered for RERANK x queries rows only.
+#     Reference has no vector surface; beyond-ref (SURVEY
+#     similarity-search mandate — the binary compression tier).
+
+_BQ_RERANK = 50
+
+
+def knn_bq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_bq_core(load_table(spark, sf_dir, "embeddings"))
+
+
+def _bq_codes(df: DataFrame, id_alias: str) -> DataFrame:
+    """(vec_id, embedding) -> (id, lo, hi) sign-bit code words."""
+    ex = df.select(
+        F.col("vec_id").alias(id_alias),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), dim % 32)")
+    pos = F.col("v").cast("double") > 0
+    return ex.groupBy(id_alias).agg(
+        F.sum(
+            F.when(pos & (F.col("dim") < 32), bit).otherwise(F.lit(0))
+        ).cast("long").alias("lo"),
+        F.sum(
+            F.when(pos & (F.col("dim") >= 32), bit).otherwise(F.lit(0))
+        ).cast("long").alias("hi"),
+    )
+
+
+def _knn_bq_core(emb: DataFrame) -> DataFrame:
+    emb = emb.select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cc = _bq_codes(corpus, "neighbor_id")
+    qc = _bq_codes(queries, "query_id").select(
+        "query_id",
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    ham = cc.crossJoin(F.broadcast(qc)).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+            + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+        ).cast("long").alias("hamming"),
+    )
+    hw = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        ham.withColumn("hrank", F.row_number().over(hw))
+        .filter(F.col("hrank") <= _BQ_RERANK)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    exact = (
+        shortlist.join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id", "neighbor_id", "hamming",
+            _d2u(F.col("q_emb"), F.col("n_emb")).alias("d2u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2u"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "d2u", "hamming")
+    )
+
+
+def _bq_sql() -> str:
+    NQ, M, S = N_QUERIES, _PQ_M, _PQ_SUB
+    word = (
+        "CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 "
+        "AND i {cond} THEN 1::BIGINT << ((i - 1) % 32) "
+        "ELSE 0 END) AS BIGINT)"
+    )
+    return f"""
+WITH codes AS MATERIALIZED (
+  SELECT vec_id,
+         {word.format(cond="<= 32")} AS lo,
+         {word.format(cond="> 32")} AS hi
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+  GROUP BY vec_id
+),
+ham AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.lo, q.lo))
+              + bit_count(xor(c.hi, q.hi)) AS BIGINT) AS hamming
+  FROM codes q JOIN codes c
+    ON q.vec_id < {NQ} AND c.vec_id >= {NQ}
+),
+shortlist AS MATERIALIZED (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming, neighbor_id) AS hrank
+    FROM ham
+  ) WHERE hrank <= {_BQ_RERANK}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         CAST(FLOOR(ROUND(list_sum(list_transform(
+                generate_series(1, {M * S}),
+                i -> (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(c.embedding[i] AS DOUBLE))
+                     * (CAST(q.embedding[i] AS DOUBLE)
+                        - CAST(c.embedding[i] AS DOUBLE)))), 6) * 1e6 + 0.5)
+              AS BIGINT) AS d2u
+  FROM shortlist s
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+  JOIN embeddings q ON q.vec_id = s.query_id
+)
+SELECT query_id, rank, neighbor_id, d2u, hamming FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY d2u, neighbor_id) AS BIGINT)
+              AS rank
+  FROM exact
+) WHERE rank <= {TOP_K}
+"""
+
+
+KNN_BQ_HAMMING_SQL = _bq_sql()
+
+
 # --- ann_index_audit: VS4+VS5 fused gate (r6 rotation) — EXECUTES both
 #     quantization-family ANN retrievers side by side, labeled: the IVF
 #     coarse-quantizer path (knn_ivf: probe the best cell, exact re-rank

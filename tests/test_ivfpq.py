@@ -24,6 +24,8 @@ import pytest
 
 from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
     N_QUERIES,
+    knn_bq_hamming,
+    knn_bruteforce,
     knn_ivfpq_adc,
 )
 
@@ -82,3 +84,22 @@ def test_adc_error_band(ivfpq_rows):
     # band on the fixture; a blowup here means the residual round-trip
     # or the codebook training drifted
     assert abs(mean_err - 0.1511) < 0.02, mean_err
+
+
+def test_bq_hamming_shortlist_recall(spark):
+    """Binary quantization (the sibling 1-bit tier, same file by
+    family): the exact re-rank of the top-50 Hamming shortlist must
+    recover 0.70 of the true top-10 on the fixture — sign bits over
+    zero-centered dims carry real signal (49.3% of dims are positive),
+    and a drop here means the code packing or the xor+bit_count
+    Hamming broke."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(spark, SF).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bq_hamming(spark, SF).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert abs(recall - 0.70) < 0.03, recall
