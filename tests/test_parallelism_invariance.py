@@ -81,6 +81,9 @@ QUERIES = [
     # Lloyd chain -> cell-restricted ADC -> exhaustive in-cell re-rank
     "knn_hnsw_search",
     "knn_ivfpq_adc",
+    # Hamming ties are dense (integer distances 0..64) — the id
+    # tiebreak must hold across partitionings
+    "knn_bq_hamming",
 ]
 
 
