@@ -38,6 +38,13 @@ INTENTIONAL_CROSS = {
     # broadcast threshold crossJoins (suites inherit component shapes)
     "user_segmentation_suite",
     "user_gini_inequality",  # 1-row abs-diff total x 1-row n/sum crossJoin
+    # r11: the Hamming pass IS a deliberate code-table scan — 5-row
+    # broadcast query codes against 8-byte/vector corpus codes (the BQ
+    # first-pass-filter design; embeddings never shuffle)
+    "knn_bq_hamming",
+    # r11: the same n_cells-row broadcast centroid-probe as knn_ivf,
+    # composed under the residual-PQ encode
+    "knn_ivfpq_adc",
 }
 
 # Unpartitioned Window nodes single-partition-sort their whole input —
