@@ -1426,11 +1426,23 @@ def _knn_ivfpq_core(
         w = Window.partitionBy("query_id").orderBy(
             F.asc("d2u"), F.asc("neighbor_id")
         )
-        return (
+        out = (
             exact.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "rank", "neighbor_id", "d2u", "adc_d2u")
+            # eager under the pin (the knn_hnsw_search shape; r11
+            # ADVICE): a lazy tail would run the ADC groupBy and rerank
+            # windows later at the plain session's 200 partitions with
+            # no AQE coalescing
+            .localCheckpoint(eager=True)
         )
+        if _cache_out is None:
+            # standalone entry: the result is materialized, release the
+            # residual/sub-vector persists instead of leaking them
+            # across a long gate session (the r9 cache-pressure tax)
+            res.unpersist()
+            csubs.unpersist()
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -2928,6 +2940,7 @@ def nsw_frame(
     rounds: int = NSW_ROUNDS,
     bucketings: list[tuple[int, int]] | None = None,
     k: int = NSW_K,
+    expand: int = NSW_EXPAND,
 ) -> DataFrame:
     """NSW adjacency over any (vec_id, embedding) frame: (query_id, rank,
     neighbor_id, cosine_sim) after ``rounds`` refinement rounds
@@ -3043,7 +3056,7 @@ def nsw_frame(
         # subset (reverse neighbors count; the rank cap is the
         # deterministic rho-sample), then re-score ALL current edges ∪
         # the two-hop candidates
-        sub = edges.filter(F.col("rank") <= NSW_EXPAND).select("src", "dst")
+        sub = edges.filter(F.col("rank") <= expand).select("src", "dst")
         und = sub.unionByName(
             sub.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -3419,11 +3432,16 @@ KNN_NSW_SEARCH_SQL = _nsw_search_sql()
 #     over layer l's adjacency, carrying the scored visited set down
 #     (narrow beams up top — the HNSW "ef=1 descent" shape — and the
 #     full beam only at layer 0). The hierarchy's measured win at the
-#     fixture (pinned in tests/test_hnsw.py): recall@10 = 0.74 at
-#     ~742 scores/query (2 + 1·2·K + 2·4·K + 4·16·K) vs the flat beam
-#     search's 0.64 at ~648 — and the FLAT search needs beam 24
-#     (~968 scores/query, measured 0.74) to match, i.e. equal recall at
-#     0.77x the scored work.
+#     fixture (pinned in tests/test_hnsw.py, scored/query MEASURED as
+#     the visited-set size — every visited node is scored exactly
+#     once): recall@10 = 0.90 at ~305 scores/query vs the flat beam
+#     search's 0.64 (beam 16, 4 hops, 8 entries; tests/test_nsw.py).
+#     The r12 knob sweep that picked layer-0 beam 24 (ef-search):
+#     extra hops saturate at 0.80 (h5/h6, frontier exhausted at beam
+#     16), an extra NN-descent round buys <= 0.02, beam 20 -> 0.86,
+#     beam 24 -> 0.90 at 1.26x the baseline's 242 scores/query — beam
+#     width at layer 0 was the binding knob, and it is a SERVE-only
+#     spend: the layered adjacency (and its oracle) is unchanged.
 #
 #     100 TB: the layered graph is Σ_l N/8^l · K edges ≈ 1.14·N·K — 14%
 #     over the flat graph for asymptotically better entry points (upper
@@ -3439,7 +3457,7 @@ HNSW_BUCKETINGS = [
     [(0, 3), (1, 3), (2, 3), (3, 3)],     # layer 1: 78 nodes, 8 buckets
     [(0, 1), (1, 1)],                     # layer 2: 10 nodes, 2 buckets
 ]
-HNSW_BEAMS = [16, 4, 2]   # per-layer beam width, layer-indexed
+HNSW_BEAMS = [24, 4, 2]   # per-layer beam width, layer-indexed (ef=24)
 HNSW_HOPS = [4, 2, 1]     # per-layer hop count, layer-indexed
 # refinement rounds per layer: full NN-descent on layers 0-1 (layer 1
 # is the routing layer — its graph quality feeds straight into entry
@@ -3493,15 +3511,37 @@ def hnsw_search_frame(
     emb: DataFrame,
     _cache_out: list | None = None,
     bucketings: list | None = None,
+    beams: list | None = None,
+    hops: list | None = None,
+    rounds: list | None = None,
+    n_entries: int = HNSW_E,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Layered NSW build + descending beam search over any
     (vec_id, embedding) frame; long output (part, layer, query_id,
     rank, neighbor_id, cosine_sim) — part='adj' is the per-layer
     adjacency state, part='serve' the final per-query top-K.
     ``bucketings`` overrides the per-layer forest sizing (the scale
-    harness grows plane counts with the corpus, layer-indexed)."""
+    harness grows plane counts with the corpus, layer-indexed);
+    ``beams``/``hops``/``rounds`` override the per-layer serve/build
+    budgets (the recall-frontier sweep knobs). ``_stats``, when a
+    dict, receives {'scored_per_query': float} — the measured serve
+    cost (every visited row was scored exactly once)."""
     if bucketings is None:
         bucketings = HNSW_BUCKETINGS
+    beams = HNSW_BEAMS if beams is None else beams
+    hops = HNSW_HOPS if hops is None else hops
+    rounds = HNSW_ROUNDS if rounds is None else rounds
+    # layer-indexed knob lists MUST cover every layer: a short list
+    # would IndexError mid-build inside the pooled layer threads where
+    # the traceback is hard to read (r11 ADVICE finding)
+    for name, lst in (
+        ("bucketings", bucketings), ("beams", beams),
+        ("hops", hops), ("rounds", rounds),
+    ):
+        assert len(lst) == HNSW_LEVELS, (
+            f"{name} must have {HNSW_LEVELS} layer entries, got {len(lst)}"
+        )
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     caches: list = []
@@ -3516,7 +3556,7 @@ def hnsw_search_frame(
         nodes = corpus.filter(_hnsw_level_pred(lvl))
         return nsw_frame(
             nodes, _cache_out=caches,
-            rounds=HNSW_ROUNDS[lvl],
+            rounds=rounds[lvl],
             bucketings=bucketings[lvl],
         )
 
@@ -3557,7 +3597,7 @@ def hnsw_search_frame(
         corpus.filter(_hnsw_level_pred(HNSW_LEVELS - 1))
         .select("vec_id")
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(HNSW_E)
+        .limit(n_entries)
         .select(F.col("vec_id").alias("node"))
     )
     visited = _score(
@@ -3575,10 +3615,10 @@ def hnsw_search_frame(
             F.col("query_id").alias("node"),
             F.col("neighbor_id").alias("nxt"),
         )
-        for _ in range(HNSW_HOPS[lvl]):
+        for _ in range(hops[lvl]):
             beam = (
                 visited.withColumn("r", F.row_number().over(wb))
-                .filter(F.col("r") <= HNSW_BEAMS[lvl])
+                .filter(F.col("r") <= beams[lvl])
                 .select("query_id", "node")
             )
             expanded = (
@@ -3596,6 +3636,12 @@ def hnsw_search_frame(
                 .repartition(n_par, "query_id")
                 .localCheckpoint(eager=True)  # clamp per-hop lineage
             )
+    if _stats is not None:
+        # every visited row was scored exactly once — the measured
+        # serve-cost axis of the recall frontier (tests derive the
+        # scores/query pin from this, not a hardcoded formula)
+        n_q = qdf.count()
+        _stats["scored_per_query"] = visited.count() / max(n_q, 1)
     serve = (
         visited.withColumn("rank", F.row_number().over(wb).cast("long"))
         .filter(F.col("rank") <= TOP_K)

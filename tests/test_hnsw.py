@@ -6,12 +6,15 @@ top reaches HIGHER recall@10 than the flat NSW beam search (whose own
 floor is pinned in tests/test_nsw.py), and that the layer pyramid and
 nesting invariants hold.
 
-Measured on the fixture: flat nsw_search recall@10 = 0.64 (4 hops at
-beam 16 from 8 arbitrary md5 entry points, ~648 scores/query);
-layered descent = 0.74 (1+2+4 hops at beams 2/4/16 from 2 entry
-points at layer 2, ~742 scores/query). The flat search needs beam 24
-(~968 scores/query, measured 0.74) to match — equal recall at 0.77x
-the scored work; better entry points, not wider beams.
+Measured on the fixture (scores/query = the visited-set size, every
+visited node scored exactly once): flat nsw_search recall@10 = 0.64
+(4 hops at beam 16 from 8 arbitrary md5 entry points); layered
+descent = 0.90 at ~305 scores/query (1+2+4 hops at beams 2/4/24 from
+2 entry points at layer 2). The r12 sweep that picked layer-0
+beam 24: extra hops saturate at 0.80, an extra NN-descent round buys
+<= 0.02, beam 20 -> 0.86, beam 24 -> 0.90 at 1.26x the beam-16
+baseline's 242 scores/query — the production-floor recall comes from
+beam width (ef-search), a serve-only spend.
 """
 
 import hashlib
@@ -35,10 +38,13 @@ SF = "/root/testdata/sf0.001"
 def hnsw_rows(spark):
     emb = load_table(spark, SF, "embeddings")
     caches: list = []
-    rows = hnsw_search_frame(emb, _cache_out=caches).collect()
+    stats: dict = {}
+    rows = hnsw_search_frame(
+        emb, _cache_out=caches, _stats=stats
+    ).collect()
     for df in caches:
         df.unpersist()
-    return rows
+    return rows, stats
 
 
 def _py_level(vec_id: int) -> int:
@@ -51,8 +57,12 @@ def _py_level(vec_id: int) -> int:
 
 
 def test_layer_pyramid_and_nesting(spark, hnsw_rows):
-    """Layer populations decay geometrically (495/78/10 on the fixture)
-    and layers are nested: every layer-l node is a layer-(l-1) node."""
+    """Layer populations decay geometrically (495/78/10 on the current
+    fixture — but the pin is the MECHANISM, derived from the md5
+    assignment itself, not the exact counts: a testdata regeneration
+    should not break three tests at once; r11 ADVICE) and layers are
+    nested: every layer-l node is a layer-(l-1) node."""
+    hnsw_rows, _ = hnsw_rows
     emb = load_table(spark, SF, "embeddings")
     corpus_ids = [
         r["vec_id"]
@@ -62,7 +72,12 @@ def test_layer_pyramid_and_nesting(spark, hnsw_rows):
     for v in corpus_ids:
         for lvl in range(_py_level(v) + 1):
             by_lvl[lvl].add(v)
-    assert (len(by_lvl[0]), len(by_lvl[1]), len(by_lvl[2])) == (495, 78, 10)
+    # geometric decay: each layer is a 1/8 expected sample of the one
+    # below — allow a wide band (1/3) so only a broken predicate, not
+    # sampling noise on a regenerated fixture, fails
+    assert len(by_lvl[0]) == len(corpus_ids)
+    for lvl in range(1, HNSW_LEVELS):
+        assert 0 < len(by_lvl[lvl]) <= len(by_lvl[lvl - 1]) // 3, lvl
     assert by_lvl[2] <= by_lvl[1] <= by_lvl[0]
     # the Spark predicate agrees with the python reference
     for lvl in range(HNSW_LEVELS):
@@ -90,6 +105,7 @@ def test_layer0_adjacency_is_flat_nsw(spark, hnsw_rows):
     """Build parity: the hierarchy's layer 0 IS the flat corpus NSW
     graph (same parameters), so serve-side comparisons are
     apples-to-apples at equal base-layer edge budget."""
+    hnsw_rows, _ = hnsw_rows
     emb = load_table(spark, SF, "embeddings")
     flat = {
         (r["query_id"], r["rank"], r["neighbor_id"])
@@ -104,10 +120,13 @@ def test_layer0_adjacency_is_flat_nsw(spark, hnsw_rows):
 
 
 def test_descent_beats_flat_beam_recall(spark, hnsw_rows):
-    """The hierarchy's reason to exist: layered descent recall@10 must
-    beat the flat beam search's pinned 0.64 — narrow beams over the
-    upper layers find better layer-0 entry points than the flat
-    search's 8 arbitrary md5 entries."""
+    """The production-floor pin (r11 verdict task 1): layered descent
+    recall@10 >= 0.85 (measured 0.90 on the fixture) at a MEASURED
+    serve cost within 1.5x the r11 beam-16 baseline's 242
+    scores/query — and still above the flat beam search's pinned
+    0.64 hard floor (narrow beams over the upper layers find better
+    layer-0 entry points than the flat search's 8 md5 entries)."""
+    hnsw_rows, stats = hnsw_rows
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in knn_bruteforce(spark, SF).collect()
@@ -118,5 +137,9 @@ def test_descent_beats_flat_beam_recall(spark, hnsw_rows):
         if r["part"] == "serve"
     }
     recall = len(got & exact) / len(exact)
-    assert recall > 0.64, recall
-    assert abs(recall - 0.74) < 0.03, recall
+    assert recall > 0.64, recall          # the flat-search hard floor
+    assert recall >= 0.85, recall         # the production floor
+    # serve-cost side of the frontier: measured visited-set size per
+    # query (304.8 on the fixture) stays within the 1.5x budget the
+    # r11 verdict set against the 242-score baseline
+    assert stats["scored_per_query"] <= 1.5 * 242, stats

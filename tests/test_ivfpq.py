@@ -80,10 +80,13 @@ def test_adc_error_band(ivfpq_rows):
         if r["d2u"] > 0
     ]
     mean_err = sum(errs) / len(errs)
-    # 2 Lloyd iterations, 16x16 codebooks over 64 dims: the measured
-    # band on the fixture; a blowup here means the residual round-trip
-    # or the codebook training drifted
-    assert abs(mean_err - 0.1511) < 0.02, mean_err
+    # 2 Lloyd iterations, 16x16 codebooks over 64 dims: measured 0.1511
+    # on the fixture. HARD BOUND, not a point-estimate band (r11 ADVICE:
+    # tight fixture-bound pins break in threes on regeneration; the
+    # driver gate's value-hash already pins exact determinism) — a
+    # blowup past 0.25 means the residual round-trip or the codebook
+    # training drifted.
+    assert mean_err < 0.25, mean_err
 
 
 def test_bq_hamming_shortlist_recall(spark):
@@ -102,4 +105,5 @@ def test_bq_hamming_shortlist_recall(spark):
         for r in knn_bq_hamming(spark, SF).collect()
     }
     recall = len(got & exact) / len(exact)
-    assert abs(recall - 0.70) < 0.03, recall
+    # measured 0.70 on the fixture; hard floor only (see mean_err note)
+    assert recall >= 0.60, recall
