@@ -356,7 +356,10 @@ _SPECS: list[QuerySpec] = [
               "graph-ANN adjacency (knn_nsw_graph's frame core, "
               "NN-descent construction) and the SQ8 scalar-quantization "
               "audit (sq8_audit_frame) ride as 4th/5th labeled paths — "
-              "both r10 families gated in-window from day one"),
+              "both r10 families gated in-window from day one; r12: the "
+              "binary-quantization tier (_knn_bq_core, Hamming shortlist "
+              "+ exact re-rank) rides as the 6th path, restoring the "
+              "doctrine for the r11 compression tiers"),
     QuerySpec("multimodal_frame_dedup", M.multimodal_frame_dedup,
               M.MULTIMODAL_FRAME_DEDUP_SQL, ("MM", "DD1", "BONUS"),
               "cross-media duplicate-frame detection: executor-side "

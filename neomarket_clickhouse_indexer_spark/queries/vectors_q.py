@@ -1763,11 +1763,12 @@ KNN_BQ_HAMMING_SQL = _bq_sql()
 
 
 def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE persisted embeddings scan feeds all three index paths (r8 verdict
+    # ONE persisted embeddings scan feeds all six index paths (r8 verdict
     # task 4: the paths each rebuilt overlapping scan/centroid subtrees and
     # the audit was the most expensive window slot). The cores are the SAME
     # functions the standalone entries wrap — a green row still executes
-    # knn_ivf / knn_pq_adc / knn_ivf_incremental verbatim.
+    # knn_ivf / knn_pq_adc / knn_ivf_incremental / nsw_frame /
+    # sq8_audit_frame / _knn_bq_core verbatim.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     ).persist()
@@ -1789,7 +1790,7 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb.count()  # materialize the shared cache BEFORE the pool races
         released: list = [emb]
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             futs = [
                 pool.submit(
                     lambda f=f: f(
@@ -1802,9 +1803,10 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _audit_incr_path,
                     _audit_nsw_path,
                     _audit_sq8_path,
+                    _audit_bq_path,
                 )
             ]
-            ivf, pq, incr, nsw, sq8 = (f.result() for f in futs)
+            ivf, pq, incr, nsw, sq8, bq = (f.result() for f in futs)
         # every path is eagerly checkpointed: release the shared scan and
         # the pq path's csubs persist, or they pin executor memory for the
         # rest of a long gate session (the commit-35904bc pressure class)
@@ -1815,6 +1817,7 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(incr)
             .unionByName(nsw)
             .unionByName(sq8)
+            .unionByName(bq)
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1898,6 +1901,22 @@ def _audit_sq8_path(
     )
 
 
+# r12 growth (r11 verdict task 2): the binary-quantization tier —
+# _knn_bq_core executed VERBATIM off the shared persisted scan, giving
+# the 1-bit compression family its in-window external check (restores
+# the in-window-from-day-one doctrine the r11 budget watch suspended);
+# the 8-byte code scan adds <1s to the pooled audit
+def _audit_bq_path(
+    spark: SparkSession, emb: DataFrame, sf_dir: str,
+    _cache_out: list | None = None,
+) -> DataFrame:
+    return _knn_bq_core(emb).selectExpr(
+        "'bq' AS path", "query_id", "rank", "neighbor_id",
+        "stack(2, 'd2u', CAST(d2u AS DOUBLE),"
+        " 'hamming', CAST(hamming AS DOUBLE)) AS (metric, value)",
+    )
+
+
 def _ann_index_audit_sql() -> str:
     return f"""
 SELECT 'ivf' AS path, query_id, rank, neighbor_id,
@@ -1929,6 +1948,11 @@ SELECT 'sq8' AS path, vec_id AS query_id, CAST(0 AS BIGINT) AS rank,
 FROM ({{SQ8}}),
      (SELECT unnest(['n_dims','code_sum','code_weighted_sum',
                      'abs_err_micro','max_err_micro']) AS metric) m
+UNION ALL
+SELECT 'bq' AS path, query_id, rank, neighbor_id, m.metric,
+       CASE m.metric WHEN 'd2u' THEN CAST(d2u AS DOUBLE)
+                     ELSE CAST(hamming AS DOUBLE) END AS value
+FROM ({KNN_BQ_HAMMING_SQL}), (SELECT unnest(['d2u','hamming']) AS metric) m
 """
 
 

@@ -16,7 +16,22 @@ full deterministic output; THIS file pins the semantics behind it.
    coarse quantizer that actually concentrates cells (true k-means at
    production scale). What the gate pins is the MECHANISM: residual
    encode/decode parity cross-engine and cell-restricted ADC.
+
+3. RESIDUAL EDGE ON GEOMETRIC CELLS (r11 verdict task 4): when cells DO
+   concentrate, residual encoding must beat raw PQ at the same code
+   budget. Measured through the real Spark cores:
+   - planted md5-derived clusters (8 centers, noise 10% of center
+     scale): residual mean rel err 0.0966 vs raw 7.56 — a ~78x edge,
+     because raw sub-vectors straddle far-apart centers that 16
+     codewords per subspace cannot represent, while residuals are
+     small noise the codebook captures easily (Jegou TPAMI'11 SIV).
+   - the REAL fixture relabeled with numpy-Lloyd k-means cells (K=10,
+     det. init = first K corpus vectors, 5 iters): residual 0.1300 vs
+     raw 0.1452 — geometric cells give residual a ~10% edge even on a
+     noise corpus, where the arbitrary fixture-label cells showed none.
 """
+
+import hashlib
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -24,6 +39,8 @@ import pytest
 
 from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
     N_QUERIES,
+    _knn_ivfpq_core,
+    _knn_pq_adc_core,
     knn_bq_hamming,
     knn_bruteforce,
     knn_ivfpq_adc,
@@ -87,6 +104,57 @@ def test_adc_error_band(ivfpq_rows):
     # blowup past 0.25 means the residual round-trip or the codebook
     # training drifted.
     assert mean_err < 0.25, mean_err
+
+
+def _md5_unit(tag: str) -> float:
+    """Deterministic uniform(0,1) from md5 — the no-RNG doctrine."""
+    return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_residual_adc_edge_on_geometric_cells(spark):
+    """The residual mechanism's payoff, shown on cells that actually
+    cluster (r11 verdict task 4): planted md5-derived clusters (8
+    centers at unit scale, point noise at 10% of it), label = the true
+    geometric cell. Run the REAL Spark cores — residual PQ
+    (_knn_ivfpq_core) vs raw PQ (_knn_pq_adc_core) at the identical
+    code budget — and require the residual ADC error to be at least
+    10x smaller (measured: 0.0966 vs 7.56, a ~78x edge; hard bound
+    keeps fixture-regeneration slack, the r11 ADVICE doctrine)."""
+    DIM, N_CENTERS, PTS_PER = 64, 8, 40
+    centers = [
+        [(_md5_unit(f"ctr-{c}-{d}") - 0.5) * 2.0 for d in range(DIM)]
+        for c in range(N_CENTERS)
+    ]
+    rows, vid = [], 0
+    for q in range(N_QUERIES):
+        c = q % N_CENTERS
+        rows.append((vid, c, [
+            centers[c][d] + (_md5_unit(f"q-{q}-{d}") - 0.5) * 0.2
+            for d in range(DIM)
+        ]))
+        vid += 1
+    for c in range(N_CENTERS):
+        for i in range(PTS_PER):
+            rows.append((vid, c, [
+                centers[c][d] + (_md5_unit(f"pt-{c}-{i}-{d}") - 0.5) * 0.2
+                for d in range(DIM)
+            ]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+
+    def _mean_rel_err(res):
+        errs = [
+            abs(r["adc_d2u"] - r["d2u"]) / r["d2u"]
+            for r in res if r["d2u"] > 0
+        ]
+        return sum(errs) / len(errs)
+
+    res_err = _mean_rel_err(_knn_ivfpq_core(spark, emb).collect())
+    raw_err = _mean_rel_err(_knn_pq_adc_core(spark, emb).collect())
+    assert res_err * 10 < raw_err, (res_err, raw_err)
+    assert res_err < 0.25, res_err
 
 
 def test_bq_hamming_shortlist_recall(spark):
