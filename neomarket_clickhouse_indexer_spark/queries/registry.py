@@ -1170,6 +1170,17 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "descent recall@10 beats the flat beam (pinned in "
               "tests/test_hnsw.py); oracle = three prefixed MATERIALIZED "
               "graph chains + unrolled descent-hop CTEs"),
+    QuerySpec("knn_nsw_incremental", V.knn_nsw_incremental,
+              V.KNN_NSW_INCREMENTAL_SQL, ("VS3", "W4", "BONUS"),
+              "INCREMENTAL INSERT for the graph-ANN tier (the "
+              "lsh_incr/ivf_incr maintenance story): md5-split 1/16 "
+              "append batch attaches via full-corpus capped LSH-forest "
+              "buckets + one expand-capped hop over the base graph, "
+              "then bidirectional-connect repair re-ranks ONLY the "
+              "affected base nodes — untouched base rows pass through "
+              "VERBATIM; final adjacency is the gated deterministic "
+              "state, insert quality vs rebuild pinned in "
+              "tests/test_nsw.py"),
     QuerySpec("user_churn_hazard", TS.user_churn_hazard,
               TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
               "survival analysis: Nelson-Aalen cumulative churn hazard "

@@ -3783,6 +3783,335 @@ SELECT part, layer, query_id, rank, neighbor_id, cosine_sim FROM (
 KNN_HNSW_SEARCH_SQL = _hnsw_sql()
 
 
+# --- knn_nsw_incremental: INCREMENTAL INSERT for the graph-ANN tier —
+#     the maintenance story the LSH bands (docs_bands_incremental) and
+#     IVF cells (knn_ivf_incremental) already have (r11 verdict task 3:
+#     at 100 TB an index you must rebuild from scratch on every append
+#     is a real operational gap). Mirrors the production HNSW insert
+#     (Malkov & Yashunin TPAMI'18 Alg.1, flattened to one layer):
+#
+#     1. SPLIT (deterministic, no RNG): corpus nodes whose
+#        md5(vec_id) starts with 'f' are the APPEND BATCH (1/16 ~ 31
+#        fixture nodes); the rest are the standing BASE index.
+#     2. BASE BUILD: the ordinary nsw_frame over the base split.
+#     3. ATTACH: each new node's candidates = its LSH-forest bucket
+#        mates under the FULL-corpus capped bucketing (the same
+#        md5-order cap policy — an append re-buckets only the touched
+#        buckets at production scale) plus ONE expand-capped hop over
+#        the base graph from those mates (the "greedy search from
+#        entry" step, localized); score + per-node top-NSW_K.
+#     4. REPAIR (bidirectional connect + local NN-descent): base nodes
+#        that share a bucket with a new node OR were chosen as a new
+#        node's neighbor re-rank their top-NSW_K over (current edges
+#        UNION their new-node candidates); untouched base nodes keep
+#        their edges VERBATIM — the incremental property.
+#
+#     The final adjacency (query_id, rank, neighbor_id, cosine_sim —
+#     the knn_nsw_graph shape) is a pure function of the corpus, so the
+#     DuckDB oracle recomputes the identical algorithm (HLL-doctrine:
+#     gate the deterministic state); insert QUALITY vs the from-scratch
+#     rebuild — new-node edge recall vs true kNN and the
+#     untouched-base-verbatim property — is pinned in tests/test_nsw.py.
+#
+#     100 TB: the append touches only the batch's buckets (capped), the
+#     base graph rows of the affected nodes, and the batch itself —
+#     never the full corpus: cost is O(|batch| * cap * bucketings),
+#     independent of |base|. Reference has no vector surface;
+#     beyond-ref (SURVEY similarity-search mandate — index
+#     maintenance tier).
+
+NSW_INCR_NEW_CHAR = "f"   # md5 first-hex split: 1/16 of nodes are "new"
+
+
+def _nsw_new_pred(col):
+    """Spark predicate: vec_id belongs to the append batch."""
+    return (
+        F.substring(F.md5(col.cast("string")), 1, 1) == NSW_INCR_NEW_CHAR
+    )
+
+
+_NSW_NEW_SQL = (
+    "substr(md5(CAST({c} AS VARCHAR)), 1, 1) = '" + NSW_INCR_NEW_CHAR + "'"
+)
+
+
+def knn_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager under a conf pin, like the graph build it extends
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = nsw_incremental_frame(
+            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def nsw_incremental_frame(
+    emb: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
+    """Base NSW build + batch attach + local repair over any
+    (vec_id, embedding) frame; output = the post-insert adjacency in
+    the knn_nsw_graph shape."""
+    n_par = emb.sparkSession.sparkContext.defaultParallelism
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    caches: list = []
+    g_base = nsw_frame(
+        corpus.filter(~_nsw_new_pred(F.col("vec_id"))), _cache_out=caches
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "rank",
+        "cosine_sim",
+    ).persist()
+    caches.append(g_base)
+    base = corpus.select(
+        "vec_id", "embedding", VX.norm(F.col("embedding")).alias("nn")
+    ).persist()
+    caches.append(base)
+    src_emb = base.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nn").alias("nn_a"),
+    )
+    dst_emb = base.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nn").alias("nn_b"),
+    )
+
+    def _score_cut(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(src_emb, "src")
+            .join(dst_emb, "dst")
+            .select(
+                "src", "dst",
+                F.round(
+                    VX.dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("nn_a") * F.col("nn_b")),
+                    6,
+                ).alias("cosine_sim"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("cosine_sim"), F.asc("dst")
+        )
+        return (
+            scored.repartition(n_par, "src")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= NSW_K)
+            .localCheckpoint(eager=True)
+        )
+
+    # full-corpus capped forest buckets (nsw_frame's round-0 shape) —
+    # only MIXED pairs (>=1 new side) are kept, so the join output is
+    # O(|batch| * cap * bucketings), never the base pair volume
+    long = corpus.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bk"),
+                        _bucket_expr(
+                            "embedding", n_planes=n, start=start
+                        ).alias("bucket"),
+                    )
+                    for j, (start, n) in enumerate(NSW_BUCKETINGS)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", F.col("s.bk").alias("bk"), F.col("s.bucket").alias("bucket")
+    )
+    wcap = Window.partitionBy("bk", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    capped = (
+        long.withColumn("r", F.row_number().over(wcap))
+        .filter(F.col("r") <= MUTUAL_BUCKET_CAP)
+        .drop("r")
+        .persist()
+    )
+    capped.count()  # materialize before the self-join races (r10 rule)
+    caches.append(capped)
+    mixed = (
+        capped.select(F.col("vec_id").alias("src"), "bk", "bucket")
+        .join(
+            capped.select(F.col("vec_id").alias("dst"), "bk", "bucket"),
+            ["bk", "bucket"],
+        )
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .filter(
+            _nsw_new_pred(F.col("src")) | _nsw_new_pred(F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # attach: bucket mates + one expand-capped hop over the base graph
+    cn = mixed.filter(_nsw_new_pred(F.col("src")))
+    exp_edges = g_base.filter(F.col("rank") <= NSW_EXPAND).select(
+        F.col("src").alias("mid"), F.col("dst").alias("nbr")
+    )
+    cn_exp = (
+        cn.select("src", F.col("dst").alias("mid"))
+        .join(exp_edges, "mid")
+        .select("src", F.col("nbr").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e_new = _score_cut(cn.unionByName(cn_exp).distinct())
+    # repair: bucket exposure + reverse edges of the batch's choices
+    rev = e_new.filter(~_nsw_new_pred(F.col("dst"))).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    cb_all = (
+        mixed.filter(
+            ~_nsw_new_pred(F.col("src")) & _nsw_new_pred(F.col("dst"))
+        )
+        .unionByName(rev)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    affected = cb_all.select("src").distinct()
+    e_rep = _score_cut(
+        g_base.select("src", "dst")
+        .join(affected, "src")
+        .unionByName(cb_all)
+        .distinct()
+    )
+    untouched = g_base.join(affected, "src", "left_anti")
+    out = (
+        untouched.select("src", "rank", "dst", "cosine_sim")
+        .unionByName(e_rep.select("src", "rank", "dst", "cosine_sim"))
+        .unionByName(e_new.select("src", "rank", "dst", "cosine_sim"))
+        .select(
+            F.col("src").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("dst").cast("long").alias("neighbor_id"),
+            "cosine_sim",
+        )
+    )
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+    return out
+
+
+def _nsw_incr_sql() -> str:
+    NQ, R, EXP, K = N_QUERIES, NSW_ROUNDS, NSW_EXPAND, NSW_K
+    new_src = _NSW_NEW_SQL.format(c="src")
+    new_dst = _NSW_NEW_SQL.format(c="dst")
+    base_where = (
+        f"WHERE vec_id >= {NQ} "
+        f"AND NOT ({_NSW_NEW_SQL.format(c='vec_id')})"
+    )
+    forest = ",\n".join(
+        f"""fb{j} AS MATERIALIZED (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           ROW_NUMBER() OVER (
+             PARTITION BY bucket
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+    FROM (SELECT vec_id,
+                 {_bucket_sql("embedding", n, start=start)} AS bucket
+          FROM embeddings WHERE vec_id >= {NQ})
+  ) WHERE r <= {MUTUAL_BUCKET_CAP}
+)"""
+        for j, (start, n) in enumerate(NSW_BUCKETINGS)
+    )
+    pair_union = "\n    UNION\n".join(
+        f"""    SELECT x.vec_id AS src, y.vec_id AS dst
+    FROM fb{j} x JOIN fb{j} y
+      ON x.bucket = y.bucket AND x.vec_id <> y.vec_id"""
+        for j in range(len(NSW_BUCKETINGS))
+    )
+    score = f"ROUND({_DOT_AB} / (a.nn * b.nn), 6)"
+    return _NRM_CTE + _nsw_forest_sql(
+        "base_", base_where, NSW_BUCKETINGS
+    ) + f""",
+{forest},
+fmix AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+{pair_union}
+  ) WHERE ({new_src}) OR ({new_dst})
+),
+cn AS MATERIALIZED (
+  SELECT src, dst FROM fmix WHERE {new_src}
+),
+cnx AS MATERIALIZED (
+  SELECT DISTINCT c.src, g.dst
+  FROM cn c JOIN base_e{R} g ON g.src = c.dst AND g.rank <= {EXP}
+  WHERE g.dst <> c.src
+),
+encand AS MATERIALIZED (
+  SELECT src, dst FROM cn UNION SELECT src, dst FROM cnx
+),
+ens AS MATERIALIZED (
+  SELECT c.src, c.dst, {score} AS cosine_sim
+  FROM encand c
+  JOIN nrm a ON a.vec_id = c.src
+  JOIN nrm b ON b.vec_id = c.dst
+),
+enew AS MATERIALIZED (
+  SELECT src, dst, cosine_sim, rank FROM (
+    SELECT src, dst, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cosine_sim DESC, dst) AS rank
+    FROM ens
+  ) WHERE rank <= {K}
+),
+cball AS MATERIALIZED (
+  SELECT src, dst FROM fmix WHERE NOT ({new_src}) AND ({new_dst})
+  UNION
+  SELECT dst AS src, src AS dst FROM enew WHERE NOT ({new_dst})
+),
+aff AS MATERIALIZED (
+  SELECT DISTINCT src FROM cball
+),
+repcand AS MATERIALIZED (
+  SELECT g.src, g.dst FROM base_e{R} g JOIN aff f ON f.src = g.src
+  UNION
+  SELECT src, dst FROM cball
+),
+reps AS MATERIALIZED (
+  SELECT c.src, c.dst, {score} AS cosine_sim
+  FROM repcand c
+  JOIN nrm a ON a.vec_id = c.src
+  JOIN nrm b ON b.vec_id = c.dst
+),
+erep AS MATERIALIZED (
+  SELECT src, dst, cosine_sim, rank FROM (
+    SELECT src, dst, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cosine_sim DESC, dst) AS rank
+    FROM reps
+  ) WHERE rank <= {K}
+)
+SELECT CAST(src AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM (
+  SELECT g.src, g.rank, g.dst, g.cosine_sim FROM base_e{R} g
+  WHERE g.src NOT IN (SELECT src FROM aff)
+  UNION ALL
+  SELECT src, rank, dst, cosine_sim FROM erep
+  UNION ALL
+  SELECT src, rank, dst, cosine_sim FROM enew
+)
+"""
+
+
+KNN_NSW_INCREMENTAL_SQL = _nsw_incr_sql()
+
+
 # --- embeddings_sq8_audit: int8 SCALAR QUANTIZATION (the SQ8 index tier
 #     of FAISS/Milvus — the remaining standard vector-compression family
 #     next to PQ): per-dimension min/max ranges over the corpus, each

@@ -143,6 +143,9 @@ for name in sorted(REGISTRY):
                 # checkpoints; same audited shapes as knn_nsw_graph /
                 # knn_nsw_search
                 "knn_hnsw_search",
+                # r12: eager base build + attach/repair checkpoints;
+                # same audited shapes as knn_nsw_graph
+                "knn_nsw_incremental",
                 # r10: eager checkpoint under the scoped conf pin;
                 # component shapes stay audited via docs_cms_counts /
                 # docs_heavy_hitters / docs_kmv_distinct

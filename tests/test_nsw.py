@@ -113,3 +113,96 @@ def test_beam_search_recall_grows_with_hops(spark):
     assert recalls[0] < recalls[1] < recalls[2], recalls
     assert recalls[2] >= 0.5, recalls
     assert abs(recalls[2] - 0.64) < 0.03, recalls
+
+
+def test_incremental_insert_quality_and_mechanism(spark):
+    """knn_nsw_incremental (r11 verdict task 3 — the graph-ANN
+    maintenance tier): the gate hashes the deterministic post-insert
+    adjacency; THIS pins the claims behind it.
+
+    Measured on the fixture (495 corpus nodes, 34 in the md5 'f'
+    append batch):
+      - edge overlap with the from-scratch rebuild: 0.92
+      - new-node edge recall vs true kNN: 0.297 — BETTER than the
+        rebuild's 0.262 on the same nodes (the expand-capped one-hop
+        walk over the base graph supplies richer candidates than the
+        rebuild's bucket-bounded NN-descent on a noise corpus)
+    Mechanism: every corpus node is covered, ranks are contiguous, and
+    a base node's neighbor set can differ from the base-only graph
+    ONLY by new-batch nodes entering (repair candidates = current
+    edges UNION new-node pairs, so deterministic re-scoring can never
+    introduce a previously-unseen BASE neighbor)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        N_QUERIES,
+        _nsw_new_pred,
+        knn_nsw_incremental,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    incr = knn_nsw_incremental(spark, SF).collect()
+    rebuild_rows = nsw_frame(corpus).collect()
+    base_rows = nsw_frame(
+        corpus.filter(~_nsw_new_pred(F.col("vec_id")))
+    ).collect()
+
+    def is_new(v: int) -> bool:
+        return hashlib.md5(str(v).encode()).hexdigest()[0] == "f"
+
+    corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    new_ids = {v for v in corpus_ids if is_new(v)}
+    assert new_ids, "fixture must contain an append batch"
+
+    # coverage + contiguous ranks
+    by_q: dict = {}
+    for r in incr:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == corpus_ids
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    # bounded divergence vs rebuild
+    incr_set = {(r["query_id"], r["neighbor_id"]) for r in incr}
+    reb_set = {(r["query_id"], r["neighbor_id"]) for r in rebuild_rows}
+    assert len(incr_set & reb_set) / len(reb_set) >= 0.85
+
+    # new-node edge recall >= the rebuild's on the same nodes (with a
+    # small slack band for fixture regeneration)
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    mask = ids >= N_QUERIES
+    ids_c = ids[mask]
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)[mask]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = np.round(xn @ xn.T, 6)
+    np.fill_diagonal(cos, -2)
+    idx = {int(v): i for i, v in enumerate(ids_c)}
+
+    def edge_recall(pairs, nodes):
+        hits = tot = 0
+        for v in nodes:
+            i = idx[v]
+            top = sorted(
+                range(len(ids_c)), key=lambda j: (-cos[i, j], ids_c[j])
+            )[:NSW_K]
+            true = {int(ids_c[j]) for j in top}
+            got = {n for (q, n) in pairs if q == v}
+            hits += len(true & got)
+            tot += NSW_K
+        return hits / tot
+
+    r_incr = edge_recall(incr_set, new_ids)
+    r_reb = edge_recall(reb_set, new_ids)
+    assert r_incr >= r_reb - 0.05, (r_incr, r_reb)
+
+    # mechanism: base-node neighbor changes involve ONLY new nodes
+    base_nbrs: dict = {}
+    for r in base_rows:
+        base_nbrs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for q, nbrs in base_nbrs.items():
+        got = {n for (qq, n) in incr_set if qq == q}
+        assert got - nbrs <= new_ids, (q, got - nbrs)
