@@ -440,3 +440,65 @@ def image_patches(
             )
 
     return df.select(id_col, *carry, payload_col).mapInPandas(run, schema)
+
+
+def phash_codes(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    ctab: "list[list[int]]",
+    side: int = 16,
+) -> DataFrame:
+    """DCT-based 64-bit PERCEPTUAL HASH (pHash — the industry-standard
+    near-dup-image primitive) over the first ``side``×``side`` payload
+    bytes as an 8-bit grayscale image; images shorter than one full
+    grid are skipped (the image_patches rule).
+
+    EXACT INTEGER pipeline so the hash is oracle-checkable
+    cross-engine: ``ctab`` is a fixed-point DCT-II basis (8 rows ×
+    ``side`` cols, cos values pre-scaled by 2^14 and floor(x+0.5)
+    rounded ONCE in Python — the same literal table is inlined into
+    the DuckDB oracle, so no engine ever evaluates cos()). The 8×8
+    low-frequency block is C·P·Cᵀ in int64 (|X| ≤ 255·side²·2^28 —
+    fits comfortably), the sign threshold is the LOWER MEDIAN (the
+    32nd order statistic of the 64 coefficients — deterministic under
+    ties), and the 64 sign bits pack into TWO 32-bit words (bit 63 of
+    a single BIGINT overflows DuckDB's checked shift and wraps in
+    Spark — the knn_bq_hamming parity rule). Bit index = u*8 + v.
+
+    A real kernel would decode with PIL first (import-guarded, see
+    decode_image) and downsample to the grid; the DCT/median/packing —
+    the pHash itself — is the production arithmetic.
+    """
+    C = np.array(ctab, dtype=np.int64)
+    n_px = side * side
+    schema = f"{id_col} bigint, lo bigint, hi bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in pdf[[id_col, payload_col]].itertuples(
+                index=False
+            ):
+                b = bytes(payload)
+                if len(b) < n_px:
+                    continue
+                img = (
+                    np.frombuffer(b[:n_px], dtype=np.uint8)
+                    .reshape(side, side)
+                    .astype(np.int64)
+                )
+                flat = (C @ img @ C.T).flatten()
+                med = int(np.sort(flat)[31])
+                lo = hi = 0
+                for j in range(32):
+                    if flat[j] > med:
+                        lo |= 1 << j
+                    if flat[j + 32] > med:
+                        hi |= 1 << j
+                rows.append((mid, lo, hi))
+            yield pd.DataFrame(rows, columns=[id_col, "lo", "hi"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

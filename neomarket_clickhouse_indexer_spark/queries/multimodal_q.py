@@ -208,15 +208,61 @@ GROUP BY doc_id, source
 
 DEDUP_FRAME_BYTES = 64
 
+# --- the pHash tier (r11 verdict task 5): DCT-based 64-bit perceptual
+#     hash — the industry-standard near-dup-IMAGE primitive — over the
+#     first 16×16 payload bytes as a grayscale grid (docs >= 256 bytes;
+#     the 1024-byte image_patches grid is empty on this corpus).
+#     Fixed-point DCT: the cosine basis is pre-scaled by 2^14 and
+#     floor(x+0.5)-rounded ONCE here in Python; the SAME literal table
+#     is inlined into the Spark kernel (multimodal/media.py:phash_codes)
+#     and the DuckDB oracle below, so the whole hash is exact int64
+#     arithmetic — no engine ever evaluates cos(). Sign threshold = the
+#     lower median (32nd order statistic, deterministic under ties);
+#     codes pack into TWO 32-bit words (the knn_bq_hamming bit-63
+#     parity rule). Near-dup pass = 4×16-bit Hamming BANDS (any shared
+#     band → candidate, guaranteed for distance <= 3, the LSH-for-
+#     Hamming trick) + exact xor/bit_count filter at PHASH_T.
+#     100 TB: the code table is 16 bytes/image and the band join
+#     buckets it — payloads never shuffle; measured at sf0.01: 291
+#     images, 17 band candidates, 12 true pairs (all Hamming 0 —
+#     identical prefixes; the one distance-12 pair is beyond any
+#     4-band guarantee and is documented missed, the standard
+#     banded-LSH recall trade).
+
+PHASH_SIDE = 16
+PHASH_SCALE = 16384  # 2^14 fixed-point cosine scale
+PHASH_T = 10         # Hamming accept threshold
+
+import math as _math  # noqa: E402
+
+PHASH_CTAB = [
+    [
+        int(_math.floor(
+            _math.cos(_math.pi * (2 * x + 1) * u / (2 * PHASH_SIDE))
+            * PHASH_SCALE + 0.5
+        ))
+        for x in range(PHASH_SIDE)
+    ]
+    for u in range(8)
+]
+
 
 def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound media-dedup gate, long format (part, frame_sig, a, b, v):
+    part='exact'  — the original exact frame-signature dedup
+                    (a=n_docs, b=n_frames, v=first_doc);
+    part='code'   — per-image 64-bit pHash words (a=doc_id, b=lo, v=hi);
+    part='pair'   — banded Hamming near-dup pairs at <= PHASH_T
+                    (a=id1, b=id2, v=hamming)."""
+    from ..multimodal.media import phash_codes
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     frames = binary_frames(
         docs, "doc_id", "payload", bytes_per_frame=DEDUP_FRAME_BYTES
     )
-    return (
+    exact = (
         frames.groupBy("frame_sig")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -224,7 +270,155 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= 2)
+        .select(
+            F.lit("exact").alias("part"),
+            "frame_sig",
+            F.col("n_docs").cast("long").alias("a"),
+            F.col("n_frames").cast("long").alias("b"),
+            F.col("first_doc").cast("long").alias("v"),
+        )
     )
+    codes = phash_codes(
+        docs, "doc_id", "payload", PHASH_CTAB, side=PHASH_SIDE
+    ).persist()
+    codes.count()  # materialize before the band self-join races (r10 rule)
+    code_rows = codes.select(
+        F.lit("code").alias("part"),
+        F.lit("").alias("frame_sig"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("lo").alias("b"),
+        F.col("hi").alias("v"),
+    )
+    band = codes.select(
+        "doc_id", "lo", "hi",
+        F.explode(F.array(
+            F.struct(
+                F.lit(0).alias("k"),
+                F.col("lo").bitwiseAND(F.lit(65535)).alias("bv"),
+            ),
+            F.struct(
+                F.lit(1).alias("k"),
+                F.shiftright(F.col("lo"), 16).alias("bv"),
+            ),
+            F.struct(
+                F.lit(2).alias("k"),
+                F.col("hi").bitwiseAND(F.lit(65535)).alias("bv"),
+            ),
+            F.struct(
+                F.lit(3).alias("k"),
+                F.shiftright(F.col("hi"), 16).alias("bv"),
+            ),
+        )).alias("s"),
+    ).select(
+        "doc_id", "lo", "hi",
+        F.col("s.k").alias("k"), F.col("s.bv").alias("bv"),
+    )
+    cand = (
+        band.select(
+            F.col("doc_id").alias("id1"),
+            F.col("lo").alias("lo1"), F.col("hi").alias("hi1"),
+            "k", "bv",
+        )
+        .join(
+            band.select(
+                F.col("doc_id").alias("id2"),
+                F.col("lo").alias("lo2"), F.col("hi").alias("hi2"),
+                "k", "bv",
+            ),
+            ["k", "bv"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "lo1", "hi1", "lo2", "hi2")
+        .distinct()
+    )
+    pair_rows = (
+        cand.select(
+            "id1", "id2",
+            (
+                F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2")))
+                + F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_T)
+        .select(
+            F.lit("pair").alias("part"),
+            F.lit("").alias("frame_sig"),
+            F.col("id1").cast("long").alias("a"),
+            F.col("id2").cast("long").alias("b"),
+            F.col("hamming").alias("v"),
+        )
+    )
+    return exact.unionByName(code_rows).unionByName(pair_rows)
+
+
+def _phash_oracle_ctes() -> str:
+    """The pHash half of the oracle: recomputes the DCT sign codes
+    INDEPENDENTLY (list-comprehension pixel lists + the same literal
+    fixed-point basis as relational VALUES rows + SQL group-bys — a
+    genuinely different algorithm from the numpy matmul kernel)."""
+    n_px = PHASH_SIDE * PHASH_SIDE
+    ctab_rows = ",".join(
+        f"({u},{x},{PHASH_CTAB[u][x]})"
+        for u in range(8) for x in range(PHASH_SIDE)
+    )
+    return f"""
+pimgs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE length(text) >= {n_px}
+),
+ppx AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(generate_series(1, {n_px}),
+           i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))
+           AS p
+  FROM pimgs
+),
+pctab(u, x, c) AS (VALUES {ctab_rows}),
+pys(y) AS (SELECT unnest(generate_series(0, {PHASH_SIDE - 1}))),
+pr AS MATERIALIZED (
+  SELECT ppx.doc_id, pctab.u, pys.y,
+         SUM(pctab.c * ppx.p[pctab.x * {PHASH_SIDE} + pys.y + 1]) AS rv
+  FROM ppx, pctab, pys
+  GROUP BY ppx.doc_id, pctab.u, pys.y
+),
+pxc AS MATERIALIZED (
+  SELECT pr.doc_id, pr.u, ct.u AS v, CAST(SUM(pr.rv * ct.c) AS BIGINT) AS xv
+  FROM pr JOIN pctab ct ON ct.x = pr.y
+  GROUP BY pr.doc_id, pr.u, ct.u
+),
+pmed AS MATERIALIZED (
+  SELECT doc_id, xv AS m FROM (
+    SELECT doc_id, xv,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY xv) AS rk
+    FROM pxc
+  ) WHERE rk = 32
+),
+pbits AS MATERIALIZED (
+  SELECT x.doc_id, x.u * 8 + x.v AS bit,
+         CASE WHEN x.xv > pmed.m THEN 1 ELSE 0 END AS b
+  FROM pxc x JOIN pmed USING (doc_id)
+),
+pcodes AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN bit < 32 AND b = 1
+             THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS lo,
+    CAST(SUM(CASE WHEN bit >= 32 AND b = 1
+             THEN 1::BIGINT << (bit - 32) ELSE 0 END) AS BIGINT) AS hi
+  FROM pbits GROUP BY doc_id
+),
+pband AS MATERIALIZED (
+  SELECT doc_id, lo, hi, k.k,
+         CASE k.k WHEN 0 THEN lo & 65535
+                  WHEN 1 THEN lo >> 16
+                  WHEN 2 THEN hi & 65535
+                  ELSE hi >> 16 END AS bv
+  FROM pcodes, (SELECT unnest(generate_series(0, 3)) AS k) k
+),
+pcand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS id1, x.lo AS lo1, x.hi AS hi1,
+                  y.doc_id AS id2, y.lo AS lo2, y.hi AS hi2
+  FROM pband x JOIN pband y
+    ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+)"""
 
 
 MULTIMODAL_FRAME_DEDUP_SQL = f"""
@@ -240,14 +434,25 @@ sized AS (
            (f.i - 1) * {DEDUP_FRAME_BYTES} + 1, {DEDUP_FRAME_BYTES})), 1, 8)
            AS frame_sig
   FROM frames f JOIN documents d USING (doc_id)
-)
-SELECT frame_sig,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_frames,
-       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+),{_phash_oracle_ctes()}
+SELECT 'exact' AS part, frame_sig,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS a,
+       CAST(COUNT(*) AS BIGINT) AS b,
+       CAST(MIN(doc_id) AS BIGINT) AS v
 FROM sized
 GROUP BY frame_sig
 HAVING COUNT(DISTINCT doc_id) >= 2
+UNION ALL
+SELECT 'code' AS part, '' AS frame_sig,
+       CAST(doc_id AS BIGINT) AS a, lo AS b, hi AS v
+FROM pcodes
+UNION ALL
+SELECT 'pair' AS part, '' AS frame_sig,
+       CAST(id1 AS BIGINT) AS a, CAST(id2 AS BIGINT) AS b,
+       CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS BIGINT)
+         AS v
+FROM pcand
+WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= {PHASH_T}
 """
 
 

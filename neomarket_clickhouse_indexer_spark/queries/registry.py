@@ -362,10 +362,16 @@ _SPECS: list[QuerySpec] = [
               "doctrine for the r11 compression tiers"),
     QuerySpec("multimodal_frame_dedup", M.multimodal_frame_dedup,
               M.MULTIMODAL_FRAME_DEDUP_SQL, ("MM", "DD1", "BONUS"),
-              "cross-media duplicate-frame detection: executor-side "
-              "64-byte frame fan-out + one hash-groupBy on frame "
-              "signatures; signatures in >= 2 media objects are shared "
-              "segments — the video analog of exact dedup"),
+              "cross-media duplicate-frame detection, compound long "
+              "gate: 'exact' = executor-side 64-byte frame fan-out + "
+              "hash-groupBy on signatures (>= 2 media objects = shared "
+              "segment); r12: 'code' = DCT-based 64-bit pHash per image "
+              "(fixed-point int64 basis inlined into BOTH engines, "
+              "lower-median sign bits, two 32-bit words — the "
+              "knn_bq_hamming parity rule) and 'pair' = 4x16-bit "
+              "Hamming-banded near-dup pairs at <= PHASH_T, exact "
+              "xor+bit_count filter; perceptual property pinned in "
+              "tests/test_multimodal_phash.py"),
     # ---- past the driver cutoff: depth on already-covered ids ----
     QuerySpec("shipping_priority", R.shipping_priority, R.SHIPPING_PRIORITY_SQL,
               ("J1", "A1", "T1"), "TPC-H Q3 shape: join + agg + top-k"),
