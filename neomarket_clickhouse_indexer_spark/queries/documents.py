@@ -3266,11 +3266,28 @@ def source_overlap_frame(
 
 
 def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return source_overlap_frame(
-        tokenized_docs_frame(
-            _spread(load_table(spark, sf_dir, "documents"), spark)
-        )
+    # standalone form runs pinned + eager and releases the g persist
+    # (r11 verdict task 8: the word-grain groupBys and the gram-key
+    # self-join paid the plain session's 200 near-empty shuffle tasks,
+    # and g stayed cached across the rest of a 247-entry sim)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
     )
+    try:
+        caches: list = []
+        out = source_overlap_frame(
+            tokenized_docs_frame(
+                _spread(load_table(spark, sf_dir, "documents"), spark)
+            ),
+            _cache_out=caches,
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 DOCS_SOURCE_OVERLAP_SQL = f"""

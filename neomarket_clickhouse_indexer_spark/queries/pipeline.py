@@ -1373,6 +1373,36 @@ def _bpe_words(
     )
 
 
+# Memoized training per (sf_dir, doc_filter): the merge-rule list is a
+# deterministic, DRIVER-SIZED artifact of an immutable fixture directory
+# (the kmeans clamped-collect doctrine), and training costs K+1 driver
+# round-trips of scheduler latency — the BPE-family entries (merges /
+# encode / vocab-coverage / tokenizer-suite) re-learn the SAME rules, so
+# a full sim paid that cost four times (r11 verdict task 8, the
+# full-sim tail shave). Per-process only: concurrent pytest/driver_sim
+# processes each train once; a caller that already built the words
+# frame passes it through so a memo MISS costs no extra scan.
+_BPE_TRAIN_MEMO: dict[tuple[str, str | None], list[tuple]] = {}
+
+
+def _bpe_train_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_filter: str | None = None,
+    words: DataFrame | None = None,
+) -> list[tuple]:
+    key = (sf_dir, doc_filter)
+    got = _BPE_TRAIN_MEMO.get(key)
+    if got is None:
+        w = (
+            words
+            if words is not None
+            else _bpe_words(spark, sf_dir, doc_filter)
+        )
+        got = _BPE_TRAIN_MEMO[key] = _bpe_train(w)
+    return got
+
+
 def _bpe_train(words: DataFrame) -> list[tuple]:
     """Run BPE_ITERS merge-learning iterations over the word-frequency
     table; returns [(iteration, a, b, merged, pair_cnt, syms_after)] —
@@ -1430,7 +1460,7 @@ def _bpe_train(words: DataFrame) -> list[tuple]:
 
 def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _pinned_parallelism(spark):
-        rows = _bpe_train(_bpe_words(spark, sf_dir))
+        rows = _bpe_train_cached(spark, sf_dir)
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -1548,7 +1578,10 @@ DOCS_BPE_MERGES_SQL = _bpe_oracle_sql(BPE_ITERS)
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _bpe_words(spark, sf_dir)
     with _pinned_parallelism(spark):
-        rules = [(r[1], r[2]) for r in _bpe_train(words)]
+        rules = [
+            (r[1], r[2])
+            for r in _bpe_train_cached(spark, sf_dir, words=words)
+        ]
     docs = load_table(spark, sf_dir, "documents")
     dw = (
         docs.select(
@@ -1658,7 +1691,14 @@ def docs_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, doc_filter=f"NOT ({BPE_HELDOUT_PRED})"
     )
     with _pinned_parallelism(spark):
-        rules = [(r[1], r[2]) for r in _bpe_train(train_words)]
+        rules = [
+            (r[1], r[2])
+            for r in _bpe_train_cached(
+                spark, sf_dir,
+                doc_filter=f"NOT ({BPE_HELDOUT_PRED})",
+                words=train_words,
+            )
+        ]
     # trained character vocabulary: every distinct char of the train
     # corpus (w0 symbols are single chars) — tiny, broadcast
     train_chars = (

@@ -4824,8 +4824,27 @@ RFM_PCTS = (20, 40, 60, 80)
 
 
 def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_user = _per_user_rfm(_events_cents(spark, sf_dir)).persist()
-    return rfm_segments_frame(per_user)
+    # standalone form runs pinned + eager and releases its persists
+    # (r11 verdict task 8: this tail entry paid the plain session's 200
+    # near-empty shuffle tasks per groupBy AND leaked per_user/bounds
+    # across the rest of a 247-entry sim)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        per_user = _per_user_rfm(_events_cents(spark, sf_dir)).persist()
+        caches.append(per_user)
+        out = rfm_segments_frame(
+            per_user, _cache_out=caches
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _per_user_rfm(ev: DataFrame) -> DataFrame:
@@ -4841,9 +4860,12 @@ def _per_user_rfm(ev: DataFrame) -> DataFrame:
     )
 
 
-def rfm_segments_frame(per_user: DataFrame) -> DataFrame:
+def rfm_segments_frame(
+    per_user: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
     """Core path over a (persisted) per-user RFM frame — factored out so
-    user_segmentation_suite can feed it from the shared subtree."""
+    user_segmentation_suite can feed it from the shared subtree.
+    ``_cache_out`` collects the bounds persist for caller release."""
     axes = per_user.selectExpr(
         "stack(3, 'r', recency_days, 'f', frequency, 'm', monetary)"
         " AS (event_type, cents)"
@@ -4853,6 +4875,8 @@ def rfm_segments_frame(per_user: DataFrame) -> DataFrame:
         .select("event_type", "q_pct", "value_cents")
         .persist()
     )
+    if _cache_out is not None:
+        _cache_out.append(bounds)
 
     def seg(axis: str, col: str):
         b = bounds.filter(F.col("event_type") == axis).select(
@@ -5157,8 +5181,11 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrently and would re-race the cold persists (the series-suite
     # cold-race fix, r10 — per_user's scan of ev warms ev transitively)
     per_user.count()
+    released: list = []
     thunks: dict = {}
-    thunks["rfm"] = lambda: rfm_segments_frame(per_user).selectExpr(
+    thunks["rfm"] = lambda: rfm_segments_frame(
+        per_user, _cache_out=released
+    ).selectExpr(
         "'rfm' AS family",
         "CAST(r_seg AS STRING) || '/' || CAST(f_seg AS STRING) || '/' ||"
         " CAST(m_seg AS STRING) AS k",
@@ -5232,6 +5259,8 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fr["att"])
         .unionByName(fr["gin"])
     ).localCheckpoint(eager=True)
+    for df in released:
+        df.unpersist()
     per_user.unpersist()
     ev.unpersist()
     return out

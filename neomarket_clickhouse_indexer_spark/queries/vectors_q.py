@@ -1790,7 +1790,7 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb.count()  # materialize the shared cache BEFORE the pool races
         released: list = [emb]
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=5) as pool:
             futs = [
                 pool.submit(
                     lambda f=f: f(
@@ -1803,22 +1803,29 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _audit_incr_path,
                     _audit_nsw_path,
                     _audit_sq8_path,
-                    _audit_bq_path,
                 )
             ]
-            ivf, pq, incr, nsw, sq8, bq = (f.result() for f in futs)
-        # every path is eagerly checkpointed: release the shared scan and
-        # the pq path's csubs persist, or they pin executor memory for the
-        # rest of a long gate session (the commit-35904bc pressure class)
-        for df in released:
-            df.unpersist()
-        return (
+            ivf, pq, incr, nsw, sq8 = (f.result() for f in futs)
+        # the r12 bq path is FULLY LAZY (no collects, no sink writes) —
+        # pooling it would only add a sixth eager-checkpoint round-trip
+        # (the r10 lesson: thread pools pay off only for driver-paced
+        # paths); union it lazily so its branches overlap inside the
+        # final job, reading the shared scan that is still cached here
+        bq = _audit_bq_path(spark, emb, sf_dir, released)
+        out = (
             ivf.unionByName(pq)
             .unionByName(incr)
             .unionByName(nsw)
             .unionByName(sq8)
             .unionByName(bq)
+            .localCheckpoint(eager=True)
         )
+        # every path is now materialized: release the shared scan and
+        # the pq path's csubs persist, or they pin executor memory for the
+        # rest of a long gate session (the commit-35904bc pressure class)
+        for df in released:
+            df.unpersist()
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 

@@ -146,6 +146,17 @@ for name in sorted(REGISTRY):
                 # r12: eager base build + attach/repair checkpoints;
                 # same audited shapes as knn_nsw_graph
                 "knn_nsw_incremental",
+                # r12 tail-shave: standalone forms now run pinned+eager
+                # and release their persists; component shapes stay
+                # audited via events_quantile_select (the selection
+                # machinery) and docs_vocab_growth / docs_count_of_counts
+                # (the tokenization grain)
+                "user_rfm_segments",
+                "docs_source_overlap",
+                # r12: pHash codes.count() materializes at build; the
+                # band self-join shape is the audited knn_bq_hamming /
+                # docs_near_dup_pairs class
+                "multimodal_frame_dedup",
                 # r10: eager checkpoint under the scoped conf pin;
                 # component shapes stay audited via docs_cms_counts /
                 # docs_heavy_hitters / docs_kmv_distinct
