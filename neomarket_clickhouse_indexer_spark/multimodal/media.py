@@ -502,3 +502,54 @@ def phash_codes(
             yield pd.DataFrame(rows, columns=[id_col, "lo", "hi"])
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def audio_constellation_peaks(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    ctab: "list[list[int]]",
+    window: int = 64,
+) -> DataFrame:
+    """Constellation-map feature extraction (the Shazam landmark shape,
+    Wang ISMIR'03 §2): per FULL ``window``-sample PCM window, project
+    onto a fixed-point AC filterbank (``ctab``: rows = bands u=1..7 of
+    the 1-D DCT-II basis, cos pre-scaled by 2^14 and rounded ONCE in
+    Python — the phash_codes doctrine, no engine evaluates cos()) and
+    emit the PEAK band per window: argmax |response| with
+    lowest-band tiebreaks (numpy argmax first-occurrence == the SQL
+    ``ORDER BY ab DESC, u`` window rule). Partial tail windows are
+    dropped (no stable spectrum — the image_patches partial-grid rule).
+    Output: (id, w, u, amp) — all exact int64.
+
+    A real kernel would np.frombuffer(int16) + STFT; the landmark
+    selection, Arrow batch shape, and executor-side fan-out are the
+    production ones.
+    """
+    C = np.array(ctab, dtype=np.int64)  # (7, window)
+    schema = f"{id_col} bigint, w int, u int, amp bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in pdf[[id_col, payload_col]].itertuples(
+                index=False
+            ):
+                b = bytes(payload)
+                n_full = len(b) // window
+                if n_full == 0:
+                    continue
+                s = (
+                    np.frombuffer(b[: n_full * window], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(n_full, window)
+                )
+                resp = np.abs(s @ C.T)  # (n_full, 7)
+                for w in range(n_full):
+                    u = int(np.argmax(resp[w]))
+                    rows.append((mid, w, u + 1, int(resp[w][u])))
+            yield pd.DataFrame(rows, columns=[id_col, "w", "u", "amp"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

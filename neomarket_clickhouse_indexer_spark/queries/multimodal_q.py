@@ -514,3 +514,222 @@ SELECT doc_id, patch_row, patch_col, pix_sum,
        pix_sum * 1000 // {PATCH * PATCH} AS mean_milli
 FROM patches
 """
+
+
+# --- multimodal_audio_fingerprint: AUDIO near-dup matching — the audio
+#     sibling of the pHash image tier (r12): constellation landmarks +
+#     offset-voting hash matching (Wang, "An Industrial-Strength Audio
+#     Search Algorithm", ISMIR'03). Pipeline, all exact int64:
+#
+#     1. LANDMARKS: per full 64-sample PCM window, the peak band of a
+#        7-band fixed-point AC filterbank (media.py:
+#        audio_constellation_peaks — the same inlined-cosine doctrine
+#        as pHash; a real system uses STFT peaks).
+#     2. HASHES: each landmark pairs with the next AFP_FAN landmarks;
+#        h = (bands, Δt, quantized anchor loudness) where the loudness
+#        quantizer is length(bin(amp)) — the integer log2 both engines
+#        compute identically (bin() parity verified '0'/'1'-exact).
+#     3. CAP: per-h md5-order cap at AFP_CAP (the MUTUAL_BUCKET_CAP
+#        policy — at 100 TB the h-join is the only pair surface, and a
+#        production hash space (real STFT bins, ~2^20) keeps buckets
+#        small; the cap pins the worst case and is the documented
+#        epsilon).
+#     4. MATCH: join the capped hash table on h across docs, vote on
+#        (pair, time-offset) — AFP_MIN_VOTES consistent-offset hits =
+#        a matching segment (the Shazam histogram-peak step as one
+#        groupBy).
+#
+#     Gate = long format: part='hash' is the capped deterministic hash
+#     TABLE (the HLL gate-the-state doctrine), part='match' the voted
+#     pairs. Fixture (sf0.01): 3569 hashes, 397 distinct h, max bucket
+#     28 (< cap); 40 matches at votes >= 5 — the known identical-prefix
+#     doc pairs score 9-15 votes at offset 0.
+
+AFP_WINDOW = 64
+AFP_FAN = 3        # each landmark pairs with the next 3
+AFP_CAP = 64       # per-h md5-order candidate cap
+AFP_MIN_VOTES = 5  # consistent-offset votes to call a match
+
+AFP_CTAB = [
+    [
+        int(_math.floor(
+            _math.cos(_math.pi * (2 * x + 1) * u / (2 * AFP_WINDOW))
+            * PHASH_SCALE + 0.5
+        ))
+        for x in range(AFP_WINDOW)
+    ]
+    for u in range(1, 8)
+]
+
+
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
+        return audio_fingerprint_frame(docs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def audio_fingerprint_frame(docs: DataFrame) -> DataFrame:
+    """Core over any (doc_id, payload binary) frame — tests inject
+    synthetic payloads with planted shared segments here."""
+    from pyspark.sql import Window
+
+    from ..multimodal.media import audio_constellation_peaks
+
+    pk = audio_constellation_peaks(
+        docs, "doc_id", "payload", AFP_CTAB, window=AFP_WINDOW
+    ).persist()
+    pk.count()  # feeds both sides of the landmark pairing (r10 rule)
+    p2 = pk.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("w").alias("w2"),
+        F.col("u").alias("u2"),
+    )
+    hashes = (
+        pk.join(p2, "doc_id")
+        .filter(
+            (F.col("w2") - F.col("w") >= 1)
+            & (F.col("w2") - F.col("w") <= AFP_FAN)
+        )
+        .select(
+            "doc_id",
+            "w",
+            "amp",
+            (
+                (
+                    (
+                        (F.col("u") - 1) * 7 + (F.col("u2") - 1)
+                    ) * AFP_FAN
+                    + (F.col("w2") - F.col("w") - 1)
+                ) * 33
+                + F.least(F.length(F.bin(F.col("amp"))), F.lit(32))
+            ).alias("h"),
+        )
+    )
+    wcap = Window.partitionBy("h").orderBy(
+        F.md5(
+            F.concat_ws(
+                "/",
+                F.col("doc_id").cast("string"),
+                F.col("w").cast("string"),
+            )
+        ),
+        "doc_id",
+        "w",
+    )
+    capped = (
+        hashes.withColumn("r", F.row_number().over(wcap))
+        .filter(F.col("r") <= AFP_CAP)
+        .drop("r")
+        .localCheckpoint(eager=True)
+    )
+    pk.unpersist()
+    hash_rows = capped.select(
+        F.lit("hash").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("w").cast("long").alias("b"),
+        F.col("h").cast("long").alias("c"),
+        F.col("amp").cast("long").alias("v"),
+    )
+    a = capped.select(
+        F.col("doc_id").alias("id_a"), F.col("w").alias("w_a"), "h"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("id_b"), F.col("w").alias("w_b"), "h"
+    )
+    match_rows = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("w_a") - F.col("w_b")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= AFP_MIN_VOTES)
+        .select(
+            F.lit("match").alias("part"),
+            F.col("id_a").cast("long").alias("a"),
+            F.col("id_b").cast("long").alias("b"),
+            F.col("offset").cast("long").alias("c"),
+            F.col("votes").cast("long").alias("v"),
+        )
+    )
+    return hash_rows.unionByName(match_rows).localCheckpoint(eager=True)
+
+
+def _afp_sql() -> str:
+    W, FAN, CAP, MV = AFP_WINDOW, AFP_FAN, AFP_CAP, AFP_MIN_VOTES
+    ctab_rows = ",".join(
+        f"({u + 1},{x},{AFP_CTAB[u][x]})"
+        for u in range(7) for x in range(W)
+    )
+    return f"""
+WITH acodes AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, ''), c -> unicode(c)) AS cs
+  FROM documents
+),
+awins AS MATERIALIZED (
+  SELECT doc_id, cs,
+         unnest(generate_series(0,
+           CAST(floor(len(cs) / {W}.0) AS INT) - 1)) AS w
+  FROM acodes
+),
+actab(u, x, c) AS (VALUES {ctab_rows}),
+abands AS MATERIALIZED (
+  SELECT awins.doc_id, awins.w, actab.u,
+         ABS(SUM(actab.c * awins.cs[awins.w * {W} + actab.x + 1])) AS ab
+  FROM awins, actab
+  GROUP BY awins.doc_id, awins.w, actab.u
+),
+apeaks AS MATERIALIZED (
+  SELECT doc_id, w, u, ab FROM (
+    SELECT doc_id, w, u, ab,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, w
+                              ORDER BY ab DESC, u) AS rk
+    FROM abands
+  ) WHERE rk = 1
+),
+ah AS MATERIALIZED (
+  SELECT p.doc_id, p.w, p.ab AS amp,
+         (((p.u - 1) * 7 + (q.u - 1)) * {FAN} + (q.w - p.w - 1)) * 33
+           + LEAST(length(bin(p.ab)), 32) AS h
+  FROM apeaks p JOIN apeaks q
+    ON q.doc_id = p.doc_id AND q.w - p.w BETWEEN 1 AND {FAN}
+),
+acap AS MATERIALIZED (
+  SELECT doc_id, w, amp, h FROM (
+    SELECT doc_id, w, amp, h,
+           ROW_NUMBER() OVER (
+             PARTITION BY h
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '/'
+                          || CAST(w AS VARCHAR)), doc_id, w) AS r
+    FROM ah
+  ) WHERE r <= {CAP}
+)
+SELECT 'hash' AS part,
+       CAST(doc_id AS BIGINT) AS a, CAST(w AS BIGINT) AS b,
+       CAST(h AS BIGINT) AS c, CAST(amp AS BIGINT) AS v
+FROM acap
+UNION ALL
+SELECT 'match' AS part,
+       CAST(id_a AS BIGINT) AS a, CAST(id_b AS BIGINT) AS b,
+       CAST(toff AS BIGINT) AS c, CAST(votes AS BIGINT) AS v
+FROM (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         x.w - y.w AS toff, COUNT(*) AS votes
+  FROM acap x JOIN acap y ON x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {MV}
+)
+"""
+
+
+MULTIMODAL_AUDIO_FINGERPRINT_SQL = _afp_sql()

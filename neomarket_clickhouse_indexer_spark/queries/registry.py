@@ -485,6 +485,15 @@ _SPECS: list[QuerySpec] = [
               M.MULTIMODAL_AUDIO_ENERGY_SQL, ("MM", "BONUS"),
               "PCM-style windowed energy extraction (audio DSP shape): "
               "integer-exact Arrow kernel fan-out vs char-code-list oracle"),
+    QuerySpec("multimodal_audio_fingerprint", M.multimodal_audio_fingerprint,
+              M.MULTIMODAL_AUDIO_FINGERPRINT_SQL, ("MM", "DD2", "BONUS"),
+              "AUDIO near-dup matching (r12, the pHash sibling): Shazam "
+              "constellation landmarks — per-window peak band of a 7-band "
+              "fixed-point AC filterbank (inlined-cosine doctrine) — "
+              "fanout-paired into (bands, dt, log2-loudness) hashes via "
+              "cross-engine bin()-length quantization, per-h md5 cap, "
+              "then offset-voting matches at >= AFP_MIN_VOTES; gate pins "
+              "the capped hash TABLE and the voted pairs (long format)"),
     QuerySpec("docs_bands_incremental", D.docs_bands_incremental,
               D.DOCS_BANDS_INCREMENTAL_SQL, ("DD2", "S3", "BONUS"),
               "incremental LSH signature-MV maintenance: only the arriving "
