@@ -1188,7 +1188,7 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
     QuerySpec("knn_nsw_incremental", V.knn_nsw_incremental,
               V.KNN_NSW_INCREMENTAL_SQL, ("VS3", "W4", "BONUS"),
               "INCREMENTAL INSERT for the graph-ANN tier (the "
-              "lsh_incr/ivf_incr maintenance story): md5-split 1/16 "
+              "lsh_incr/ivf_incr maintenance story): md5 position-8 1/16 "
               "append batch attaches via full-corpus capped LSH-forest "
               "buckets + one expand-capped hop over the base graph, "
               "then bidirectional-connect repair re-ranks ONLY the "
@@ -1196,6 +1196,15 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "VERBATIM; final adjacency is the gated deterministic "
               "state, insert quality vs rebuild pinned in "
               "tests/test_nsw.py"),
+    QuerySpec("knn_hnsw_incremental", V.knn_hnsw_incremental,
+              V.KNN_HNSW_INCREMENTAL_SQL, ("VS3", "W4", "BONUS"),
+              "LAYERED incremental insert (HNSW Alg.1): new nodes draw "
+              "a level from the md5 geometric distribution and insert "
+              "into every layer <= it (batch split on an independent "
+              "md5 position); each nested layer runs the flat "
+              "incremental core with its own forest sizing/rounds — "
+              "closes the maintenance family at the top tier; oracle = "
+              "three prefixed incremental chains under one nrm CTE"),
     QuerySpec("user_churn_hazard", TS.user_churn_hazard,
               TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
               "survival analysis: Nelson-Aalen cumulative churn hazard "

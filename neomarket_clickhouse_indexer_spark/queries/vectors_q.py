@@ -3827,18 +3827,26 @@ KNN_HNSW_SEARCH_SQL = _hnsw_sql()
 #     beyond-ref (SURVEY similarity-search mandate — index
 #     maintenance tier).
 
-NSW_INCR_NEW_CHAR = "f"   # md5 first-hex split: 1/16 of nodes are "new"
+NSW_INCR_NEW_CHAR = "f"   # md5 hex split: 1/16 of nodes are "new"
+# hex POSITION 8, not 1: the HNSW layer assignment consumes md5
+# positions 1..2 ('0'/'1' chars), and a batch split on position 1
+# would make "new" and "upper-layer" mutually exclusive — the layered
+# incremental insert needs the two md5 draws independent
+NSW_INCR_NEW_POS = 8
 
 
 def _nsw_new_pred(col):
     """Spark predicate: vec_id belongs to the append batch."""
     return (
-        F.substring(F.md5(col.cast("string")), 1, 1) == NSW_INCR_NEW_CHAR
+        F.substring(F.md5(col.cast("string")), NSW_INCR_NEW_POS, 1)
+        == NSW_INCR_NEW_CHAR
     )
 
 
 _NSW_NEW_SQL = (
-    "substr(md5(CAST({c} AS VARCHAR)), 1, 1) = '" + NSW_INCR_NEW_CHAR + "'"
+    "substr(md5(CAST({c} AS VARCHAR)), "
+    + str(NSW_INCR_NEW_POS)
+    + ", 1) = '" + NSW_INCR_NEW_CHAR + "'"
 )
 
 
@@ -3862,16 +3870,30 @@ def knn_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nsw_incremental_frame(
-    emb: DataFrame, _cache_out: list | None = None
+    emb: DataFrame,
+    _cache_out: list | None = None,
+    bucketings: list | None = None,
+    node_pred=None,
+    rounds: int = NSW_ROUNDS,
 ) -> DataFrame:
     """Base NSW build + batch attach + local repair over any
     (vec_id, embedding) frame; output = the post-insert adjacency in
-    the knn_nsw_graph shape."""
+    the knn_nsw_graph shape. ``bucketings``/``node_pred`` restrict the
+    forest sizing and the node population — the HNSW layered variant
+    runs this core once per layer (nested md5 populations, per-layer
+    forests)."""
+    if bucketings is None:
+        bucketings = NSW_BUCKETINGS
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    if node_pred is not None:
+        corpus = corpus.filter(node_pred)
     caches: list = []
     g_base = nsw_frame(
-        corpus.filter(~_nsw_new_pred(F.col("vec_id"))), _cache_out=caches
+        corpus.filter(~_nsw_new_pred(F.col("vec_id"))),
+        _cache_out=caches,
+        bucketings=bucketings,
+        rounds=rounds,
     ).select(
         F.col("query_id").alias("src"),
         F.col("neighbor_id").alias("dst"),
@@ -3931,7 +3953,7 @@ def nsw_incremental_frame(
                             "embedding", n_planes=n, start=start
                         ).alias("bucket"),
                     )
-                    for j, (start, n) in enumerate(NSW_BUCKETINGS)
+                    for j, (start, n) in enumerate(bucketings)
                 ]
             )
         ).alias("s"),
@@ -4011,16 +4033,25 @@ def nsw_incremental_frame(
     return out
 
 
-def _nsw_incr_sql() -> str:
-    NQ, R, EXP, K = N_QUERIES, NSW_ROUNDS, NSW_EXPAND, NSW_K
+def _nsw_incr_sql_fragment(
+    p: str, extra_where: str, bucketings: list, rounds: int
+) -> str:
+    """One incremental-insert chain as a CTE FRAGMENT (no WITH keyword,
+    references the shared ``nrm`` CTE), every name prefixed ``p`` so the
+    HNSW layered oracle can instantiate one chain per layer.
+    ``extra_where`` is an additional AND condition restricting the node
+    population (the md5 layer predicate; '' for the flat graph). Ends
+    with {p}final — the post-insert adjacency."""
+    NQ, EXP, K = N_QUERIES, NSW_EXPAND, NSW_K
+    R = rounds
     new_src = _NSW_NEW_SQL.format(c="src")
     new_dst = _NSW_NEW_SQL.format(c="dst")
+    corpus_where = f"WHERE vec_id >= {NQ}{extra_where}"
     base_where = (
-        f"WHERE vec_id >= {NQ} "
-        f"AND NOT ({_NSW_NEW_SQL.format(c='vec_id')})"
+        corpus_where + f" AND NOT ({_NSW_NEW_SQL.format(c='vec_id')})"
     )
     forest = ",\n".join(
-        f"""fb{j} AS MATERIALIZED (
+        f"""{p}fb{j} AS MATERIALIZED (
   SELECT vec_id, bucket FROM (
     SELECT vec_id, bucket,
            ROW_NUMBER() OVER (
@@ -4028,95 +4059,206 @@ def _nsw_incr_sql() -> str:
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
     FROM (SELECT vec_id,
                  {_bucket_sql("embedding", n, start=start)} AS bucket
-          FROM embeddings WHERE vec_id >= {NQ})
+          FROM embeddings {corpus_where})
   ) WHERE r <= {MUTUAL_BUCKET_CAP}
 )"""
-        for j, (start, n) in enumerate(NSW_BUCKETINGS)
+        for j, (start, n) in enumerate(bucketings)
     )
     pair_union = "\n    UNION\n".join(
         f"""    SELECT x.vec_id AS src, y.vec_id AS dst
-    FROM fb{j} x JOIN fb{j} y
+    FROM {p}fb{j} x JOIN {p}fb{j} y
       ON x.bucket = y.bucket AND x.vec_id <> y.vec_id"""
-        for j in range(len(NSW_BUCKETINGS))
+        for j in range(len(bucketings))
     )
     score = f"ROUND({_DOT_AB} / (a.nn * b.nn), 6)"
-    return _NRM_CTE + _nsw_forest_sql(
-        "base_", base_where, NSW_BUCKETINGS
+    return _nsw_forest_sql(
+        f"{p}base_", base_where, bucketings, rounds=rounds
     ) + f""",
 {forest},
-fmix AS MATERIALIZED (
+{p}fmix AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
 {pair_union}
   ) WHERE ({new_src}) OR ({new_dst})
 ),
-cn AS MATERIALIZED (
-  SELECT src, dst FROM fmix WHERE {new_src}
+{p}cn AS MATERIALIZED (
+  SELECT src, dst FROM {p}fmix WHERE {new_src}
 ),
-cnx AS MATERIALIZED (
+{p}cnx AS MATERIALIZED (
   SELECT DISTINCT c.src, g.dst
-  FROM cn c JOIN base_e{R} g ON g.src = c.dst AND g.rank <= {EXP}
+  FROM {p}cn c JOIN {p}base_e{R} g ON g.src = c.dst AND g.rank <= {EXP}
   WHERE g.dst <> c.src
 ),
-encand AS MATERIALIZED (
-  SELECT src, dst FROM cn UNION SELECT src, dst FROM cnx
+{p}encand AS MATERIALIZED (
+  SELECT src, dst FROM {p}cn UNION SELECT src, dst FROM {p}cnx
 ),
-ens AS MATERIALIZED (
+{p}ens AS MATERIALIZED (
   SELECT c.src, c.dst, {score} AS cosine_sim
-  FROM encand c
+  FROM {p}encand c
   JOIN nrm a ON a.vec_id = c.src
   JOIN nrm b ON b.vec_id = c.dst
 ),
-enew AS MATERIALIZED (
+{p}enew AS MATERIALIZED (
   SELECT src, dst, cosine_sim, rank FROM (
     SELECT src, dst, cosine_sim,
            ROW_NUMBER() OVER (PARTITION BY src
                               ORDER BY cosine_sim DESC, dst) AS rank
-    FROM ens
+    FROM {p}ens
   ) WHERE rank <= {K}
 ),
-cball AS MATERIALIZED (
-  SELECT src, dst FROM fmix WHERE NOT ({new_src}) AND ({new_dst})
+{p}cball AS MATERIALIZED (
+  SELECT src, dst FROM {p}fmix WHERE NOT ({new_src}) AND ({new_dst})
   UNION
-  SELECT dst AS src, src AS dst FROM enew WHERE NOT ({new_dst})
+  SELECT dst AS src, src AS dst FROM {p}enew WHERE NOT ({new_dst})
 ),
-aff AS MATERIALIZED (
-  SELECT DISTINCT src FROM cball
+{p}aff AS MATERIALIZED (
+  SELECT DISTINCT src FROM {p}cball
 ),
-repcand AS MATERIALIZED (
-  SELECT g.src, g.dst FROM base_e{R} g JOIN aff f ON f.src = g.src
+{p}repcand AS MATERIALIZED (
+  SELECT g.src, g.dst FROM {p}base_e{R} g JOIN {p}aff f ON f.src = g.src
   UNION
-  SELECT src, dst FROM cball
+  SELECT src, dst FROM {p}cball
 ),
-reps AS MATERIALIZED (
+{p}reps AS MATERIALIZED (
   SELECT c.src, c.dst, {score} AS cosine_sim
-  FROM repcand c
+  FROM {p}repcand c
   JOIN nrm a ON a.vec_id = c.src
   JOIN nrm b ON b.vec_id = c.dst
 ),
-erep AS MATERIALIZED (
+{p}erep AS MATERIALIZED (
   SELECT src, dst, cosine_sim, rank FROM (
     SELECT src, dst, cosine_sim,
            ROW_NUMBER() OVER (PARTITION BY src
                               ORDER BY cosine_sim DESC, dst) AS rank
-    FROM reps
+    FROM {p}reps
   ) WHERE rank <= {K}
-)
+),
+{p}final AS MATERIALIZED (
+  SELECT g.src, g.rank, g.dst, g.cosine_sim FROM {p}base_e{R} g
+  WHERE g.src NOT IN (SELECT src FROM {p}aff)
+  UNION ALL
+  SELECT src, rank, dst, cosine_sim FROM {p}erep
+  UNION ALL
+  SELECT src, rank, dst, cosine_sim FROM {p}enew
+)"""
+
+
+def _nsw_incr_sql() -> str:
+    return _NRM_CTE + _nsw_incr_sql_fragment(
+        "", "", NSW_BUCKETINGS, NSW_ROUNDS
+    ) + """
 SELECT CAST(src AS BIGINT) AS query_id,
        CAST(rank AS BIGINT) AS rank,
        CAST(dst AS BIGINT) AS neighbor_id,
        cosine_sim
-FROM (
-  SELECT g.src, g.rank, g.dst, g.cosine_sim FROM base_e{R} g
-  WHERE g.src NOT IN (SELECT src FROM aff)
-  UNION ALL
-  SELECT src, rank, dst, cosine_sim FROM erep
-  UNION ALL
-  SELECT src, rank, dst, cosine_sim FROM enew
-)
+FROM final
 """
 
 
 KNN_NSW_INCREMENTAL_SQL = _nsw_incr_sql()
+
+
+# --- knn_hnsw_incremental: the LAYERED incremental insert — HNSW
+#     Alg.1's real shape: a new node draws a LEVEL from the md5
+#     geometric distribution (_hnsw_level_pred, positions 1..2) and
+#     inserts into EVERY layer <= that level; the batch split draws
+#     from md5 position 8 so the two assignments are independent
+#     (position 1 would make "new" and "upper-layer" mutually
+#     exclusive). Each layer runs the flat incremental core
+#     (nsw_incremental_frame) over its nested population with its own
+#     forest sizing and refinement rounds — base build + bucket-mate
+#     attach + expand-capped walk + bidirectional-connect repair,
+#     untouched base rows verbatim. Layer nesting is preserved by
+#     construction (level-l batch ⊂ level-(l-1) batch).
+#
+#     Gate = long (layer, query_id, rank, neighbor_id, cosine_sim):
+#     the full post-insert LAYERED adjacency, oracle = three prefixed
+#     incremental chains under one shared nrm CTE. Completes the
+#     index-maintenance family: LSH bands / IVF cells / flat NSW /
+#     layered HNSW all have an append path (r11 verdict "What's
+#     missing" #3 closed at the top tier). 100 TB: per-layer append
+#     cost is O(|batch_l| * cap * bucketings_l) with |batch_l|
+#     shrinking 8x per level — the hierarchy adds ~14% to the flat
+#     append, same as it adds to the build.
+
+
+def knn_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = hnsw_incremental_frame(
+            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def hnsw_incremental_frame(
+    emb: DataFrame, _cache_out: list | None = None
+) -> DataFrame:
+    """One flat incremental insert per nested layer, pooled (the
+    hnsw_search_frame doctrine: the three builds are driver-paced,
+    layer 0 dominates, pooled wall ~= layer 0's)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    caches: list = []
+
+    def _layer(lvl: int) -> DataFrame:
+        return nsw_incremental_frame(
+            emb,
+            _cache_out=caches,
+            bucketings=HNSW_BUCKETINGS[lvl],
+            node_pred=_hnsw_level_pred(lvl),
+            rounds=HNSW_ROUNDS[lvl],
+        ).select(
+            F.lit(lvl).cast("long").alias("layer"),
+            "query_id", "rank", "neighbor_id", "cosine_sim",
+        )
+
+    with ThreadPoolExecutor(max_workers=HNSW_LEVELS) as pool:
+        futs = [pool.submit(_layer, lvl) for lvl in range(HNSW_LEVELS)]
+        outs = [f.result() for f in futs]
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _hnsw_incr_sql() -> str:
+    def extra(lvl: int) -> str:
+        return "".join(
+            f" AND substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)"
+            " IN ('0','1')"
+            for i in range(1, lvl + 1)
+        )
+
+    chains = ",\n".join(
+        _nsw_incr_sql_fragment(
+            f"h{lvl}_", extra(lvl), HNSW_BUCKETINGS[lvl], HNSW_ROUNDS[lvl]
+        )
+        for lvl in range(HNSW_LEVELS)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({lvl} AS BIGINT) AS layer,
+       CAST(src AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM h{lvl}_final"""
+        for lvl in range(HNSW_LEVELS)
+    )
+    return _NRM_CTE + chains + "\n" + selects
+
+
+KNN_HNSW_INCREMENTAL_SQL = _hnsw_incr_sql()
 
 
 # --- embeddings_sq8_audit: int8 SCALAR QUANTIZATION (the SQ8 index tier

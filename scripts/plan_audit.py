@@ -146,6 +146,7 @@ for name in sorted(REGISTRY):
                 # r12: eager base build + attach/repair checkpoints;
                 # same audited shapes as knn_nsw_graph
                 "knn_nsw_incremental",
+                "knn_hnsw_incremental",
                 # r12 tail-shave: standalone forms now run pinned+eager
                 # and release their persists; component shapes stay
                 # audited via events_quantile_select (the selection

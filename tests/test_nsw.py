@@ -120,8 +120,8 @@ def test_incremental_insert_quality_and_mechanism(spark):
     maintenance tier): the gate hashes the deterministic post-insert
     adjacency; THIS pins the claims behind it.
 
-    Measured on the fixture (495 corpus nodes, 34 in the md5 'f'
-    append batch):
+    Measured on the fixture (495 corpus nodes, 38 in the md5
+    position-8 'f' append batch):
       - edge overlap with the from-scratch rebuild: 0.92
       - new-node edge recall vs true kNN: 0.297 — BETTER than the
         rebuild's 0.262 on the same nodes (the expand-capped one-hop
@@ -151,7 +151,8 @@ def test_incremental_insert_quality_and_mechanism(spark):
     ).collect()
 
     def is_new(v: int) -> bool:
-        return hashlib.md5(str(v).encode()).hexdigest()[0] == "f"
+        # position 8 (0-based 7): independent of the HNSW level chars
+        return hashlib.md5(str(v).encode()).hexdigest()[7] == "f"
 
     corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
     new_ids = {v for v in corpus_ids if is_new(v)}
@@ -206,3 +207,55 @@ def test_incremental_insert_quality_and_mechanism(spark):
     for q, nbrs in base_nbrs.items():
         got = {n for (qq, n) in incr_set if qq == q}
         assert got - nbrs <= new_ids, (q, got - nbrs)
+
+
+def test_hnsw_incremental_layer_structure(spark):
+    """knn_hnsw_incremental (the layered insert): every layer's
+    post-insert adjacency covers exactly its nested md5 population —
+    including the append-batch nodes of that level — and a batch node
+    of level L has rows in every layer <= L (HNSW Alg.1's
+    insert-into-all-layers rule). The per-layer values themselves are
+    driver-gated (the oracle re-runs the identical per-layer chain)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        HNSW_LEVELS,
+        N_QUERIES,
+        knn_hnsw_incremental,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus_ids = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id").collect()
+    }
+
+    def level(v: int) -> int:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        lvl = 0
+        while lvl < HNSW_LEVELS - 1 and h[lvl] in "01":
+            lvl += 1
+        return lvl
+
+    def is_new(v: int) -> bool:
+        return hashlib.md5(str(v).encode()).hexdigest()[7] == "f"
+
+    rows = knn_hnsw_incremental(spark, SF).collect()
+    by_layer: dict = {}
+    for r in rows:
+        by_layer.setdefault(r["layer"], set()).add(r["query_id"])
+    assert set(by_layer) == set(range(HNSW_LEVELS))
+    for lvl in range(HNSW_LEVELS):
+        pop = {v for v in corpus_ids if level(v) >= lvl}
+        assert by_layer[lvl] == pop, lvl
+    # the independence fix's point: some batch node reaches layer >= 1
+    batch = {v for v in corpus_ids if is_new(v)}
+    assert batch
+    upper_batch = {v for v in batch if level(v) >= 1}
+    assert upper_batch, "batch split must be independent of levels"
+    for v in upper_batch:
+        for lvl in range(level(v) + 1):
+            assert v in by_layer[lvl], (v, lvl)
