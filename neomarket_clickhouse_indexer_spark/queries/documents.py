@@ -3315,3 +3315,162 @@ JOIN per_source pa ON pa.source = a.source
 JOIN per_source pb ON pb.source = b.source
 GROUP BY 1, 2
 """
+
+
+# --- docs_winnow_fingerprints: WINNOWING (Schleimer, Wilkerson & Aiken,
+#     SIGMOD'03 — the MOSS local fingerprinting algorithm; r12): the
+#     position-robust document fingerprint the global min-hash
+#     (docs_fingerprint) is not. Per document: k-gram hashes at every
+#     char position (k = WIN_K), then for every window of WIN_W
+#     consecutive gram hashes select the RIGHTMOST MINIMAL hash — the
+#     winnowed set. The paper's guarantee: any shared substring of
+#     length >= WIN_W + WIN_K - 1 chars yields at least one shared
+#     (hash) fingerprint, and expected density is 2/(w+1).
+#
+#     Determinism: gram hash = first-15-hex md5 as BIGINT (the og/LSH
+#     idiom, collision epsilon documented there); rightmost-min
+#     tiebreak = ORDER BY gk ASC, pos DESC, ROW_NUMBER = 1 — identical
+#     in both engines. The O(n*w) window-membership expansion (each
+#     gram explodes into the <= WIN_W windows that contain it) keeps
+#     the selection a plain window-function program: obviously equal
+#     cross-engine, no sequential state.
+#
+#     Output, long: part='fp' = the winnowed fingerprint table
+#     (doc_id, pos, gk) and part='pair' = cross-doc pairs sharing >=
+#     WIN_MIN_SHARED distinct fingerprint hashes (the MOSS report
+#     line). 100 TB: fingerprints are ~2/(w+1) of grams (a 8.5x cut at
+#     w=16); the pair join keys on gk over the winnowed table only,
+#     never the corpus, and per-gk multiplicity is bounded by the
+#     dup-gram-index histogram argument (CLAUDE.md r7).
+
+WIN_K = 8          # k-gram length (chars)
+WIN_W = 16         # winnowing window (grams)
+WIN_MIN_SHARED = 4 # shared distinct hashes to report a pair
+
+
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        docs = _spread(load_table(spark, sf_dir, "documents"), spark)
+        return winnow_frame(docs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def winnow_frame(docs: DataFrame) -> DataFrame:
+    """Core over any (doc_id, text) frame — tests plant shared
+    substrings here to pin the w+k-1 guarantee."""
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {WIN_K - 1},"
+                f" 0)), i -> substring(text, i, {WIN_K}))"
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),  # 1-based gram position
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gk"),
+    )
+    # window membership: gram at pos j belongs to windows ending at
+    # i in [j, j + w - 1]; only windows with a full w grams count
+    n_grams = grams.groupBy("doc_id").agg(F.max("pos").alias("n"))
+    member = (
+        grams.select(
+            "doc_id", "pos", "gk",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(WIN_W - 1))
+            ).alias("i"),
+        )
+        .join(F.broadcast(n_grams), "doc_id")
+        .filter((F.col("i") <= F.col("n")) & (F.col("i") >= WIN_W))
+    )
+    wsel = Window.partitionBy("doc_id", "i").orderBy(
+        F.asc("gk"), F.desc("pos")
+    )
+    fps = (
+        member.withColumn("r", F.row_number().over(wsel))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "pos", "gk")
+        .distinct()
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .localCheckpoint(eager=True)
+    )
+    fp_rows = fps.select(
+        F.lit("fp").alias("part"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("pos").cast("long").alias("b"),
+        F.col("gk").cast("long").alias("c"),
+    )
+    dk = fps.select("doc_id", "gk").distinct()
+    pair_rows = (
+        dk.select(F.col("doc_id").alias("id_a"), "gk")
+        .join(dk.select(F.col("doc_id").alias("id_b"), "gk"), "gk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= WIN_MIN_SHARED)
+        .select(
+            F.lit("pair").alias("part"),
+            F.col("id_a").cast("long").alias("a"),
+            F.col("id_b").cast("long").alias("b"),
+            F.col("shared").cast("long").alias("c"),
+        )
+    )
+    return fp_rows.unionByName(pair_rows)
+
+
+DOCS_WINNOW_FINGERPRINTS_SQL = f"""
+WITH wgrams AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substring(md5(substring(text, CAST(i AS INT),
+                                              {WIN_K})), 1, 15) AS BIGINT)
+           AS gk
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1,
+                 greatest(length(text) - {WIN_K - 1}, 0))) AS i
+        FROM documents)
+),
+wn AS MATERIALIZED (
+  SELECT doc_id, MAX(pos) AS n FROM wgrams GROUP BY doc_id
+),
+wmember AS MATERIALIZED (
+  SELECT g.doc_id, g.pos, g.gk, g.pos + d.d AS i
+  FROM wgrams g,
+       (SELECT unnest(generate_series(0, {WIN_W - 1})) AS d) d
+  JOIN wn ON wn.doc_id = g.doc_id
+  WHERE g.pos + d.d <= wn.n AND g.pos + d.d >= {WIN_W}
+),
+wfps AS MATERIALIZED (
+  SELECT DISTINCT doc_id, pos, gk FROM (
+    SELECT doc_id, pos, gk,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, i
+                              ORDER BY gk ASC, pos DESC) AS r
+    FROM wmember
+  ) WHERE r = 1
+),
+wdk AS MATERIALIZED (
+  SELECT DISTINCT doc_id, gk FROM wfps
+)
+SELECT 'fp' AS part, CAST(doc_id AS BIGINT) AS a,
+       CAST(pos AS BIGINT) AS b, CAST(gk AS BIGINT) AS c
+FROM wfps
+UNION ALL
+SELECT 'pair' AS part, CAST(id_a AS BIGINT) AS a,
+       CAST(id_b AS BIGINT) AS b, CAST(shared AS BIGINT) AS c
+FROM (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+  FROM wdk x JOIN wdk y ON x.gk = y.gk AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WIN_MIN_SHARED}
+)
+"""

@@ -416,6 +416,15 @@ _SPECS: list[QuerySpec] = [
               ("TX2",), "marker-based language ID"),
     QuerySpec("docs_fingerprint", D.docs_fingerprint, D.DOCS_FINGERPRINT_SQL,
               ("TX4",), "rolling-hash document fingerprint"),
+    QuerySpec("docs_winnow_fingerprints", D.docs_winnow_fingerprints,
+              D.DOCS_WINNOW_FINGERPRINTS_SQL, ("TX4", "DD2", "BONUS"),
+              "WINNOWING (MOSS, Schleimer et al. SIGMOD'03): rightmost-"
+              "min k-gram hash per w-window — position-robust local "
+              "fingerprints with the shared-substring >= w+k-1 "
+              "guarantee (pinned in tests/test_winnow.py) and 2/(w+1) "
+              "density; gate pins the winnowed table + cross-doc "
+              "shared-hash pairs; O(n*w) window-membership expansion "
+              "keeps the selection a pure window-function program"),
     QuerySpec("fifo_pnl_modes", E.fifo_pnl_modes, E.FIFO_PNL_MODES_SQL,
               ("O3", "O1"),
               "PnL modes 1-2 (period-only / with-history) over FIFO "
