@@ -3875,6 +3875,7 @@ def nsw_incremental_frame(
     bucketings: list | None = None,
     node_pred=None,
     rounds: int = NSW_ROUNDS,
+    prebuilt_base: DataFrame | None = None,
 ) -> DataFrame:
     """Base NSW build + batch attach + local repair over any
     (vec_id, embedding) frame; output = the post-insert adjacency in
@@ -3889,11 +3890,18 @@ def nsw_incremental_frame(
     if node_pred is not None:
         corpus = corpus.filter(node_pred)
     caches: list = []
-    g_base = nsw_frame(
-        corpus.filter(~_nsw_new_pred(F.col("vec_id"))),
-        _cache_out=caches,
-        bucketings=bucketings,
-        rounds=rounds,
+    # ``prebuilt_base`` (the operational case: the standing index is an
+    # artifact, only the append is paid) skips the base build — the
+    # scale harness uses it to time attach+repair alone
+    g_base = (
+        prebuilt_base
+        if prebuilt_base is not None
+        else nsw_frame(
+            corpus.filter(~_nsw_new_pred(F.col("vec_id"))),
+            _cache_out=caches,
+            bucketings=bucketings,
+            rounds=rounds,
+        )
     ).select(
         F.col("query_id").alias("src"),
         F.col("neighbor_id").alias("dst"),

@@ -73,12 +73,56 @@ def main() -> None:
     emb = spark.read.parquet(scaled_path)
     n_vecs = emb.count()
     hnsw = len(sys.argv) > 2 and sys.argv[2] == "--hnsw"
+    incr = len(sys.argv) > 2 and sys.argv[2] == "--incr"
     # hold bucket size ~32: the scale knob is plane count, not the cap
     n_planes = (
         int(sys.argv[2])
-        if len(sys.argv) > 2 and not hnsw
+        if len(sys.argv) > 2 and not (hnsw or incr)
         else max(5, math.ceil(math.log2(max(n_vecs, 64) / 32)))
     )
+    if incr:
+        # the operational append: base index prebuilt (untimed), time
+        # ONLY attach+repair — the O(|batch|) claim is that this cost
+        # tracks the 1/16 batch, never the base size
+        from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+            N_QUERIES,
+            _nsw_new_pred,
+            nsw_incremental_frame,
+        )
+
+        bucketings = [(k, n_planes) for k in range(4)]
+        corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+        n_batch = corpus.filter(_nsw_new_pred(F.col("vec_id"))).count()
+        print(
+            f"x{n}: {n_vecs:,} vectors, batch {n_batch:,}, forest 4 x "
+            f"{n_planes} planes",
+            flush=True,
+        )
+        base_caches: list = []
+        base = nsw_frame(
+            corpus.filter(~_nsw_new_pred(F.col("vec_id"))),
+            _cache_out=base_caches,
+            bucketings=bucketings,
+        ).localCheckpoint(eager=True)
+        for df in base_caches:
+            df.unpersist()
+        for it in range(2):
+            t0 = time.perf_counter()
+            caches: list = []
+            out = nsw_incremental_frame(
+                emb, _cache_out=caches, bucketings=bucketings,
+                prebuilt_base=base,
+            )
+            cnt = out.count()
+            print(
+                f"nsw_append x{n} iter{it}: "
+                f"{time.perf_counter() - t0:.2f}s ({cnt:,} edges)",
+                flush=True,
+            )
+            for df in caches:
+                df.unpersist()
+        spark.stop()
+        return
     if hnsw:
         per_layer = [
             [(k, max(1, n_planes - 3 * lvl)) for k in range(4 if lvl < 2 else 2)]
