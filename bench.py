@@ -140,6 +140,14 @@ HEADLINE = [
     # vocabulary-sized jobs (argmax collect per iteration) — wall time
     # measures scheduler latency, not data-path throughput; the gate +
     # tests/test_bpe.py pin it instead.
+    # r12: knn_nsw_incremental / knn_hnsw_incremental are NOT benched —
+    # their wall re-pays the base build knn_nsw_graph already times
+    # (double-counting), and the append path's throughput story is the
+    # nsw_scale --incr differential (BENCH.md r12 (5): attach+repair
+    # timed alone against a prebuilt base, per-vector cost halving
+    # 30x->100x). multimodal_audio_fingerprint / docs_winnow_fingerprints
+    # are corpus-scan + window/join shapes already represented by
+    # docs_near_dup_pairs / docs_dup_ngram_spans in the headline set.
     # docs_setsim_join is NOT benched at sf0.1: the synthetic corpus is
     # drawn from a tiny vocabulary, so the TRUE answer at tau=0.8 is
     # ~3M pairs for 5k docs (output-quadratic by construction — measured
