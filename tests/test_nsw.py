@@ -259,3 +259,50 @@ def test_hnsw_incremental_layer_structure(spark):
     for v in upper_batch:
         for lvl in range(level(v) + 1):
             assert v in by_layer[lvl], (v, lvl)
+
+
+def test_incremental_insert_servability(spark):
+    """The operational insert claim: appended vectors must be SERVABLE —
+    (a) every batch node gains at least one IN-link (the bidirectional-
+    connect repair working; an in-degree-0 insert is invisible to graph
+    descent), and (b) batch nodes are no less reachable from the md5
+    entry points than the base population (measured 6/38 vs 93/457
+    unreachable — the base NSW graph on a noise corpus is not strongly
+    connected, and the insert must not create a second-class tier)."""
+    import hashlib
+    from collections import deque
+
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        knn_nsw_incremental,
+    )
+
+    rows = knn_nsw_incremental(spark, SF).collect()
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def is_new(v: int) -> bool:
+        return hashlib.md5(str(v).encode()).hexdigest()[7] == "f"
+
+    nodes = set(adj)
+    new = {v for v in nodes if is_new(v)}
+    indeg: dict = {}
+    for _q, ns in adj.items():
+        for n in ns:
+            indeg[n] = indeg.get(n, 0) + 1
+    assert all(indeg.get(v, 0) >= 1 for v in new), "orphaned insert"
+    entries = sorted(
+        nodes, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:8]
+    seen = set(entries)
+    dq = deque(entries)
+    while dq:
+        u = dq.popleft()
+        for n in adj.get(u, ()):
+            if n not in seen:
+                seen.add(n)
+                dq.append(n)
+    unreach_new = sum(1 for v in new if v not in seen) / len(new)
+    base = nodes - new
+    unreach_base = sum(1 for v in base if v not in seen) / len(base)
+    assert unreach_new <= unreach_base + 0.10, (unreach_new, unreach_base)
