@@ -220,6 +220,24 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Host-band calibration probe (r12 verdict task 4): a fixed CPU-bound
+    # Spark job whose cost is data-independent, so cross-run comparisons
+    # can normalize for the hypervisor throttle band that now dominates
+    # judging (the r12 judge run read a UNIFORM 1.14x over the committed
+    # artifact). Best-of-2, recorded as calib_sec, NOT added to the total.
+    def _calib() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 200_000_000, 1, 32)
+            .selectExpr("sum(id * 2 + 1) AS s", "sum(id % 7) AS m")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    calib_sec = min(_calib(), _calib())
+
     # wipe any persisted LSH band table so docs_near_dup_pairs is timed
     # cold (it pays the signature build + write); docs_jaccard_pairs right
     # after then shows the materialized-view reuse within the same run
@@ -298,10 +316,17 @@ def main() -> None:
     import glob as _glob
     import re as _re
 
+    # Derive the round from the CORRECTNESS_r*.json series: the driver
+    # writes exactly one per completed round and commits it, so
+    # max(N)+1 is always "the round in progress". The old BENCH_r* glob
+    # broke on fresh checkouts whenever a line artifact lagged the
+    # committed set (r12 ADVICE: this_round resolved to the PREVIOUS
+    # round and bench overwrote the committed record / adjudicated
+    # movers against the wrong baseline).
     rounds = sorted(
         int(m.group(1))
-        for p in _glob.glob("BENCH_r*.json")
-        if (m := _re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        for p in _glob.glob("CORRECTNESS_r*.json")
+        if (m := _re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p)))
     )
     this_round = (rounds[-1] + 1) if rounds else 0
     prev: dict[str, float] = {}
@@ -350,6 +375,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "ingest_sec": ingest_sec,
+        "calib_sec": calib_sec,
         "movers_over_1_25x": movers,
         "queries": timings,
     }
@@ -368,6 +394,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "ingest_sec": ingest_sec,
+                "calib_sec": calib_sec,
                 "n_queries": len(timings),
                 "elided": elided,
                 "queries": qmap,

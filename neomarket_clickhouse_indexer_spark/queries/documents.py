@@ -3346,6 +3346,12 @@ GROUP BY 1, 2
 WIN_K = 8          # k-gram length (chars)
 WIN_W = 16         # winnowing window (grams)
 WIN_MIN_SHARED = 4 # shared distinct hashes to report a pair
+# MOSS's common-fingerprint rule: a gk shared by more than WIN_DF_CAP
+# documents is boilerplate, not plagiarism signal — drop it from pair
+# matching entirely (the fp rows keep it: per-doc selection is
+# unaffected). This also bounds the pair join at <= CAP^2 rows per gk;
+# the fixture exercises it (max df 124 at sf0.01, 100 at sf0.001).
+WIN_DF_CAP = 32
 
 
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3364,12 +3370,16 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_frame(docs: DataFrame) -> DataFrame:
     """Core over any (doc_id, text) frame — tests plant shared
     substrings here to pin the w+k-1 guarantee."""
-    grams = docs.select(
+    # Guard short docs BEFORE sequence(): Spark sequence(1, 0) yields the
+    # DESCENDING [1, 0] (two bogus partial grams) where DuckDB
+    # generate_series(1, 0) is empty (r12 ADVICE). The filter makes the
+    # gram table itself cross-engine exact, not just the windowed output.
+    grams = docs.filter(F.length("text") >= WIN_K).select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(length(text) - {WIN_K - 1},"
-                f" 0)), i -> substring(text, i, {WIN_K}))"
+                f"transform(sequence(1, length(text) - {WIN_K - 1}),"
+                f" i -> substring(text, i, {WIN_K}))"
             )
         ).alias("p0", "gram"),
     ).select(
@@ -3412,6 +3422,14 @@ def winnow_frame(docs: DataFrame) -> DataFrame:
         F.col("gk").cast("long").alias("c"),
     )
     dk = fps.select("doc_id", "gk").distinct()
+    # drop over-common fingerprints from matching (WIN_DF_CAP note above)
+    rare_gk = (
+        dk.groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WIN_DF_CAP)
+        .select("gk")
+    )
+    dk = dk.join(rare_gk, "gk")
     pair_rows = (
         dk.select(F.col("doc_id").alias("id_a"), "gk")
         .join(dk.select(F.col("doc_id").alias("id_b"), "gk"), "gk")
@@ -3436,9 +3454,8 @@ WITH wgrams AS MATERIALIZED (
                                               {WIN_K})), 1, 15) AS BIGINT)
            AS gk
   FROM (SELECT doc_id, text,
-               unnest(generate_series(1,
-                 greatest(length(text) - {WIN_K - 1}, 0))) AS i
-        FROM documents)
+               unnest(generate_series(1, length(text) - {WIN_K - 1})) AS i
+        FROM documents WHERE length(text) >= {WIN_K})
 ),
 wn AS MATERIALIZED (
   SELECT doc_id, MAX(pos) AS n FROM wgrams GROUP BY doc_id
@@ -3458,8 +3475,13 @@ wfps AS MATERIALIZED (
     FROM wmember
   ) WHERE r = 1
 ),
-wdk AS MATERIALIZED (
+wdk0 AS MATERIALIZED (
   SELECT DISTINCT doc_id, gk FROM wfps
+),
+wdk AS MATERIALIZED (
+  SELECT doc_id, gk FROM wdk0
+  WHERE gk IN (SELECT gk FROM wdk0
+               GROUP BY gk HAVING COUNT(*) <= {WIN_DF_CAP})
 )
 SELECT 'fp' AS part, CAST(doc_id AS BIGINT) AS a,
        CAST(pos AS BIGINT) AS b, CAST(gk AS BIGINT) AS c

@@ -348,14 +348,30 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hamming").alias("v"),
         )
     )
-    return exact.unionByName(code_rows).unionByName(pair_rows)
+    # Eager checkpoint then release the codes cache (mirrors
+    # audio_fingerprint_frame): a lazy return would leak the persist for
+    # the rest of a 250-entry gate session (r9/r11 cache-pressure rule).
+    out = (
+        exact.unionByName(code_rows)
+        .unionByName(pair_rows)
+        .localCheckpoint(eager=True)
+    )
+    codes.unpersist()
+    return out
 
 
 def _phash_oracle_ctes() -> str:
     """The pHash half of the oracle: recomputes the DCT sign codes
     INDEPENDENTLY (list-comprehension pixel lists + the same literal
     fixed-point basis as relational VALUES rows + SQL group-bys — a
-    genuinely different algorithm from the numpy matmul kernel)."""
+    genuinely different algorithm from the numpy matmul kernel).
+
+    ASCII invariant: this SQL indexes text per CHARACTER (ascii(),
+    length()) while the Spark kernel consumes UTF-8 BYTES of
+    encode(text) — parity holds because the fixture corpus is ASCII,
+    pinned by tests/test_multimodal_energy.py::
+    test_documents_text_is_nonempty_ascii (same contract as
+    audio_energy and the constellation fingerprint)."""
     n_px = PHASH_SIDE * PHASH_SIDE
     ctab_rows = ",".join(
         f"({u},{x},{PHASH_CTAB[u][x]})"

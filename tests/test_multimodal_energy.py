@@ -38,7 +38,11 @@ def test_empty_payload_emits_zero_windows(spark):
 def test_documents_text_is_nonempty_ascii():
     """Fixture contract: the byte==code-point assumption holds only for
     non-empty ASCII text. If this fails after a testdata refresh, the
-    multimodal_audio_energy oracle must switch to octet positions."""
+    char-indexed oracles must switch to octet positions: they cover
+    multimodal_audio_energy, the pHash paths of multimodal_frame_dedup
+    (ascii()/length() vs the Spark kernels' encode() bytes — both the
+    pixel values AND the >= PHASH_SIDE^2 membership filter diverge on
+    multi-byte text), and multimodal_audio_fingerprint's sample stream."""
     con = duckdb.connect()
     for sf in (SF_SMOKE, SF_CORRECTNESS):
         bad = con.execute(

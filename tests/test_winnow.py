@@ -62,3 +62,42 @@ def test_guarantee_density_and_coverage(spark):
             assert p - prev <= WIN_W, (d, prev, p)
             prev = p
         assert n_grams - prev < WIN_W, (d, prev, n_grams)
+
+
+def test_common_fingerprint_cap_and_short_docs(spark):
+    """MOSS's common-fingerprint rule (r12 verdict task 3): a gk whose
+    document frequency exceeds WIN_DF_CAP is boilerplate and must not
+    produce pairs — plant one hot shared block across WIN_DF_CAP + 4
+    docs and assert zero pairs; a rare block across 2 docs still pairs.
+    Also pins the short-doc guard: docs under WIN_K chars contribute
+    no grams (Spark sequence(1, 0) would otherwise emit [1, 0])."""
+    from neomarket_clickhouse_indexer_spark.queries.documents import (
+        WIN_DF_CAP,
+        WIN_MIN_SHARED,
+    )
+
+    # a hot block long enough to guarantee >= WIN_MIN_SHARED shared
+    # fingerprints per doc pair (MIN_SHARED windows of w grams each)
+    block_len = (WIN_MIN_SHARED + 1) * WIN_W + WIN_K - 1
+    hot = _stream_text("hot", block_len)
+    rare = _stream_text("rare", block_len)
+    rows = []
+    n_hot = WIN_DF_CAP + 4
+    for d in range(n_hot):
+        rows.append((d, _stream_text(f"u{d}", 40) + hot))
+    rows.append((1000, _stream_text("x", 40) + rare))
+    rows.append((1001, _stream_text("y", 40) + rare))
+    rows.append((2000, "ab"))  # shorter than WIN_K: zero grams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_frame(df).collect()
+    pairs = {
+        (r["a"], r["b"]) for r in out if r["part"] == "pair"
+    }
+    fp_docs = {r["a"] for r in out if r["part"] == "fp"}
+    assert (1000, 1001) in pairs, "rare shared block must still pair"
+    hot_pairs = [p for p in pairs if p[0] < n_hot and p[1] < n_hot]
+    assert not hot_pairs, f"capped gk must not pair: {hot_pairs[:5]}"
+    # fp rows are unaffected by the cap (per-doc selection) ...
+    assert set(range(n_hot)) <= fp_docs
+    # ... and the sub-WIN_K doc emits nothing at all
+    assert 2000 not in fp_docs
