@@ -1214,6 +1214,16 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "incremental core with its own forest sizing/rounds — "
               "closes the maintenance family at the top tier; oracle = "
               "three prefixed incremental chains under one nrm CTE"),
+    QuerySpec("knn_nsw_delete", V.knn_nsw_delete,
+              V.KNN_NSW_DELETE_SQL, ("VS3", "W4", "BONUS"),
+              "TOMBSTONE DELETE + compaction for the graph-ANN tier "
+              "(the last CRUD leg): md5 position-9 1/16 victim batch; "
+              "edges touching tombstones drop, affected survivors "
+              "re-rank over surviving edges + BRIDGES through dead "
+              "neighbors + survivor-forest bucket re-exposure — "
+              "untouched rows verbatim, base build shared via the "
+              "flat-graph memo; servability pinned in "
+              "tests/test_nsw_delete.py"),
     QuerySpec("user_churn_hazard", TS.user_churn_hazard,
               TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
               "survival analysis: Nelson-Aalen cumulative churn hazard "

@@ -1881,7 +1881,9 @@ def _audit_nsw_path(
     spark: SparkSession, emb: DataFrame, sf_dir: str,
     _cache_out: list | None = None,
 ) -> DataFrame:
-    return nsw_frame(emb, _cache_out).selectExpr(
+    return nsw_frame(
+        emb, _cache_out, memo_token=(sf_dir, "all")
+    ).selectExpr(
         "'nsw' AS path", "query_id", "rank", "neighbor_id",
         "'cosine_sim' AS metric", "CAST(cosine_sim AS DOUBLE) AS value",
     )
@@ -2942,6 +2944,29 @@ NSW_EXPAND = 4  # rank cap on the edges that participate in expansion
 # forest refines 0.189 → 0.272)
 NSW_BUCKETINGS = [(0, 5), (1, 5), (2, 5), (3, 5)]
 
+# --- r13: flat-build memo (r12 verdict task 2) ---
+# The flat NSW adjacency for a given (session, population, forest
+# sizing) was rebuilt from scratch by SIX gate paths per full sim:
+# knn_nsw_graph + ann_index_audit's nsw path (population "all"),
+# knn_nsw_search + knn_hnsw_search's layer 0 (population "corpus" —
+# _hnsw_level_pred(0) is lit(True)), and knn_nsw_incremental +
+# knn_hnsw_incremental's layer 0 (population "corpus-nonew"). One
+# eager localCheckpointed frame per key is reused instead (the
+# _bpe_train_cached doctrine applied to frames). Keyed by
+# applicationId + defaultParallelism so a new session rebuilds; tests
+# that pass custom frames supply no token and never memoize. The
+# adjacency is ~N_CORPUS * NSW_K rows of 4 scalars — negligible block
+# storage next to the suite persists.
+import threading as _threading  # noqa: E402
+
+_NSW_MEMO: dict = {}
+_NSW_MEMO_LOCK = _threading.Lock()
+
+
+def _nsw_memo_key(spark: SparkSession, token: tuple) -> tuple:
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.defaultParallelism) + token
+
 
 def knn_nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager under a conf pin (the suite-gate doctrine): the build is a
@@ -2956,7 +2981,9 @@ def knn_nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         caches: list = []
         out = nsw_frame(
-            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_token=(sf_dir, "all"),
         ).localCheckpoint(eager=True)
         for df in caches:
             df.unpersist()
@@ -2972,6 +2999,7 @@ def nsw_frame(
     bucketings: list[tuple[int, int]] | None = None,
     k: int = NSW_K,
     expand: int = NSW_EXPAND,
+    memo_token: tuple | None = None,
 ) -> DataFrame:
     """NSW adjacency over any (vec_id, embedding) frame: (query_id, rank,
     neighbor_id, cosine_sim) after ``rounds`` refinement rounds
@@ -2979,9 +3007,27 @@ def nsw_frame(
     ``bucketings`` overrides the forest's (start, n_planes) slices — the
     scale harness raises n_planes with the corpus so bucket size (and
     with it per-node round-0 work) stays constant; production sizing is
-    n_planes ≈ log2(N / target_bucket_size)."""
+    n_planes ≈ log2(N / target_bucket_size).
+
+    ``memo_token``: (sf_dir, population_tag) supplied ONLY by gate
+    wrappers whose population is a pure function of the tag — the
+    finished adjacency is eagerly checkpointed once per session and
+    reused (_NSW_MEMO above); intermediates are released here, so
+    ``_cache_out`` receives nothing on the memo path."""
     if bucketings is None:
         bucketings = NSW_BUCKETINGS
+    memo_key = None
+    if memo_token is not None:
+        memo_key = _nsw_memo_key(
+            emb.sparkSession,
+            ("nsw_frame",)
+            + memo_token
+            + (tuple(tuple(b) for b in bucketings), rounds, k, expand),
+        )
+        with _NSW_MEMO_LOCK:
+            hit = _NSW_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     # per-vector norm precomputed ONCE (identical expression to the
     # per-pair VX.norm fold, so the double is bit-identical) — the pair
@@ -3100,14 +3146,24 @@ def nsw_frame(
         cand = edges.select("src", "dst").unionByName(two_hop).distinct()
         edges = _score_and_cut(cand)
         caches.append(edges)
-    if _cache_out is not None:
-        _cache_out.extend(caches)
-    return edges.select(
+    out = edges.select(
         F.col("src").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("dst").cast("long").alias("neighbor_id"),
         "cosine_sim",
     )
+    if memo_key is not None:
+        # checkpoint BEFORE releasing the intermediates (checkpointed
+        # frames have no lineage to recompute from), then memoize
+        out = out.localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        with _NSW_MEMO_LOCK:
+            _NSW_MEMO[memo_key] = out
+        return out
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+    return out
 
 
 def _nsw_forest_sql(
@@ -3272,7 +3328,9 @@ def knn_nsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         caches: list = []
         out = nsw_search_frame(
-            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_sf=sf_dir,
         )
         for df in caches:
             df.unpersist()
@@ -3285,6 +3343,7 @@ def nsw_search_frame(
     emb: DataFrame,
     _cache_out: list | None = None,
     hops: int = NSW_SEARCH_H,
+    memo_sf: str | None = None,
 ) -> DataFrame:
     """Beam search for the vec_id < N_QUERIES queries over the NSW graph
     of the rest; (query_id, rank, neighbor_id, cosine_sim) like
@@ -3293,7 +3352,11 @@ def nsw_search_frame(
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     caches: list = []
     g = (
-        nsw_frame(corpus, _cache_out=caches)
+        nsw_frame(
+            corpus,
+            _cache_out=caches,
+            memo_token=(memo_sf, "corpus") if memo_sf else None,
+        )
         .select(
             F.col("query_id").alias("node"),
             F.col("neighbor_id").alias("nxt"),
@@ -3529,7 +3592,9 @@ def knn_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         caches: list = []
         out = hnsw_search_frame(
-            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
         for df in caches:
             df.unpersist()
@@ -3547,6 +3612,7 @@ def hnsw_search_frame(
     rounds: list | None = None,
     n_entries: int = HNSW_E,
     _stats: dict | None = None,
+    memo_sf: str | None = None,
 ) -> DataFrame:
     """Layered NSW build + descending beam search over any
     (vec_id, embedding) frame; long output (part, layer, query_id,
@@ -3570,9 +3636,11 @@ def hnsw_search_frame(
         ("bucketings", bucketings), ("beams", beams),
         ("hops", hops), ("rounds", rounds),
     ):
-        assert len(lst) == HNSW_LEVELS, (
-            f"{name} must have {HNSW_LEVELS} layer entries, got {len(lst)}"
-        )
+        if len(lst) != HNSW_LEVELS:  # not assert: survives python -O
+            raise ValueError(
+                f"{name} must have {HNSW_LEVELS} layer entries,"
+                f" got {len(lst)}"
+            )
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     caches: list = []
@@ -3585,10 +3653,15 @@ def hnsw_search_frame(
 
     def _build(lvl: int) -> DataFrame:
         nodes = corpus.filter(_hnsw_level_pred(lvl))
+        # layer 0's population is the whole corpus (_hnsw_level_pred(0)
+        # is lit(True)), so its memo key deliberately COLLIDES with the
+        # flat nsw_search build — one shared adjacency per session
+        tag = "corpus" if lvl == 0 else f"hnswlvl{lvl}"
         return nsw_frame(
             nodes, _cache_out=caches,
             rounds=rounds[lvl],
             bucketings=bucketings[lvl],
+            memo_token=(memo_sf, tag) if memo_sf else None,
         )
 
     with ThreadPoolExecutor(max_workers=HNSW_LEVELS) as pool:
@@ -3860,7 +3933,9 @@ def knn_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         caches: list = []
         out = nsw_incremental_frame(
-            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
         for df in caches:
             df.unpersist()
@@ -3876,6 +3951,8 @@ def nsw_incremental_frame(
     node_pred=None,
     rounds: int = NSW_ROUNDS,
     prebuilt_base: DataFrame | None = None,
+    memo_sf: str | None = None,
+    pop_tag: str = "corpus",
 ) -> DataFrame:
     """Base NSW build + batch attach + local repair over any
     (vec_id, embedding) frame; output = the post-insert adjacency in
@@ -3901,6 +3978,9 @@ def nsw_incremental_frame(
             _cache_out=caches,
             bucketings=bucketings,
             rounds=rounds,
+            memo_token=(
+                (memo_sf, f"{pop_tag}-nonew") if memo_sf else None
+            ),
         )
     ).select(
         F.col("query_id").alias("src"),
@@ -4198,7 +4278,9 @@ def knn_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         caches: list = []
         out = hnsw_incremental_frame(
-            load_table(spark, sf_dir, "embeddings"), _cache_out=caches
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
         for df in caches:
             df.unpersist()
@@ -4208,7 +4290,9 @@ def knn_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hnsw_incremental_frame(
-    emb: DataFrame, _cache_out: list | None = None
+    emb: DataFrame,
+    _cache_out: list | None = None,
+    memo_sf: str | None = None,
 ) -> DataFrame:
     """One flat incremental insert per nested layer, pooled (the
     hnsw_search_frame doctrine: the three builds are driver-paced,
@@ -4218,12 +4302,17 @@ def hnsw_incremental_frame(
     caches: list = []
 
     def _layer(lvl: int) -> DataFrame:
+        # layer 0's population == plain corpus (pred(0) is lit(True)),
+        # so its base memo key deliberately COLLIDES with
+        # knn_nsw_incremental's — one shared base adjacency per session
         return nsw_incremental_frame(
             emb,
             _cache_out=caches,
             bucketings=HNSW_BUCKETINGS[lvl],
             node_pred=_hnsw_level_pred(lvl),
             rounds=HNSW_ROUNDS[lvl],
+            memo_sf=memo_sf,
+            pop_tag="corpus" if lvl == 0 else f"hnswlvl{lvl}",
         ).select(
             F.lit(lvl).cast("long").alias("layer"),
             "query_id", "rank", "neighbor_id", "cosine_sim",
@@ -4267,6 +4356,318 @@ FROM h{lvl}_final"""
 
 
 KNN_HNSW_INCREMENTAL_SQL = _hnsw_incr_sql()
+
+
+# --- knn_nsw_delete: TOMBSTONE DELETE + COMPACTION for the graph-ANN
+#     tier — the last CRUD leg (r12 verdict task 1). A 100-TB index
+#     also takes deletions (GDPR erasure, TTL tombstones); today that
+#     forced a full rebuild. The victim batch is md5-chosen at hex
+#     position NSW_DEL_POS (disjoint from the HNSW level chars 1-2
+#     and the insert split char 8 — the r12 degeneracy lesson), 1/16
+#     of the corpus. Compaction over the STANDING flat graph (the
+#     same nsw_frame build the search tier serves — memo key
+#     "corpus", so a full sim pays the base build once):
+#       drop     — every edge with a tombstoned endpoint disappears;
+#       affected — survivors that LOST an out-edge (src of a dropped
+#                  survivor→victim edge);
+#       repair   — candidates per affected src: (a) its surviving
+#                  base edges, (b) BRIDGES through its dead neighbors
+#                  (src→v→w for surviving w — the classic
+#                  delete-repair: inherit the tombstone's neighbor
+#                  list), (c) its survivor-forest bucket mates
+#                  (bucket re-exposure, MUTUAL_BUCKET_CAP'd) —
+#                  re-scored, cut to top-NSW_K;
+#       untouched survivors keep base rows VERBATIM.
+#     Cost: |affected| <= |victims| * in-degree; candidate volume is
+#     O(|affected| * (K + cap * bucketings)) — never a rebuild, never
+#     all-pairs. The post-compaction adjacency is the gated
+#     deterministic state; servability (no edge reaches a tombstone,
+#     reachability parity, compacted-vs-rebuilt differential) is
+#     pinned in tests/test_nsw_delete.py. Reference has no vector
+#     surface; beyond-ref (builder-brief mandate).
+
+NSW_DEL_POS = 9     # md5 hex position of the tombstone draw
+NSW_DEL_CHAR = "f"  # 1/16 of corpus nodes tombstoned
+
+
+def _nsw_del_pred(col):
+    """Spark predicate: vec_id belongs to the tombstoned batch."""
+    return (
+        F.substring(F.md5(col.cast("string")), NSW_DEL_POS, 1)
+        == NSW_DEL_CHAR
+    )
+
+
+_NSW_DEL_SQL = (
+    "substr(md5(CAST({c} AS VARCHAR)), "
+    + str(NSW_DEL_POS)
+    + ", 1) = '" + NSW_DEL_CHAR + "'"
+)
+
+
+def knn_nsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager under a conf pin, like the graph build it compacts
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = nsw_delete_frame(
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_sf=sf_dir,
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def nsw_delete_frame(
+    emb: DataFrame,
+    _cache_out: list | None = None,
+    memo_sf: str | None = None,
+) -> DataFrame:
+    """Tombstone compaction over any (vec_id, embedding) frame; output
+    = the post-compaction adjacency in the knn_nsw_graph shape (no
+    row's endpoint is a tombstone)."""
+    n_par = emb.sparkSession.sparkContext.defaultParallelism
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    caches: list = []
+    g_base = nsw_frame(
+        corpus,
+        _cache_out=caches,
+        memo_token=(memo_sf, "corpus") if memo_sf else None,
+    ).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "rank",
+        "cosine_sim",
+    ).persist()
+    caches.append(g_base)
+    dead = _nsw_del_pred
+    survivors = corpus.filter(~dead(F.col("vec_id")))
+    # scoring population = SURVIVORS only: the score-cut joins drop any
+    # candidate pair with a tombstoned endpoint by construction
+    base = survivors.select(
+        "vec_id", "embedding", VX.norm(F.col("embedding")).alias("nn")
+    ).persist()
+    caches.append(base)
+    src_emb = base.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nn").alias("nn_a"),
+    )
+    dst_emb = base.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nn").alias("nn_b"),
+    )
+
+    def _score_cut(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(src_emb, "src")
+            .join(dst_emb, "dst")
+            .select(
+                "src", "dst",
+                F.round(
+                    VX.dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("nn_a") * F.col("nn_b")),
+                    6,
+                ).alias("cosine_sim"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("cosine_sim"), F.asc("dst")
+        )
+        return (
+            scored.repartition(n_par, "src")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= NSW_K)
+            .localCheckpoint(eager=True)
+        )
+
+    # holes: survivor→victim edges; their srcs are the repair set
+    av = g_base.filter(
+        ~dead(F.col("src")) & dead(F.col("dst"))
+    ).localCheckpoint(eager=True)  # feeds aff AND the bridge join
+    aff = av.select("src").distinct()
+    # (b) bridges: inherit the tombstone's surviving neighbor list
+    bridge = (
+        av.select("src", F.col("dst").alias("mid"))
+        .join(
+            g_base.filter(
+                dead(F.col("src")) & ~dead(F.col("dst"))
+            ).select(F.col("src").alias("mid"), "dst"),
+            "mid",
+        )
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # (a) surviving base edges of the affected srcs
+    keep = (
+        g_base.join(aff, "src")
+        .filter(~dead(F.col("dst")))
+        .select("src", "dst")
+    )
+    # (c) bucket re-exposure: survivor-forest mates of the affected
+    # srcs (nsw_frame's round-0 shape, capped; one side restricted to
+    # aff so the join output is O(|affected| * cap * bucketings))
+    long = survivors.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bk"),
+                        _bucket_expr(
+                            "embedding", n_planes=n, start=start
+                        ).alias("bucket"),
+                    )
+                    for j, (start, n) in enumerate(NSW_BUCKETINGS)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id", F.col("s.bk").alias("bk"), F.col("s.bucket").alias("bucket")
+    )
+    wcap = Window.partitionBy("bk", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    capped = (
+        long.withColumn("r", F.row_number().over(wcap))
+        .filter(F.col("r") <= MUTUAL_BUCKET_CAP)
+        .drop("r")
+        .persist()
+    )
+    capped.count()  # materialize before the self-join races (r10 rule)
+    caches.append(capped)
+    b_aff = (
+        capped.select(F.col("vec_id").alias("src"), "bk", "bucket")
+        .join(aff, "src")
+        .join(
+            capped.select(F.col("vec_id").alias("dst"), "bk", "bucket"),
+            ["bk", "bucket"],
+        )
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    e_rep = _score_cut(
+        keep.unionByName(bridge).unionByName(b_aff).distinct()
+    )
+    untouched = g_base.filter(~dead(F.col("src"))).join(
+        aff, "src", "left_anti"
+    )
+    out = (
+        untouched.select("src", "rank", "dst", "cosine_sim")
+        .unionByName(e_rep.select("src", "rank", "dst", "cosine_sim"))
+        .select(
+            F.col("src").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("dst").cast("long").alias("neighbor_id"),
+            "cosine_sim",
+        )
+    )
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+    return out
+
+
+def _nsw_del_sql() -> str:
+    K, R = NSW_K, NSW_ROUNDS
+    dd = _NSW_DEL_SQL
+    corpus_where = f"WHERE vec_id >= {N_QUERIES}"
+    surv_where = (
+        corpus_where + f" AND NOT ({dd.format(c='vec_id')})"
+    )
+    forest = ",\n".join(
+        f"""dfb{j} AS MATERIALIZED (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+           ROW_NUMBER() OVER (
+             PARTITION BY bucket
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+    FROM (SELECT vec_id,
+                 {_bucket_sql("embedding", n, start=start)} AS bucket
+          FROM embeddings {surv_where})
+  ) WHERE r <= {MUTUAL_BUCKET_CAP}
+)"""
+        for j, (start, n) in enumerate(NSW_BUCKETINGS)
+    )
+    pair_union = "\n    UNION\n".join(
+        f"""    SELECT x.vec_id AS src, y.vec_id AS dst
+    FROM dfb{j} x JOIN dfb{j} y
+      ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    WHERE x.vec_id IN (SELECT src FROM daff)"""
+        for j in range(len(NSW_BUCKETINGS))
+    )
+    score = f"ROUND({_DOT_AB} / (a.nn * b.nn), 6)"
+    return _NRM_CTE + _nsw_forest_sql(
+        "dbase_", corpus_where, NSW_BUCKETINGS, rounds=R
+    ) + f""",
+dav AS MATERIALIZED (
+  SELECT src, dst FROM dbase_e{R}
+  WHERE NOT ({dd.format(c='src')}) AND ({dd.format(c='dst')})
+),
+daff AS MATERIALIZED (
+  SELECT DISTINCT src FROM dav
+),
+{forest},
+dbridge AS MATERIALIZED (
+  SELECT DISTINCT a.src, g.dst
+  FROM dav a JOIN dbase_e{R} g ON g.src = a.dst
+  WHERE NOT ({dd.format(c='g.dst')}) AND g.dst <> a.src
+),
+dkeep AS MATERIALIZED (
+  SELECT g.src, g.dst FROM dbase_e{R} g JOIN daff f ON f.src = g.src
+  WHERE NOT ({dd.format(c='g.dst')})
+),
+dbkt AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+{pair_union}
+  )
+),
+dcand AS MATERIALIZED (
+  SELECT src, dst FROM dkeep
+  UNION
+  SELECT src, dst FROM dbridge
+  UNION
+  SELECT src, dst FROM dbkt
+),
+dreps AS MATERIALIZED (
+  SELECT c.src, c.dst, {score} AS cosine_sim
+  FROM dcand c
+  JOIN nrm a ON a.vec_id = c.src
+  JOIN nrm b ON b.vec_id = c.dst
+),
+derep AS MATERIALIZED (
+  SELECT src, dst, cosine_sim, rank FROM (
+    SELECT src, dst, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY cosine_sim DESC, dst) AS rank
+    FROM dreps
+  ) WHERE rank <= {K}
+)
+SELECT CAST(g.src AS BIGINT) AS query_id,
+       CAST(g.rank AS BIGINT) AS rank,
+       CAST(g.dst AS BIGINT) AS neighbor_id,
+       g.cosine_sim
+FROM dbase_e{R} g
+WHERE NOT ({dd.format(c='g.src')})
+  AND g.src NOT IN (SELECT src FROM daff)
+UNION ALL
+SELECT CAST(src AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM derep
+"""
+
+
+KNN_NSW_DELETE_SQL = _nsw_del_sql()
 
 
 # --- embeddings_sq8_audit: int8 SCALAR QUANTIZATION (the SQ8 index tier

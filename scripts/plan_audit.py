@@ -147,6 +147,9 @@ for name in sorted(REGISTRY):
                 # same audited shapes as knn_nsw_graph
                 "knn_nsw_incremental",
                 "knn_hnsw_incremental",
+                # r13: eager base build (memo-shared) + compaction
+                # checkpoints; same audited shapes as knn_nsw_graph
+                "knn_nsw_delete",
                 # r12 tail-shave: standalone forms now run pinned+eager
                 # and release their persists; component shapes stay
                 # audited via events_quantile_select (the selection
