@@ -247,48 +247,44 @@ PHASH_CTAB = [
 ]
 
 
-def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compound media-dedup gate, long format (part, frame_sig, a, b, v):
-    part='exact'  — the original exact frame-signature dedup
-                    (a=n_docs, b=n_frames, v=first_doc);
-    part='code'   — per-image 64-bit pHash words (a=doc_id, b=lo, v=hi);
-    part='pair'   — banded Hamming near-dup pairs at <= PHASH_T
-                    (a=id1, b=id2, v=hamming)."""
+# r13: the pHash code table is driver-sized (16 bytes/image) and a pure
+# function of (sf_dir) — memo one eager localCheckpointed copy per
+# session (the _bpe_train_cached / NSW-memo doctrine) instead of paying
+# the DCT kernel once in multimodal_frame_dedup and again in
+# multimodal_caption_audit per full gate run.
+import threading as _threading  # noqa: E402
+
+_PHASH_MEMO: dict = {}
+_PHASH_LOCK = _threading.Lock()
+
+
+def _phash_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _PHASH_LOCK:
+        hit = _PHASH_MEMO.get(key)
+    if hit is not None:
+        return hit
     from ..multimodal.media import phash_codes
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    frames = binary_frames(
-        docs, "doc_id", "payload", bytes_per_frame=DEDUP_FRAME_BYTES
-    )
-    exact = (
-        frames.groupBy("frame_sig")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_frames"),
-            F.min("doc_id").alias("first_doc"),
-        )
-        .filter(F.col("n_docs") >= 2)
-        .select(
-            F.lit("exact").alias("part"),
-            "frame_sig",
-            F.col("n_docs").cast("long").alias("a"),
-            F.col("n_frames").cast("long").alias("b"),
-            F.col("first_doc").cast("long").alias("v"),
-        )
-    )
     codes = phash_codes(
         docs, "doc_id", "payload", PHASH_CTAB, side=PHASH_SIDE
-    ).persist()
-    codes.count()  # materialize before the band self-join races (r10 rule)
-    code_rows = codes.select(
-        F.lit("code").alias("part"),
-        F.lit("").alias("frame_sig"),
-        F.col("doc_id").cast("long").alias("a"),
-        F.col("lo").alias("b"),
-        F.col("hi").alias("v"),
-    )
+    ).localCheckpoint(eager=True)
+    with _PHASH_LOCK:
+        _PHASH_MEMO[key] = codes
+    return codes
+
+
+def _phash_pairs(codes: DataFrame) -> DataFrame:
+    """Banded Hamming near-dup pairs over a (doc_id, lo, hi) pHash code
+    table: 4×16-bit bands as join keys (the oracle's pband/pcand mirror
+    the identical banding, so the candidate sets match exactly), exact
+    xor/bit_count Hamming, kept at <= PHASH_T. Returns
+    (id1, id2, hamming) with id1 < id2. Shared by
+    multimodal_frame_dedup's 'pair' part and the r13 cross-modal
+    caption audit."""
     band = codes.select(
         "doc_id", "lo", "hi",
         F.explode(F.array(
@@ -331,7 +327,7 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", "lo1", "hi1", "lo2", "hi2")
         .distinct()
     )
-    pair_rows = (
+    return (
         cand.select(
             "id1", "id2",
             (
@@ -340,6 +336,50 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= PHASH_T)
+    )
+
+
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound media-dedup gate, long format (part, frame_sig, a, b, v):
+    part='exact'  — the original exact frame-signature dedup
+                    (a=n_docs, b=n_frames, v=first_doc);
+    part='code'   — per-image 64-bit pHash words (a=doc_id, b=lo, v=hi);
+    part='pair'   — banded Hamming near-dup pairs at <= PHASH_T
+                    (a=id1, b=id2, v=hamming)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = binary_frames(
+        docs, "doc_id", "payload", bytes_per_frame=DEDUP_FRAME_BYTES
+    )
+    exact = (
+        frames.groupBy("frame_sig")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.lit("exact").alias("part"),
+            "frame_sig",
+            F.col("n_docs").cast("long").alias("a"),
+            F.col("n_frames").cast("long").alias("b"),
+            F.col("first_doc").cast("long").alias("v"),
+        )
+    )
+    # eager-checkpointed memo: already materialized, so the band
+    # self-join has no cold-cache race and nothing to unpersist here
+    codes = _phash_codes_cached(spark, sf_dir)
+    code_rows = codes.select(
+        F.lit("code").alias("part"),
+        F.lit("").alias("frame_sig"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("lo").alias("b"),
+        F.col("hi").alias("v"),
+    )
+    pair_rows = (
+        _phash_pairs(codes)
         .select(
             F.lit("pair").alias("part"),
             F.lit("").alias("frame_sig"),
@@ -348,16 +388,15 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hamming").alias("v"),
         )
     )
-    # Eager checkpoint then release the codes cache (mirrors
-    # audio_fingerprint_frame): a lazy return would leak the persist for
-    # the rest of a 250-entry gate session (r9/r11 cache-pressure rule).
-    out = (
+    # Eager checkpoint (mirrors audio_fingerprint_frame): a lazy return
+    # would keep recomputable lineage alive for the rest of a 250-entry
+    # gate session (r9/r11 cache-pressure rule); the codes frame itself
+    # is the session-wide memo and stays.
+    return (
         exact.unionByName(code_rows)
         .unionByName(pair_rows)
         .localCheckpoint(eager=True)
     )
-    codes.unpersist()
-    return out
 
 
 def _phash_oracle_ctes() -> str:
@@ -470,6 +509,193 @@ SELECT 'pair' AS part, '' AS frame_sig,
 FROM pcand
 WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= {PHASH_T}
 """
+
+
+# --- multimodal_caption_audit: CROSS-MODAL CONSISTENCY JOIN (r12
+#     verdict task 5 — the LAION-style caption-image audit). The repo
+#     owns image codes (pHash), and text embeddings over the SAME doc
+#     ids (documents.doc_id == embeddings.vec_id, 1:1 in the fixture);
+#     this composes them — no new kernels, both sides are existing
+#     16-byte / 64-float states:
+#       'pair'            — every banded image near-dup pair
+#                           (Hamming <= PHASH_T) with its 6dp text
+#                           cosine;
+#       'imgdup_textdiff' — the flagged subset with text cosine <
+#                           CM_TEXT_LO: near-identical media under
+#                           unrelated captions = mislabeling
+#                           candidates (the LAION-5B curation filter
+#                           run in reverse);
+#       'textdup_imgdiff' — the reverse audit: text near-dup pairs
+#                           (cosine >= SIM_THRESHOLD, the
+#                           near_dup_embeddings core) whose codes
+#                           disagree (Hamming > PHASH_T) —
+#                           re-captioned / substituted media.
+#     100 TB: the image side shuffles only the banded 16-byte code
+#     table (payloads never move); the text side is the brute-force
+#     pair scan at gate SF — production swaps in the LSH/NSW candidate
+#     tiers as the pair source, the audit joins are unchanged.
+#     Reference has no media surface; beyond-ref (builder-brief
+#     mandate).
+
+CM_TEXT_LO = 0.1  # text-cosine floor: image-dup pairs below it flag
+
+
+def multimodal_caption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as VX
+    from .vectors_q import SIM_THRESHOLD
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        codes = _phash_codes_cached(spark, sf_dir)
+        # norms factored ONCE per row (the near_dup_embeddings
+        # discipline; dot/(na*nb) is bit-identical to the inline oracle)
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id", "embedding",
+                VX.norm(F.col("embedding")).alias("nn"),
+            )
+            .persist()
+        )
+        emb.count()  # feeds both sides of the text pair join
+        a = emb.select(
+            F.col("vec_id").alias("id1"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nn").alias("nn_a"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("id2"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nn").alias("nn_b"),
+        )
+        ts = F.round(
+            VX.dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("nn_a") * F.col("nn_b")),
+            6,
+        ).alias("ts")
+        # image near-dup pairs + their text cosine (feeds two parts)
+        img = (
+            _phash_pairs(codes)
+            .join(a, "id1")
+            .join(b, "id2")
+            .select("id1", "id2", "hamming", ts)
+            .localCheckpoint(eager=True)
+        )
+        # text near-dup pairs + their image Hamming (coded docs only)
+        ti = (
+            a.join(b, F.col("id1") < F.col("id2"))
+            .select("id1", "id2", ts)
+            .filter(F.col("ts") >= SIM_THRESHOLD)
+            .join(
+                codes.select(
+                    F.col("doc_id").alias("id1"),
+                    F.col("lo").alias("lo1"), F.col("hi").alias("hi1"),
+                ),
+                "id1",
+            )
+            .join(
+                codes.select(
+                    F.col("doc_id").alias("id2"),
+                    F.col("lo").alias("lo2"), F.col("hi").alias("hi2"),
+                ),
+                "id2",
+            )
+            .select(
+                "id1", "id2",
+                (
+                    F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2")))
+                    + F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
+                ).cast("long").alias("hamming"),
+                "ts",
+            )
+        )
+
+        def _part(df: DataFrame, name: str) -> DataFrame:
+            return df.select(
+                F.lit(name).alias("part"),
+                F.col("id1").cast("long").alias("a"),
+                F.col("id2").cast("long").alias("b"),
+                F.col("hamming").cast("long").alias("c"),
+                F.col("ts").alias("v"),
+            )
+
+        out = (
+            _part(img, "pair")
+            .unionByName(
+                _part(img.filter(F.col("ts") < CM_TEXT_LO),
+                      "imgdup_textdiff")
+            )
+            .unionByName(
+                _part(ti.filter(F.col("hamming") > PHASH_T),
+                      "textdup_imgdiff")
+            )
+            .localCheckpoint(eager=True)
+        )
+        emb.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cm_audit_sql() -> str:
+    from .vectors_q import _ANORM, _DOT_AB, SIM_THRESHOLD
+
+    ham_codes = (
+        "bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))"
+    )
+    # norms precomputed ONCE in a MATERIALIZED CTE with the IDENTICAL
+    # expression — bit-identical doubles, ~13x cheaper pair scoring
+    # (the r10 nsw-oracle precedent); cosine computed once per pair
+    cos = f"ROUND({_DOT_AB} / (a.nn * b.nn), 6)"
+    return f"""
+WITH {_phash_oracle_ctes().strip().rstrip(',')},
+cmnrm AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, {_ANORM} AS nn FROM embeddings a
+),
+cmip AS MATERIALIZED (
+  SELECT id1, id2,
+         bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS ham
+  FROM pcand
+  WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
+        <= {PHASH_T}
+),
+cmit AS MATERIALIZED (
+  SELECT p.id1, p.id2, p.ham, {cos} AS ts
+  FROM cmip p
+  JOIN cmnrm a ON a.vec_id = p.id1
+  JOIN cmnrm b ON b.vec_id = p.id2
+),
+cmtp AS MATERIALIZED (
+  SELECT id1, id2, ts FROM (
+    SELECT a.vec_id AS id1, b.vec_id AS id2, {cos} AS ts
+    FROM cmnrm a JOIN cmnrm b ON a.vec_id < b.vec_id
+  ) WHERE ts >= {SIM_THRESHOLD}
+),
+cmti AS MATERIALIZED (
+  SELECT t.id1, t.id2, {ham_codes} AS ham, t.ts
+  FROM cmtp t
+  JOIN pcodes x ON x.doc_id = t.id1
+  JOIN pcodes y ON y.doc_id = t.id2
+)
+SELECT 'pair' AS part, CAST(id1 AS BIGINT) AS a,
+       CAST(id2 AS BIGINT) AS b, CAST(ham AS BIGINT) AS c, ts AS v
+FROM cmit
+UNION ALL
+SELECT 'imgdup_textdiff' AS part, CAST(id1 AS BIGINT) AS a,
+       CAST(id2 AS BIGINT) AS b, CAST(ham AS BIGINT) AS c, ts AS v
+FROM cmit WHERE ts < {CM_TEXT_LO}
+UNION ALL
+SELECT 'textdup_imgdiff' AS part, CAST(id1 AS BIGINT) AS a,
+       CAST(id2 AS BIGINT) AS b, CAST(ham AS BIGINT) AS c, ts AS v
+FROM cmti WHERE ham > {PHASH_T}
+"""
+
+
+MULTIMODAL_CAPTION_AUDIT_SQL = _cm_audit_sql()
 
 
 # --- multimodal_image_patches: the vision half of the media mandate —

@@ -503,6 +503,17 @@ _SPECS: list[QuerySpec] = [
               "cross-engine bin()-length quantization, per-h md5 cap, "
               "then offset-voting matches at >= AFP_MIN_VOTES; gate pins "
               "the capped hash TABLE and the voted pairs (long format)"),
+    QuerySpec("multimodal_caption_audit", M.multimodal_caption_audit,
+              M.MULTIMODAL_CAPTION_AUDIT_SQL, ("MM", "DD2", "BONUS"),
+              "CROSS-MODAL consistency join (r13, the LAION-style "
+              "caption-image audit): composes the pHash code table with "
+              "text embeddings over the same doc ids — image near-dup "
+              "pairs with their 6dp text cosine, the flagged "
+              "imgdup_textdiff subset (< CM_TEXT_LO = mislabeling "
+              "candidates), and the reverse textdup_imgdiff audit "
+              "(text cosine >= SIM_THRESHOLD, Hamming > PHASH_T); no "
+              "new kernels, both sides are existing 16-byte/64-float "
+              "states"),
     QuerySpec("docs_bands_incremental", D.docs_bands_incremental,
               D.DOCS_BANDS_INCREMENTAL_SQL, ("DD2", "S3", "BONUS"),
               "incremental LSH signature-MV maintenance: only the arriving "
