@@ -4878,26 +4878,38 @@ def rfm_segments_frame(
     if _cache_out is not None:
         _cache_out.append(bounds)
 
-    def seg(axis: str, col: str):
-        b = bounds.filter(F.col("event_type") == axis).select(
-            F.col("q_pct").alias("p"), F.col("value_cents").alias("thr")
-        )
-        # 4 threshold rows -> broadcast; seg = 1 + #thresholds below me
-        return (
-            per_user.crossJoin(F.broadcast(b))
-            .groupBy("user_id")
-            .agg(
+    # ONE crossJoin with all 12 broadcast threshold rows + ONE groupBy
+    # computes every axis segment in a single pass (r13: the previous
+    # per-axis crossJoin + 3-way user_id join chain paid ~6 extra
+    # shuffles for identical values — verified equal at sf0.1);
+    # seg = 1 + #own-axis thresholds strictly below me, monetary is a
+    # per-user constant carried with max()
+    b_all = bounds.select(
+        F.col("event_type").alias("ax"),
+        F.col("value_cents").alias("thr"),
+    )
+    cube = (
+        per_user.crossJoin(F.broadcast(b_all))
+        .groupBy("user_id")
+        .agg(
+            F.max("monetary").alias("monetary"),
+            *[
                 (
                     F.lit(1)
-                    + F.sum((F.col(col) > F.col("thr")).cast("long"))
+                    + F.sum(
+                        (
+                            (F.col("ax") == axis)
+                            & (F.col(col) > F.col("thr"))
+                        ).cast("long")
+                    )
                 ).alias(f"{axis}_seg")
-            )
+                for axis, col in (
+                    ("r", "recency_days"),
+                    ("f", "frequency"),
+                    ("m", "monetary"),
+                )
+            ],
         )
-
-    cube = (
-        per_user.join(seg("r", "recency_days"), "user_id")
-        .join(seg("f", "frequency"), "user_id")
-        .join(seg("m", "monetary"), "user_id")
     )
     return (
         cube.groupBy("r_seg", "f_seg", "m_seg")
@@ -5181,6 +5193,12 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrently and would re-race the cold persists (the series-suite
     # cold-race fix, r10 — per_user's scan of ev warms ev transitively)
     per_user.count()
+    # r13: everything past the materialized 150k-row per-user frame is
+    # ladder/threshold work over tiny aggregates — the quantile ladders'
+    # ~15 near-empty shuffle stages pay per-task overhead at width 32
+    # (measured 2.1s vs 4.0s warm for one ladder); narrow the pool's
+    # plan width (single-threaded set, the outer finally restores)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     released: list = []
     thunks: dict = {}
     thunks["rfm"] = lambda: rfm_segments_frame(

@@ -4430,17 +4430,29 @@ def nsw_delete_frame(
     emb: DataFrame,
     _cache_out: list | None = None,
     memo_sf: str | None = None,
+    bucketings: list[tuple[int, int]] | None = None,
+    prebuilt_base: DataFrame | None = None,
 ) -> DataFrame:
     """Tombstone compaction over any (vec_id, embedding) frame; output
     = the post-compaction adjacency in the knn_nsw_graph shape (no
-    row's endpoint is a tombstone)."""
+    row's endpoint is a tombstone). ``prebuilt_base`` (the operational
+    case: the standing index is an artifact, only the compaction is
+    paid) skips the base build — the scale harness uses it to time
+    drop+repair alone; ``bucketings`` sizes the re-exposure forest."""
+    if bucketings is None:
+        bucketings = NSW_BUCKETINGS
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     caches: list = []
-    g_base = nsw_frame(
-        corpus,
-        _cache_out=caches,
-        memo_token=(memo_sf, "corpus") if memo_sf else None,
+    g_base = (
+        prebuilt_base
+        if prebuilt_base is not None
+        else nsw_frame(
+            corpus,
+            _cache_out=caches,
+            bucketings=bucketings,
+            memo_token=(memo_sf, "corpus") if memo_sf else None,
+        )
     ).select(
         F.col("query_id").alias("src"),
         F.col("neighbor_id").alias("dst"),
@@ -4527,7 +4539,7 @@ def nsw_delete_frame(
                             "embedding", n_planes=n, start=start
                         ).alias("bucket"),
                     )
-                    for j, (start, n) in enumerate(NSW_BUCKETINGS)
+                    for j, (start, n) in enumerate(bucketings)
                 ]
             )
         ).alias("s"),

@@ -74,12 +74,54 @@ def main() -> None:
     n_vecs = emb.count()
     hnsw = len(sys.argv) > 2 and sys.argv[2] == "--hnsw"
     incr = len(sys.argv) > 2 and sys.argv[2] == "--incr"
+    dele = len(sys.argv) > 2 and sys.argv[2] == "--del"
     # hold bucket size ~32: the scale knob is plane count, not the cap
     n_planes = (
         int(sys.argv[2])
-        if len(sys.argv) > 2 and not (hnsw or incr)
+        if len(sys.argv) > 2 and not (hnsw or incr or dele)
         else max(5, math.ceil(math.log2(max(n_vecs, 64) / 32)))
     )
+    if dele:
+        # the operational delete: standing index prebuilt (untimed),
+        # time ONLY drop+repair — the claim is this cost tracks the
+        # 1/16 victim batch's blast radius, never the base size
+        from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+            N_QUERIES,
+            _nsw_del_pred,
+            nsw_delete_frame,
+        )
+
+        bucketings = [(k, n_planes) for k in range(4)]
+        corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+        n_vict = corpus.filter(_nsw_del_pred(F.col("vec_id"))).count()
+        print(
+            f"x{n}: {n_vecs:,} vectors, victims {n_vict:,}, forest 4 x "
+            f"{n_planes} planes",
+            flush=True,
+        )
+        base_caches: list = []
+        base = nsw_frame(
+            corpus, _cache_out=base_caches, bucketings=bucketings
+        ).localCheckpoint(eager=True)
+        for df in base_caches:
+            df.unpersist()
+        for it in range(2):
+            t0 = time.perf_counter()
+            caches: list = []
+            out = nsw_delete_frame(
+                emb, _cache_out=caches, bucketings=bucketings,
+                prebuilt_base=base,
+            )
+            cnt = out.count()
+            print(
+                f"nsw_compact x{n} iter{it}: "
+                f"{time.perf_counter() - t0:.2f}s ({cnt:,} edges)",
+                flush=True,
+            )
+            for df in caches:
+                df.unpersist()
+        spark.stop()
+        return
     if incr:
         # the operational append: base index prebuilt (untimed), time
         # ONLY attach+repair — the O(|batch|) claim is that this cost
