@@ -1235,6 +1235,15 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "untouched rows verbatim, base build shared via the "
               "flat-graph memo; servability pinned in "
               "tests/test_nsw_delete.py"),
+    QuerySpec("knn_hnsw_delete", V.knn_hnsw_delete,
+              V.KNN_HNSW_DELETE_SQL, ("VS3", "W4", "BONUS"),
+              "LAYERED tombstone delete: a victim is erased from EVERY "
+              "layer it belongs to (GDPR erasure cannot stay reachable "
+              "through an upper routing layer); each nested layer runs "
+              "the flat compaction core with its own forest "
+              "sizing/rounds, layer graphs shared with hnsw_search via "
+              "the memo — closes CRUD at both index tiers; oracle = "
+              "three prefixed compaction chains under one nrm CTE"),
     QuerySpec("user_churn_hazard", TS.user_churn_hazard,
               TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
               "survival analysis: Nelson-Aalen cumulative churn hazard "

@@ -4432,17 +4432,26 @@ def nsw_delete_frame(
     memo_sf: str | None = None,
     bucketings: list[tuple[int, int]] | None = None,
     prebuilt_base: DataFrame | None = None,
+    node_pred=None,
+    rounds: int = NSW_ROUNDS,
+    pop_tag: str = "corpus",
 ) -> DataFrame:
     """Tombstone compaction over any (vec_id, embedding) frame; output
     = the post-compaction adjacency in the knn_nsw_graph shape (no
     row's endpoint is a tombstone). ``prebuilt_base`` (the operational
     case: the standing index is an artifact, only the compaction is
     paid) skips the base build — the scale harness uses it to time
-    drop+repair alone; ``bucketings`` sizes the re-exposure forest."""
+    drop+repair alone; ``bucketings`` sizes the re-exposure forest;
+    ``node_pred``/``rounds``/``pop_tag`` restrict the population and
+    base refinement — the HNSW layered variant runs this core once per
+    layer (its layer-graph memo keys deliberately collide with
+    hnsw_search's, so a full gate run builds each layer graph once)."""
     if bucketings is None:
         bucketings = NSW_BUCKETINGS
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    if node_pred is not None:
+        corpus = corpus.filter(node_pred)
     caches: list = []
     g_base = (
         prebuilt_base
@@ -4451,7 +4460,8 @@ def nsw_delete_frame(
             corpus,
             _cache_out=caches,
             bucketings=bucketings,
-            memo_token=(memo_sf, "corpus") if memo_sf else None,
+            rounds=rounds,
+            memo_token=(memo_sf, pop_tag) if memo_sf else None,
         )
     ).select(
         F.col("query_id").alias("src"),
@@ -4588,15 +4598,24 @@ def nsw_delete_frame(
     return out
 
 
-def _nsw_del_sql() -> str:
-    K, R = NSW_K, NSW_ROUNDS
+def _nsw_del_sql_fragment(
+    p: str, extra_where: str, bucketings: list, rounds: int
+) -> str:
+    """One tombstone-compaction chain as a CTE FRAGMENT (no WITH
+    keyword, references the shared ``nrm`` CTE), every name prefixed
+    ``p`` so the HNSW layered oracle can instantiate one chain per
+    layer (the _nsw_incr_sql_fragment convention). ``extra_where`` is
+    an additional AND condition restricting the node population (the
+    md5 layer predicate; '' for the flat graph). Ends with {p}dfinal —
+    the post-compaction adjacency."""
+    K, R = NSW_K, rounds
     dd = _NSW_DEL_SQL
-    corpus_where = f"WHERE vec_id >= {N_QUERIES}"
+    corpus_where = f"WHERE vec_id >= {N_QUERIES}{extra_where}"
     surv_where = (
         corpus_where + f" AND NOT ({dd.format(c='vec_id')})"
     )
     forest = ",\n".join(
-        f"""dfb{j} AS MATERIALIZED (
+        f"""{p}dfb{j} AS MATERIALIZED (
   SELECT vec_id, bucket FROM (
     SELECT vec_id, bucket,
            ROW_NUMBER() OVER (
@@ -4607,79 +4626,185 @@ def _nsw_del_sql() -> str:
           FROM embeddings {surv_where})
   ) WHERE r <= {MUTUAL_BUCKET_CAP}
 )"""
-        for j, (start, n) in enumerate(NSW_BUCKETINGS)
+        for j, (start, n) in enumerate(bucketings)
     )
     pair_union = "\n    UNION\n".join(
         f"""    SELECT x.vec_id AS src, y.vec_id AS dst
-    FROM dfb{j} x JOIN dfb{j} y
+    FROM {p}dfb{j} x JOIN {p}dfb{j} y
       ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
-    WHERE x.vec_id IN (SELECT src FROM daff)"""
-        for j in range(len(NSW_BUCKETINGS))
+    WHERE x.vec_id IN (SELECT src FROM {p}daff)"""
+        for j in range(len(bucketings))
     )
     score = f"ROUND({_DOT_AB} / (a.nn * b.nn), 6)"
-    return _NRM_CTE + _nsw_forest_sql(
-        "dbase_", corpus_where, NSW_BUCKETINGS, rounds=R
+    return _nsw_forest_sql(
+        f"{p}dbase_", corpus_where, bucketings, rounds=R
     ) + f""",
-dav AS MATERIALIZED (
-  SELECT src, dst FROM dbase_e{R}
+{p}dav AS MATERIALIZED (
+  SELECT src, dst FROM {p}dbase_e{R}
   WHERE NOT ({dd.format(c='src')}) AND ({dd.format(c='dst')})
 ),
-daff AS MATERIALIZED (
-  SELECT DISTINCT src FROM dav
+{p}daff AS MATERIALIZED (
+  SELECT DISTINCT src FROM {p}dav
 ),
 {forest},
-dbridge AS MATERIALIZED (
+{p}dbridge AS MATERIALIZED (
   SELECT DISTINCT a.src, g.dst
-  FROM dav a JOIN dbase_e{R} g ON g.src = a.dst
+  FROM {p}dav a JOIN {p}dbase_e{R} g ON g.src = a.dst
   WHERE NOT ({dd.format(c='g.dst')}) AND g.dst <> a.src
 ),
-dkeep AS MATERIALIZED (
-  SELECT g.src, g.dst FROM dbase_e{R} g JOIN daff f ON f.src = g.src
+{p}dkeep AS MATERIALIZED (
+  SELECT g.src, g.dst
+  FROM {p}dbase_e{R} g JOIN {p}daff f ON f.src = g.src
   WHERE NOT ({dd.format(c='g.dst')})
 ),
-dbkt AS MATERIALIZED (
+{p}dbkt AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
 {pair_union}
   )
 ),
-dcand AS MATERIALIZED (
-  SELECT src, dst FROM dkeep
+{p}dcand AS MATERIALIZED (
+  SELECT src, dst FROM {p}dkeep
   UNION
-  SELECT src, dst FROM dbridge
+  SELECT src, dst FROM {p}dbridge
   UNION
-  SELECT src, dst FROM dbkt
+  SELECT src, dst FROM {p}dbkt
 ),
-dreps AS MATERIALIZED (
+{p}dreps AS MATERIALIZED (
   SELECT c.src, c.dst, {score} AS cosine_sim
-  FROM dcand c
+  FROM {p}dcand c
   JOIN nrm a ON a.vec_id = c.src
   JOIN nrm b ON b.vec_id = c.dst
 ),
-derep AS MATERIALIZED (
+{p}derep AS MATERIALIZED (
   SELECT src, dst, cosine_sim, rank FROM (
     SELECT src, dst, cosine_sim,
            ROW_NUMBER() OVER (PARTITION BY src
                               ORDER BY cosine_sim DESC, dst) AS rank
-    FROM dreps
+    FROM {p}dreps
   ) WHERE rank <= {K}
-)
-SELECT CAST(g.src AS BIGINT) AS query_id,
-       CAST(g.rank AS BIGINT) AS rank,
-       CAST(g.dst AS BIGINT) AS neighbor_id,
-       g.cosine_sim
-FROM dbase_e{R} g
-WHERE NOT ({dd.format(c='g.src')})
-  AND g.src NOT IN (SELECT src FROM daff)
-UNION ALL
+),
+{p}dfinal AS MATERIALIZED (
+  SELECT g.src, g.rank, g.dst, g.cosine_sim FROM {p}dbase_e{R} g
+  WHERE NOT ({dd.format(c='g.src')})
+    AND g.src NOT IN (SELECT src FROM {p}daff)
+  UNION ALL
+  SELECT src, rank, dst, cosine_sim FROM {p}derep
+)"""
+
+
+def _nsw_del_sql() -> str:
+    return _NRM_CTE + _nsw_del_sql_fragment(
+        "", "", NSW_BUCKETINGS, NSW_ROUNDS
+    ) + """
 SELECT CAST(src AS BIGINT) AS query_id,
        CAST(rank AS BIGINT) AS rank,
        CAST(dst AS BIGINT) AS neighbor_id,
        cosine_sim
-FROM derep
+FROM dfinal
 """
 
 
 KNN_NSW_DELETE_SQL = _nsw_del_sql()
+
+
+# --- knn_hnsw_delete: the LAYERED tombstone delete — a victim is
+#     erased from EVERY layer it belongs to (the global-tombstone rule:
+#     GDPR erasure cannot leave a vector reachable through an upper
+#     routing layer). Each nested layer runs the flat compaction core
+#     (nsw_delete_frame) over its md5 population with its own forest
+#     sizing and refinement rounds; layer-graph builds share the
+#     hnsw_search memo keys, so a full gate run builds each layer graph
+#     once across search/insert/delete. Output = layered long format
+#     (layer, query_id, rank, neighbor_id, cosine_sim), the
+#     knn_hnsw_incremental shape. Completes the CRUD story at BOTH
+#     index tiers: flat and layered now each have append AND delete
+#     differentials. Beyond-ref (builder-brief mandate).
+
+
+def knn_hnsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = hnsw_delete_frame(
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_sf=sf_dir,
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def hnsw_delete_frame(
+    emb: DataFrame,
+    _cache_out: list | None = None,
+    memo_sf: str | None = None,
+) -> DataFrame:
+    """One flat compaction per nested layer, pooled (the
+    hnsw_incremental_frame doctrine: the three layer jobs are
+    driver-paced, layer 0 dominates, pooled wall ~= layer 0's)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    caches: list = []
+
+    def _layer(lvl: int) -> DataFrame:
+        return nsw_delete_frame(
+            emb,
+            _cache_out=caches,
+            bucketings=HNSW_BUCKETINGS[lvl],
+            node_pred=_hnsw_level_pred(lvl),
+            rounds=HNSW_ROUNDS[lvl],
+            memo_sf=memo_sf,
+            pop_tag="corpus" if lvl == 0 else f"hnswlvl{lvl}",
+        ).select(
+            F.lit(lvl).cast("long").alias("layer"),
+            "query_id", "rank", "neighbor_id", "cosine_sim",
+        )
+
+    with ThreadPoolExecutor(max_workers=HNSW_LEVELS) as pool:
+        futs = [pool.submit(_layer, lvl) for lvl in range(HNSW_LEVELS)]
+        outs = [f.result() for f in futs]
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _hnsw_del_sql() -> str:
+    def extra(lvl: int) -> str:
+        return "".join(
+            f" AND substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)"
+            " IN ('0','1')"
+            for i in range(1, lvl + 1)
+        )
+
+    chains = ",\n".join(
+        _nsw_del_sql_fragment(
+            f"h{lvl}_", extra(lvl), HNSW_BUCKETINGS[lvl], HNSW_ROUNDS[lvl]
+        )
+        for lvl in range(HNSW_LEVELS)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({lvl} AS BIGINT) AS layer,
+       CAST(src AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM h{lvl}_dfinal"""
+        for lvl in range(HNSW_LEVELS)
+    )
+    return _NRM_CTE + chains + "\n" + selects
+
+
+KNN_HNSW_DELETE_SQL = _hnsw_del_sql()
 
 
 # --- embeddings_sq8_audit: int8 SCALAR QUANTIZATION (the SQ8 index tier

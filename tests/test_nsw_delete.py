@@ -107,3 +107,50 @@ def test_delete_compaction_servability(spark):
     u_comp = _reach_unreachable(comp_set, survivors)
     u_base = _reach_unreachable(base_set, corpus_ids)
     assert u_comp / len(survivors) <= u_base / len(corpus_ids) + 0.05
+
+
+def test_hnsw_delete_layer_structure(spark):
+    """knn_hnsw_delete (the layered compaction): a victim is erased
+    from EVERY layer (the global-tombstone rule), each layer's
+    post-compaction adjacency covers exactly its surviving nested md5
+    population, and no layer's edge reaches a tombstone. The per-layer
+    values are driver-gated (the oracle re-runs the identical
+    per-layer chain)."""
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        HNSW_LEVELS,
+        knn_hnsw_delete,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus_ids = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id").collect()
+    }
+
+    def level(v: int) -> int:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        lvl = 0
+        while lvl < HNSW_LEVELS - 1 and h[lvl] in "01":
+            lvl += 1
+        return lvl
+
+    rows = knn_hnsw_delete(spark, SF).collect()
+    by_layer: dict = {}
+    for r in rows:
+        by_layer.setdefault(r["layer"], set()).add(r["query_id"])
+        assert not _is_dead(r["query_id"]) and not _is_dead(
+            r["neighbor_id"]
+        ), r
+    assert set(by_layer) == set(range(HNSW_LEVELS))
+    for lvl in range(HNSW_LEVELS):
+        pop = {
+            v for v in corpus_ids if level(v) >= lvl and not _is_dead(v)
+        }
+        assert by_layer[lvl] == pop, lvl
+    # some victim exists at layer >= 1, so the upper-layer erasure is
+    # actually exercised (md5 position 9 is independent of levels)
+    upper_victims = {
+        v for v in corpus_ids if _is_dead(v) and level(v) >= 1
+    }
+    assert upper_victims, "fixture must tombstone an upper-layer node"
