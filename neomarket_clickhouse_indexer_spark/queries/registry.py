@@ -1244,6 +1244,16 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "sizing/rounds, layer graphs shared with hnsw_search via "
               "the memo — closes CRUD at both index tiers; oracle = "
               "three prefixed compaction chains under one nrm CTE"),
+    QuerySpec("knn_nsw_reembed", V.knn_nsw_reembed,
+              V.KNN_NSW_REEMBED_SQL, ("VS3", "W4", "BONUS"),
+              "VECTOR UPDATE (re-embedding refresh — the model-upgrade "
+              "story): md5 position-10 1/16 batch gets new vectors (a "
+              "deterministic dimension rotation); compact them out of "
+              "the standing index (the delete machinery), re-attach "
+              "with the refreshed embeddings (the insert machinery over "
+              "a CASE-refresh corpus view, prebuilt base = the "
+              "compaction) — CRUD's third leg as a pure composition; "
+              "oracle = delete chain + insert chain over uemb/unrm"),
     QuerySpec("user_churn_hazard", TS.user_churn_hazard,
               TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
               "survival analysis: Nelson-Aalen cumulative churn hazard "

@@ -3953,15 +3953,19 @@ def nsw_incremental_frame(
     prebuilt_base: DataFrame | None = None,
     memo_sf: str | None = None,
     pop_tag: str = "corpus",
+    new_pred=None,
 ) -> DataFrame:
     """Base NSW build + batch attach + local repair over any
     (vec_id, embedding) frame; output = the post-insert adjacency in
     the knn_nsw_graph shape. ``bucketings``/``node_pred`` restrict the
     forest sizing and the node population — the HNSW layered variant
     runs this core once per layer (nested md5 populations, per-layer
-    forests)."""
+    forests); ``new_pred`` overrides the append-batch draw — the
+    re-embed (UPDATE) tier attaches the updated nodes instead."""
     if bucketings is None:
         bucketings = NSW_BUCKETINGS
+    if new_pred is None:
+        new_pred = _nsw_new_pred
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     if node_pred is not None:
@@ -3974,7 +3978,7 @@ def nsw_incremental_frame(
         prebuilt_base
         if prebuilt_base is not None
         else nsw_frame(
-            corpus.filter(~_nsw_new_pred(F.col("vec_id"))),
+            corpus.filter(~new_pred(F.col("vec_id"))),
             _cache_out=caches,
             bucketings=bucketings,
             rounds=rounds,
@@ -4068,13 +4072,13 @@ def nsw_incremental_frame(
         .select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .filter(
-            _nsw_new_pred(F.col("src")) | _nsw_new_pred(F.col("dst"))
+            new_pred(F.col("src")) | new_pred(F.col("dst"))
         )
         .distinct()
         .localCheckpoint(eager=True)
     )
     # attach: bucket mates + one expand-capped hop over the base graph
-    cn = mixed.filter(_nsw_new_pred(F.col("src")))
+    cn = mixed.filter(new_pred(F.col("src")))
     exp_edges = g_base.filter(F.col("rank") <= NSW_EXPAND).select(
         F.col("src").alias("mid"), F.col("dst").alias("nbr")
     )
@@ -4086,12 +4090,12 @@ def nsw_incremental_frame(
     )
     e_new = _score_cut(cn.unionByName(cn_exp).distinct())
     # repair: bucket exposure + reverse edges of the batch's choices
-    rev = e_new.filter(~_nsw_new_pred(F.col("dst"))).select(
+    rev = e_new.filter(~new_pred(F.col("dst"))).select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     cb_all = (
         mixed.filter(
-            ~_nsw_new_pred(F.col("src")) & _nsw_new_pred(F.col("dst"))
+            ~new_pred(F.col("src")) & new_pred(F.col("dst"))
         )
         .unionByName(rev)
         .distinct()
@@ -4122,22 +4126,33 @@ def nsw_incremental_frame(
 
 
 def _nsw_incr_sql_fragment(
-    p: str, extra_where: str, bucketings: list, rounds: int
+    p: str, extra_where: str, bucketings: list, rounds: int,
+    new_sql: str | None = None, nrm_name: str = "nrm",
+    base_cte: str | None = None, emb_table: str = "embeddings",
 ) -> str:
     """One incremental-insert chain as a CTE FRAGMENT (no WITH keyword,
     references the shared ``nrm`` CTE), every name prefixed ``p`` so the
     HNSW layered oracle can instantiate one chain per layer.
     ``extra_where`` is an additional AND condition restricting the node
     population (the md5 layer predicate; '' for the flat graph). Ends
-    with {p}final — the post-insert adjacency."""
+    with {p}final — the post-insert adjacency.
+
+    r13 knobs for the re-embed (UPDATE) oracle: ``new_sql`` overrides
+    the batch draw, ``nrm_name``/``emb_table`` point scoring and the
+    forest at a view whose batch rows carry UPDATED embeddings, and
+    ``base_cte`` names a prebuilt standing-index CTE instead of
+    generating the base NSW chain (the compaction step's output)."""
     NQ, EXP, K = N_QUERIES, NSW_EXPAND, NSW_K
     R = rounds
-    new_src = _NSW_NEW_SQL.format(c="src")
-    new_dst = _NSW_NEW_SQL.format(c="dst")
+    if new_sql is None:
+        new_sql = _NSW_NEW_SQL
+    new_src = new_sql.format(c="src")
+    new_dst = new_sql.format(c="dst")
     corpus_where = f"WHERE vec_id >= {NQ}{extra_where}"
     base_where = (
-        corpus_where + f" AND NOT ({_NSW_NEW_SQL.format(c='vec_id')})"
+        corpus_where + f" AND NOT ({new_sql.format(c='vec_id')})"
     )
+    base_ref = base_cte if base_cte is not None else f"{p}base_e{R}"
     forest = ",\n".join(
         f"""{p}fb{j} AS MATERIALIZED (
   SELECT vec_id, bucket FROM (
@@ -4147,7 +4162,7 @@ def _nsw_incr_sql_fragment(
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
     FROM (SELECT vec_id,
                  {_bucket_sql("embedding", n, start=start)} AS bucket
-          FROM embeddings {corpus_where})
+          FROM {emb_table} {corpus_where})
   ) WHERE r <= {MUTUAL_BUCKET_CAP}
 )"""
         for j, (start, n) in enumerate(bucketings)
@@ -4159,9 +4174,13 @@ def _nsw_incr_sql_fragment(
         for j in range(len(bucketings))
     )
     score = f"ROUND({_DOT_AB} / (a.nn * b.nn), 6)"
-    return _nsw_forest_sql(
-        f"{p}base_", base_where, bucketings, rounds=rounds
-    ) + f""",
+    base_chain = (
+        "" if base_cte is not None
+        else _nsw_forest_sql(
+            f"{p}base_", base_where, bucketings, rounds=rounds
+        ) + ","
+    )
+    return base_chain + f"""
 {forest},
 {p}fmix AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
@@ -4173,7 +4192,7 @@ def _nsw_incr_sql_fragment(
 ),
 {p}cnx AS MATERIALIZED (
   SELECT DISTINCT c.src, g.dst
-  FROM {p}cn c JOIN {p}base_e{R} g ON g.src = c.dst AND g.rank <= {EXP}
+  FROM {p}cn c JOIN {base_ref} g ON g.src = c.dst AND g.rank <= {EXP}
   WHERE g.dst <> c.src
 ),
 {p}encand AS MATERIALIZED (
@@ -4182,8 +4201,8 @@ def _nsw_incr_sql_fragment(
 {p}ens AS MATERIALIZED (
   SELECT c.src, c.dst, {score} AS cosine_sim
   FROM {p}encand c
-  JOIN nrm a ON a.vec_id = c.src
-  JOIN nrm b ON b.vec_id = c.dst
+  JOIN {nrm_name} a ON a.vec_id = c.src
+  JOIN {nrm_name} b ON b.vec_id = c.dst
 ),
 {p}enew AS MATERIALIZED (
   SELECT src, dst, cosine_sim, rank FROM (
@@ -4202,15 +4221,15 @@ def _nsw_incr_sql_fragment(
   SELECT DISTINCT src FROM {p}cball
 ),
 {p}repcand AS MATERIALIZED (
-  SELECT g.src, g.dst FROM {p}base_e{R} g JOIN {p}aff f ON f.src = g.src
+  SELECT g.src, g.dst FROM {base_ref} g JOIN {p}aff f ON f.src = g.src
   UNION
   SELECT src, dst FROM {p}cball
 ),
 {p}reps AS MATERIALIZED (
   SELECT c.src, c.dst, {score} AS cosine_sim
   FROM {p}repcand c
-  JOIN nrm a ON a.vec_id = c.src
-  JOIN nrm b ON b.vec_id = c.dst
+  JOIN {nrm_name} a ON a.vec_id = c.src
+  JOIN {nrm_name} b ON b.vec_id = c.dst
 ),
 {p}erep AS MATERIALIZED (
   SELECT src, dst, cosine_sim, rank FROM (
@@ -4221,7 +4240,7 @@ def _nsw_incr_sql_fragment(
   ) WHERE rank <= {K}
 ),
 {p}final AS MATERIALIZED (
-  SELECT g.src, g.rank, g.dst, g.cosine_sim FROM {p}base_e{R} g
+  SELECT g.src, g.rank, g.dst, g.cosine_sim FROM {base_ref} g
   WHERE g.src NOT IN (SELECT src FROM {p}aff)
   UNION ALL
   SELECT src, rank, dst, cosine_sim FROM {p}erep
@@ -4435,6 +4454,7 @@ def nsw_delete_frame(
     node_pred=None,
     rounds: int = NSW_ROUNDS,
     pop_tag: str = "corpus",
+    dead_pred=None,
 ) -> DataFrame:
     """Tombstone compaction over any (vec_id, embedding) frame; output
     = the post-compaction adjacency in the knn_nsw_graph shape (no
@@ -4470,7 +4490,7 @@ def nsw_delete_frame(
         "cosine_sim",
     ).persist()
     caches.append(g_base)
-    dead = _nsw_del_pred
+    dead = dead_pred if dead_pred is not None else _nsw_del_pred
     survivors = corpus.filter(~dead(F.col("vec_id")))
     # scoring population = SURVIVORS only: the score-cut joins drop any
     # candidate pair with a tombstoned endpoint by construction
@@ -4599,7 +4619,8 @@ def nsw_delete_frame(
 
 
 def _nsw_del_sql_fragment(
-    p: str, extra_where: str, bucketings: list, rounds: int
+    p: str, extra_where: str, bucketings: list, rounds: int,
+    dead_sql: str | None = None,
 ) -> str:
     """One tombstone-compaction chain as a CTE FRAGMENT (no WITH
     keyword, references the shared ``nrm`` CTE), every name prefixed
@@ -4609,7 +4630,7 @@ def _nsw_del_sql_fragment(
     md5 layer predicate; '' for the flat graph). Ends with {p}dfinal —
     the post-compaction adjacency."""
     K, R = NSW_K, rounds
-    dd = _NSW_DEL_SQL
+    dd = dead_sql if dead_sql is not None else _NSW_DEL_SQL
     corpus_where = f"WHERE vec_id >= {N_QUERIES}{extra_where}"
     surv_where = (
         corpus_where + f" AND NOT ({dd.format(c='vec_id')})"
@@ -4805,6 +4826,142 @@ FROM h{lvl}_dfinal"""
 
 
 KNN_HNSW_DELETE_SQL = _hnsw_del_sql()
+
+
+# --- knn_nsw_reembed: VECTOR UPDATE (re-embedding refresh) — the third
+#     CRUD leg, and the one an LLM pipeline hits hardest: a model
+#     upgrade re-embeds a slice of the corpus, and the standing index
+#     must MOVE those vectors, not duplicate them. Composition of the
+#     two existing maintenance machines over one md5 batch (position
+#     NSW_UPD_POS, disjoint from levels 1-2 / insert 8 / delete 9):
+#       step 1 — compact the updated nodes OUT of the standing index
+#                (nsw_delete_frame with dead_pred = the update draw:
+#                drop their edges, repair the survivors' holes);
+#       step 2 — re-attach them with their REFRESHED embeddings
+#                (nsw_incremental_frame with new_pred = the same draw,
+#                prebuilt_base = the compacted adjacency, corpus view
+#                where batch rows carry the new vectors).
+#     The refreshed embedding is a deterministic circular shift by one
+#     dimension (norm-preserving, changes every LSH bucket and
+#     neighborhood — the nsw_scale replication transform), computable
+#     in BOTH engines. Cost = delete + insert on the same batch:
+#     O(|batch| * blast radius), never a rebuild. Oracle = the delete
+#     chain + an insert chain whose forest/scoring read a CASE-refresh
+#     view (uemb/unrm) and whose base is the compaction's dfinal.
+#     Update semantics pinned in tests/test_nsw_delete.py. Beyond-ref.
+
+NSW_UPD_POS = 10    # md5 hex position of the re-embed draw
+NSW_UPD_CHAR = "f"  # 1/16 of corpus nodes re-embedded
+
+
+def _nsw_upd_pred(col):
+    """Spark predicate: vec_id belongs to the re-embed batch."""
+    return (
+        F.substring(F.md5(col.cast("string")), NSW_UPD_POS, 1)
+        == NSW_UPD_CHAR
+    )
+
+
+_NSW_UPD_SQL = (
+    "substr(md5(CAST({c} AS VARCHAR)), "
+    + str(NSW_UPD_POS)
+    + ", 1) = '" + NSW_UPD_CHAR + "'"
+)
+
+# circular shift by one dimension — identical doubles re-ordered, so
+# dot/norm arithmetic stays bit-comparable across engines
+_ROT1_SPARK = "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))"
+_ROT1_SQL = "embedding[2:] || [embedding[1]]"
+
+
+def knn_nsw_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = nsw_reembed_frame(
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_sf=sf_dir,
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def nsw_reembed_frame(
+    emb: DataFrame,
+    _cache_out: list | None = None,
+    memo_sf: str | None = None,
+) -> DataFrame:
+    """Compact-then-reattach over any (vec_id, embedding) frame; output
+    = the post-refresh adjacency in the knn_nsw_graph shape (every
+    corpus node covered; batch nodes' neighborhoods reflect the NEW
+    vectors)."""
+    caches: list = []
+    # step 1: compaction (base graph shared via the "corpus" memo);
+    # eager checkpoint clamps the compaction plan before it feeds the
+    # attach/repair joins (the k-core lineage rule)
+    compacted = nsw_delete_frame(
+        emb,
+        _cache_out=caches,
+        memo_sf=memo_sf,
+        dead_pred=_nsw_upd_pred,
+    ).localCheckpoint(eager=True)
+    # step 2: the corpus view with refreshed batch vectors
+    refreshed = emb.select(
+        "vec_id",
+        F.when(
+            _nsw_upd_pred(F.col("vec_id"))
+            & (F.col("vec_id") >= N_QUERIES),
+            F.expr(_ROT1_SPARK),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    out = nsw_incremental_frame(
+        refreshed,
+        _cache_out=caches,
+        prebuilt_base=compacted,
+        new_pred=_nsw_upd_pred,
+    )
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+    return out
+
+
+def _nsw_upd_sql() -> str:
+    upd_v = _NSW_UPD_SQL.format(c="vec_id")
+    return _NRM_CTE + f"""uemb AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN vec_id >= {N_QUERIES} AND ({upd_v})
+              THEN {_ROT1_SQL} ELSE embedding END AS embedding
+  FROM embeddings
+),
+unrm AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, {_ANORM} AS nn FROM uemb a
+),
+""" + _nsw_del_sql_fragment(
+        "u_", "", NSW_BUCKETINGS, NSW_ROUNDS, dead_sql=_NSW_UPD_SQL
+    ) + ",\n" + _nsw_incr_sql_fragment(
+        "r_", "", NSW_BUCKETINGS, NSW_ROUNDS,
+        new_sql=_NSW_UPD_SQL, nrm_name="unrm",
+        base_cte="u_dfinal", emb_table="uemb",
+    ) + """
+SELECT CAST(src AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM r_final
+"""
+
+
+KNN_NSW_REEMBED_SQL = _nsw_upd_sql()
 
 
 # --- embeddings_sq8_audit: int8 SCALAR QUANTIZATION (the SQ8 index tier

@@ -151,6 +151,7 @@ for name in sorted(REGISTRY):
                 # checkpoints; same audited shapes as knn_nsw_graph
                 "knn_nsw_delete",
                 "knn_hnsw_delete",
+                "knn_nsw_reembed",
                 # r12 tail-shave: standalone forms now run pinned+eager
                 # and release their persists; component shapes stay
                 # audited via events_quantile_select (the selection

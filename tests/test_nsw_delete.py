@@ -154,3 +154,88 @@ def test_hnsw_delete_layer_structure(spark):
         v for v in corpus_ids if _is_dead(v) and level(v) >= 1
     }
     assert upper_victims, "fixture must tombstone an upper-layer node"
+
+
+def test_reembed_update_semantics(spark):
+    """knn_nsw_reembed (the UPDATE leg): the standing index must MOVE
+    re-embedded vectors, not duplicate or stale-serve them. Measured on
+    the fixture (495 corpus nodes, 37 in the md5 position-10 batch):
+    full coverage, every batch node's neighborhood CHANGED (the
+    dimension rotation relocates it), edge overlap 0.886 vs a
+    from-scratch rebuild on the refreshed corpus, and batch-node edge
+    recall 0.259 >= the rebuild's own 0.219 on the same nodes (the
+    walk-supplied candidates beat bucket-bounded NN-descent — the
+    insert tier's pattern)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        _ROT1_SPARK,
+        _nsw_upd_pred,
+        NSW_K,
+        knn_nsw_reembed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    corpus_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+
+    def is_upd(v: int) -> bool:
+        return hashlib.md5(str(v).encode()).hexdigest()[9] == "f"
+
+    batch = {v for v in corpus_ids if is_upd(v)}
+    assert batch, "fixture must contain a re-embed batch"
+    out = knn_nsw_reembed(spark, SF).collect()
+    upd_set = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert {q for q, _n in upd_set} == corpus_ids  # full coverage
+
+    refreshed = corpus.select(
+        "vec_id",
+        F.when(_nsw_upd_pred(F.col("vec_id")), F.expr(_ROT1_SPARK))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    reb = {
+        (r["query_id"], r["neighbor_id"])
+        for r in nsw_frame(refreshed).collect()
+    }
+    base = {
+        (r["query_id"], r["neighbor_id"]) for r in nsw_frame(corpus).collect()
+    }
+    assert len(upd_set & reb) / len(reb) >= 0.82
+
+    pre: dict = {}
+    post: dict = {}
+    for q, n in base:
+        pre.setdefault(q, set()).add(n)
+    for q, n in upd_set:
+        post.setdefault(q, set()).add(n)
+    assert all(post[v] != pre[v] for v in batch), "stale neighborhoods"
+
+    t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    mask = ids >= N_QUERIES
+    ids_c = ids[mask]
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)[mask]
+    for i, v in enumerate(ids_c):
+        if is_upd(int(v)):
+            x[i] = np.concatenate([x[i][1:], x[i][:1]])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = np.round(xn @ xn.T, 6)
+    np.fill_diagonal(cos, -2)
+    idx = {int(v): i for i, v in enumerate(ids_c)}
+
+    def edge_recall(pairs, nodes):
+        hits = tot = 0
+        for v in nodes:
+            i = idx[v]
+            top = sorted(
+                range(len(ids_c)), key=lambda j: (-cos[i, j], ids_c[j])
+            )[:NSW_K]
+            true = {int(ids_c[j]) for j in top}
+            got = {n for (q, n) in pairs if q == v}
+            hits += len(true & got)
+            tot += NSW_K
+        return hits / tot
+
+    assert edge_recall(upd_set, batch) >= edge_recall(reb, batch) - 0.05
