@@ -152,6 +152,10 @@ for name in sorted(REGISTRY):
                 "knn_nsw_delete",
                 "knn_hnsw_delete",
                 "knn_nsw_reembed",
+                # r13: eager checkpoint (pHash memo + union); the text
+                # pair scan is the audited near_dup_embeddings class,
+                # the band self-join the multimodal_frame_dedup class
+                "multimodal_caption_audit",
                 # r12 tail-shave: standalone forms now run pinned+eager
                 # and release their persists; component shapes stay
                 # audited via events_quantile_select (the selection
