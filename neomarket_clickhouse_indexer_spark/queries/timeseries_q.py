@@ -5193,12 +5193,19 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concurrently and would re-race the cold persists (the series-suite
     # cold-race fix, r10 — per_user's scan of ev warms ev transitively)
     per_user.count()
-    # r13: everything past the materialized 150k-row per-user frame is
-    # ladder/threshold work over tiny aggregates — the quantile ladders'
-    # ~15 near-empty shuffle stages pay per-task overhead at width 32
-    # (measured 2.1s vs 4.0s warm for one ladder); narrow the pool's
-    # plan width (single-threaded set, the outer finally restores)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # r13: everything past the materialized per-user frame is
+    # ladder/threshold work whose level tables are domain-bounded tiny —
+    # the quantile ladders' ~15 near-empty shuffle stages pay per-task
+    # overhead at width 32 (measured 2.1s vs 4.0s warm for one ladder).
+    # Narrow the pool's plan width RELATIVELY (n_par//4, floor 8): the
+    # value-grain locate pass still scales with users, so a literal
+    # width would bottleneck a 1000-executor cluster; n_par//4 keeps it
+    # proportional while killing the local task storms. Single-threaded
+    # set; the outer finally restores.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(8, spark.sparkContext.defaultParallelism // 4)),
+    )
     released: list = []
     thunks: dict = {}
     thunks["rfm"] = lambda: rfm_segments_frame(
