@@ -239,3 +239,76 @@ def test_reembed_update_semantics(spark):
         return hits / tot
 
     assert edge_recall(upd_set, batch) >= edge_recall(reb, batch) - 0.05
+
+
+def test_layered_reembed_composition(spark):
+    """The LAYERED update needs no new machinery: a node's level is
+    id-derived (md5 chars 1-2), so re-embedding never moves it across
+    layers — layered update == the flat delete∘insert composition run
+    per layer. Exercise it once on the (small) layer-1 population:
+    coverage == surviving+updated layer-1 nodes, no stale
+    neighborhoods among the batch, endpoints stay inside the layer."""
+    from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+        _ROT1_SPARK,
+        _hnsw_level_pred,
+        _nsw_upd_pred,
+        HNSW_BUCKETINGS,
+        HNSW_ROUNDS,
+        nsw_delete_frame,
+        nsw_incremental_frame,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    lvl = 1
+    compacted = nsw_delete_frame(
+        emb,
+        bucketings=HNSW_BUCKETINGS[lvl],
+        node_pred=_hnsw_level_pred(lvl),
+        rounds=HNSW_ROUNDS[lvl],
+        dead_pred=_nsw_upd_pred,
+    ).localCheckpoint(eager=True)
+    refreshed = emb.select(
+        "vec_id",
+        F.when(
+            _nsw_upd_pred(F.col("vec_id")) & (F.col("vec_id") >= N_QUERIES),
+            F.expr(_ROT1_SPARK),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    )
+    out = nsw_incremental_frame(
+        refreshed,
+        bucketings=HNSW_BUCKETINGS[lvl],
+        node_pred=_hnsw_level_pred(lvl),
+        rounds=HNSW_ROUNDS[lvl],
+        prebuilt_base=compacted,
+        new_pred=_nsw_upd_pred,
+    ).collect()
+    pop = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") >= N_QUERIES)
+        .filter(_hnsw_level_pred(lvl)).select("vec_id").collect()
+    }
+
+    def is_upd(v: int) -> bool:
+        return hashlib.md5(str(v).encode()).hexdigest()[9] == "f"
+
+    batch = {v for v in pop if is_upd(v)}
+    assert batch, "layer-1 must contain re-embed nodes"
+    upd_set = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert {q for q, _n in upd_set} == pop
+    assert {n for _q, n in upd_set} <= pop  # layer-closed endpoints
+    base = {
+        (r["query_id"], r["neighbor_id"])
+        for r in nsw_frame(
+            emb.filter(F.col("vec_id") >= N_QUERIES)
+            .filter(_hnsw_level_pred(lvl)),
+            bucketings=HNSW_BUCKETINGS[lvl],
+            rounds=HNSW_ROUNDS[lvl],
+        ).collect()
+    }
+    pre: dict = {}
+    post: dict = {}
+    for q, n in base:
+        pre.setdefault(q, set()).add(n)
+    for q, n in upd_set:
+        post.setdefault(q, set()).add(n)
+    assert all(post[v] != pre[v] for v in batch), "stale layer update"
