@@ -263,7 +263,18 @@ def main() -> None:
     # r13 flat-build memo): clear the memo before every run so the
     # metric keeps timing the BUILD (the honest total for an eager
     # frame), not a checkpoint read
-    from neomarket_clickhouse_indexer_spark.queries import vectors_q as _vq
+    from neomarket_clickhouse_indexer_spark.queries import (
+        multimodal_q as _mq,
+        vectors_q as _vq,
+    )
+
+    def _clear_memos() -> None:
+        # clear EVERY session memo, not just the one the current
+        # HEADLINE set happens to read through — the invariant (a COLD
+        # metric times the build, not a checkpoint read) must not
+        # depend on which entries are benched
+        _vq._NSW_MEMO.clear()
+        _mq._PHASH_MEMO.clear()
 
     COLD = {
         "docs_near_dup_pairs": _wipe_bands,
@@ -271,7 +282,9 @@ def main() -> None:
         # pair-join sides); clear it so both runs pay the full cold
         # centroid-build + assignment the metric covers
         "semdedup_prune": spark.catalog.clearCache,
-        "knn_nsw_graph": _vq._NSW_MEMO.clear,
+        "knn_nsw_graph": _clear_memos,
+        "multimodal_frame_dedup": _clear_memos,
+        "multimodal_caption_audit": _clear_memos,
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -2565,10 +2565,49 @@ GROUP BY 1
 #     oracle-checkable bit-for-bit, and the exact Jaccard rides along
 #     to pin the estimation error in ppm. Pairs = the 3 lexicographically
 #     first sources (deterministic, populated at every SF). 100 TB: the
-#     pairwise stage touches only K-row sketches — the corpus is
-#     scanned once to build them (same state as docs_kmv_distinct).
+#     pairwise stage touches only K-row sketches — per-source bottom-K
+#     first (the _kmv_sketch window, partitioned on the source axis),
+#     then each pair merges two ≤K-row sketches: bottom-K(A∪B) ⊆
+#     bottomK(A)∪bottomK(B), and for any h in bottom-K(A∪B), h∈A ⟺
+#     h∈bottomK(A) (fewer than K union elements — hence fewer than K
+#     A-elements — lie below it), so membership flags come from sketch
+#     membership too. The DuckDB oracle computes the union bottom-K
+#     DIRECTLY from the corpus-scale hash set, so the green differential
+#     proves the merge losslessness cross-engine (the docs_kmv_distinct
+#     one-sided-evidence pattern); tests/test_docs_kmv.py plants a hot
+#     source and checks merged == direct on the Spark side as well.
 
 _KMVJ_SOURCES = 3
+
+
+def _kmv_pair_est(sk: DataFrame, sa: str, sb: str) -> DataFrame:
+    """(src_a, src_b, k_used, shared, jaccard_est_ppm) for one source
+    pair from per-source bottom-K sketches `sk` (source, h). Only
+    ≤2K sketch rows are touched; the unpartitioned window is bounded
+    by 2K rows. tests/test_docs_kmv.py proves this equals the direct
+    corpus-scale bottom-K on a planted hot source."""
+    both = sk.filter(F.col("source").isin([sa, sb]))
+    # union-of-sketches bottom-K with per-SKETCH membership flags —
+    # bit-identical to the direct corpus-scale computation by KMV
+    # mergeability (see docs_kmv_jaccard header comment).
+    per_hash = both.groupBy("h").agg(
+        F.max(F.col("source") == sa).alias("in_a"),
+        F.max(F.col("source") == sb).alias("in_b"),
+    )
+    wk = Window.orderBy("h")
+    bottom = per_hash.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KMV_K
+    )
+    return bottom.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("shared"),
+    ).select(
+        F.lit(sa).alias("src_a"),
+        F.lit(sb).alias("src_b"),
+        "k_used",
+        "shared",
+        F.expr("shared * 1000000 DIV k_used").alias("jaccard_est_ppm"),
+    )
 
 
 def docs_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2599,29 +2638,21 @@ def docs_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # per-source bottom-K sketches FIRST (the _kmv_sketch window, keyed
+    # on the source axis) — every pairwise stage below touches only
+    # ≤2K sketch rows, never the corpus-scale hash set.
+    wsrc = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashed.select("source", "h")
+        .withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
     pairs = [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]]
     outs = []
     for sa, sb in pairs:
-        both = hashed.filter(F.col("source").isin([sa, sb]))
-        # union's bottom-K with per-hash membership flags
-        per_hash = both.groupBy("h").agg(
-            F.max(F.col("source") == sa).alias("in_a"),
-            F.max(F.col("source") == sb).alias("in_b"),
-        )
-        wk = Window.orderBy("h")
-        bottom = per_hash.withColumn("rn", F.row_number().over(wk)).filter(
-            F.col("rn") <= KMV_K
-        )
-        est = bottom.agg(
-            F.count(F.lit(1)).alias("k_used"),
-            F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("shared"),
-        ).select(
-            F.lit(sa).alias("src_a"),
-            F.lit(sb).alias("src_b"),
-            "k_used",
-            "shared",
-            F.expr("shared * 1000000 DIV k_used").alias("jaccard_est_ppm"),
-        )
+        est = _kmv_pair_est(sk, sa, sb)
         ex = (
             hashed.filter(F.col("source").isin([sa, sb]))
             .groupBy("g")

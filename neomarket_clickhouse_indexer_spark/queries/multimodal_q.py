@@ -549,6 +549,7 @@ def multimodal_caption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    emb = None
     try:
         codes = _phash_codes_cached(spark, sf_dir)
         # norms factored ONCE per row (the near_dup_embeddings
@@ -635,9 +636,12 @@ def multimodal_caption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        emb.unpersist()
         return out
     finally:
+        # unpersist in finally: an exception between persist() and here
+        # must not leak the embeddings frame for the rest of the session
+        if emb is not None:
+            emb.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 

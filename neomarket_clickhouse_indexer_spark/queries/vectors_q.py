@@ -3159,6 +3159,12 @@ def nsw_frame(
         for df in caches:
             df.unpersist()
         with _NSW_MEMO_LOCK:
+            # double-check: a racing builder with the same key (two pool
+            # threads sharing a tag) may have finished first — keep its
+            # checkpoint so exactly one lives in the memo (ours is GC'd)
+            prior = _NSW_MEMO.get(memo_key)
+            if prior is not None:
+                return prior
             _NSW_MEMO[memo_key] = out
         return out
     if _cache_out is not None:
@@ -3966,6 +3972,15 @@ def nsw_incremental_frame(
         bucketings = NSW_BUCKETINGS
     if new_pred is None:
         new_pred = _nsw_new_pred
+    if memo_sf is not None and new_pred is not _nsw_new_pred:
+        # the '-nonew' memo key encodes only pop_tag, not the append
+        # draw: a custom new_pred under memo_sf would silently reuse an
+        # adjacency built for the default char-8 batch split — refuse
+        # (custom draws pass prebuilt_base, as the re-embed tier does)
+        raise ValueError(
+            "memo_sf requires the default new_pred; pass prebuilt_base "
+            "or memo_sf=None with a custom append draw"
+        )
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     if node_pred is not None:
