@@ -1254,6 +1254,28 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "a CASE-refresh corpus view, prebuilt base = the "
               "compaction) — CRUD's third leg as a pure composition; "
               "oracle = delete chain + insert chain over uemb/unrm"),
+    QuerySpec("knn_hnsw_reembed", V.knn_hnsw_reembed,
+              V.KNN_HNSW_REEMBED_SQL, ("VS3", "W4", "BONUS"),
+              "LAYERED vector update: levels are id-derived, so "
+              "re-embedding cannot move a node across layers — layered "
+              "update is the flat delete-then-insert composition run "
+              "once per nested layer over its population; layer graphs "
+              "share the hnsw memo keys and the layer-0 refresh shares "
+              "knn_nsw_reembed's whole-result memo — closes the last "
+              "asymmetry in the six-leg CRUD gate matrix; oracle = "
+              "per-layer compaction+insert chains over shared "
+              "uemb/unrm CASE-refresh views"),
+    QuerySpec("knn_nsw_search_maintained", V.knn_nsw_search_maintained,
+              V.KNN_NSW_SEARCH_MAINTAINED_SQL, ("VS3", "W4", "BONUS"),
+              "SERVE over the MAINTAINED index (users query indexes, "
+              "not adjacencies): insert the append batch, tombstone-"
+              "compact the post-insert graph (prebuilt base — only the "
+              "blast radius paid), then beam-search it with survivor-"
+              "drawn entry points; output = serve rows + two hash-"
+              "checked audit rows (tombstoned neighbors served == 0, "
+              "inserted vectors served >= 1 — fresh appends retrievable "
+              "immediately, erased vectors never); oracle = the three "
+              "existing fragments composed, zero new logic"),
     QuerySpec("user_churn_hazard", TS.user_churn_hazard,
               TS.USER_CHURN_HAZARD_SQL, ("A1", "W2", "BONUS"),
               "survival analysis: Nelson-Aalen cumulative churn hazard "

@@ -3350,23 +3350,32 @@ def nsw_search_frame(
     _cache_out: list | None = None,
     hops: int = NSW_SEARCH_H,
     memo_sf: str | None = None,
+    prebuilt_graph: DataFrame | None = None,
+    node_filter=None,
 ) -> DataFrame:
     """Beam search for the vec_id < N_QUERIES queries over the NSW graph
     of the rest; (query_id, rank, neighbor_id, cosine_sim) like
-    knn_bruteforce (``hops`` parameterized for the recall-curve test)."""
+    knn_bruteforce (``hops`` parameterized for the recall-curve test).
+    ``prebuilt_graph`` serves a maintained adjacency (knn_nsw_graph
+    shape) instead of building one; ``node_filter`` restricts the
+    entry/scoring population (the survivor set after a delete — entry
+    points must be drawn from the LIVE index)."""
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    if node_filter is not None:
+        corpus = corpus.filter(node_filter)
     caches: list = []
     g = (
-        nsw_frame(
+        prebuilt_graph
+        if prebuilt_graph is not None
+        else nsw_frame(
             corpus,
             _cache_out=caches,
             memo_token=(memo_sf, "corpus") if memo_sf else None,
         )
-        .select(
-            F.col("query_id").alias("node"),
-            F.col("neighbor_id").alias("nxt"),
-        )
+    ).select(
+        F.col("query_id").alias("node"),
+        F.col("neighbor_id").alias("nxt"),
     )
     qdf = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -3444,60 +3453,76 @@ def nsw_search_frame(
     )
 
 
-def _nsw_search_sql() -> str:
-    chain = _nsw_cte_chain(f"WHERE vec_id >= {N_QUERIES}")
+def _nsw_search_sql_fragment(p: str, graph_cte: str, ent_where: str) -> str:
+    """Query-time beam search as a CTE FRAGMENT (no WITH keyword,
+    references the shared ``nrm`` CTE): entries = the NSW_SEARCH_E
+    md5-smallest nodes of ``embeddings {ent_where}``, then NSW_SEARCH_H
+    beam-expand-score hops over ``graph_cte`` ((src, dst) edge rows).
+    Ends with {p}res — (query_id, rank, neighbor_id, cosine_sim) cut to
+    TOP_K, the knn_bruteforce shape. The maintained-serve oracle points
+    ``graph_cte`` at the post-insert+delete adjacency and ``ent_where``
+    at the survivor population."""
     hops = []
     for i in range(1, NSW_SEARCH_H + 1):
         hops.append(f""",
-f{i - 1} AS MATERIALIZED (
+{p}f{i - 1} AS MATERIALIZED (
   SELECT query_id, node FROM (
     SELECT query_id, node,
            ROW_NUMBER() OVER (PARTITION BY query_id
                               ORDER BY cosine_sim DESC, node) AS r
-    FROM v{i - 1}
+    FROM {p}v{i - 1}
   ) WHERE r <= {NSW_SEARCH_B}
 ),
-x{i} AS MATERIALIZED (
+{p}x{i} AS MATERIALIZED (
   SELECT DISTINCT f.query_id, g.dst AS node
-  FROM f{i - 1} f JOIN e{NSW_ROUNDS} g ON g.src = f.node
-  WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} v
+  FROM {p}f{i - 1} f JOIN {graph_cte} g ON g.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {p}v{i - 1} v
                     WHERE v.query_id = f.query_id AND v.node = g.dst)
 ),
-v{i} AS MATERIALIZED (
-  SELECT query_id, node, cosine_sim FROM v{i - 1}
+{p}v{i} AS MATERIALIZED (
+  SELECT query_id, node, cosine_sim FROM {p}v{i - 1}
   UNION ALL
   SELECT x.query_id, x.node,
          ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
-  FROM x{i} x
+  FROM {p}x{i} x
   JOIN nrm a ON a.vec_id = x.query_id
   JOIN nrm b ON b.vec_id = x.node
 )""")
-    return chain + f""",
-ent AS MATERIALIZED (
+    return f"""{p}ent AS MATERIALIZED (
   SELECT vec_id AS node FROM (
     SELECT vec_id,
            ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                               vec_id) AS r
-    FROM embeddings WHERE vec_id >= {N_QUERIES}
+    FROM embeddings {ent_where}
   ) WHERE r <= {NSW_SEARCH_E}
 ),
-v0 AS MATERIALIZED (
+{p}v0 AS MATERIALIZED (
   SELECT a.vec_id AS query_id, e.node,
          ROUND({_DOT_AB} / (a.nn * b.nn), 6) AS cosine_sim
-  FROM nrm a CROSS JOIN ent e
+  FROM nrm a CROSS JOIN {p}ent e
   JOIN nrm b ON b.vec_id = e.node
   WHERE a.vec_id < {N_QUERIES}
-){"".join(hops)}
-SELECT CAST(query_id AS BIGINT) AS query_id,
-       CAST(rank AS BIGINT) AS rank,
-       CAST(node AS BIGINT) AS neighbor_id,
-       cosine_sim
-FROM (
-  SELECT query_id, node, cosine_sim,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cosine_sim DESC, node) AS rank
-  FROM v{NSW_SEARCH_H}
-) WHERE rank <= {TOP_K}
+){"".join(hops)},
+{p}res AS MATERIALIZED (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(rank AS BIGINT) AS rank,
+         CAST(node AS BIGINT) AS neighbor_id,
+         cosine_sim
+  FROM (
+    SELECT query_id, node, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, node) AS rank
+    FROM {p}v{NSW_SEARCH_H}
+  ) WHERE rank <= {TOP_K}
+)"""
+
+
+def _nsw_search_sql() -> str:
+    chain = _nsw_cte_chain(f"WHERE vec_id >= {N_QUERIES}")
+    return chain + ",\n" + _nsw_search_sql_fragment(
+        "", f"e{NSW_ROUNDS}", f"WHERE vec_id >= {N_QUERIES}"
+    ) + """
+SELECT query_id, rank, neighbor_id, cosine_sim FROM res
 """
 
 
@@ -4635,17 +4660,21 @@ def nsw_delete_frame(
 
 def _nsw_del_sql_fragment(
     p: str, extra_where: str, bucketings: list, rounds: int,
-    dead_sql: str | None = None,
+    dead_sql: str | None = None, base_cte: str | None = None,
 ) -> str:
     """One tombstone-compaction chain as a CTE FRAGMENT (no WITH
     keyword, references the shared ``nrm`` CTE), every name prefixed
     ``p`` so the HNSW layered oracle can instantiate one chain per
     layer (the _nsw_incr_sql_fragment convention). ``extra_where`` is
     an additional AND condition restricting the node population (the
-    md5 layer predicate; '' for the flat graph). Ends with {p}dfinal —
+    md5 layer predicate; '' for the flat graph). ``base_cte`` names a
+    prebuilt standing-index CTE instead of generating the base NSW
+    chain (the _nsw_incr_sql_fragment convention — the maintained-serve
+    oracle compacts the post-insert adjacency). Ends with {p}dfinal —
     the post-compaction adjacency."""
     K, R = NSW_K, rounds
     dd = dead_sql if dead_sql is not None else _NSW_DEL_SQL
+    base_ref = base_cte if base_cte is not None else f"{p}dbase_e{R}"
     corpus_where = f"WHERE vec_id >= {N_QUERIES}{extra_where}"
     surv_where = (
         corpus_where + f" AND NOT ({dd.format(c='vec_id')})"
@@ -4672,11 +4701,15 @@ def _nsw_del_sql_fragment(
         for j in range(len(bucketings))
     )
     score = f"ROUND({_DOT_AB} / (a.nn * b.nn), 6)"
-    return _nsw_forest_sql(
-        f"{p}dbase_", corpus_where, bucketings, rounds=R
-    ) + f""",
+    base_chain = (
+        "" if base_cte is not None
+        else _nsw_forest_sql(
+            f"{p}dbase_", corpus_where, bucketings, rounds=R
+        ) + ","
+    )
+    return base_chain + f"""
 {p}dav AS MATERIALIZED (
-  SELECT src, dst FROM {p}dbase_e{R}
+  SELECT src, dst FROM {base_ref}
   WHERE NOT ({dd.format(c='src')}) AND ({dd.format(c='dst')})
 ),
 {p}daff AS MATERIALIZED (
@@ -4685,12 +4718,12 @@ def _nsw_del_sql_fragment(
 {forest},
 {p}dbridge AS MATERIALIZED (
   SELECT DISTINCT a.src, g.dst
-  FROM {p}dav a JOIN {p}dbase_e{R} g ON g.src = a.dst
+  FROM {p}dav a JOIN {base_ref} g ON g.src = a.dst
   WHERE NOT ({dd.format(c='g.dst')}) AND g.dst <> a.src
 ),
 {p}dkeep AS MATERIALIZED (
   SELECT g.src, g.dst
-  FROM {p}dbase_e{R} g JOIN {p}daff f ON f.src = g.src
+  FROM {base_ref} g JOIN {p}daff f ON f.src = g.src
   WHERE NOT ({dd.format(c='g.dst')})
 ),
 {p}dbkt AS MATERIALIZED (
@@ -4720,7 +4753,7 @@ def _nsw_del_sql_fragment(
   ) WHERE rank <= {K}
 ),
 {p}dfinal AS MATERIALIZED (
-  SELECT g.src, g.rank, g.dst, g.cosine_sim FROM {p}dbase_e{R} g
+  SELECT g.src, g.rank, g.dst, g.cosine_sim FROM {base_ref} g
   WHERE NOT ({dd.format(c='g.src')})
     AND g.src NOT IN (SELECT src FROM {p}daff)
   UNION ALL
@@ -4913,19 +4946,48 @@ def nsw_reembed_frame(
     emb: DataFrame,
     _cache_out: list | None = None,
     memo_sf: str | None = None,
+    bucketings: list[tuple[int, int]] | None = None,
+    node_pred=None,
+    rounds: int = NSW_ROUNDS,
+    pop_tag: str = "corpus",
 ) -> DataFrame:
     """Compact-then-reattach over any (vec_id, embedding) frame; output
     = the post-refresh adjacency in the knn_nsw_graph shape (every
     corpus node covered; batch nodes' neighborhoods reflect the NEW
-    vectors)."""
+    vectors). ``bucketings``/``node_pred``/``rounds``/``pop_tag``
+    restrict the population — the HNSW layered variant runs this core
+    once per layer. When ``memo_sf`` is set, the FINISHED post-refresh
+    adjacency memoizes per (session, population, sizing): layer 0's
+    key deliberately collides with the flat gate's (level-0 pred is
+    lit(True)), so a full sim pays the layer-0 refresh once across
+    knn_nsw_reembed and knn_hnsw_reembed."""
+    spark = emb.sparkSession
+    memo_key = None
+    if memo_sf is not None:
+        memo_key = _nsw_memo_key(
+            spark,
+            (
+                "reembed_frame", memo_sf, pop_tag,
+                tuple(tuple(b) for b in (bucketings or NSW_BUCKETINGS)),
+                rounds,
+            ),
+        )
+        with _NSW_MEMO_LOCK:
+            hit = _NSW_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     caches: list = []
-    # step 1: compaction (base graph shared via the "corpus" memo);
+    # step 1: compaction (base graph shared via the population memo);
     # eager checkpoint clamps the compaction plan before it feeds the
     # attach/repair joins (the k-core lineage rule)
     compacted = nsw_delete_frame(
         emb,
         _cache_out=caches,
         memo_sf=memo_sf,
+        bucketings=bucketings,
+        node_pred=node_pred,
+        rounds=rounds,
+        pop_tag=pop_tag,
         dead_pred=_nsw_upd_pred,
     ).localCheckpoint(eager=True)
     # step 2: the corpus view with refreshed batch vectors
@@ -4942,9 +5004,22 @@ def nsw_reembed_frame(
     out = nsw_incremental_frame(
         refreshed,
         _cache_out=caches,
+        bucketings=bucketings,
+        node_pred=node_pred,
+        rounds=rounds,
         prebuilt_base=compacted,
         new_pred=_nsw_upd_pred,
     )
+    if memo_key is not None:
+        out = out.localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        with _NSW_MEMO_LOCK:
+            prior = _NSW_MEMO.get(memo_key)
+            if prior is not None:
+                return prior
+            _NSW_MEMO[memo_key] = out
+        return out
     if _cache_out is not None:
         _cache_out.extend(caches)
     return out
@@ -4977,6 +5052,263 @@ FROM r_final
 
 
 KNN_NSW_REEMBED_SQL = _nsw_upd_sql()
+
+
+# --- knn_nsw_search_maintained: BEAM SEARCH OVER THE MAINTAINED INDEX —
+#     the r13 verdict's "users query indexes, not adjacencies" gap.
+#     The CRUD legs gate post-maintenance ADJACENCIES; this entry closes
+#     the loop to the user-visible surface: INSERT the append batch
+#     (knn_nsw_incremental's chain, base shared via the "corpus-nonew"
+#     memo), DELETE the tombstone batch from the post-insert graph
+#     (nsw_delete_frame with prebuilt_base — only drop+repair paid),
+#     then SERVE the vec_id < N_QUERIES queries with the flat beam
+#     search over the compacted graph, entry points drawn from the
+#     SURVIVOR population (a dead entry point would resurrect the
+#     tombstone). Output = long format: part='serve' rows in the
+#     knn_bruteforce shape plus two hash-checked audit rows —
+#     audit_dead_in_results (tombstoned neighbors served; MUST be 0,
+#     also pinned in tests/test_nsw_maintained.py) and
+#     audit_new_in_results (inserted vectors served; >= 1 at both gate
+#     SFs — freshly appended vectors are retrievable immediately).
+#     Oracle = the existing insert chain + the delete chain reading
+#     m_final as its standing index + the search chain reading
+#     md_dfinal — three prefixed fragments, zero new logic (the r13
+#     composition doctrine). 100 TB: insert is O(batch), delete is
+#     O(affected), serve is O(B*K*H) per query — never a rebuild.
+#     Reference analog: every query in src/api.ts reads post-maintenance
+#     state. Beyond-ref (builder-brief mandate).
+
+
+def knn_nsw_search_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        emb = load_table(spark, sf_dir, "embeddings")
+        # 1) INSERT: post-append flat adjacency (base via "corpus-nonew"
+        #    memo — shared with knn_nsw_incremental in a full sim run)
+        g_ins = nsw_incremental_frame(
+            emb, _cache_out=caches, memo_sf=sf_dir
+        ).localCheckpoint(eager=True)
+        # 2) DELETE: tombstone-compact the post-insert graph (prebuilt
+        #    base — only the drop+repair blast radius is paid)
+        g_maint = nsw_delete_frame(
+            emb, _cache_out=caches, prebuilt_base=g_ins
+        ).localCheckpoint(eager=True)
+        # 3) SERVE: beam search over the maintained graph; entries and
+        #    scoring restricted to survivors
+        serve = nsw_search_frame(
+            emb,
+            _cache_out=caches,
+            prebuilt_graph=g_maint,
+            node_filter=~_nsw_del_pred(F.col("vec_id")),
+        ).localCheckpoint(eager=True)
+        audit = serve.agg(
+            F.coalesce(
+                F.sum(_nsw_del_pred(F.col("neighbor_id")).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_dead"),
+            F.coalesce(
+                F.sum(_nsw_new_pred(F.col("neighbor_id")).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_new"),
+        ).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("audit_dead_in_results").alias("part"),
+                        F.lit(-1).cast("long").alias("query_id"),
+                        F.lit(-1).cast("long").alias("rank"),
+                        F.col("n_dead").alias("neighbor_id"),
+                        F.lit(0.0).alias("cosine_sim"),
+                    ),
+                    F.struct(
+                        F.lit("audit_new_in_results").alias("part"),
+                        F.lit(-1).cast("long").alias("query_id"),
+                        F.lit(-1).cast("long").alias("rank"),
+                        F.col("n_new").alias("neighbor_id"),
+                        F.lit(0.0).alias("cosine_sim"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.*")
+        out = (
+            serve.select(
+                F.lit("serve").alias("part"),
+                "query_id", "rank", "neighbor_id", "cosine_sim",
+            )
+            .unionByName(audit)
+            .localCheckpoint(eager=True)
+        )
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _nsw_maint_sql() -> str:
+    surv_where = (
+        f"WHERE vec_id >= {N_QUERIES} "
+        f"AND NOT ({_NSW_DEL_SQL.format(c='vec_id')})"
+    )
+    dead_n = _NSW_DEL_SQL.format(c="neighbor_id")
+    new_n = _NSW_NEW_SQL.format(c="neighbor_id")
+    return (
+        _NRM_CTE
+        + _nsw_incr_sql_fragment("m_", "", NSW_BUCKETINGS, NSW_ROUNDS)
+        + ",\n"
+        + _nsw_del_sql_fragment(
+            "md_", "", NSW_BUCKETINGS, NSW_ROUNDS, base_cte="m_final"
+        )
+        + ",\n"
+        + _nsw_search_sql_fragment("ms_", "md_dfinal", surv_where)
+        + f"""
+SELECT 'serve' AS part, query_id, rank, neighbor_id, cosine_sim
+FROM ms_res
+UNION ALL
+SELECT 'audit_dead_in_results' AS part,
+       CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS rank,
+       CAST(COALESCE(SUM(CASE WHEN {dead_n} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS neighbor_id,
+       CAST(0.0 AS DOUBLE) AS cosine_sim
+FROM ms_res
+UNION ALL
+SELECT 'audit_new_in_results' AS part,
+       CAST(-1 AS BIGINT) AS query_id, CAST(-1 AS BIGINT) AS rank,
+       CAST(COALESCE(SUM(CASE WHEN {new_n} THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS neighbor_id,
+       CAST(0.0 AS DOUBLE) AS cosine_sim
+FROM ms_res
+"""
+    )
+
+
+KNN_NSW_SEARCH_MAINTAINED_SQL = _nsw_maint_sql()
+
+
+# --- knn_hnsw_reembed: the LAYERED vector update — closes the r13
+#     verdict's layered-update asymmetry (the other five CRUD legs all
+#     carry oracle gates; layered update was pytest-pinned only).
+#     Levels are id-derived (md5 chars 1-2), so re-embedding can NOT
+#     move a node across layers — layered update is exactly the flat
+#     delete∘insert composition run once per nested layer over its
+#     population (the argument tests/test_nsw_delete.py pins). Each
+#     layer runs nsw_reembed_frame with its own forest sizing/rounds;
+#     layer-graph builds share the hnsw memo keys AND the finished
+#     layer-0 refresh shares knn_nsw_reembed's whole-result memo
+#     (level-0 pred is lit(True)), so a full sim pays the dominant
+#     layer-0 composition once across both gates. Output = layered
+#     long format, the knn_hnsw_incremental/delete shape. Oracle =
+#     per-layer delete+insert chains reading the shared uemb/unrm
+#     CASE-refresh views. Beyond-ref (builder-brief mandate).
+
+
+def knn_hnsw_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        caches: list = []
+        out = hnsw_reembed_frame(
+            load_table(spark, sf_dir, "embeddings"),
+            _cache_out=caches,
+            memo_sf=sf_dir,
+        ).localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def hnsw_reembed_frame(
+    emb: DataFrame,
+    _cache_out: list | None = None,
+    memo_sf: str | None = None,
+) -> DataFrame:
+    """One flat compact-then-reattach per nested layer, pooled (the
+    hnsw_delete_frame doctrine: layer jobs are driver-paced, layer 0
+    dominates, pooled wall ~= layer 0's)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    caches: list = []
+
+    def _layer(lvl: int) -> DataFrame:
+        # layer 0's population/sizing == the flat gate's, so its
+        # whole-result memo key deliberately COLLIDES with
+        # knn_nsw_reembed's — one layer-0 refresh per session
+        return nsw_reembed_frame(
+            emb,
+            _cache_out=caches,
+            memo_sf=memo_sf,
+            bucketings=HNSW_BUCKETINGS[lvl],
+            node_pred=_hnsw_level_pred(lvl),
+            rounds=HNSW_ROUNDS[lvl],
+            pop_tag="corpus" if lvl == 0 else f"hnswlvl{lvl}",
+        ).select(
+            F.lit(lvl).cast("long").alias("layer"),
+            "query_id", "rank", "neighbor_id", "cosine_sim",
+        )
+
+    with ThreadPoolExecutor(max_workers=HNSW_LEVELS) as pool:
+        futs = [pool.submit(_layer, lvl) for lvl in range(HNSW_LEVELS)]
+        outs = [f.result() for f in futs]
+    if _cache_out is not None:
+        _cache_out.extend(caches)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _hnsw_upd_sql() -> str:
+    def extra(lvl: int) -> str:
+        return "".join(
+            f" AND substr(md5(CAST(vec_id AS VARCHAR)), {i}, 1)"
+            " IN ('0','1')"
+            for i in range(1, lvl + 1)
+        )
+
+    upd_v = _NSW_UPD_SQL.format(c="vec_id")
+    chains = []
+    for lvl in range(HNSW_LEVELS):
+        chains.append(_nsw_del_sql_fragment(
+            f"u{lvl}_", extra(lvl), HNSW_BUCKETINGS[lvl],
+            HNSW_ROUNDS[lvl], dead_sql=_NSW_UPD_SQL,
+        ))
+        chains.append(_nsw_incr_sql_fragment(
+            f"r{lvl}_", extra(lvl), HNSW_BUCKETINGS[lvl],
+            HNSW_ROUNDS[lvl], new_sql=_NSW_UPD_SQL, nrm_name="unrm",
+            base_cte=f"u{lvl}_dfinal", emb_table="uemb",
+        ))
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({lvl} AS BIGINT) AS layer,
+       CAST(src AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(dst AS BIGINT) AS neighbor_id,
+       cosine_sim
+FROM r{lvl}_final"""
+        for lvl in range(HNSW_LEVELS)
+    )
+    return _NRM_CTE + f"""uemb AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN vec_id >= {N_QUERIES} AND ({upd_v})
+              THEN {_ROT1_SQL} ELSE embedding END AS embedding
+  FROM embeddings
+),
+unrm AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, {_ANORM} AS nn FROM uemb a
+),
+""" + ",\n".join(chains) + "\n" + selects
+
+
+KNN_HNSW_REEMBED_SQL = _hnsw_upd_sql()
 
 
 # --- embeddings_sq8_audit: int8 SCALAR QUANTIZATION (the SQ8 index tier
