@@ -339,13 +339,23 @@ def _phash_pairs(codes: DataFrame) -> DataFrame:
     )
 
 
+CM_TEXT_LO = 0.1  # text-cosine floor: image-dup pairs below it flag
+
+
 def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compound media-dedup gate, long format (part, frame_sig, a, b, v):
-    part='exact'  — the original exact frame-signature dedup
-                    (a=n_docs, b=n_frames, v=first_doc);
-    part='code'   — per-image 64-bit pHash words (a=doc_id, b=lo, v=hi);
-    part='pair'   — banded Hamming near-dup pairs at <= PHASH_T
-                    (a=id1, b=id2, v=hamming)."""
+    part='exact'   — the original exact frame-signature dedup
+                     (a=n_docs, b=n_frames, v=first_doc);
+    part='code'    — per-image 64-bit pHash words (a=doc_id, b=lo, v=hi);
+    part='pair'    — banded Hamming near-dup pairs at <= PHASH_T
+                     (a=id1, b=id2, v=hamming);
+    part='caption' — the r14 in-window rotation of the cross-modal
+                     family: multimodal_caption_audit's imgdup_textdiff
+                     leg executed verbatim off the memoized code table —
+                     image near-dup pairs whose TEXT cosine <
+                     CM_TEXT_LO (a=id1, b=id2, v=cosine in micro-units,
+                     FLOOR(ts*1e6+0.5) on the identical 6dp double in
+                     both engines — the fused-suite integerize rule)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -378,14 +388,54 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo").alias("b"),
         F.col("hi").alias("v"),
     )
-    pair_rows = (
-        _phash_pairs(codes)
+    # pairs feed TWO parts ('pair' + 'caption'); eager checkpoint so the
+    # union's branches don't re-run the band self-join (r10 rule)
+    pairs = _phash_pairs(codes).localCheckpoint(eager=True)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("part"),
+        F.lit("").alias("frame_sig"),
+        F.col("id1").cast("long").alias("a"),
+        F.col("id2").cast("long").alias("b"),
+        F.col("hamming").alias("v"),
+    )
+    from ..functions import vectors as VX
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", VX.norm(F.col("embedding")).alias("nn")
+    )
+    cap_rows = (
+        pairs.join(
+            emb.select(
+                F.col("vec_id").alias("id1"),
+                F.col("embedding").alias("emb_a"),
+                F.col("nn").alias("nn_a"),
+            ),
+            "id1",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("id2"),
+                F.col("embedding").alias("emb_b"),
+                F.col("nn").alias("nn_b"),
+            ),
+            "id2",
+        )
         .select(
-            F.lit("pair").alias("part"),
+            "id1",
+            "id2",
+            F.round(
+                VX.dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nn_a") * F.col("nn_b")),
+                6,
+            ).alias("ts"),
+        )
+        .filter(F.col("ts") < CM_TEXT_LO)
+        .select(
+            F.lit("caption").alias("part"),
             F.lit("").alias("frame_sig"),
             F.col("id1").cast("long").alias("a"),
             F.col("id2").cast("long").alias("b"),
-            F.col("hamming").alias("v"),
+            F.expr("CAST(FLOOR(ts * 1000000 + 0.5) AS BIGINT)").alias("v"),
         )
     )
     # Eager checkpoint (mirrors audio_fingerprint_frame): a lazy return
@@ -395,6 +445,7 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.unionByName(code_rows)
         .unionByName(pair_rows)
+        .unionByName(cap_rows)
         .localCheckpoint(eager=True)
     )
 
@@ -476,7 +527,11 @@ pcand AS MATERIALIZED (
 )"""
 
 
-MULTIMODAL_FRAME_DEDUP_SQL = f"""
+def _frame_dedup_sql() -> str:
+    from .vectors_q import _ANORM, _DOT_AB
+
+    cos = f"ROUND({_DOT_AB} / (a.nn * b.nn), 6)"
+    return f"""
 WITH frames AS (
   SELECT doc_id,
          unnest(generate_series(1,
@@ -489,7 +544,22 @@ sized AS (
            (f.i - 1) * {DEDUP_FRAME_BYTES} + 1, {DEDUP_FRAME_BYTES})), 1, 8)
            AS frame_sig
   FROM frames f JOIN documents d USING (doc_id)
-),{_phash_oracle_ctes()}
+),{_phash_oracle_ctes()},
+fdnrm AS MATERIALIZED (
+  SELECT a.vec_id, a.embedding, {_ANORM} AS nn FROM embeddings a
+),
+fdpairs AS MATERIALIZED (
+  SELECT id1, id2,
+         bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS hamming
+  FROM pcand
+  WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= {PHASH_T}
+),
+fdcap AS MATERIALIZED (
+  SELECT p.id1, p.id2, {cos} AS ts
+  FROM fdpairs p
+  JOIN fdnrm a ON a.vec_id = p.id1
+  JOIN fdnrm b ON b.vec_id = p.id2
+)
 SELECT 'exact' AS part, frame_sig,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS a,
        CAST(COUNT(*) AS BIGINT) AS b,
@@ -504,11 +574,17 @@ FROM pcodes
 UNION ALL
 SELECT 'pair' AS part, '' AS frame_sig,
        CAST(id1 AS BIGINT) AS a, CAST(id2 AS BIGINT) AS b,
-       CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) AS BIGINT)
-         AS v
-FROM pcand
-WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= {PHASH_T}
+       CAST(hamming AS BIGINT) AS v
+FROM fdpairs
+UNION ALL
+SELECT 'caption' AS part, '' AS frame_sig,
+       CAST(id1 AS BIGINT) AS a, CAST(id2 AS BIGINT) AS b,
+       CAST(FLOOR(ts * 1000000 + 0.5) AS BIGINT) AS v
+FROM fdcap WHERE ts < {CM_TEXT_LO}
 """
+
+
+MULTIMODAL_FRAME_DEDUP_SQL = _frame_dedup_sql()
 
 
 # --- multimodal_caption_audit: CROSS-MODAL CONSISTENCY JOIN (r12
@@ -537,7 +613,6 @@ WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)) <= {PHASH_T}
 #     Reference has no media surface; beyond-ref (builder-brief
 #     mandate).
 
-CM_TEXT_LO = 0.1  # text-cosine floor: image-dup pairs below it flag
 
 
 def multimodal_caption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
