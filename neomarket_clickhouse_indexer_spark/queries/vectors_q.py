@@ -3992,7 +3992,13 @@ def nsw_incremental_frame(
     forest sizing and the node population — the HNSW layered variant
     runs this core once per layer (nested md5 populations, per-layer
     forests); ``new_pred`` overrides the append-batch draw — the
-    re-embed (UPDATE) tier attaches the updated nodes instead."""
+    re-embed (UPDATE) tier attaches the updated nodes instead.
+
+    When ``memo_sf`` is set (and no prebuilt base is supplied), the
+    FINISHED post-insert adjacency memoizes per (session, population,
+    sizing): knn_nsw_incremental, hnsw_incremental's layers, and the
+    maintained-serve gate's insert step share one build per key (the
+    r13 whole-result doctrine extended from reembed)."""
     if bucketings is None:
         bucketings = NSW_BUCKETINGS
     if new_pred is None:
@@ -4006,6 +4012,20 @@ def nsw_incremental_frame(
             "memo_sf requires the default new_pred; pass prebuilt_base "
             "or memo_sf=None with a custom append draw"
         )
+    spark = emb.sparkSession
+    memo_key = None
+    if memo_sf is not None and prebuilt_base is None:
+        memo_key = _nsw_memo_key(
+            spark,
+            (
+                "incr_frame", memo_sf, pop_tag,
+                tuple(tuple(b) for b in bucketings), rounds,
+            ),
+        )
+        with _NSW_MEMO_LOCK:
+            hit = _NSW_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     if node_pred is not None:
@@ -4160,6 +4180,16 @@ def nsw_incremental_frame(
             "cosine_sim",
         )
     )
+    if memo_key is not None:
+        out = out.localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        with _NSW_MEMO_LOCK:
+            prior = _NSW_MEMO.get(memo_key)
+            if prior is not None:
+                return prior
+            _NSW_MEMO[memo_key] = out
+        return out
     if _cache_out is not None:
         _cache_out.extend(caches)
     return out
@@ -4505,9 +4535,35 @@ def nsw_delete_frame(
     ``node_pred``/``rounds``/``pop_tag`` restrict the population and
     base refinement — the HNSW layered variant runs this core once per
     layer (its layer-graph memo keys deliberately collide with
-    hnsw_search's, so a full gate run builds each layer graph once)."""
+    hnsw_search's, so a full gate run builds each layer graph once).
+
+    When ``memo_sf`` is set (and no prebuilt base is supplied), the
+    FINISHED post-compaction adjacency memoizes per (session,
+    population, sizing, dead draw): knn_nsw_delete and hnsw_delete's
+    layers share one compaction per key. The dead draw enters the key
+    by IDENTITY tag ('del'/'upd'); an unknown custom pred skips the
+    whole-result memo (the base-graph memo still applies)."""
     if bucketings is None:
         bucketings = NSW_BUCKETINGS
+    spark = emb.sparkSession
+    dead_id = dead_pred if dead_pred is not None else _nsw_del_pred
+    dead_tag = (
+        "del" if dead_id is _nsw_del_pred
+        else ("upd" if dead_id is _nsw_upd_pred else None)
+    )
+    memo_key = None
+    if memo_sf is not None and prebuilt_base is None and dead_tag:
+        memo_key = _nsw_memo_key(
+            spark,
+            (
+                "del_frame", memo_sf, pop_tag, dead_tag,
+                tuple(tuple(b) for b in bucketings), rounds,
+            ),
+        )
+        with _NSW_MEMO_LOCK:
+            hit = _NSW_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     n_par = emb.sparkSession.sparkContext.defaultParallelism
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
     if node_pred is not None:
@@ -4653,6 +4709,16 @@ def nsw_delete_frame(
             "cosine_sim",
         )
     )
+    if memo_key is not None:
+        out = out.localCheckpoint(eager=True)
+        for df in caches:
+            df.unpersist()
+        with _NSW_MEMO_LOCK:
+            prior = _NSW_MEMO.get(memo_key)
+            if prior is not None:
+                return prior
+            _NSW_MEMO[memo_key] = out
+        return out
     if _cache_out is not None:
         _cache_out.extend(caches)
     return out
