@@ -1254,6 +1254,17 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "a CASE-refresh corpus view, prebuilt base = the "
               "compaction) — CRUD's third leg as a pure composition; "
               "oracle = delete chain + insert chain over uemb/unrm"),
+    QuerySpec("knn_opq_adc", V.knn_opq_adc,
+              V.KNN_OPQ_ADC_SQL, ("VS4", "BONUS"),
+              "OPQ-style rotation before PQ (the FAISS OPQMatrix rung): "
+              "deterministic signed-Hadamard rotation — md5 per-dim "
+              "sign flips, H[u][x] = (-1)^popcount(u&x) computed "
+              "in-engine from bit_count parity, exact BIGINT micro-unit "
+              "arithmetic, one final identical IEEE division — then the "
+              "knn_pq_adc core VERBATIM over the rotated frame (codes, "
+              "ADC estimates, in-cell exhaustive re-rank all gated in "
+              "rotated space); round-trip exactness + orthogonality "
+              "pinned in tests/test_opq.py"),
     QuerySpec("knn_hnsw_reembed", V.knn_hnsw_reembed,
               V.KNN_HNSW_REEMBED_SQL, ("VS3", "W4", "BONUS"),
               "LAYERED vector update: levels are id-derived, so "

@@ -1132,7 +1132,9 @@ def _knn_pq_adc_core(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _pq_sql() -> str:
+def _pq_sql(emb_table: str = "embeddings", prelude: str = "") -> str:
+    """The PQ-ADC oracle statement; ``emb_table``/``prelude`` let the
+    OPQ variant read a rotated CTE view (the r13 SQL-knob doctrine)."""
     S, M, K, NQ = _PQ_SUB, _PQ_M, _PQ_K, N_QUERIES
     slice_ = (
         f"list_transform(generate_series(1, {S}), "
@@ -1175,9 +1177,9 @@ cent{t} AS (
 )""")
         prev = f"cent{t}"
     return f"""
-WITH subs AS (
+WITH {prelude}subs AS (
   SELECT vec_id, sub, {slice_} AS sv
-  FROM embeddings, (SELECT unnest(generate_series(0, {M - 1})) AS sub)
+  FROM {emb_table}, (SELECT unnest(generate_series(0, {M - 1})) AS sub)
   WHERE vec_id >= {NQ}
 ),
 cent0 AS (
@@ -1194,7 +1196,7 @@ enc AS (
 ),
 qsubs AS (
   SELECT vec_id AS query_id, sub, {slice_} AS sv
-  FROM embeddings, (SELECT unnest(generate_series(0, {M - 1})) AS sub)
+  FROM {emb_table}, (SELECT unnest(generate_series(0, {M - 1})) AS sub)
   WHERE vec_id < {NQ}
 ),
 lut AS (
@@ -1225,8 +1227,8 @@ exact AS (
                         - CAST(c.embedding[i] AS DOUBLE)))), 6) * 1e6 + 0.5)
               AS BIGINT) AS d2u
   FROM shortlist s
-  JOIN embeddings c ON c.vec_id = s.neighbor_id
-  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN {emb_table} c ON c.vec_id = s.neighbor_id
+  JOIN {emb_table} q ON q.vec_id = s.query_id
 )
 SELECT query_id, rank, neighbor_id, d2u, adc_d2u FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1238,6 +1240,139 @@ SELECT query_id, rank, neighbor_id, d2u, adc_d2u FROM (
 
 
 KNN_PQ_ADC_SQL = _pq_sql()
+
+
+# --- knn_opq_adc: OPQ-STYLE ROTATION before PQ — the next rung on the
+#     FAISS quantization ladder after PQ/IVFPQ/SQ8/BQ (Ge et al.,
+#     "Optimized Product Quantization", CVPR'13; FAISS OPQMatrix).
+#     OPQ learns an orthogonal rotation that decorrelates sub-spaces
+#     before product quantization; the deterministic stand-in here is a
+#     SIGNED HADAMARD rotation (the fast-JL / SRHT construction —
+#     FAISS's own cheap cousin is a random rotation): per-dim md5 sign
+#     flip, then H_64 with H[u][x] = (-1)^popcount(u AND x) — computed
+#     IN ENGINE from bit_count parity, no literal table needed — and a
+#     1/8 scale that makes (1/8)·H·diag(s) exactly orthogonal.
+#
+#     Determinism: dims quantize to micro-units first (the SQ8/_CENTS
+#     discipline), the transform is pure BIGINT arithmetic (sums of
+#     ±vu terms — order-insensitive), and the single final division
+#     r/8e6 maps identical integers through one identical IEEE op, so
+#     the rotated DOUBLE vectors are bit-equal across engines. The PQ
+#     stage is _knn_pq_adc_core / _pq_sql VERBATIM over the rotated
+#     frame (emb_table knob) — codes, ADC estimates, and the in-cell
+#     exhaustive re-rank are all gated in rotated space. MECHANISM
+#     pins (tests/test_opq.py, not a fixture win — the r11 IVFPQ
+#     lesson): the transform round-trips exactly (H(H(s⊙vu)) = 64·s⊙vu
+#     in integers), and rotated pair distances match quantized-original
+#     distances to float tolerance (orthogonality).
+#
+#     100 TB: the rotation is a per-vector map-side transform (no
+#     shuffle; O(D^2) per vector here, O(D·logD) with the blocked
+#     butterfly at production dims); everything downstream inherits
+#     knn_pq_adc's scale story. Reference has no vector surface;
+#     beyond-ref (SURVEY similarity-search mandate — compression tier).
+
+_OPQ_SCALE = 8  # sqrt(DIM): (1/8)·H_64·diag(s) is exactly orthogonal
+
+# per-dim sign flips computed ONCE in Python from md5 over a
+# dim-labeled namespace and INLINED as literals on the Spark side (the
+# pHash fixed-point-table doctrine); the DuckDB oracle derives the
+# SAME signs from md5 in-engine, so the green differential proves the
+# literal table against an independent derivation
+import hashlib as _hashlib  # noqa: E402
+
+_OPQ_SIGNS = [
+    1 if _hashlib.md5(f"dim-{x}".encode()).hexdigest()[0] in "01234567"
+    else -1
+    for x in range(1, DIM + 1)
+]
+_OPQ_SIGN_ARR = (
+    "array(" + ",".join(f"CAST({s} AS BIGINT)" for s in _OPQ_SIGNS) + ")"
+)
+_OPQ_SIGN_SQL = (
+    "CASE WHEN substr(md5('dim-' || CAST({d} AS VARCHAR)), 1, 1) "
+    "IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END"
+)
+
+# sign-flipped micro-unit vector: svu[x] = s_x * FLOOR(v_x*1e6 + 0.5)
+_OPQ_SVU = (
+    f"zip_with(embedding, {_OPQ_SIGN_ARR}, (v, s) -> "
+    "s * CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+)
+_OPQ_SVU_SQL = (
+    f"list_transform(generate_series(1, {DIM}), x -> "
+    f"CAST({_OPQ_SIGN_SQL.format(d='x')} AS BIGINT) "
+    "* CAST(FLOOR(CAST(embedding[x] AS DOUBLE) * 1000000 + 0.5) "
+    "AS BIGINT))"
+)
+
+
+def _opq_fwht_expr() -> str:
+    """Spark-side rotation as the 6-stage FWHT BUTTERFLY (O(D·logD),
+    ~450 interpreted HOF steps/row): stage b maps
+    y[u] = a[u] + a[u^b] when (u & b) = 0 else a[u^b] - a[u] — the
+    classic in-place Walsh-Hadamard kernel. Every stage (and svu
+    itself) is bound ONCE per row via transform(array(X), a -> ...)[0]
+    — a naked chained projection would let CollapseProject inline each
+    stage into its 2 references per output and blow the expression up
+    2^6-fold (measured: 89.5s -> 1.5s for 500 rows at sf0.001). The
+    DuckDB oracle instead computes the transform BY DEFINITION
+    (r_u = Σ_x (-1)^popcount(u&x)·svu_x), so the differential proves
+    the butterfly against the direct formula."""
+    expr = _OPQ_SVU
+    for b in (1, 2, 4, 8, 16, 32):
+        expr = (
+            f"transform(array({expr}), a -> "
+            f"transform(sequence(0, {DIM - 1}), u -> "
+            f"CASE WHEN (u & {b}) = 0 THEN a[u] + a[u ^ {b}] "
+            f"ELSE a[u ^ {b}] - a[u] END))[0]"
+        )
+    return (
+        f"transform({expr}, r -> CAST(r AS DOUBLE) "
+        f"/ CAST({_OPQ_SCALE} * 1000000 AS DOUBLE))"
+    )
+
+
+_OPQ_REMB = _opq_fwht_expr()
+
+# oracle rotation BY DEFINITION (independent of the Spark butterfly):
+# r_u = Σ_x (-1)^popcount(u&x) · svu_x over 1-based DuckDB lists
+_OPQ_REMB_SQL = (
+    f"list_transform(generate_series(0, {DIM - 1}), u -> "
+    f"CAST(list_sum(list_transform(generate_series(0, {DIM - 1}), "
+    "x -> (CASE WHEN bit_count(u & x) % 2 = 0 THEN 1 ELSE -1 END) "
+    "* svu[x + 1])) AS DOUBLE) "
+    f"/ CAST({_OPQ_SCALE} * 1000000 AS DOUBLE))"
+)
+
+
+def _opq_rotate(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> the signed-Hadamard-rotated frame; pure
+    map-side integer arithmetic + one final exact-int division, so the
+    doubles are bit-identical to the oracle's remb CTE."""
+    return emb.select("vec_id", F.expr(_OPQ_REMB).alias("embedding"))
+
+
+def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eager checkpoint: the PQ core references the rotated frame from
+    # several subtrees (Lloyd passes, encode, queries, exact re-rank) —
+    # materialize the N×64-double table once instead of re-rotating
+    remb = _opq_rotate(
+        load_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=True)
+    return _knn_pq_adc_core(spark, remb)
+
+
+KNN_OPQ_ADC_SQL = _pq_sql(
+    emb_table="remb",
+    prelude=f"""svu_t AS MATERIALIZED (
+  SELECT vec_id, {_OPQ_SVU_SQL} AS svu FROM embeddings
+),
+remb AS MATERIALIZED (
+  SELECT vec_id, {_OPQ_REMB_SQL} AS embedding FROM svu_t
+),
+""",
+)
 
 
 # --- knn_ivfpq_adc: IVF-PQ with RESIDUAL encoding — the composition of
