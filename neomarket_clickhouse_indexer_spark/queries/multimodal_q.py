@@ -388,29 +388,28 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo").alias("b"),
         F.col("hi").alias("v"),
     )
-    # pairs feed TWO parts ('pair' + 'caption'); eager checkpoint so the
-    # union's branches don't re-run the band self-join (r10 rule)
-    pairs = _phash_pairs(codes).localCheckpoint(eager=True)
-    pair_rows = pairs.select(
-        F.lit("pair").alias("part"),
-        F.lit("").alias("frame_sig"),
-        F.col("id1").cast("long").alias("a"),
-        F.col("id2").cast("long").alias("b"),
-        F.col("hamming").alias("v"),
-    )
+    # pairs feed TWO parts ('pair' + 'caption'); join the text cosine on
+    # in the SAME pass and checkpoint once, so the union's branches
+    # re-run neither the band self-join nor the embedding joins
     from ..functions import vectors as VX
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", VX.norm(F.col("embedding")).alias("nn")
     )
-    cap_rows = (
-        pairs.join(
+    # LEFT joins: a coded doc without an embeddings row (sf0.1 has
+    # 3000) must still emit its 'pair' row — only the caption flag
+    # needs the text side (ts stays NULL, matching the oracle's inner
+    # fdcap join)
+    pairs = (
+        _phash_pairs(codes)
+        .join(
             emb.select(
                 F.col("vec_id").alias("id1"),
                 F.col("embedding").alias("emb_a"),
                 F.col("nn").alias("nn_a"),
             ),
             "id1",
+            "left",
         )
         .join(
             emb.select(
@@ -419,24 +418,35 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nn").alias("nn_b"),
             ),
             "id2",
+            "left",
         )
         .select(
             "id1",
             "id2",
+            "hamming",
             F.round(
                 VX.dot(F.col("emb_a"), F.col("emb_b"))
                 / (F.col("nn_a") * F.col("nn_b")),
                 6,
             ).alias("ts"),
         )
-        .filter(F.col("ts") < CM_TEXT_LO)
-        .select(
-            F.lit("caption").alias("part"),
-            F.lit("").alias("frame_sig"),
-            F.col("id1").cast("long").alias("a"),
-            F.col("id2").cast("long").alias("b"),
-            F.expr("CAST(FLOOR(ts * 1000000 + 0.5) AS BIGINT)").alias("v"),
-        )
+        .localCheckpoint(eager=True)
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("part"),
+        F.lit("").alias("frame_sig"),
+        F.col("id1").cast("long").alias("a"),
+        F.col("id2").cast("long").alias("b"),
+        F.col("hamming").alias("v"),
+    )
+    cap_rows = pairs.filter(
+        F.col("ts").isNotNull() & (F.col("ts") < CM_TEXT_LO)
+    ).select(
+        F.lit("caption").alias("part"),
+        F.lit("").alias("frame_sig"),
+        F.col("id1").cast("long").alias("a"),
+        F.col("id2").cast("long").alias("b"),
+        F.expr("CAST(FLOOR(ts * 1000000 + 0.5) AS BIGINT)").alias("v"),
     )
     # Eager checkpoint (mirrors audio_fingerprint_frame): a lazy return
     # would keep recomputable lineage alive for the rest of a 250-entry
