@@ -10,6 +10,13 @@ production sizing rule documented on nsw_frame.
 
 Usage: python3 scripts/nsw_scale.py <N> [n_planes]
        python3 scripts/nsw_scale.py <N> --hnsw
+
+--serve times the MAINTAINED-INDEX serve path (r14): standing index
+prebuilt and tombstone-compacted (both untimed), then the flat beam
+search over the compacted graph with survivor entry points — the claim
+is serve wall is O(B*K*H) scheduler-paced work per query, ~FLAT in
+corpus size (only the per-hop score joins touch data, and those are
+beam-bounded).
 Run once per scale IN SEPARATE PROCESSES on a quiet host (min-of-2,
 report steady iter1 — the in-session contamination lesson, BENCH.md).
 
@@ -75,12 +82,63 @@ def main() -> None:
     hnsw = len(sys.argv) > 2 and sys.argv[2] == "--hnsw"
     incr = len(sys.argv) > 2 and sys.argv[2] == "--incr"
     dele = len(sys.argv) > 2 and sys.argv[2] == "--del"
+    serve = len(sys.argv) > 2 and sys.argv[2] == "--serve"
     # hold bucket size ~32: the scale knob is plane count, not the cap
     n_planes = (
         int(sys.argv[2])
-        if len(sys.argv) > 2 and not (hnsw or incr or dele)
+        if len(sys.argv) > 2 and not (hnsw or incr or dele or serve)
         else max(5, math.ceil(math.log2(max(n_vecs, 64) / 32)))
     )
+    if serve:
+        # maintained-index serve: base build + compaction are the
+        # standing artifacts (untimed); time ONLY the beam search —
+        # the user-visible query path of knn_nsw_search_maintained
+        from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
+            N_QUERIES,
+            _nsw_del_pred,
+            nsw_delete_frame,
+            nsw_frame,
+            nsw_search_frame,
+        )
+
+        bucketings = [(k, n_planes) for k in range(4)]
+        corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+        print(
+            f"x{n}: {n_vecs:,} vectors, forest 4 x {n_planes} planes",
+            flush=True,
+        )
+        base_caches: list = []
+        g_base = nsw_frame(
+            corpus, _cache_out=base_caches, bucketings=bucketings
+        ).localCheckpoint(eager=True)
+        for df in base_caches:
+            df.unpersist()
+        del_caches: list = []
+        g_maint = nsw_delete_frame(
+            emb, _cache_out=del_caches, bucketings=bucketings,
+            prebuilt_base=g_base,
+        ).localCheckpoint(eager=True)
+        for df in del_caches:
+            df.unpersist()
+        for it in range(2):
+            t0 = time.perf_counter()
+            caches: list = []
+            out = nsw_search_frame(
+                emb,
+                _cache_out=caches,
+                prebuilt_graph=g_maint,
+                node_filter=~_nsw_del_pred(F.col("vec_id")),
+            )
+            cnt = out.count()
+            print(
+                f"nsw_serve_maintained x{n} iter{it}: "
+                f"{time.perf_counter() - t0:.2f}s ({cnt:,} results)",
+                flush=True,
+            )
+            for df in caches:
+                df.unpersist()
+        spark.stop()
+        return
     if dele:
         # the operational delete: standing index prebuilt (untimed),
         # time ONLY drop+repair — the claim is this cost tracks the

@@ -152,6 +152,13 @@ for name in sorted(REGISTRY):
                 "knn_nsw_delete",
                 "knn_hnsw_delete",
                 "knn_nsw_reembed",
+                # r14: eager insert+compaction+serve composition /
+                # per-layer reembed compositions / eager rotated-frame
+                # checkpoint + PQ Lloyd collects at build; same audited
+                # shapes as knn_nsw_graph / knn_nsw_search / knn_pq_adc
+                "knn_nsw_search_maintained",
+                "knn_hnsw_reembed",
+                "knn_opq_adc",
                 # r13: eager checkpoint (pHash memo + union); the text
                 # pair scan is the audited near_dup_embeddings class,
                 # the band self-join the multimodal_frame_dedup class
