@@ -1619,21 +1619,24 @@ def _pair_recall_audit_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sink) and the lazy majority already overlaps inside the union job;
     # six pooled jobs just thrash the 8 task slots. The win came from the
     # pin + warm-cache materializations above.
-    out = (
-        _lsh().unionByName(_ss())
-        .unionByName(_cl())
-        .unionByName(_ct())
-        .unionByName(_incr())
-        .unionByName(_hy())
-    ).localCheckpoint(eager=True)
-    # eager checkpoint done: RELEASE the candidate subtrees — without
-    # this a long sim session accumulates every suite's persisted frames
-    # and later entries pay the cache-pressure tax (r9: this audit itself
-    # slowed 13s -> 31s between the round's first and last full sim)
-    pairs.unpersist()
-    sh.unpersist()
-    for f in released:
-        f.unpersist()
+    try:
+        out = (
+            _lsh().unionByName(_ss())
+            .unionByName(_cl())
+            .unionByName(_ct())
+            .unionByName(_incr())
+            .unionByName(_hy())
+        ).localCheckpoint(eager=True)
+    finally:
+        # eager checkpoint done: RELEASE the candidate subtrees — without
+        # this a long sim session accumulates every suite's persisted
+        # frames and later entries pay the cache-pressure tax (r9: this
+        # audit itself slowed 13s -> 31s between the round's first and
+        # last full sim); in finally so a failed job releases them too
+        pairs.unpersist()
+        sh.unpersist()
+        for f in released:
+            f.unpersist()
     return out
 
 
@@ -2642,8 +2645,13 @@ def docs_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the source axis) — every pairwise stage below touches only
     # ≤2K sketch rows, never the corpus-scale hash set.
     wsrc = Window.partitionBy("source").orderBy("h")
+    # hashed is distinct on (source, h, g): an intra-source 48-bit hash
+    # collision (two grams, same h) would otherwise consume two of the K
+    # sketch slots for one distinct hash — the mergeability proof assumes
+    # DISTINCT hash sets per source, so dedup (source, h) before ranking.
     sk = (
         hashed.select("source", "h")
+        .distinct()
         .withColumn("rn", F.row_number().over(wsrc))
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
@@ -3306,18 +3314,20 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = source_overlap_frame(
             tokenized_docs_frame(
                 _spread(load_table(spark, sf_dir, "documents"), spark)
             ),
             _cache_out=caches,
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 

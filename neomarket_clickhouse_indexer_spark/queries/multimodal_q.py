@@ -791,10 +791,16 @@ MULTIMODAL_CAPTION_AUDIT_SQL = _cm_audit_sql()
 #     ViT-style patch extraction: the first 32x32 payload bytes form an
 #     8-bit grayscale grid, fanned out to 8x8 patches inside the
 #     executor (multimodal/media.py::image_patches) with integer pixel
-#     sums and exact milli-means. Docs shorter than one full image are
-#     skipped by BOTH engines (length >= 1024 — no partial-grid
-#     ambiguity). The DuckDB oracle replays the grid arithmetic over
-#     char-code lists (ASCII corpus: byte == code point, pinned by
+#     sums and exact milli-means. The fixture corpus maxes out at ~577
+#     chars — far below one full 1024-byte image — so the gate INJECTS a
+#     deterministic payload expansion (text repeated to >= 1024 bytes by
+#     integer ceil-division, identically in both engines — the
+#     docs_pii_scrub injection precedent) standing in for real image
+#     bytes; the kernel's own >= side*side skip rule stays untouched and
+#     is pinned with a genuinely-short payload in
+#     tests/test_image_patches.py. The DuckDB oracle replays the grid
+#     arithmetic over char-code lists of the SAME expansion (ASCII
+#     corpus: byte == code point, pinned by
 #     tests/test_multimodal_energy.py's fixture contract).
 
 PATCH_SIDE = 32
@@ -804,8 +810,20 @@ PATCH = 8
 def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.media import image_patches
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    need = PATCH_SIDE * PATCH_SIDE
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.encode(
+                F.expr(
+                    f"repeat(text, ({need} + length(text) - 1)"
+                    " DIV length(text))"
+                ),
+                "UTF-8",
+            ).alias("payload"),
+        )
     )
     return image_patches(
         docs, "doc_id", "payload", side=PATCH_SIDE, patch=PATCH
@@ -821,9 +839,14 @@ def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_IMAGE_PATCHES_SQL = f"""
 WITH codes AS (
   SELECT doc_id,
-         list_transform(string_split_regex(text, ''), c -> unicode(c)) AS cs
+         list_transform(
+           string_split_regex(
+             repeat(text, ({PATCH_SIDE * PATCH_SIDE} + length(text) - 1)
+                          // length(text)),
+             ''),
+           c -> unicode(c)) AS cs
   FROM documents
-  WHERE length(text) >= {PATCH_SIDE * PATCH_SIDE}
+  WHERE length(text) >= 1
 ),
 grid AS (
   SELECT doc_id, cs, pr.p AS patch_row, pc.p AS patch_col
@@ -918,51 +941,55 @@ def audio_fingerprint_frame(docs: DataFrame) -> DataFrame:
     pk = audio_constellation_peaks(
         docs, "doc_id", "payload", AFP_CTAB, window=AFP_WINDOW
     ).persist()
-    pk.count()  # feeds both sides of the landmark pairing (r10 rule)
-    p2 = pk.select(
-        F.col("doc_id").alias("doc_id"),
-        F.col("w").alias("w2"),
-        F.col("u").alias("u2"),
-    )
-    hashes = (
-        pk.join(p2, "doc_id")
-        .filter(
-            (F.col("w2") - F.col("w") >= 1)
-            & (F.col("w2") - F.col("w") <= AFP_FAN)
+    try:
+        pk.count()  # feeds both sides of the landmark pairing (r10 rule)
+        p2 = pk.select(
+            F.col("doc_id").alias("doc_id"),
+            F.col("w").alias("w2"),
+            F.col("u").alias("u2"),
         )
-        .select(
-            "doc_id",
-            "w",
-            "amp",
-            (
+        hashes = (
+            pk.join(p2, "doc_id")
+            .filter(
+                (F.col("w2") - F.col("w") >= 1)
+                & (F.col("w2") - F.col("w") <= AFP_FAN)
+            )
+            .select(
+                "doc_id",
+                "w",
+                "amp",
                 (
                     (
-                        (F.col("u") - 1) * 7 + (F.col("u2") - 1)
-                    ) * AFP_FAN
-                    + (F.col("w2") - F.col("w") - 1)
-                ) * 33
-                + F.least(F.length(F.bin(F.col("amp"))), F.lit(32))
-            ).alias("h"),
-        )
-    )
-    wcap = Window.partitionBy("h").orderBy(
-        F.md5(
-            F.concat_ws(
-                "/",
-                F.col("doc_id").cast("string"),
-                F.col("w").cast("string"),
+                        (
+                            (F.col("u") - 1) * 7 + (F.col("u2") - 1)
+                        ) * AFP_FAN
+                        + (F.col("w2") - F.col("w") - 1)
+                    ) * 33
+                    + F.least(F.length(F.bin(F.col("amp"))), F.lit(32))
+                ).alias("h"),
             )
-        ),
-        "doc_id",
-        "w",
-    )
-    capped = (
-        hashes.withColumn("r", F.row_number().over(wcap))
-        .filter(F.col("r") <= AFP_CAP)
-        .drop("r")
-        .localCheckpoint(eager=True)
-    )
-    pk.unpersist()
+        )
+        wcap = Window.partitionBy("h").orderBy(
+            F.md5(
+                F.concat_ws(
+                    "/",
+                    F.col("doc_id").cast("string"),
+                    F.col("w").cast("string"),
+                )
+            ),
+            "doc_id",
+            "w",
+        )
+        capped = (
+            hashes.withColumn("r", F.row_number().over(wcap))
+            .filter(F.col("r") <= AFP_CAP)
+            .drop("r")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # r15 (r14 verdict item 3): an exception between persist() and
+        # the checkpoint must not leak the peak frame for the session
+        pk.unpersist()
     hash_rows = capped.select(
         F.lit("hash").alias("part"),
         F.col("doc_id").cast("long").alias("a"),

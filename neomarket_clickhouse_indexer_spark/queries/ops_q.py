@@ -258,6 +258,7 @@ def sink_round_trip_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    rollup = None
     try:
         orders = load_table(spark, sf_dir, "orders")
         rollup = orders.select(
@@ -280,9 +281,10 @@ def sink_round_trip_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # twice: the second replace must overwrite, not duplicate (S4)
         sinks.replace_partitions(rollup, path, ["order_month"])
         sinks.replace_partitions(rollup, path, ["order_month"])
-        rollup.unpersist()
         out = sinks.read(spark, path)
     finally:
+        if rollup is not None:
+            rollup.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # partition column comes back as the partition directory value
     return out.select(

@@ -2278,11 +2278,12 @@ def docs_tokenizer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             sh, vg, gt, ov = (f.result() for f in futs)
             cov = fut_cov.result()
     finally:
+        # all paths eagerly checkpointed: release the shared subtrees (the
+        # session-cache-pressure doctrine, commit 35904bc); in finally so
+        # a failed pool path releases them too
+        for df in released:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # all paths eagerly checkpointed: release the shared subtrees (the
-    # session-cache-pressure doctrine, commit 35904bc)
-    for df in released:
-        df.unpersist()
     return (
         sh.unionByName(vg)
         .unionByName(cov)

@@ -378,8 +378,10 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("late_order_priority", R.late_order_priority,
               R.LATE_ORDER_PRIORITY_SQL, ("J1", "A1", "P7"),
               "TPC-H Q4 shape: EXISTS semi-join"),
-    QuerySpec("customers_without_orders", R.customers_without_orders,
-              R.CUSTOMERS_WITHOUT_ORDERS_SQL, ("J8", "A1"), "anti-join"),
+    QuerySpec("customers_without_urgent_orders",
+              R.customers_without_urgent_orders,
+              R.CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL, ("J8", "A1"),
+              "anti-join against a qualified skip-set"),
     QuerySpec("segment_top_customers", R.segment_top_customers,
               R.SEGMENT_TOP_CUSTOMERS_SQL, ("W4",), "ranked window top-k per group"),
     QuerySpec("lineitem_page", R.lineitem_page, R.LINEITEM_PAGE_SQL,

@@ -177,15 +177,24 @@ GROUP BY o_orderpriority
 """
 
 
-# --- customers_without_orders: J8 anti-join (reference skip-set semantics,
-#     src/ledger-engine.ts:972-1095) + A1.
+# --- customers_without_urgent_orders: J8 anti-join (reference skip-set
+#     semantics, src/ledger-engine.ts:972-1095) + A1. The skip side is
+#     the URGENT-priority order set: every customer in this testdata
+#     has >= 1 order (a plain "without orders" anti-join compares empty
+#     sets at every SF — r14 verdict item 2), while ~13% lack an urgent
+#     one, so the anti-join is populated at sf0.001/0.01/0.1
+#     (18/203/1986 survivors, measured).
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_without_urgent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -194,11 +203,14 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
+CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL = f"""
 SELECT c_mktsegment, COUNT(*) AS n_customers,
        {sql_dsum("c_acctbal", "total_acctbal")}
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 GROUP BY c_mktsegment
 """
 

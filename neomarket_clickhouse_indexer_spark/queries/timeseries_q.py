@@ -3811,9 +3811,12 @@ def _series_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fr["bmp"])
         .unionByName(fr["grw"])
         .unionByName(fr["bag"])
-    ).localCheckpoint(eager=True)
-    for f in (hourly_n, hourly, hist2, hist, ev, *released):
-        f.unpersist()
+    )
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for f in (hourly_n, hourly, hist2, hist, ev, *released):
+            f.unpersist()
     return out
 
 
@@ -4833,17 +4836,19 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         per_user = _per_user_rfm(_events_cents(spark, sf_dir)).persist()
         caches.append(per_user)
         out = rfm_segments_frame(
             per_user, _cache_out=caches
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -5283,11 +5288,14 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fr["mdd"])
         .unionByName(fr["att"])
         .unionByName(fr["gin"])
-    ).localCheckpoint(eager=True)
-    for df in released:
-        df.unpersist()
-    per_user.unpersist()
-    ev.unpersist()
+    )
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for df in released:
+            df.unpersist()
+        per_user.unpersist()
+        ev.unpersist()
     return out
 
 

@@ -1436,6 +1436,7 @@ def _knn_ivfpq_core(
     csubs = _pq_subs(res, "vec_id").persist()
     if _cache_out is not None:
         _cache_out.append(csubs)
+    _local_caches = [res, csubs]
     cb = _pq_subs(
         res.filter(F.col("vec_id") < N_QUERIES + _PQ_K), "cid"
     ).select(
@@ -1571,14 +1572,14 @@ def _knn_ivfpq_core(
             # no AQE coalescing
             .localCheckpoint(eager=True)
         )
-        if _cache_out is None:
-            # standalone entry: the result is materialized, release the
-            # residual/sub-vector persists instead of leaking them
-            # across a long gate session (the r9 cache-pressure tax)
-            res.unpersist()
-            csubs.unpersist()
         return out
     finally:
+        if _cache_out is None:
+            # standalone entry: release the residual/sub-vector persists
+            # instead of leaking them across a long gate session (the r9
+            # cache-pressure tax); in finally so a failed job releases too
+            for df in _local_caches:
+                df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -1955,13 +1956,15 @@ def ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(bq)
             .localCheckpoint(eager=True)
         )
-        # every path is now materialized: release the shared scan and
-        # the pq path's csubs persist, or they pin executor memory for the
-        # rest of a long gate session (the commit-35904bc pressure class)
-        for df in released:
-            df.unpersist()
         return out
     finally:
+        # every path is materialized by here on success: release the
+        # shared scan and the pq path's csubs persist, or they pin
+        # executor memory for the rest of a long gate session (the
+        # commit-35904bc pressure class); in finally so a failed pool
+        # path releases them too
+        for df in released:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -3113,17 +3116,19 @@ def knn_nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = nsw_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_token=(sf_dir, "all"),
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -3290,9 +3295,11 @@ def nsw_frame(
     if memo_key is not None:
         # checkpoint BEFORE releasing the intermediates (checkpointed
         # frames have no lineage to recompute from), then memoize
-        out = out.localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            for df in caches:
+                df.unpersist()
         with _NSW_MEMO_LOCK:
             # double-check: a racing builder with the same key (two pool
             # threads sharing a tag) may have finished first — keep its
@@ -3466,17 +3473,19 @@ def knn_nsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = nsw_search_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_sf=sf_dir,
         )
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -3738,6 +3747,25 @@ def _hnsw_level_pred(level: int):
     return pred
 
 
+def _guard_corpus_node_pred(node_pred, pop_tag: str, fn: str) -> None:
+    """Whole-result memo keys encode the node population only via
+    ``pop_tag``: a custom ``node_pred`` under the default 'corpus'
+    tag would silently read or poison the flat gate's memoized
+    adjacency. Allow None and the structural lit(True)
+    (= ``_hnsw_level_pred(0)`` — the deliberate layer-0/flat key
+    collision); refuse anything else (the nsw_delete_frame
+    unknown-dead-pred rule, mirrored to the node population)."""
+    if pop_tag != "corpus" or node_pred is None:
+        return
+    if str(node_pred) == str(F.lit(True)):
+        return
+    raise ValueError(
+        f"{fn}: custom node_pred with pop_tag='corpus' under "
+        "memoization would poison the flat 'corpus' whole-result memo "
+        "key; pass a distinct pop_tag with any custom node population"
+    )
+
+
 def _hnsw_level_where(level: int) -> str:
     """DuckDB WHERE clause for the corpus split of layer >= ``level``."""
     conds = [f"vec_id >= {N_QUERIES}"]
@@ -3755,17 +3783,19 @@ def knn_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = hnsw_search_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -4096,17 +4126,19 @@ def knn_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = nsw_incremental_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -4138,11 +4170,17 @@ def nsw_incremental_frame(
         bucketings = NSW_BUCKETINGS
     if new_pred is None:
         new_pred = _nsw_new_pred
-    if memo_sf is not None and new_pred is not _nsw_new_pred:
+    if (
+        memo_sf is not None
+        and prebuilt_base is None
+        and new_pred is not _nsw_new_pred
+    ):
         # the '-nonew' memo key encodes only pop_tag, not the append
         # draw: a custom new_pred under memo_sf would silently reuse an
         # adjacency built for the default char-8 batch split — refuse
-        # (custom draws pass prebuilt_base, as the re-embed tier does)
+        # (custom draws pass prebuilt_base, as the re-embed tier does;
+        # when prebuilt_base IS supplied the whole-result memo is
+        # already skipped, so that combination is safe)
         raise ValueError(
             "memo_sf requires the default new_pred; pass prebuilt_base "
             "or memo_sf=None with a custom append draw"
@@ -4150,6 +4188,7 @@ def nsw_incremental_frame(
     spark = emb.sparkSession
     memo_key = None
     if memo_sf is not None and prebuilt_base is None:
+        _guard_corpus_node_pred(node_pred, pop_tag, "nsw_incremental_frame")
         memo_key = _nsw_memo_key(
             spark,
             (
@@ -4316,9 +4355,11 @@ def nsw_incremental_frame(
         )
     )
     if memo_key is not None:
-        out = out.localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            for df in caches:
+                df.unpersist()
         with _NSW_MEMO_LOCK:
             prior = _NSW_MEMO.get(memo_key)
             if prior is not None:
@@ -4499,17 +4540,19 @@ def knn_hnsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = hnsw_incremental_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -4636,17 +4679,19 @@ def knn_nsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = nsw_delete_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -4688,6 +4733,7 @@ def nsw_delete_frame(
     )
     memo_key = None
     if memo_sf is not None and prebuilt_base is None and dead_tag:
+        _guard_corpus_node_pred(node_pred, pop_tag, "nsw_delete_frame")
         memo_key = _nsw_memo_key(
             spark,
             (
@@ -4845,9 +4891,11 @@ def nsw_delete_frame(
         )
     )
     if memo_key is not None:
-        out = out.localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            for df in caches:
+                df.unpersist()
         with _NSW_MEMO_LOCK:
             prior = _NSW_MEMO.get(memo_key)
             if prior is not None:
@@ -4997,17 +5045,19 @@ def knn_hnsw_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = hnsw_delete_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -5129,17 +5179,19 @@ def knn_nsw_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = nsw_reembed_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -5165,6 +5217,7 @@ def nsw_reembed_frame(
     spark = emb.sparkSession
     memo_key = None
     if memo_sf is not None:
+        _guard_corpus_node_pred(node_pred, pop_tag, "nsw_reembed_frame")
         memo_key = _nsw_memo_key(
             spark,
             (
@@ -5212,9 +5265,11 @@ def nsw_reembed_frame(
         new_pred=_nsw_upd_pred,
     )
     if memo_key is not None:
-        out = out.localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            for df in caches:
+                df.unpersist()
         with _NSW_MEMO_LOCK:
             prior = _NSW_MEMO.get(memo_key)
             if prior is not None:
@@ -5286,8 +5341,8 @@ def knn_nsw_search_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         emb = load_table(spark, sf_dir, "embeddings")
         # 1) INSERT: post-append flat adjacency (base via "corpus-nonew"
         #    memo — shared with knn_nsw_incremental in a full sim run)
@@ -5344,10 +5399,12 @@ def knn_nsw_search_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(audit)
             .localCheckpoint(eager=True)
         )
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -5414,17 +5471,19 @@ def knn_hnsw_reembed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    caches: list = []
     try:
-        caches: list = []
         out = hnsw_reembed_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_sf=sf_dir,
         ).localCheckpoint(eager=True)
-        for df in caches:
-            df.unpersist()
         return out
     finally:
+        # release in finally: an exception anywhere above must not leak
+        # the persisted frames for the rest of the session (r14 verdict 3)
+        for df in caches:
+            df.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 

@@ -68,3 +68,37 @@ def test_incremental_memo_refuses_custom_new_pred(spark):
     emb = load_table(spark, SF, "embeddings")
     with pytest.raises(ValueError):
         nsw_incremental_frame(emb, memo_sf=SF, new_pred=_nsw_upd_pred)
+
+
+def test_node_pred_guard_refuses_corpus_poisoning(spark):
+    # r15 (r14 ADVICE-C, mirrored to all three frames): a custom node
+    # population under the default 'corpus' pop_tag would silently read
+    # or poison the flat gate's whole-result memo — refused up front.
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    custom = (F.col("vec_id") % 2) == 0
+    for fn in (nsw_reembed_frame, nsw_incremental_frame, nsw_delete_frame):
+        with pytest.raises(ValueError):
+            fn(emb, memo_sf=SF, node_pred=custom)
+
+
+def test_incremental_prebuilt_base_escapes_new_pred_guard(spark):
+    # r15 (r14 ADVICE-B): memo_sf + custom new_pred IS allowed when
+    # prebuilt_base is supplied — the whole-result memo is already
+    # skipped then, so the documented escape hatch must not raise.
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings").limit(64)
+    base = emb.limit(0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.lit(1).cast("long").alias("rank"),
+        F.lit(0.0).alias("cosine_sim"),
+    )
+    out = nsw_incremental_frame(
+        emb, memo_sf=SF, prebuilt_base=base, new_pred=_nsw_upd_pred
+    )
+    assert {"query_id", "neighbor_id", "rank", "cosine_sim"} <= set(
+        out.columns
+    )
