@@ -55,9 +55,15 @@ def connected_components(
 def _components_loop(
     pairs: DataFrame, a: str, b: str, max_iter: int
 ) -> DataFrame:
+    # materialize the pair build ONCE before the symmetrizing union —
+    # both union branches reference the pairs subtree, so an eager
+    # union would execute the (possibly expensive) candidate chain
+    # twice (r15; the entity gate's FastSS variant join paid ~2x here)
+    p0 = pairs.select(
+        F.col(a).alias("u"), F.col(b).alias("v")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        p0.unionByName(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -70,12 +76,29 @@ def _components_loop(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        hop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (r15): follow the label one step — label(u) ←
+        # label(label(u)). Labels are always node ids, so the self-join
+        # resolves; combined with the neighbor-min hop this converges in
+        # O(log diameter) rounds instead of O(diameter) (the entity
+        # digit-graph has diameter ~10; star-shaped dup graphs already
+        # converge in 2-3 rounds and pay only one extra join INSIDE the
+        # same round's plan — no extra action).
+        ptr = hop.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            hop.join(ptr, hop.label == ptr.pnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("plabel"), F.col("label")),
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -96,8 +119,19 @@ def _components_loop(
 
 
 def components_sql(pairs_sql: str, a: str = "doc_a", b: str = "doc_b") -> str:
-    """DuckDB oracle: recursive transitive closure → min reachable id per
-    node (UNION dedups rows, so the recursion terminates)."""
+    """DuckDB oracle: recursive BFS closure seeded at the LOCAL MINIMA
+    (nodes smaller than every neighbor) → min reaching seed per node.
+    Correct because a component's global minimum is always a local
+    minimum and reaches every node of its (undirected) component, so
+    MIN(seed) over reaching seeds is the component minimum. Seeding at
+    local minima instead of closing over ALL pairs keeps the reach
+    relation at (#local minima per component) x (component size) rows —
+    the r15 fix for the entity digit-graph, whose single giant component
+    made the all-pairs closure quadratic (2.25M reach rows, 6.3s of a
+    15.8s window slot); star-shaped dup graphs have exactly one local
+    minimum per component, so their closures shrink to component size.
+    Still a closure/BFS — algorithmically independent of the Spark
+    side's min-label propagation."""
     # pairs/edges MATERIALIZED: the recursive step references edges, and
     # an inlined CTE chain re-evaluates per recursion level (the r6
     # docs_bpe_merges lesson — cost the entity-clusters oracle 7.5s of a
@@ -109,13 +143,16 @@ edges AS MATERIALIZED (
   UNION
   SELECT {b} AS u, {a} AS v FROM pairs
 ),
-reach(u, v) AS (
-  SELECT u, v FROM edges
+locmin AS MATERIALIZED (
+  SELECT u FROM edges GROUP BY u HAVING MIN(v) > u
+),
+reach(s, v) AS (
+  SELECT u AS s, u AS v FROM locmin
   UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+  SELECT r.s, e.v FROM reach r JOIN edges e ON r.v = e.u
 )
-SELECT u AS doc_id,
-       LEAST(u, MIN(v)) AS cluster_id
+SELECT v AS doc_id,
+       MIN(s) AS cluster_id
 FROM reach
-GROUP BY u
+GROUP BY v
 """
