@@ -553,6 +553,86 @@ GROUP BY source
 """
 
 
+# --- docs_k_anonymity: privacy-release audit (r15) — k-anonymity over
+#     the quasi-identifier tuple (source, lang, length bucket) with a
+#     GENERALIZATION LADDER, the mechanic every Mondrian-style
+#     anonymizer applies before a corpus ships: a group of < K docs is
+#     re-identifiable, so its QI coarsens one level at a time until the
+#     group clears K — level 0 = 64-char length buckets, level 1 =
+#     256-char buckets, level 2 = (source, lang), level 3 = source
+#     only, level 4 = suppress. Output = one row per level-0 QI group
+#     with its size and the ladder level at which it becomes anonymous
+#     (levels 0-3 all populated at both gate SFs; K=5). All integers.
+#     100 TB: four hash aggs on bounded QI grains; the three coarser
+#     level-size tables are group-bounded and broadcast back onto the
+#     level-0 grain. Beyond-ref (the LLM-pipeline privacy mandate,
+#     TX10's release-audit sibling). Oracle = COUNT(*) OVER four window
+#     partitions on the DOC grain + DISTINCT — a different evaluation
+#     strategy from the groupBy+broadcast-join ladder.
+
+KANON_K = 5
+
+
+def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.expr("n_chars DIV 64").alias("len_bucket")
+    )
+    g0 = d.groupBy("source", "lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    s1 = g0.groupBy(
+        "source", "lang", F.expr("len_bucket DIV 4").alias("b256")
+    ).agg(F.sum("group_size").alias("size1"))
+    s2 = g0.groupBy("source", "lang").agg(
+        F.sum("group_size").alias("size2")
+    )
+    s3 = g0.groupBy("source").agg(F.sum("group_size").alias("size3"))
+    k = KANON_K
+    return (
+        g0.withColumn("b256", F.expr("len_bucket DIV 4"))
+        .join(F.broadcast(s1), ["source", "lang", "b256"])
+        .join(F.broadcast(s2), ["source", "lang"])
+        .join(F.broadcast(s3), ["source"])
+        .select(
+            "source",
+            "lang",
+            F.col("len_bucket").cast("long").alias("len_bucket"),
+            F.col("group_size").cast("long").alias("group_size"),
+            F.when(F.col("group_size") >= k, 0)
+            .when(F.col("size1") >= k, 1)
+            .when(F.col("size2") >= k, 2)
+            .when(F.col("size3") >= k, 3)
+            .otherwise(4)
+            .cast("long")
+            .alias("anon_level"),
+        )
+    )
+
+
+DOCS_K_ANONYMITY_SQL = f"""
+WITH d AS (
+  SELECT source, lang, n_chars // 64 AS b64 FROM documents
+),
+per AS (
+  SELECT source, lang, b64,
+         COUNT(*) OVER (PARTITION BY source, lang, b64) AS size0,
+         COUNT(*) OVER (PARTITION BY source, lang, b64 // 4) AS size1,
+         COUNT(*) OVER (PARTITION BY source, lang) AS size2,
+         COUNT(*) OVER (PARTITION BY source) AS size3
+  FROM d
+)
+SELECT DISTINCT source, lang,
+       CAST(b64 AS BIGINT) AS len_bucket,
+       CAST(size0 AS BIGINT) AS group_size,
+       CAST(CASE WHEN size0 >= {KANON_K} THEN 0
+                 WHEN size1 >= {KANON_K} THEN 1
+                 WHEN size2 >= {KANON_K} THEN 2
+                 WHEN size3 >= {KANON_K} THEN 3
+                 ELSE 4 END AS BIGINT) AS anon_level
+FROM per
+"""
+
+
 # --- docs_bm25_search: BM25-shaped lexical retrieval (the keyword-search
 #     counterpart of the vector knn_* family — together they form the
 #     hybrid-retrieval pair a data pipeline uses for corpus triage). The
@@ -1403,58 +1483,67 @@ def _bpe_train_cached(
     return got
 
 
+# Word-frequency tables are vocabulary-sized (Heaps' law), never
+# corpus-sized — but clamp the collect anyway so a pathological corpus
+# fails loudly instead of OOMing the driver (the kmeans clamped-collect
+# doctrine). 2^18 distinct words ≈ a GPT-2-class vocab upper bound.
+_BPE_VOCAB_CLAMP = 1 << 18
+
+
 def _bpe_train(words: DataFrame) -> list[tuple]:
     """Run BPE_ITERS merge-learning iterations over the word-frequency
     table; returns [(iteration, a, b, merged, pair_cnt, syms_after)] —
     driver state is one merge rule + one count per iteration, bounded.
 
-    ONE blocking job per iteration (+1 final): the previous iteration's
-    ``syms_after`` total rides the NEXT iteration's argmax job as a
-    unioned NULL-keyed row instead of its own collect — training is
-    scheduler-latency-bound on the vocab-sized frame (measured: the
-    two-collect loop dominated docs_bpe_* gate cost at sf0.01), so
-    halving the driver round-trips halves the gate cost."""
-    rows: list[tuple] = []
-    cur = words
-    pending: tuple | None = None  # (it, a, b, pc) awaiting syms_after
-    pair_col = F.expr(
-        "transform(sequence(1, size(syms) - 1),"
-        " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
-    )
-    total_col = F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("pc")
-    for it in range(1, BPE_ITERS + 1):
-        top_df = (
-            cur.filter(F.size("syms") >= 2)
-            .select("cnt", F.explode(pair_col).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("cnt").alias("pc"))
-            .orderBy(F.desc("pc"), F.asc("pair"))
-            .limit(1)
+    r15: ONE distributed aggregation total. The corpus-scale work is
+    building the word-frequency table (done upstream in _bpe_words);
+    merge learning itself runs DRIVER-SIDE over the collected
+    vocabulary — the architecture real tokenizer trainers use (an
+    in-memory word-count dict): the table is vocabulary-sized at any
+    corpus scale, so the K-iteration argmax loop is pure Python over
+    clamped bounded state instead of K+1 driver round-trips of
+    scheduler latency (the prior shape; it dominated every BPE-family
+    window slot at ~0.7s per vocab-sized Spark job). Pair counting,
+    the greedy left-to-right merge fold, and the (count DESC,
+    'a b' string ASC) tie-break replicate the previous Spark-side
+    semantics exactly (ASCII corpus: Python str order == UTF8 binary
+    order); tests/test_bpe.py pins the learned rule list."""
+    vocab = [
+        (r["word"], int(r["cnt"]), list(r["syms"]))
+        for r in words.select("word", "cnt", "syms").collect()
+    ]
+    if len(vocab) > _BPE_VOCAB_CLAMP:
+        raise ValueError(
+            f"BPE vocabulary {len(vocab)} exceeds the driver clamp "
+            f"{_BPE_VOCAB_CLAMP}; raise deliberately or pre-prune"
         )
-        stat = top_df.unionByName(
-            cur.agg(total_col).select(
-                F.lit(None).cast("string").alias("pair"), "pc"
-            )
-        ).collect()  # TWO rows per iteration — bounded driver state
-        top = next(r for r in stat if r["pair"] is not None)
-        total = next(r for r in stat if r["pair"] is None)["pc"]
-        if pending is not None:  # total over cur == syms_after of it-1
-            pit, pa, pb, ppc = pending
-            rows.append((pit, pa, pb, pa + pb, ppc, int(total)))
-        a, b = top["pair"].split(" ", 1)
-        pending = (it, a, b, int(top["pc"]))
-        cur = cur.select(
-            "word",
-            "cnt",
-            F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                _bpe_merge_fold(a, b),
-            ).alias("syms"),
-        ).persist()
-    syms_after = cur.agg(total_col).collect()[0]["pc"]
-    pit, pa, pb, ppc = pending
-    rows.append((pit, pa, pb, pa + pb, ppc, int(syms_after)))
+    rows: list[tuple] = []
+    for it in range(1, BPE_ITERS + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for _, cnt, syms in vocab:
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + cnt
+        # argmax with the Spark orderBy(desc(pc), asc(concat(a,' ',b)))
+        # tie-break; symbols never contain spaces, so the key is exact
+        (a, b), top_pc = min(
+            pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merged = a + b
+        syms_after = 0
+        for w in range(len(vocab)):
+            word, cnt, syms = vocab[w]
+            # the _bpe_merge_fold greedy left-to-right semantics: a
+            # freshly merged symbol never re-merges with a following b
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            vocab[w] = (word, cnt, out)
+            syms_after += cnt * len(out)
+        rows.append((it, a, b, merged, int(top_pc), int(syms_after)))
     return rows
 
 
@@ -1576,52 +1665,67 @@ DOCS_BPE_MERGES_SQL = _bpe_oracle_sql(BPE_ITERS)
 #     word-level stats (src/api.ts text metrics); beyond-ref surface.
 
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pin + eager checkpoint around the WHOLE gate (r15): the per-doc
+    # groupBys otherwise run 200 near-empty tasks each on the plain
+    # driver session; every value is integer-exact, so partitioning
+    # cannot perturb results. words released in finally.
     words = _bpe_words(spark, sf_dir)
-    with _pinned_parallelism(spark):
-        rules = [
-            (r[1], r[2])
-            for r in _bpe_train_cached(spark, sf_dir, words=words)
-        ]
-    docs = load_table(spark, sf_dir, "documents")
-    dw = (
-        docs.select(
-            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
-        )
-        .filter(F.length("word") >= 1)  # empty-token guard, mirrored in dw
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    enc = words.select("word", "syms")
-    for a, b in rules:  # K merge rules, applied in learned priority order
-        enc = enc.select(
-            "word",
-            F.aggregate(
-                "syms", F.array().cast("array<string>"), _bpe_merge_fold(a, b)
-            ).alias("syms"),
-        )
-    enc = enc.select(
-        "word",
-        F.length("word").cast("long").alias("w_chars"),
-        F.size("syms").cast("long").alias("w_bpe"),
-    )
-    return (
-        dw.join(F.broadcast(enc), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").cast("long").alias("n_words"),
-            F.sum(F.col("n") * F.col("w_chars")).cast("long").alias("n_chars"),
-            F.sum(F.col("n") * F.col("w_bpe")).cast("long").alias("n_bpe_tokens"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            "n_chars",
-            "n_bpe_tokens",
-            F.expr("n_bpe_tokens * 1000000 DIV n_chars").alias(
-                "compression_ppm"
-            ),
-        )
-    )
+    try:
+        with _pinned_parallelism(spark):
+            rules = [
+                (r[1], r[2])
+                for r in _bpe_train_cached(spark, sf_dir, words=words)
+            ]
+            docs = load_table(spark, sf_dir, "documents")
+            dw = (
+                docs.select(
+                    "doc_id",
+                    F.explode(TX.tokens(F.col("text"))).alias("word"),
+                )
+                # empty-token guard, mirrored in dw
+                .filter(F.length("word") >= 1)
+                .groupBy("doc_id", "word")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            enc = words.select("word", "syms")
+            # K merge rules, applied in learned priority order
+            for a, b in rules:
+                enc = enc.select(
+                    "word",
+                    F.aggregate(
+                        "syms",
+                        F.array().cast("array<string>"),
+                        _bpe_merge_fold(a, b),
+                    ).alias("syms"),
+                )
+            enc = enc.select(
+                "word",
+                F.length("word").cast("long").alias("w_chars"),
+                F.size("syms").cast("long").alias("w_bpe"),
+            )
+            return (
+                dw.join(F.broadcast(enc), "word")
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("n").cast("long").alias("n_words"),
+                    F.sum(F.col("n") * F.col("w_chars"))
+                    .cast("long").alias("n_chars"),
+                    F.sum(F.col("n") * F.col("w_bpe"))
+                    .cast("long").alias("n_bpe_tokens"),
+                )
+                .select(
+                    "doc_id",
+                    "n_words",
+                    "n_chars",
+                    "n_bpe_tokens",
+                    F.expr("n_bpe_tokens * 1000000 DIV n_chars").alias(
+                        "compression_ppm"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        words.unpersist()
 
 
 def _bpe_encode_oracle_sql(iters: int) -> str:
@@ -1690,15 +1794,26 @@ def docs_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_words = _bpe_words(
         spark, sf_dir, doc_filter=f"NOT ({BPE_HELDOUT_PRED})"
     )
-    with _pinned_parallelism(spark):
-        rules = [
-            (r[1], r[2])
-            for r in _bpe_train_cached(
-                spark, sf_dir,
-                doc_filter=f"NOT ({BPE_HELDOUT_PRED})",
-                words=train_words,
-            )
-        ]
+    try:
+        with _pinned_parallelism(spark):
+            return _bpe_vocab_coverage_body(spark, sf_dir, train_words)
+    finally:
+        train_words.unpersist()
+
+
+def _bpe_vocab_coverage_body(
+    spark: SparkSession, sf_dir: str, train_words: DataFrame
+) -> DataFrame:
+    # pin + eager checkpoint around the whole gate (the docs_bpe_encode
+    # rationale, r15): per-source groupBys over integer-exact values
+    rules = [
+        (r[1], r[2])
+        for r in _bpe_train_cached(
+            spark, sf_dir,
+            doc_filter=f"NOT ({BPE_HELDOUT_PRED})",
+            words=train_words,
+        )
+    ]
     # trained character vocabulary: every distinct char of the train
     # corpus (w0 symbols are single chars) — tiny, broadcast
     train_chars = (
@@ -1774,6 +1889,7 @@ def docs_bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bytes_per_token_milli"
             ),
         )
+        .localCheckpoint(eager=True)
     )
 
 
