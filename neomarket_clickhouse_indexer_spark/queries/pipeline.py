@@ -553,32 +553,57 @@ GROUP BY source
 """
 
 
-# --- docs_k_anonymity: privacy-release audit (r15) — k-anonymity over
-#     the quasi-identifier tuple (source, lang, length bucket) with a
-#     GENERALIZATION LADDER, the mechanic every Mondrian-style
-#     anonymizer applies before a corpus ships: a group of < K docs is
-#     re-identifiable, so its QI coarsens one level at a time until the
-#     group clears K — level 0 = 64-char length buckets, level 1 =
-#     256-char buckets, level 2 = (source, lang), level 3 = source
-#     only, level 4 = suppress. Output = one row per level-0 QI group
-#     with its size and the ladder level at which it becomes anonymous
-#     (levels 0-3 all populated at both gate SFs; K=5). All integers.
-#     100 TB: four hash aggs on bounded QI grains; the three coarser
-#     level-size tables are group-bounded and broadcast back onto the
-#     level-0 grain. Beyond-ref (the LLM-pipeline privacy mandate,
-#     TX10's release-audit sibling). Oracle = COUNT(*) OVER four window
-#     partitions on the DOC grain + DISTINCT — a different evaluation
-#     strategy from the groupBy+broadcast-join ladder.
+# --- docs_k_anonymity: privacy-release audit (r15) — k-anonymity AND
+#     l-diversity over the quasi-identifier tuple (source, lang, length
+#     bucket) with a GENERALIZATION LADDER, the mechanic every
+#     Mondrian-style anonymizer applies before a corpus ships: a group
+#     of < K docs is re-identifiable, so its QI coarsens one level at a
+#     time until the group clears K — level 0 = 64-char length buckets,
+#     level 1 = 256-char buckets, level 2 = (source, lang), level 3 =
+#     source only, level 4 = suppress. k-anonymity alone is vulnerable
+#     to the homogeneity attack (all K rows share the sensitive value),
+#     so each level-0 group also carries its l-diversity stats over a
+#     deterministic md5-injected 8-class sensitive label (the corpus
+#     ships no sensitive attribute — the docs_pii_scrub injection
+#     precedent, seeded 'sens:' so it is independent of the PII draw):
+#     l_distinct = #distinct sensitive classes in the group,
+#     sens_mode_ppm = the modal class share (the recursive
+#     (c,l)-diversity ingredient; 1000000 == homogeneous == attackable).
+#     Output = one row per level-0 QI group; levels 0-3 all populated
+#     at both gate SFs; K=5. All integers. 100 TB: the finest grain is
+#     (QI, sens) — bounded by corpus grouping structure, never by doc
+#     count — then four hash aggs on coarser QI grains broadcast back.
+#     Beyond-ref (the LLM-pipeline privacy mandate, TX10's
+#     release-audit sibling). Oracle = COUNT(*) OVER window partitions
+#     on the DOC grain (incl. a per-(QI,sens) count maxed over the QI
+#     partition) + DISTINCT — a different evaluation strategy from the
+#     groupBy+broadcast-join ladder.
 
 KANON_K = 5
 
 
 def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", "lang", F.expr("n_chars DIV 64").alias("len_bucket")
+    sens = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sens:"),
+                               F.col("doc_id").cast("string"))), 1, 1
+            ),
+            16, 10,
+        ).cast("long") % 8
     )
-    g0 = d.groupBy("source", "lang", "len_bucket").agg(
-        F.count(F.lit(1)).alias("group_size")
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "lang",
+        F.expr("n_chars DIV 64").alias("len_bucket"),
+        sens.alias("sens"),
+    )
+    gs = d.groupBy("source", "lang", "len_bucket", "sens").agg(
+        F.count(F.lit(1)).alias("sc")
+    )
+    g0 = gs.groupBy("source", "lang", "len_bucket").agg(
+        F.sum("sc").alias("group_size"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.max("sc").alias("max_sens"),
     )
     s1 = g0.groupBy(
         "source", "lang", F.expr("len_bucket DIV 4").alias("b256")
@@ -605,21 +630,35 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(4)
             .cast("long")
             .alias("anon_level"),
+            F.col("l_distinct").cast("long").alias("l_distinct"),
+            F.expr("max_sens * 1000000 DIV group_size").cast("long")
+            .alias("sens_mode_ppm"),
         )
     )
 
 
 DOCS_K_ANONYMITY_SQL = f"""
 WITH d AS (
-  SELECT source, lang, n_chars // 64 AS b64 FROM documents
+  SELECT source, lang, n_chars // 64 AS b64,
+         CAST('0x' || substr(md5('sens:' || CAST(doc_id AS VARCHAR)),
+                             1, 1) AS BIGINT) % 8 AS sens
+  FROM documents
 ),
 per AS (
-  SELECT source, lang, b64,
+  SELECT source, lang, b64, sens,
          COUNT(*) OVER (PARTITION BY source, lang, b64) AS size0,
          COUNT(*) OVER (PARTITION BY source, lang, b64 // 4) AS size1,
          COUNT(*) OVER (PARTITION BY source, lang) AS size2,
-         COUNT(*) OVER (PARTITION BY source) AS size3
+         COUNT(*) OVER (PARTITION BY source) AS size3,
+         COUNT(*) OVER (PARTITION BY source, lang, b64, sens) AS sc
   FROM d
+),
+per2 AS (
+  SELECT *,
+         COUNT(DISTINCT sens) OVER (PARTITION BY source, lang, b64)
+           AS l_distinct,
+         MAX(sc) OVER (PARTITION BY source, lang, b64) AS max_sens
+  FROM per
 )
 SELECT DISTINCT source, lang,
        CAST(b64 AS BIGINT) AS len_bucket,
@@ -628,8 +667,10 @@ SELECT DISTINCT source, lang,
                  WHEN size1 >= {KANON_K} THEN 1
                  WHEN size2 >= {KANON_K} THEN 2
                  WHEN size3 >= {KANON_K} THEN 3
-                 ELSE 4 END AS BIGINT) AS anon_level
-FROM per
+                 ELSE 4 END AS BIGINT) AS anon_level,
+       CAST(l_distinct AS BIGINT) AS l_distinct,
+       CAST(max_sens * 1000000 // size0 AS BIGINT) AS sens_mode_ppm
+FROM per2
 """
 
 

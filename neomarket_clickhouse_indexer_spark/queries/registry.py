@@ -1600,11 +1600,13 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "base table"),
     QuerySpec("docs_k_anonymity", PL.docs_k_anonymity,
               PL.DOCS_K_ANONYMITY_SQL, ("TX1", "A1", "BONUS"),
-              "k-anonymity release audit over (source, lang, length "
-              "bucket) quasi-identifiers with a 4-level generalization "
-              "ladder (Mondrian-style coarsening until each group "
-              "clears K=5); groupBy+broadcast-join ladder vs a "
-              "window-count + DISTINCT oracle"),
+              "k-anonymity + l-diversity release audit over (source, "
+              "lang, length bucket) quasi-identifiers: 4-level "
+              "Mondrian-style generalization ladder until each group "
+              "clears K=5, plus distinct-class count and modal-class "
+              "ppm share of an md5-injected sensitive label (the "
+              "homogeneity-attack detector); groupBy+broadcast-join "
+              "ladder vs a window-count + DISTINCT oracle"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
