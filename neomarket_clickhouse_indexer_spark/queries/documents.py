@@ -10,7 +10,7 @@ codegen; the only shuffles are the final groupBys/joins on hash keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -3536,4 +3536,208 @@ FROM (
   GROUP BY 1, 2
   HAVING COUNT(*) >= {WIN_MIN_SHARED}
 )
+"""
+
+
+# --- docs_bloom_dedup: Bloom-filter membership pre-filter for exact
+#     dedup (r15) — the shuffle-avoidance tier in front of DD1: at
+#     100 TB, groupBy(content-hash) dedup against a prior snapshot
+#     shuffles the full corpus, but a Bloom filter built from the
+#     snapshot (m = 6 bits/element, k = 4 md5-derived hash functions)
+#     is a few MB of BROADCAST state that lets every executor discard
+#     definitely-new docs locally — only bloom-positive docs (true
+#     members + the ~3-6% false positives measured at the gate SFs)
+#     proceed to the exact-hash verification join. Zero false negatives
+#     structurally. The gate pins the DETERMINISTIC filter state (the
+#     HLL-register doctrine): per-64-bit-word set-bit counts, the
+#     sizing params, and the per-source membership audit
+#     (probes / true members / bloom positives / false positives /
+#     false negatives == 0). Membership set = an md5-drawn half of the
+#     corpus ('bloomset:' seed); identity = md5(text), so a non-member
+#     doc duplicating a member's text is a TRUE member — exact dedup
+#     semantics. One bounded scalar collect (the member count, a
+#     single long) sizes m, the metadata read every real deployment
+#     does before building a filter. All-integer output; oracle =
+#     the same state computed via UNNEST/range cross joins and window
+#     counts in DuckDB. Beyond-ref (LLM-pipeline dedup mandate).
+
+BLOOM_BITS_PER_ELEM = 6
+BLOOM_K = 4
+
+
+def _bloom_pos_exprs(m: int) -> Column:
+    """Array of the K bit positions of a doc's content hash: position_i
+    = int(md5('bloom<i>:' || thash)[1:8], 16) mod m — 32 hash bits per
+    function, exact in a long in both engines."""
+    return F.array(*[
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}:"), F.col("thash"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % m
+        for i in range(BLOOM_K)
+    ])
+
+
+def docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("thash"),
+        F.substring(
+            F.md5(F.concat(F.lit("bloomset:"),
+                           F.col("doc_id").cast("string"))), 1, 1
+        ).isin(*"01234567").alias("member"),
+    ).persist()
+    try:
+        # bounded scalar collect: the member COUNT sizes the filter
+        # (bits = 6 per element) — a single long of driver state
+        n_members = d.filter("member").count()  # also materializes d
+        m = max(64, BLOOM_BITS_PER_ELEM * n_members)
+        poss = _bloom_pos_exprs(m)
+        bits = (
+            d.filter("member")
+            .select(F.explode(poss).alias("pos"))
+            .distinct()
+        )  # <= m rows — the broadcast filter state
+        mh = d.filter("member").select("thash").distinct()
+        ppos = (
+            d.select("doc_id", F.explode(poss).alias("pos")).distinct()
+        )
+        ph = (
+            ppos.join(
+                F.broadcast(bits.withColumn("hit", F.lit(1))),
+                "pos", "left",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("npos"),
+                F.count("hit").alias("nhit"),
+            )
+        )
+        fl = (
+            d.join(ph, "doc_id")
+            .join(
+                F.broadcast(mh.withColumn("tm", F.lit(1))),
+                "thash", "left",
+            )
+            .select(
+                "source",
+                (F.col("nhit") == F.col("npos")).alias("bpos"),
+                F.col("tm").isNotNull().alias("tmem"),
+            )
+        )
+        audit = (
+            fl.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_probes"),
+                F.sum(F.when(F.col("tmem"), 1).otherwise(0))
+                .alias("n_true_member"),
+                F.sum(F.when(F.col("bpos"), 1).otherwise(0))
+                .alias("n_bloom_pos"),
+                F.sum(F.when(F.col("bpos") & ~F.col("tmem"), 1)
+                      .otherwise(0)).alias("n_false_pos"),
+                F.sum(F.when(F.col("tmem") & ~F.col("bpos"), 1)
+                      .otherwise(0)).alias("n_false_neg"),
+            )
+            .select(
+                F.lit("audit").alias("sect"),
+                F.explode(F.expr(
+                    "map_entries(map("
+                    "concat(source, ':n_probes'), n_probes,"
+                    "concat(source, ':n_true_member'), n_true_member,"
+                    "concat(source, ':n_bloom_pos'), n_bloom_pos,"
+                    "concat(source, ':n_false_pos'), n_false_pos,"
+                    "concat(source, ':n_false_neg'), n_false_neg))"
+                )).alias("kv"),
+            )
+            .select("sect", F.col("kv.key").alias("key"),
+                    F.col("kv.value").cast("long").alias("val"))
+        )
+        blocks = (
+            bits.groupBy((F.col("pos") / 64).cast("long").alias("blk"))
+            .agg(F.count(F.lit(1)).alias("set_bits"))
+            .select(
+                F.lit("block").alias("sect"),
+                F.col("blk").cast("string").alias("key"),
+                F.col("set_bits").cast("long").alias("val"),
+            )
+        )
+        params = spark.range(1).select(
+            F.explode(F.array(
+                F.struct(F.lit("m_bits").alias("key"),
+                         F.lit(m).cast("long").alias("val")),
+                F.struct(F.lit("n_member_docs").alias("key"),
+                         F.lit(n_members).cast("long").alias("val")),
+            )).alias("kv")
+        ).select(F.lit("param").alias("sect"),
+                 F.col("kv.key").alias("key"), F.col("kv.val").alias("val"))
+        return (
+            params.unionByName(blocks).unionByName(audit)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        d.unpersist()
+
+
+DOCS_BLOOM_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS thash,
+         substr(md5('bloomset:' || CAST(doc_id AS VARCHAR)), 1, 1)
+           IN ('0','1','2','3','4','5','6','7') AS member
+  FROM documents
+),
+mc AS (
+  SELECT GREATEST(64, {BLOOM_BITS_PER_ELEM} * COUNT(*)) AS m
+  FROM d WHERE member
+),
+bits AS MATERIALIZED (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':'
+                                 || thash), 1, 8) AS BIGINT)
+           % (SELECT m FROM mc) AS pos
+  FROM d, range({BLOOM_K}) t(i) WHERE member
+),
+ppos AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || ':'
+                                 || thash), 1, 8) AS BIGINT)
+           % (SELECT m FROM mc) AS pos
+  FROM d, range({BLOOM_K}) t(i)
+),
+ph AS (
+  SELECT p.doc_id, COUNT(*) AS npos, COUNT(b.pos) AS nhit
+  FROM ppos p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY 1
+),
+fl AS (
+  SELECT d.source, (ph.nhit = ph.npos) AS bpos,
+         d.thash IN (SELECT thash FROM d WHERE member) AS tmem
+  FROM d JOIN ph USING (doc_id)
+),
+audit AS (
+  SELECT source,
+         COUNT(*) AS n_probes,
+         SUM(CASE WHEN tmem THEN 1 ELSE 0 END) AS n_true_member,
+         SUM(CASE WHEN bpos THEN 1 ELSE 0 END) AS n_bloom_pos,
+         SUM(CASE WHEN bpos AND NOT tmem THEN 1 ELSE 0 END)
+           AS n_false_pos,
+         SUM(CASE WHEN tmem AND NOT bpos THEN 1 ELSE 0 END)
+           AS n_false_neg
+  FROM fl GROUP BY 1
+)
+SELECT 'param' AS sect, 'm_bits' AS key,
+       CAST((SELECT m FROM mc) AS BIGINT) AS val
+UNION ALL
+SELECT 'param', 'n_member_docs',
+       CAST((SELECT COUNT(*) FROM d WHERE member) AS BIGINT)
+UNION ALL
+SELECT 'block', CAST(pos // 64 AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+FROM bits GROUP BY pos // 64
+UNION ALL
+SELECT 'audit', source || ':' || metric, CAST(val AS BIGINT)
+FROM audit
+UNPIVOT (val FOR metric IN (n_probes, n_true_member, n_bloom_pos,
+                            n_false_pos, n_false_neg))
 """

@@ -1598,6 +1598,15 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "read back merged (missing values NULL) and aggregated — "
               "vs the oracle replaying the generation rule over the "
               "base table"),
+    QuerySpec("docs_bloom_dedup", D.docs_bloom_dedup,
+              D.DOCS_BLOOM_DEDUP_SQL, ("DD1", "A3", "BONUS"),
+              "Bloom-filter membership pre-filter for snapshot dedup: "
+              "m=6 bits/element, k=4 md5 hash functions built from an "
+              "md5-drawn member half, gated on the deterministic "
+              "register state (per-64-bit-word set-bit counts), sizing "
+              "params, and the per-source probe audit (false positives "
+              "populated at every SF, false negatives structurally 0); "
+              "broadcast-state design — probes never shuffle"),
     QuerySpec("docs_k_anonymity", PL.docs_k_anonymity,
               PL.DOCS_K_ANONYMITY_SQL, ("TX1", "A1", "BONUS"),
               "k-anonymity + l-diversity release audit over (source, "
