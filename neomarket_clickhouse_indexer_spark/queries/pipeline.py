@@ -2505,3 +2505,164 @@ FROM ({DOCS_SOURCE_OVERLAP_SQL}) o,
      (SELECT unnest(['shared_grams','grams_a','grams_b',
                      'containment_ppm']) AS metric) m
 """
+
+
+# --- docs_dsir_selection: data selection via hashed n-gram importance
+#     scoring (r15) — the DSIR recipe (Xie et al. 2023, "Data Selection
+#     for Language Models via Importance Resampling"): featurize every
+#     doc into HASHED BIGRAM buckets, estimate a target-domain
+#     distribution (here lang='en', the curated-domain stand-in) and a
+#     raw-pool distribution over the same buckets, and score each doc
+#     by how target-like its features are; the top-K scored docs are
+#     the selected training subset. DIVERGENCE (documented in
+#     DIVERGENCES.md): exact DSIR scores with summed LOG likelihood
+#     ratios — ln() is cross-engine-unsafe here, so the score is the
+#     integer-exact linear surrogate sum(t_ppm - r_ppm) over the doc's
+#     bigram occurrences (Laplace-smoothed ppm per bucket); same
+#     feature hash, same distributions, monotone-comparable ranking
+#     signal. All integers. 100 TB: the two distributions live on a
+#     4096-bucket grain — broadcast; per-doc scoring is a map-side
+#     broadcast join + one per-doc agg (no corpus-scale shuffle beyond
+#     the doc grain); the selection cut is a VALUE THRESHOLD from a
+#     bounded top-K collect (the late-r7 segmentation doctrine — no
+#     global rank window), tie-broken on doc_id so the K-th slot is
+#     unique. Oracle = the same pipeline via list_transform bigrams +
+#     window ranks in DuckDB (rank strategy differs from the Spark
+#     threshold cut on purpose).
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+DSIR_SELECT_K = 100
+
+
+def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bigram = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    feats = (
+        docs.select(
+            "doc_id", "source",
+            (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+            TX.tokens(F.col("text")).alias("toks"),
+        )
+        .select(
+            "doc_id", "source", "is_target",
+            F.explode(bigram).alias("g"),
+        )
+        .select(
+            "doc_id", "source", "is_target",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir:"), F.col("g"))), 1, 8
+                    ),
+                    16, 10,
+                ).cast("long") % DSIR_BUCKETS
+            ).alias("b"),
+        )
+        .persist()
+    )
+    caches: list[DataFrame] = [feats]
+    try:
+        feats.count()  # materialize before the two consumers (r10 rule)
+        # the two distributions in ONE pass: conditional sums per bucket
+        dist = feats.groupBy("b").agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tc"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("rc"),
+        )
+        tots = dist.agg(
+            F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+        ).collect()[0]  # bounded: two longs
+        tt, rt = int(tots["tt"]), int(tots["rt"])
+        bt = DSIR_BUCKETS
+        ppm = dist.select(
+            "b",
+            F.expr(f"(tc + 1) * 1000000 DIV ({tt} + {bt})").alias("t_ppm"),
+            F.expr(f"(rc + 1) * 1000000 DIV ({rt} + {bt})").alias("r_ppm"),
+        )
+        scored = (
+            feats.join(F.broadcast(ppm), "b")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_feats"),
+                F.sum(F.col("t_ppm") - F.col("r_ppm")).alias("score"),
+            )
+        ).persist()
+        caches.append(scored)
+        # the selection cut: K-th (score DESC, doc_id ASC) row collected
+        # as a VALUE threshold — bounded K rows of driver state, no
+        # global rank window
+        kth = scored.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(DSIR_SELECT_K).collect()[-1]
+        ks, kd = int(kth["score"]), int(kth["doc_id"])
+        out = scored.select(
+            "doc_id",
+            "source",
+            F.col("n_feats").cast("long").alias("n_feats"),
+            F.col("score").cast("long").alias("score"),
+            F.when(
+                (F.col("score") > ks)
+                | ((F.col("score") == ks) & (F.col("doc_id") <= kd)),
+                1,
+            ).otherwise(0).cast("long").alias("selected"),
+        ).localCheckpoint(eager=True)
+        return out
+    finally:
+        for df in caches:
+            df.unpersist()
+
+
+DOCS_DSIR_SELECTION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang = '{DSIR_TARGET_LANG}' AS is_target,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, source, is_target,
+         CAST('0x' || substr(md5('dsir:' || g), 1, 8) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source, is_target,
+           unnest(list_transform(
+             generate_series(1, greatest(len(t) - 1, 0)),
+             i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM toks
+  )
+),
+dist AS MATERIALIZED (
+  SELECT b,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc,
+         SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS rc
+  FROM feats GROUP BY 1
+),
+tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM dist),
+ppm AS (
+  SELECT b,
+         (tc + 1) * 1000000 // ((SELECT tt FROM tot) + {DSIR_BUCKETS})
+           AS t_ppm,
+         (rc + 1) * 1000000 // ((SELECT rt FROM tot) + {DSIR_BUCKETS})
+           AS r_ppm
+  FROM dist
+),
+scored AS (
+  SELECT f.doc_id, f.source,
+         COUNT(*) AS n_feats,
+         SUM(p.t_ppm - p.r_ppm) AS score
+  FROM feats f JOIN ppm p ON f.b = p.b
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, source,
+       CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(score AS BIGINT) AS score,
+       CAST(CASE WHEN rn <= {DSIR_SELECT_K} THEN 1 ELSE 0 END AS BIGINT)
+         AS selected
+FROM rk
+"""

@@ -1598,6 +1598,14 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "read back merged (missing values NULL) and aggregated — "
               "vs the oracle replaying the generation rule over the "
               "base table"),
+    QuerySpec("docs_dsir_selection", PL.docs_dsir_selection,
+              PL.DOCS_DSIR_SELECTION_SQL, ("TX5", "W4", "BONUS"),
+              "DSIR-style data selection: hashed-bigram (4096-bucket) "
+              "target-vs-raw ppm distributions (target = lang 'en'), "
+              "per-doc integer importance score, top-100 selection via "
+              "a collected value threshold (no global rank window); "
+              "linear log-free surrogate score (see DIVERGENCES.md) vs "
+              "a DuckDB window-rank oracle"),
     QuerySpec("docs_bloom_dedup", D.docs_bloom_dedup,
               D.DOCS_BLOOM_DEDUP_SQL, ("DD1", "A3", "BONUS"),
               "Bloom-filter membership pre-filter for snapshot dedup: "
