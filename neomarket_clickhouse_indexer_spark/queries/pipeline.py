@@ -2666,3 +2666,167 @@ SELECT doc_id, source,
          AS selected
 FROM rk
 """
+
+
+# --- customer_snm_pairs: sorted-neighborhood blocking (r15) — the
+#     classic third candidate-generation strategy for entity resolution
+#     (after FastSS variant-join and LSH): sort records by a blocking
+#     key, slide a window of w ranks, emit in-window pairs, verify
+#     exactly. Multi-pass (Hernandez-Stolfo): pass 'fwd' sorts by the
+#     name itself (catches low-digit edits), pass 'rev' sorts by the
+#     REVERSED name (catches high-digit edits — the complementary key
+#     every multi-pass SNM deployment adds). Unlike FastSS, SNM is
+#     deliberately LOSSY — the gate therefore audits its recall against
+#     the complete levenshtein<=1 truth set (_name_match_pairs, the
+#     lossless FastSS stage), the docs_pair_recall_audit doctrine
+#     applied to ER blocking. 100 TB: ranks are computed per BOUNDED
+#     block (fwd: first-6-digit prefix == 1000-key ranges; rev:
+#     last-3-digit prefix == 1000 blocks), never one global window —
+#     the distributed-SNM partition trick, boundary pairs across blocks
+#     forgone by design (<= w per boundary, reflected in the measured
+#     recall); candidate join is an exploded-offset EQUI-join on
+#     (block, rank + off), w x one side, no range join. All integers.
+#     Oracle = same passes via ROW_NUMBER + offset joins, truth via the
+#     numeric no-carry characterization (no string ops — independent).
+
+SNM_W = 3
+
+
+def customer_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    passes = {
+        # block expr, sort-key expr (unique per record in each pass)
+        "fwd": (F.substring("name", 10, 6), F.col("name")),
+        "rev": (
+            F.substring(F.reverse(F.col("name")), 1, 3),
+            F.reverse(F.col("name")),
+        ),
+    }
+    pair_frames = []
+    for pname, (blk, key) in passes.items():
+        r = cust.select(
+            "k", "name", blk.alias("blk"),
+            F.row_number().over(
+                Window.partitionBy(blk).orderBy(key)
+            ).alias("rnk"),
+        )
+        a = r.select(
+            "k", "name", "blk", "rnk",
+            F.explode(
+                F.array(*[F.lit(o) for o in range(1, SNM_W + 1)])
+            ).alias("o"),
+        ).select(
+            F.col("k").alias("ka"), F.col("name").alias("na"),
+            "blk", (F.col("rnk") + F.col("o")).alias("rnk"),
+        )
+        b = r.select(
+            F.col("k").alias("kb"), F.col("name").alias("nb"),
+            "blk", "rnk",
+        )
+        pair_frames.append(
+            a.join(b, ["blk", "rnk"])
+            .select(
+                F.lit(pname).alias("pass"),
+                F.least("ka", "kb").alias("ka"),
+                F.greatest("ka", "kb").alias("kb"),
+                (F.levenshtein("na", "nb") <= 1).alias("ok"),
+            )
+        )
+    cand = pair_frames[0].unionByName(pair_frames[1]).persist()
+    try:
+        per_pass = cand.groupBy("pass").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("metric"),
+        )
+        uni = cand.select("ka", "kb", "ok").distinct().agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("metric"),
+        ).select(F.lit("union").alias("pass"), "n_pairs", "metric")
+        n_verified = cand.filter("ok").select("ka", "kb").distinct()
+        truth = _name_match_pairs(spark, sf_dir).persist()
+        try:
+            t_cnt = truth.count()  # bounded: one long (pair-set size)
+            got = n_verified.join(
+                truth, ["ka", "kb"], "leftsemi"
+            ).count()
+            trow = spark.range(1).select(
+                F.lit("truth").alias("pass"),
+                F.lit(t_cnt).cast("long").alias("n_pairs"),
+                F.lit(got * 1000000 // max(t_cnt, 1)).cast("long")
+                .alias("metric"),
+            )
+            return (
+                per_pass.select(
+                    "pass",
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.col("metric").cast("long").alias("metric"),
+                )
+                .unionByName(uni.select(
+                    "pass",
+                    F.col("n_pairs").cast("long").alias("n_pairs"),
+                    F.col("metric").cast("long").alias("metric"),
+                ))
+                .unionByName(trow)
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            truth.unpersist()
+    finally:
+        cand.unpersist()
+
+
+CUSTOMER_SNM_PAIRS_SQL = f"""
+WITH cust AS (
+  SELECT c_custkey AS k, c_name AS name FROM customer
+),
+rf AS (
+  SELECT k, name, substr(name, 10, 6) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(name, 10, 6)
+                            ORDER BY name) AS rnk
+  FROM cust
+),
+rr AS (
+  SELECT k, name, substr(reverse(name), 1, 3) AS blk,
+         ROW_NUMBER() OVER (PARTITION BY substr(reverse(name), 1, 3)
+                            ORDER BY reverse(name)) AS rnk
+  FROM cust
+),
+offs AS (SELECT unnest(generate_series(1, {SNM_W})) AS o),
+cand AS MATERIALIZED (
+  SELECT 'fwd' AS pass, LEAST(a.k, b.k) AS ka, GREATEST(a.k, b.k) AS kb,
+         levenshtein(a.name, b.name) <= 1 AS ok
+  FROM rf a JOIN offs ON TRUE JOIN rf b
+    ON a.blk = b.blk AND b.rnk = a.rnk + offs.o
+  UNION ALL
+  SELECT 'rev', LEAST(a.k, b.k), GREATEST(a.k, b.k),
+         levenshtein(a.name, b.name) <= 1
+  FROM rr a JOIN offs ON TRUE JOIN rr b
+    ON a.blk = b.blk AND b.rnk = a.rnk + offs.o
+),
+truth AS MATERIALIZED (
+  -- numeric no-carry characterization of levenshtein<=1 on
+  -- zero-padded names (the customer_name_neardup oracle route)
+  SELECT a.k AS ka, a.k + d.d * CAST(POWER(10, p.p) AS BIGINT) AS kb
+  FROM (SELECT k FROM cust) a,
+       (SELECT unnest(generate_series(1, 9)) AS d) d,
+       (SELECT unnest(generate_series(0, 8)) AS p) p
+  WHERE ((a.k // CAST(POWER(10, p.p) AS BIGINT)) % 10) + d.d <= 9
+    AND a.k + d.d * CAST(POWER(10, p.p) AS BIGINT) IN (SELECT k FROM cust)
+),
+uv AS (SELECT DISTINCT ka, kb FROM cand WHERE ok)
+SELECT pass, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS metric
+FROM cand GROUP BY 1
+UNION ALL
+SELECT 'union', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT DISTINCT ka, kb, ok FROM cand)
+UNION ALL
+SELECT 'truth',
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM uv JOIN truth USING (ka, kb))
+            * 1000000 // GREATEST((SELECT COUNT(*) FROM truth), 1)
+            AS BIGINT)
+"""

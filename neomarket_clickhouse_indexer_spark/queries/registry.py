@@ -1598,6 +1598,15 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "read back merged (missing values NULL) and aggregated — "
               "vs the oracle replaying the generation rule over the "
               "base table"),
+    QuerySpec("customer_snm_pairs", PL.customer_snm_pairs,
+              PL.CUSTOMER_SNM_PAIRS_SQL, ("DD5", "W4", "BONUS"),
+              "multi-pass sorted-neighborhood ER blocking (name-sorted "
+              "+ reversed-name-sorted passes, w=3, bounded per-block "
+              "rank windows, exploded-offset equi-join) with exact "
+              "levenshtein verify and a recall audit against the "
+              "lossless FastSS truth set; oracle ranks the same passes "
+              "and derives truth from the numeric no-carry "
+              "characterization"),
     QuerySpec("docs_dsir_selection", PL.docs_dsir_selection,
               PL.DOCS_DSIR_SELECTION_SQL, ("TX5", "W4", "BONUS"),
               "DSIR-style data selection: hashed-bigram (4096-bucket) "
