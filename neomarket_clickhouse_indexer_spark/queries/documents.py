@@ -207,10 +207,19 @@ FROM documents
 #     columns (docs_bigram_surprisal, TX1+++) ride along via a left join
 #     on doc_id, giving the corpus-statistics LM signal an in-window
 #     external check without displacing any entry; the per-row kernels
-#     above are unchanged.
+#     above are unchanged. r15 strict-superset growth: the privacy
+#     release-audit columns (anon_level, l_distinct) ride along via a
+#     broadcast left join of the VERBATIM docs_k_anonymity core on the
+#     doc's quasi-identifier tuple — the TX10b family gates in-window
+#     from day one (the r8 doctrine) as each doc's re-identifiability
+#     annotation. LEFT join + no null rows expected (every doc belongs
+#     to a group by construction; LEFT keeps a divergence visible as
+#     nulls rather than dropped rows — the r14 caption-join lesson).
 
 
 def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import docs_k_anonymity
+
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
     n_tokens = F.size(toks).cast("long")
@@ -220,6 +229,7 @@ def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "lang",
+        F.expr("n_chars DIV 64").alias("len_bucket"),
         n_tokens.alias("n_tokens"),
         TX.avg_token_len(toks).alias("avg_token_len"),
         F.round(stop_n / n_tokens, 4).alias("stop_ratio"),
@@ -228,14 +238,24 @@ def docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pred == F.col("lang")).alias("hit"),
         TX.fingerprint(F.col("text")).alias("fingerprint"),
     )
-    return base.join(docs_bigram_surprisal(spark, sf_dir), "doc_id", "left")
+    ka = docs_k_anonymity(spark, sf_dir).select(
+        "source", "lang", "len_bucket", "anon_level", "l_distinct"
+    )
+    return (
+        base.join(F.broadcast(ka), ["source", "lang", "len_bucket"], "left")
+        .drop("len_bucket")
+        .join(docs_bigram_surprisal(spark, sf_dir), "doc_id", "left")
+    )
 
 
 def _docs_profile_sql() -> str:
     return f"""
-SELECT p.*, b.n_bigrams, b.sum_cond_surprisal_ppm, b.mean_cond_surprisal_ppm
+SELECT p.* EXCLUDE (len_bucket),
+       ka.anon_level, ka.l_distinct,
+       b.n_bigrams, b.sum_cond_surprisal_ppm, b.mean_cond_surprisal_ppm
 FROM (
 SELECT doc_id, source, lang,
+       n_chars // 64 AS len_bucket,
        CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
        ROUND(CAST(list_sum(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT))) AS BIGINT)
              / CAST(len({_TOKS}) AS BIGINT), 4) AS avg_token_len,
@@ -248,7 +268,12 @@ SELECT doc_id, source, lang,
        ({_lang_case_sql()} = lang) AS hit,
        list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min') AS fingerprint
 FROM documents
-) p LEFT JOIN ({{bigram}}) b USING (doc_id)
+) p
+LEFT JOIN (
+  SELECT source, lang, len_bucket, anon_level, l_distinct
+  FROM ({{kanon}})
+) ka USING (source, lang, len_bucket)
+LEFT JOIN ({{bigram}}) b USING (doc_id)
 """
 
 
@@ -1962,10 +1987,14 @@ GROUP BY b.doc_id
 """
 
 # deferred assignment: the profile gate's oracle embeds the bigram oracle
-# (strict-superset growth, r6) and the bigram SQL is defined just above
+# (strict-superset growth, r6) and, since r15, the k-anonymity oracle
+# (module import is safe: pipeline.py imports documents only inside
+# function bodies)
+from .pipeline import DOCS_K_ANONYMITY_SQL as _KANON_SQL  # noqa: E402
+
 DOCS_PROFILE_SQL = _docs_profile_sql().replace(
     "{bigram}", DOCS_BIGRAM_SURPRISAL_SQL
-)
+).replace("{kanon}", _KANON_SQL)
 
 
 # --- docs_cms_counts: count-min sketch — the DETERMINISTIC mergeable
@@ -2432,7 +2461,20 @@ def _sketch_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(1, 'n_registers', CAST(n_registers AS DOUBLE))"
         " AS (metric, value)",
     )
-    return cms.unionByName(hh).unionByName(kmv).unionByName(hll)
+    # r15 strict-superset growth: the Bloom-filter register state +
+    # probe audit joins the deterministic-sketch family's gate — the
+    # VERBATIM docs_bloom_dedup core, so the DD1b family gates
+    # in-window from day one (the r8 doctrine); all values are integer
+    # longs <= ~2e4, exact as DOUBLE
+    bloom = docs_bloom_dedup(spark, sf_dir).selectExpr(
+        "'bloom' AS sketch",
+        "sect || '/' || key AS k",
+        "stack(1, 'val', CAST(val AS DOUBLE)) AS (metric, value)",
+    )
+    return (
+        cms.unionByName(hh).unionByName(kmv).unionByName(hll)
+        .unionByName(bloom)
+    )
 
 
 DOCS_SKETCH_SUITE_SQL = f"""
@@ -2467,6 +2509,10 @@ SELECT 'hll' AS sketch,
        event_type || '/' || CAST(rho AS VARCHAR) AS k,
        'n_registers' AS metric, CAST(n_registers AS DOUBLE) AS value
 FROM ({_HLL_HIST_SQL})
+UNION ALL
+SELECT 'bloom' AS sketch, sect || '/' || key AS k,
+       'val' AS metric, CAST(val AS DOUBLE) AS value
+FROM ({{bloom}})
 """
 
 
@@ -3741,3 +3787,10 @@ FROM audit
 UNPIVOT (val FOR metric IN (n_probes, n_true_member, n_bloom_pos,
                             n_false_pos, n_false_neg))
 """
+
+
+# deferred assignment: the sketch suite's oracle embeds the bloom oracle
+# (strict-superset growth, r15) and DOCS_BLOOM_DEDUP_SQL is defined above
+DOCS_SKETCH_SUITE_SQL = DOCS_SKETCH_SUITE_SQL.replace(
+    "{bloom}", DOCS_BLOOM_DEDUP_SQL
+)

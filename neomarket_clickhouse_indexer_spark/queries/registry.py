@@ -156,7 +156,10 @@ _SPECS: list[QuerySpec] = [
               "the cutoff, freeing slots for never-gated entries); r6 "
               "strict-superset growth: EXECUTES docs_bigram_surprisal "
               "(TX1+++ bigram-LM conditional surprisal) via a doc_id left "
-              "join, giving the corpus-LM signal an in-window check"),
+              "join, giving the corpus-LM signal an in-window check; r15: "
+              "EXECUTES the docs_k_anonymity core via a broadcast QI join "
+              "— each doc annotated with its group's anon_level and "
+              "l_distinct (TX10b in-window from day one)"),
     # r7 rotation: strict-superset swap — the series suite EXECUTES
     # props_bucket_agg's logic verbatim as its 'props' path (the §2.8
     # JSON evidence keeps its external check) and adds the four r7
@@ -192,7 +195,8 @@ _SPECS: list[QuerySpec] = [
               "CMS frequency sketch, the propose/verify heavy-hitter "
               "pipeline, the KMV bottom-k distinct sketch with its "
               "lossless merge, and (r8) the from-scratch HLL register "
-              "histogram — the whole uniqCombined-analog family gets "
+              "histogram, and (r15) the Bloom-filter register state + "
+              "probe audit — the whole uniqCombined-analog family gets "
               "an external check in one slot; components stay "
               "oracle-checked in the tail"),
     QuerySpec("docs_pair_recall_audit", D.docs_pair_recall_audit,
