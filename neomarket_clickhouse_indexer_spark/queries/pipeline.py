@@ -569,15 +569,26 @@ GROUP BY source
 #     l_distinct = #distinct sensitive classes in the group,
 #     sens_mode_ppm = the modal class share (the recursive
 #     (c,l)-diversity ingredient; 1000000 == homogeneous == attackable).
+#     l-diversity in turn misses the SKEWNESS attack (a diverse group
+#     whose distribution still differs wildly from the corpus leaks
+#     information), so each group also carries t_closeness_ppm — the
+#     ordered-EMD distance between the group's sensitive-class
+#     distribution and the corpus-wide one, computed EXACTLY in integer
+#     ppm: the 1-D earth-mover distance over an ordered m-class axis is
+#     the mean absolute CDF gap, sum_c |F_g(c) - F_corpus(c)| / (m-1),
+#     with every CDF value an integer ppm (cum*1e6 DIV n — identical
+#     truncation in both engines). The full privacy-release triad
+#     (k-anonymity / l-diversity / t-closeness) on one QI grain.
 #     Output = one row per level-0 QI group; levels 0-3 all populated
 #     at both gate SFs; K=5. All integers. 100 TB: the finest grain is
 #     (QI, sens) — bounded by corpus grouping structure, never by doc
-#     count — then four hash aggs on coarser QI grains broadcast back.
-#     Beyond-ref (the LLM-pipeline privacy mandate, TX10's
-#     release-audit sibling). Oracle = COUNT(*) OVER window partitions
-#     on the DOC grain (incl. a per-(QI,sens) count maxed over the QI
-#     partition) + DISTINCT — a different evaluation strategy from the
-#     groupBy+broadcast-join ladder.
+#     count — then four hash aggs on coarser QI grains broadcast back;
+#     the corpus CDF is ONE map-side-combined pass yielding 8 longs
+#     (bounded collect). Beyond-ref (the LLM-pipeline privacy mandate,
+#     TX10's release-audit sibling). Oracle = COUNT(*) OVER window
+#     partitions on the DOC grain (incl. per-(QI,sens) counts and the
+#     OVER () corpus CDF) + DISTINCT — a different evaluation strategy
+#     from the groupBy+broadcast-join ladder.
 
 KANON_K = 5
 
@@ -604,6 +615,30 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sc").alias("group_size"),
         F.count(F.lit(1)).alias("l_distinct"),
         F.max("sc").alias("max_sens"),
+        # the 7 CDF evaluation points of the 8-class ordered axis, as
+        # conditional sums in the SAME agg (the r13 fuse-into-one-pass
+        # lesson — no per-class crossJoin/dense-fill needed)
+        *[
+            F.sum(F.when(F.col("sens") <= c, F.col("sc")).otherwise(0))
+            .alias(f"cum{c}")
+            for c in range(7)
+        ],
+    )
+    # corpus-wide CDF: one map-side-combined pass, 8 longs of driver
+    # state (bounded collect)
+    grow = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("sens") <= c, 1).otherwise(0))
+            .alias(f"gcum{c}")
+            for c in range(7)
+        ],
+    ).collect()[0]
+    gn = int(grow["n"])
+    gf = [int(grow[f"gcum{c}"]) * 1000000 // gn for c in range(7)]
+    t_terms = " + ".join(
+        f"abs(cum{c} * 1000000 DIV group_size - {gf[c]})"
+        for c in range(7)
     )
     s1 = g0.groupBy(
         "source", "lang", F.expr("len_bucket DIV 4").alias("b256")
@@ -633,9 +668,23 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_distinct").cast("long").alias("l_distinct"),
             F.expr("max_sens * 1000000 DIV group_size").cast("long")
             .alias("sens_mode_ppm"),
+            F.expr(f"({t_terms}) DIV 7").cast("long")
+            .alias("t_closeness_ppm"),
         )
     )
 
+
+_KANON_CUM_COLS = ",\n".join(
+    f"         SUM(CASE WHEN sens <= {c} THEN 1 ELSE 0 END)"
+    f" OVER (PARTITION BY source, lang, b64) AS cum{c},\n"
+    f"         SUM(CASE WHEN sens <= {c} THEN 1 ELSE 0 END)"
+    f" OVER () AS gcum{c}"
+    for c in range(7)
+)
+_KANON_T_TERMS = " + ".join(
+    f"abs(cum{c} * 1000000 // size0 - gcum{c} * 1000000 // gn)"
+    for c in range(7)
+)
 
 DOCS_K_ANONYMITY_SQL = f"""
 WITH d AS (
@@ -650,7 +699,9 @@ per AS (
          COUNT(*) OVER (PARTITION BY source, lang, b64 // 4) AS size1,
          COUNT(*) OVER (PARTITION BY source, lang) AS size2,
          COUNT(*) OVER (PARTITION BY source) AS size3,
-         COUNT(*) OVER (PARTITION BY source, lang, b64, sens) AS sc
+         COUNT(*) OVER (PARTITION BY source, lang, b64, sens) AS sc,
+         COUNT(*) OVER () AS gn,
+{_KANON_CUM_COLS}
   FROM d
 ),
 per2 AS (
@@ -669,7 +720,8 @@ SELECT DISTINCT source, lang,
                  WHEN size3 >= {KANON_K} THEN 3
                  ELSE 4 END AS BIGINT) AS anon_level,
        CAST(l_distinct AS BIGINT) AS l_distinct,
-       CAST(max_sens * 1000000 // size0 AS BIGINT) AS sens_mode_ppm
+       CAST(max_sens * 1000000 // size0 AS BIGINT) AS sens_mode_ppm,
+       CAST(({_KANON_T_TERMS}) // 7 AS BIGINT) AS t_closeness_ppm
 FROM per2
 """
 

@@ -1630,13 +1630,15 @@ QuerySpec("knn_ann_lsh", V.knn_ann_lsh, V.KNN_ANN_LSH_SQL,
               "broadcast-state design — probes never shuffle"),
     QuerySpec("docs_k_anonymity", PL.docs_k_anonymity,
               PL.DOCS_K_ANONYMITY_SQL, ("TX1", "A1", "BONUS"),
-              "k-anonymity + l-diversity release audit over (source, "
-              "lang, length bucket) quasi-identifiers: 4-level "
-              "Mondrian-style generalization ladder until each group "
-              "clears K=5, plus distinct-class count and modal-class "
-              "ppm share of an md5-injected sensitive label (the "
-              "homogeneity-attack detector); groupBy+broadcast-join "
-              "ladder vs a window-count + DISTINCT oracle"),
+              "the full privacy-release triad over (source, lang, "
+              "length bucket) quasi-identifiers: k-anonymity via a "
+              "4-level Mondrian-style generalization ladder (K=5), "
+              "l-diversity (distinct-class count + modal-class ppm of "
+              "an md5-injected sensitive label — homogeneity attack), "
+              "and t-closeness (exact integer-ppm ordered-EMD of the "
+              "group's class CDF vs the corpus CDF — skewness attack); "
+              "groupBy+broadcast-join ladder + one-pass conditional "
+              "CDF sums vs a window-count + DISTINCT oracle"),
 ]
 
 REGISTRY: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
