@@ -2650,12 +2650,25 @@ def _kmv_pair_est(sk: DataFrame, sa: str, sb: str) -> DataFrame:
     return bottom.agg(
         F.count(F.lit(1)).alias("k_used"),
         F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("shared"),
+        # r15: A-not-B rides the same union sketch — membership flags
+        # are sketch-derived, so difference counts are too
+        F.sum((F.col("in_a") & ~F.col("in_b")).cast("long"))
+        .alias("anotb_sk"),
+        F.max("h").alias("hk"),
     ).select(
         F.lit(sa).alias("src_a"),
         F.lit(sb).alias("src_b"),
         "k_used",
         "shared",
         F.expr("shared * 1000000 DIV k_used").alias("jaccard_est_ppm"),
+        # theta-sketch-style A\B estimate: fraction of union-sketch rows
+        # in A only, scaled by the union distinct estimate (exact when
+        # the union fits inside K)
+        F.expr(
+            f"anotb_sk * (CASE WHEN k_used < {KMV_K} THEN k_used"
+            f" ELSE ({KMV_K} - 1) * CAST({_KMV_RADIX} AS BIGINT) DIV hk"
+            f" END) DIV k_used"
+        ).alias("anotb_est"),
     )
 
 
@@ -2717,11 +2730,14 @@ def docs_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.sum((F.col("ia") & F.col("ib")).cast("long")).alias("inter"),
                 F.count(F.lit(1)).alias("uni"),
+                F.sum((F.col("ia") & ~F.col("ib")).cast("long"))
+                .alias("anotb_exact"),
             )
             .select(
                 F.lit(sa).alias("src_a"),
                 F.lit(sb).alias("src_b"),
                 F.expr("inter * 1000000 DIV uni").alias("jaccard_exact_ppm"),
+                F.col("anotb_exact").cast("long").alias("anotb_exact"),
             )
         )
         outs.append(est.join(ex, ["src_a", "src_b"]))
@@ -2731,6 +2747,12 @@ def docs_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "err_ppm",
         F.expr("abs(jaccard_est_ppm - jaccard_exact_ppm)"),
+    ).withColumn(
+        "anotb_err_ppm",
+        F.expr(
+            "abs(anotb_est - anotb_exact) * 1000000"
+            " DIV greatest(anotb_exact, 1)"
+        ),
     )
 
 
@@ -2775,7 +2797,10 @@ est AS (
   SELECT src_a, src_b,
          CAST(COUNT(*) AS BIGINT) AS k_used,
          CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
-           AS shared
+           AS shared,
+         CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS anotb_sk,
+         CAST(MAX(h) AS BIGINT) AS hk
   FROM bottom WHERE rn <= {KMV_K}
   GROUP BY 1, 2
 ),
@@ -2783,7 +2808,9 @@ exact AS (
   SELECT p.src_a, p.src_b,
          CAST(SUM(CASE WHEN x.ia AND x.ib THEN 1 ELSE 0 END) AS BIGINT)
            AS inter,
-         CAST(COUNT(*) AS BIGINT) AS uni
+         CAST(COUNT(*) AS BIGINT) AS uni,
+         CAST(SUM(CASE WHEN x.ia AND NOT x.ib THEN 1 ELSE 0 END)
+              AS BIGINT) AS anotb_exact
   FROM pairs p JOIN (
     SELECT h.g, s2.src_a, s2.src_b,
            MAX(h.source = s2.src_a) AS ia,
@@ -2792,13 +2819,23 @@ exact AS (
     GROUP BY 1, 2, 3
   ) x ON x.src_a = p.src_a AND x.src_b = p.src_b
   GROUP BY 1, 2
+),
+joined AS (
+  SELECT e.src_a, e.src_b, e.k_used, e.shared,
+         e.shared * 1000000 // e.k_used AS jaccard_est_ppm,
+         e.anotb_sk * (CASE WHEN e.k_used < {KMV_K} THEN e.k_used
+             ELSE ({KMV_K} - 1) * CAST({_KMV_RADIX} AS BIGINT) // e.hk
+           END) // e.k_used AS anotb_est,
+         x.inter * 1000000 // x.uni AS jaccard_exact_ppm,
+         x.anotb_exact
+  FROM est e JOIN exact x ON e.src_a = x.src_a AND e.src_b = x.src_b
 )
-SELECT e.src_a, e.src_b, e.k_used, e.shared,
-       e.shared * 1000000 // e.k_used AS jaccard_est_ppm,
-       x.inter * 1000000 // x.uni AS jaccard_exact_ppm,
-       abs(e.shared * 1000000 // e.k_used - x.inter * 1000000 // x.uni)
-         AS err_ppm
-FROM est e JOIN exact x ON e.src_a = x.src_a AND e.src_b = x.src_b
+SELECT src_a, src_b, k_used, shared, jaccard_est_ppm, anotb_est,
+       jaccard_exact_ppm, anotb_exact,
+       abs(jaccard_est_ppm - jaccard_exact_ppm) AS err_ppm,
+       abs(anotb_est - anotb_exact) * 1000000
+         // GREATEST(anotb_exact, 1) AS anotb_err_ppm
+FROM joined
 """
 
 

@@ -893,9 +893,11 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("docs_kmv_jaccard", D.docs_kmv_jaccard,
               D.DOCS_KMV_JACCARD_SQL, ("A3", "U3", "BONUS"),
               "KMV sketch SET OPERATIONS: bottom-K-of-union coincidence "
-              "estimator for pairwise source Jaccard — deterministic, so "
-              "oracle-checked bit-for-bit with exact Jaccard + err_ppm "
-              "alongside; pairwise stage touches only K-row sketches"),
+              "estimator for pairwise source Jaccard plus (r15) the "
+              "theta-sketch-style A-not-B difference estimate — "
+              "deterministic, so oracle-checked bit-for-bit with exact "
+              "Jaccard/|A\\\\B| + err ppm alongside; pairwise stage "
+              "touches only K-row sketches"),
     QuerySpec("events_seasonality_profile", TS.events_seasonality_profile,
               TS.EVENTS_SEASONALITY_PROFILE_SQL, ("A1", "P7", "BONUS"),
               "calendar seasonality heatmap: ISO dow x hour matrix per "
