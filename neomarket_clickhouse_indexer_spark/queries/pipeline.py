@@ -2745,6 +2745,17 @@ SNM_W = 3
 
 
 def customer_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pin + eager checkpoint: the gate chains 5 driver-paced actions
+    # (two persists+counts, a leftsemi count) whose groupBys otherwise
+    # run 200 near-empty tasks each on the plain driver session; all
+    # values are exact integers, so partitioning cannot perturb results
+    with _pinned_parallelism(spark):
+        return _customer_snm_pairs_body(spark, sf_dir)
+
+
+def _customer_snm_pairs_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
     )
