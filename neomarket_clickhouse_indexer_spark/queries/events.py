@@ -1466,6 +1466,97 @@ STREAMING_POSITIONS_STATE_SQL = AVGCOST_USER_POSITIONS_SQL
 #     position metrics, so the union is hash-stable.
 
 
+# deterministic at-least-once delivery model for the streaming-dedup
+# path: an md5-drawn ~19% of events is delivered TWICE, the duplicate
+# copy arriving one microbatch later than the original (cross-batch —
+# the case that requires dedup STATE to survive batch boundaries, which
+# a per-batch distinct would miss). Mirrored verbatim in the oracle.
+_DEDUP_DUP_PRED = (
+    "substr(md5('dupdraw:' || CAST(event_id AS STRING)), 1, 1)"
+    " IN ('0','1','2')"
+)
+
+
+def _dedup_stream_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4's streaming face: exactly-once semantics on an
+    at-least-once delivery via dropDuplicatesWithinWatermark — Spark's
+    native watermarked stream dedup (state keyed on event_id, evicted
+    past the watermark; the 365-day delay here outlives the fixture's
+    single-month span, so no eviction can race a duplicate and the
+    accepted set is exactly one row per event_id). Three real
+    microbatches; duplicates planted cross-batch. Returns per-type
+    (n_input, n_accepted, n_dropped) with the input counts computed
+    batch-side from the same staged frames."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.sinks import prune_stale_staging
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    dup = ev.filter(F.expr(_DEDUP_DUP_PRED))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12] + f"_{os.getpid()}"
+    prune_stale_staging("nmci_stream_dedup_")
+    src = f"/tmp/nmci_stream_dedup_src_{tag}"
+    ckpt = f"/tmp/nmci_stream_dedup_ckpt_{tag}"
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    r = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = r[0], r[1]
+    b1, b2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    parts = [
+        ev.filter(F.col("event_id") <= b1),
+        ev.filter((F.col("event_id") > b1) & (F.col("event_id") <= b2))
+        .unionByName(dup.filter(F.col("event_id") <= b1)),
+        ev.filter(F.col("event_id") > b2)
+        .unionByName(dup.filter(F.col("event_id") > b1)),
+    ]
+    parts[0].coalesce(1).write.mode("overwrite").parquet(src)
+    for p in parts[1:]:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    accepted = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stream_dedup_{tag}"
+    q = (
+        accepted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        raise RuntimeError(f"stream {name} did not terminate within 300s")
+    acc = spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_accepted")
+    )
+    inp = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_orig"),
+        F.sum(F.when(F.expr(_DEDUP_DUP_PRED), 1).otherwise(0))
+        .alias("n_dup"),
+    )
+    # n_dropped derives from the MEASURED stream output (not from the
+    # planted dup count): a dedup-state failure would surface as an
+    # oracle mismatch on both n_accepted and n_dropped
+    return inp.join(acc, "event_type").select(
+        "event_type",
+        F.expr("n_orig + n_dup").cast("long").alias("n_input"),
+        F.col("n_accepted").cast("long").alias("n_accepted"),
+        F.expr("n_orig + n_dup - n_accepted").cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1487,7 +1578,7 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
             f_pos = pool.submit(streaming_positions_state, spark, sf_dir)
             f_pairs = pool.submit(streaming_sequence_pairs, spark, sf_dir)
             f_qd = pool.submit(streaming_qdigest_state, spark, sf_dir)
@@ -1499,13 +1590,17 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 5th and 6th overlapped streams
             f_sess = pool.submit(_sessions_stream_frame, spark, sf_dir)
             f_ssj = pool.submit(_stream_join_frame, spark, sf_dir)
-            pos_df, pairs_df, qd_df, lb_state, sess_df, ssj_df = (
+            # r15 growth: watermarked stream dedup over planted
+            # cross-batch at-least-once deliveries, the 7th real stream
+            f_dd = pool.submit(_dedup_stream_frame, spark, sf_dir)
+            pos_df, pairs_df, qd_df, lb_state, sess_df, ssj_df, dd_df = (
                 f_pos.result(),
                 f_pairs.result(),
                 f_qd.result(),
                 f_lb.result(),
                 f_sess.result(),
                 f_ssj.result(),
+                f_dd.result(),
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1567,12 +1662,20 @@ def streaming_state_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(v_id AS STRING) AS k",
         "stack(1, 'p_id', CAST(p_id AS DOUBLE)) AS (metric, value)",
     )
+    dd = dd_df.selectExpr(
+        "'dedup' AS path",
+        "event_type AS k",
+        "stack(3, 'n_input', CAST(n_input AS DOUBLE),"
+        " 'n_accepted', CAST(n_accepted AS DOUBLE),"
+        " 'n_dropped', CAST(n_dropped AS DOUBLE)) AS (metric, value)",
+    )
     return (
         pos.unionByName(pairs)
         .unionByName(qd)
         .unionByName(lb)
         .unionByName(sess)
         .unionByName(ssj)
+        .unionByName(dd)
     )
 
 
@@ -1638,10 +1741,28 @@ ssj_long AS (
   SELECT 'ssjoin' AS path, CAST(v_id AS VARCHAR) AS k,
          'p_id' AS metric, CAST(p_id AS DOUBLE) AS value
   FROM ssj
+),
+dd AS (
+  SELECT event_type,
+         COUNT(*) + SUM(CASE WHEN {_DEDUP_DUP_PRED} THEN 1 ELSE 0
+                        END) AS n_input,
+         COUNT(*) AS n_accepted,
+         SUM(CASE WHEN {_DEDUP_DUP_PRED} THEN 1 ELSE 0 END)
+           AS n_dropped
+  FROM events GROUP BY 1
+),
+dd_long AS (
+  SELECT 'dedup' AS path, event_type AS k, m.metric,
+         CASE m.metric WHEN 'n_input' THEN CAST(n_input AS DOUBLE)
+                       WHEN 'n_accepted' THEN CAST(n_accepted AS DOUBLE)
+                       ELSE CAST(n_dropped AS DOUBLE) END AS value
+  FROM dd, (SELECT unnest(['n_input','n_accepted','n_dropped'])
+              AS metric) m
 )
 SELECT * FROM pos_long UNION ALL SELECT * FROM pairs_long
 UNION ALL SELECT * FROM qd_long UNION ALL SELECT * FROM lb_long
 UNION ALL SELECT * FROM sess_long UNION ALL SELECT * FROM ssj_long
+UNION ALL SELECT * FROM dd_long
 """
 
 

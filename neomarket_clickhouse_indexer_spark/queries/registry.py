@@ -298,9 +298,11 @@ _SPECS: list[QuerySpec] = [
               "automaton, the q-digest sketch state — AND (r9) the "
               "wallet-leaderboard additive -State stream "
               "(streaming_leaderboard_1h's core, read at the all-time "
-              "-Merge grain), the session-window stream, and the "
-              "stream-stream interval join: SIX real streams overlapped "
-              "in one pool, each over real microbatches, unpivoted long "
+              "-Merge grain), the session-window stream, the "
+              "stream-stream interval join, and (r15) watermarked "
+              "stream dedup (dropDuplicatesWithinWatermark over planted "
+              "cross-batch at-least-once deliveries): SEVEN real streams "
+              "overlapped in one pool, each over real microbatches, unpivoted long "
               "vs the batch oracles; displaced components stay "
               "oracle-checked in the tail"),
     QuerySpec("rest_sync_incremental", O.rest_sync_incremental,
