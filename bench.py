@@ -154,6 +154,15 @@ HEADLINE = [
     # 78s, all of it emitting real pairs). Its correctness gate runs at
     # sf0.01; per-stage scale behavior is covered by the property test
     # and the LSH family's scale_check entries.
+    # r15 additions: the privacy triad, the bloom pre-filter, and DSIR
+    # selection — bounded-grain agg/broadcast shapes, cheap at sf0.1.
+    # customer_snm_pairs is NOT benched: its sf0.1 wall is dominated by
+    # the FastSS truth-set join it audits against (the same shape
+    # customer_name_neardup's gate already covers); the blocking passes
+    # themselves are rank-window + equi-join shapes benched elsewhere.
+    "docs_k_anonymity",
+    "docs_bloom_dedup",
+    "docs_dsir_selection",
 ]
 
 

@@ -583,6 +583,42 @@ def main() -> None:
     print(f"lineitem: {big_li.count():,}")
     timed("coorder_triangles", coorder_triangles_frame(big_li, 64))
 
+    # r15: the privacy triad / bloom pre-filter / DSIR selection at N×
+    # docs. All three claim bounded-grain designs: k-anonymity's finest
+    # grain is (QI, sens) — grouping structure, not doc count; the bloom
+    # filter is broadcast state sized 6 bits/element; DSIR's
+    # distributions live on a fixed 4096-bucket grain. Cost should be
+    # scan-dominated (~linear). The gates take sf_dir, so expose the
+    # scaled table through a directory with a documents.parquet symlink.
+    from neomarket_clickhouse_indexer_spark.queries.documents import (
+        docs_bloom_dedup,
+    )
+    from neomarket_clickhouse_indexer_spark.queries.pipeline import (
+        docs_dsir_selection,
+        docs_k_anonymity,
+    )
+
+    sf_docs = f"/tmp/scale_check_sfdocs_x{n}"
+    os.makedirs(sf_docs, exist_ok=True)
+    link = os.path.join(sf_docs, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(docs_path, link)
+    # time construction + write together: these gates run eager actions
+    # (sizing collects, persists, checkpoints) inside the call — the r8
+    # eager-frame timer lesson
+    for label, fn in [
+        ("k_anonymity_triad", docs_k_anonymity),
+        ("bloom_dedup", docs_bloom_dedup),
+        ("dsir_selection", docs_dsir_selection),
+    ]:
+        for it in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_docs).write.format("noop").mode("overwrite").save()
+            print(
+                f"{label} iter{it}: {time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()
