@@ -2589,9 +2589,14 @@ DSIR_SELECT_K = 100
 
 def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # guard size >= 2 explicitly: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (DuckDB generate_series(1, 0) is empty) — a
+    # single-token doc would otherwise explode phantom indices
     bigram = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        "CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(1, size(toks) - 1),"
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        " ELSE CAST(array() AS array<string>) END"
     )
     feats = (
         docs.select(
