@@ -26,7 +26,12 @@ if "--n" in sys.argv:
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-spark = get_spark("profile", cores=cpus, shuffle_partitions=max(cpus, 32))
+spark = get_spark(
+    "profile",
+    cores=cpus,
+    shuffle_partitions=max(cpus, 32),
+    extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4047"},
+)
 spark.sparkContext.setLogLevel("ERROR")
 
 from neomarket_clickhouse_indexer_spark.sources.tables import (  # noqa: E402
