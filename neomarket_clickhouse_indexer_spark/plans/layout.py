@@ -81,8 +81,28 @@ def clustered_events_layout(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
+# Per-table rows-per-file for the normalized tier. One file = one scan
+# task (at fixture sizes Spark's split packing charges each file its
+# 4 MB openCost, so files never coalesce into one split), and per-row
+# DOWNSTREAM cost varies ~100x across tables: a documents row carries
+# ~1 KB of text that fans out into ~200 tokenized/hashed bigrams, an
+# embeddings row feeds 64-element vector folds, while a lineitem row is
+# five narrow scalars. Sizing files by a per-table row weight keeps one
+# file ≈ one good-sized unit of scan+compute at any SF; the 32-file cap
+# keeps files large as SF grows (guide §6: at 100 TB you would size by
+# bytes — write.target-file-size — and these weights become moot because
+# every table exceeds the cap).
+_TIER_ROWS_PER_FILE = {
+    "documents": 256,    # tokenize/md5-per-bigram downstream
+    "embeddings": 256,   # 64-dim fold scoring downstream
+    "customer": 2_048,   # FastSS variant explosion downstream
+    "events": 12_500,    # many window/agg passes per scan
+    "orders": 25_000,
+}
+
+
 def normalized_table_layout(
-    spark: SparkSession, sf_dir: str, name: str, rows_per_file: int = 50_000
+    spark: SparkSession, sf_dir: str, name: str, rows_per_file: int | None = None
 ) -> str:
     """Ingest-normalization tier: re-write a source table into multi-file
     parquet so scans parallelize. The driver testdata ships each table as
@@ -102,9 +122,14 @@ def normalized_table_layout(
 
     from ..sources.tables import load_table, table_path
 
+    if rows_per_file is None:
+        rows_per_file = _TIER_ROWS_PER_FILE.get(name, 50_000)
     src = table_path(sf_dir, name)
     st = os.stat(src)
-    token = f"{st.st_mtime_ns}:{st.st_size}"
+    # the sizing participates in the build token so a weight change
+    # invalidates the shared /tmp layout instead of silently serving the
+    # old file count
+    token = f"{st.st_mtime_ns}:{st.st_size}:rpf{rows_per_file}"
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"nmci_tier_{os.path.basename(os.path.normpath(sf_dir))}",

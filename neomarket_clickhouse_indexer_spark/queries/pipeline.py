@@ -2598,8 +2598,21 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
         " ELSE CAST(array() AS array<string>) END"
     )
-    feats = (
-        docs.select(
+    # r15 optimization (guide §2.3/§2.5): (1) repartition the one-split
+    # corpus scan BEFORE the tokenize+md5 projection — the raw upload is
+    # one row group = one task, so the whole per-bigram hash pass ran
+    # serially (0.63 s single-task job at sf0.1); the 0.6 MB text shuffle
+    # is free next to 32x the hash throughput. (2) persist the frame
+    # AGGREGATED to (doc, bucket, cnt) grain instead of one row per
+    # bigram occurrence: both consumers only need counts, so the cached
+    # frame (and the scored-side shuffle) shrinks by the per-doc bigram
+    # multiplicity. Exact-integer identical: sum over occurrences of
+    # (t_ppm - r_ppm) == sum over buckets of cnt * (t_ppm - r_ppm).
+    db = (
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select(
             "doc_id", "source",
             (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
             TX.tokens(F.col("text")).alias("toks"),
@@ -2619,15 +2632,17 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long") % DSIR_BUCKETS
             ).alias("b"),
         )
+        .groupBy("doc_id", "source", "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-    caches: list[DataFrame] = [feats]
+    caches: list[DataFrame] = [db]
     try:
-        feats.count()  # materialize before the two consumers (r10 rule)
+        db.count()  # materialize before the two consumers (r10 rule)
         # the two distributions in ONE pass: conditional sums per bucket
-        dist = feats.groupBy("b").agg(
-            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tc"),
-            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("rc"),
+        dist = db.groupBy("b").agg(
+            F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("tc"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(F.col("c"))).alias("rc"),
         )
         tots = dist.agg(
             F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
@@ -2640,11 +2655,13 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(rc + 1) * 1000000 DIV ({rt} + {bt})").alias("r_ppm"),
         )
         scored = (
-            feats.join(F.broadcast(ppm), "b")
+            db.join(F.broadcast(ppm), "b")
             .groupBy("doc_id", "source")
             .agg(
-                F.count(F.lit(1)).alias("n_feats"),
-                F.sum(F.col("t_ppm") - F.col("r_ppm")).alias("score"),
+                F.sum("c").alias("n_feats"),
+                F.sum(
+                    F.col("c") * (F.col("t_ppm") - F.col("r_ppm"))
+                ).alias("score"),
             )
         ).persist()
         caches.append(scored)

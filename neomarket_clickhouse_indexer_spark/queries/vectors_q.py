@@ -3118,11 +3118,15 @@ def knn_nsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     caches: list = []
     try:
+        # nsw_frame's memo path already returns an eagerly checkpointed
+        # frame (it checkpoints before memoizing) — re-checkpointing here
+        # paid one more full eager action per call (r15: ~0.3s of
+        # analysis + job round-trip) for zero lineage benefit
         out = nsw_frame(
             load_table(spark, sf_dir, "embeddings"),
             _cache_out=caches,
             memo_token=(sf_dir, "all"),
-        ).localCheckpoint(eager=True)
+        )
         return out
     finally:
         # release in finally: an exception anywhere above must not leak
