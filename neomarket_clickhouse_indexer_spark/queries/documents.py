@@ -1939,6 +1939,12 @@ def bigram_surprisal_frame(docs: DataFrame) -> DataFrame:
         )
         .filter(F.size(F.split("gram", " ")) == 2)
         .withColumn("w1", F.split("gram", " ").getItem(0))
+        # bg feeds THREE consumers (c_bg table, c_left broadcast build,
+        # main join probe) — left lazy the corpus was re-tokenized and
+        # re-shingled once per consumer (r15 profile); one eager
+        # checkpoint = one tokenize pass, the same bytes a shuffle of
+        # the bigram stream would carry at any scale
+        .localCheckpoint(eager=True)
     )
     bg_tbl = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bg"))
     left_tbl = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_left"))
@@ -3356,6 +3362,12 @@ def source_overlap_frame(
     )
     if _cache_out is not None:
         _cache_out.append(g)
+    # materialize BEFORE the fan-out (r10 cold-race rule): g feeds the
+    # self-join's two sides plus per_source's two broadcast builds, and
+    # broadcast exchanges start on their own driver threads — a lazy
+    # persist let the shingle+md5+distinct chain run up to 4x (profiled
+    # r15: eight ~0.2-0.4s 84-task jobs for one gate)
+    g.count()
     per_source = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = g.select(F.col("source").alias("src_a"), "gk")
     b = g.select(F.col("source").alias("src_b"), "gk")

@@ -759,13 +759,26 @@ _BM25_QUERIES: list[tuple[int, str]] = [
 
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", TX.token_count(F.col("text")).alias("dl"))
+    # dl feeds the stats broadcast AND the scoring join; tf feeds the
+    # dfreq broadcast AND the main probe — each broadcast exchange builds
+    # on its own driver thread, so left lazy the corpus was tokenized
+    # FOUR times per execution (r15 profile: four ~0.5s scan jobs).
+    # Eager checkpoints cut that to one tokenize pass per frame; both
+    # frames are post-aggregation grain (per-doc / per-(doc,token)), the
+    # same bytes a shuffle would materialize at any scale.
+    dl = docs.select(
+        "doc_id", TX.token_count(F.col("text")).alias("dl")
+    ).localCheckpoint(eager=True)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     terms = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
-    tf = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        terms.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     qterms = spark.createDataFrame(_BM25_QUERIES, "query_id long, token string")
     m = (

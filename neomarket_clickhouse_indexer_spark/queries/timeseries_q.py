@@ -2089,17 +2089,34 @@ GROUP BY user_id
 #     — quadratic-in-window recount vs interval sweep pin each other.
 
 def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rolling_distinct_frame(_events_cents(spark, sf_dir))
+    # standalone form materializes the shared distinct (r15 profile: the
+    # uh distinct ran once per consumer branch, two ~0.6s duplicate jobs
+    # per execution). localCheckpoint, NOT persist: downstream of an
+    # InMemoryRelation AQE coalescing is lost and the 6 near-empty
+    # exchanges ran as 32-partition task storms (measured 2.16 -> 2.86s
+    # WORSE with persist+count); over the checkpointed leaf AQE keeps
+    # coalescing them to 1-3 tasks.
+    return rolling_distinct_frame(
+        _events_cents(spark, sf_dir), _materialize=True
+    )
 
 
-def rolling_distinct_frame(ev: DataFrame) -> DataFrame:
+def rolling_distinct_frame(
+    ev: DataFrame, _materialize: bool = False
+) -> DataFrame:
     """Core path over any (event_type, ts, user_id) frame — factored out
-    so scripts/skew_check.py can drive it at N× event scale."""
+    so scripts/skew_check.py can drive it at N× event scale. With
+    ``_materialize`` the shared distinct ``uh`` (feeding anchors AND the
+    interval-merge branch) is eagerly localCheckpointed so the two
+    branches read one materialized copy instead of re-running the
+    corpus-scale distinct each."""
     hour_x = (
         F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")) * 24
         + F.hour("ts")
     ).cast("long")
     uh = ev.select("event_type", hour_x.alias("x"), "user_id").distinct()
+    if _materialize:
+        uh = uh.localCheckpoint(eager=True)
     anchors = uh.groupBy("event_type", "x").agg(
         F.count(F.lit(1)).alias("n_distinct_1h")  # uh is distinct per user
     )

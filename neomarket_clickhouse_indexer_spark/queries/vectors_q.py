@@ -239,7 +239,12 @@ def _bucket_expr(emb: str, n_planes: int = N_PLANES, start: int = 0):
     ``start`` shifts the slice (the NSW multi-bucketing forest)."""
     total = None
     for j, row in enumerate(_plane_rows(start + n_planes)[start:]):
-        weights = F.array(*[F.lit(float(w)) for w in row])
+        # ONE ArrayType Literal node, not CreateArray(64 Literals): the
+        # plane matrix appears in plans up to 20 rows at a time (NSW
+        # forest) and Catalyst analysis of the 64-child form dominated
+        # sub-second queries (r15 profile: knn_ann_lsh 0.80s driver gap
+        # over 0.12s of jobs)
+        weights = F.lit([float(w) for w in row])
         dot_j = F.aggregate(
             F.zip_with(F.col(emb), weights, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
