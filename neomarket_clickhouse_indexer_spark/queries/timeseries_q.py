@@ -5209,12 +5209,13 @@ def user_segmentation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events_cents(spark, sf_dir).persist()
-    per_user = _per_user_rfm(ev).persist()
-    # materialize BEFORE the eager union job: its six branches start
-    # concurrently and would re-race the cold persists (the series-suite
-    # cold-race fix, r10 — per_user's scan of ev warms ev transitively)
-    per_user.count()
+    # r15: eager checkpoints, not persist+count — materialization before
+    # the six-branch fan-out is unchanged (r10 cold-race rule), but over
+    # checkpointed leaves AQE keeps coalescing the ~100 near-empty ladder
+    # stage reads that an InMemoryRelation boundary would pin at cache
+    # partition width (4x job-sum cut measured at bench shape)
+    ev = _events_cents(spark, sf_dir).localCheckpoint(eager=True)
+    per_user = _per_user_rfm(ev).localCheckpoint(eager=True)
     # r13: everything past the materialized per-user frame is
     # ladder/threshold work whose level tables are domain-bounded tiny —
     # the quantile ladders' ~15 near-empty shuffle stages pay per-task
@@ -5309,10 +5310,10 @@ def _segmentation_suite_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         out = out.localCheckpoint(eager=True)
     finally:
+        # ev/per_user are checkpoints now (GC-reclaimed), only the
+        # thunk-internal persists need explicit release
         for df in released:
             df.unpersist()
-        per_user.unpersist()
-        ev.unpersist()
     return out
 
 
