@@ -77,16 +77,28 @@ def shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
 
     ``distinct=False`` skips the dedup — correct wherever the consumer is
     duplicate-invariant (min-hash: duplicates never change a min), and
-    measurably cheaper on long docs."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
-    )
-    if distinct:
-        grams = F.array_distinct(grams)
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    measurably cheaper on long docs.
+
+    ``toks`` is bound ONCE per row via ``transform(array(toks), t -> …)[1]``
+    before any per-gram work: an outer expression referenced inside a
+    higher-order-function lambda is re-evaluated PER ELEMENT, so the usual
+    ``split(text, ' ')`` argument would otherwise run once per gram per
+    element_at — O(tokens²) per doc (measured 6.16s → 0.35s for the n=5
+    distinct explode over sf0.1 documents; the r14 CollapseProject lesson,
+    generalized to HOF lambda capture)."""
+
+    def _per(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + k + 1) for k in range(n)]),
+        )
+        if distinct:
+            grams = F.array_distinct(grams)
+        return F.when(F.size(t) >= n, grams).otherwise(
+            F.array(F.concat_ws(" ", t))
+        )
+
+    return F.element_at(F.transform(F.array(toks), _per), 1)
 
 
 def _seeded_md5(prefix: str):

@@ -2121,6 +2121,9 @@ def docs_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     toks = TX.tokens(F.col("text"))
+    # bind the token array ONCE per row (t) before the per-position lambda:
+    # a split() referenced inside a HOF lambda re-evaluates per element
+    # (O(tokens²) per doc — the shingles() lesson, functions/text.py)
     pos_grams = (
         _spread(docs.filter(F.col("source") != _EVAL_SOURCE), spark)
         .filter(F.size(toks) >= _CONTAM_N)
@@ -2129,9 +2132,10 @@ def docs_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(toks).cast("long").alias("n_tokens"),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size({_TOKS_EXPR}) - {_CONTAM_N - 1}),"
+                    f"transform(array({_TOKS_EXPR}), t ->"
+                    f" transform(sequence(1, size(t) - {_CONTAM_N - 1}),"
                     " i -> struct(CAST(i AS BIGINT) AS pos,"
-                    f" concat_ws(' ', slice({_TOKS_EXPR}, i, {_CONTAM_N})) AS gram))"
+                    f" concat_ws(' ', slice(t, i, {_CONTAM_N})) AS gram)))[0]"
                 )
             ).alias("pg"),
         )
