@@ -2154,8 +2154,14 @@ def _kmv_sketch(grams: DataFrame) -> DataFrame:
     ).distinct()
 
     w = Window.partitionBy("source").orderBy("h")
-    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= KMV_K
+    # topk feeds BOTH the per-source agg and the merged '__all__' branch —
+    # without a materialization the corpus-scale tokenize+distinct+window
+    # subtree executes once per union branch (r15 profile: two ~0.5s
+    # duplicate jobs). Eager localCheckpoint, bounded at K x #sources rows.
+    topk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .localCheckpoint(eager=True)
     )
 
     # merge path: union of per-source bottom-K sets -> global bottom-K.
@@ -3695,6 +3701,10 @@ def docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter("member")
             .select(F.explode(poss).alias("pos"))
             .distinct()
+            # feeds BOTH the broadcast probe join and the block histogram —
+            # materialize once (<= m rows); broadcast exchanges race on
+            # their own driver threads otherwise (r15 profile)
+            .localCheckpoint(eager=True)
         )  # <= m rows — the broadcast filter state
         mh = d.filter("member").select("thash").distinct()
         ppos = (

@@ -258,9 +258,14 @@ def docs_tf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
     )
+    # tf feeds BOTH the broadcast df build and the probe side — the
+    # broadcast exchange races on its own driver thread, so without a
+    # materialization the tokenize+explode+agg scan executes twice (r15
+    # profile: two ~0.6s duplicate jobs). Eager checkpoint at the
+    # (doc, token) aggregated grain.
     tf = terms.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint(eager=True)
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("token")
@@ -611,6 +616,11 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gs = d.groupBy("source", "lang", "len_bucket", "sens").agg(
         F.count(F.lit(1)).alias("sc")
     )
+    # g0 feeds FOUR consumers (the s1/s2/s3 broadcast builds + the main
+    # probe) plus the corpus-CDF collect below — unmaterialized, the
+    # documents scan + two-level agg executed once per consumer (r15
+    # profile). Eager localCheckpoint at the quasi-identifier group grain
+    # (a few hundred rows at any SF: source x lang x len_bucket).
     g0 = gs.groupBy("source", "lang", "len_bucket").agg(
         F.sum("sc").alias("group_size"),
         F.count(F.lit(1)).alias("l_distinct"),
@@ -623,16 +633,14 @@ def docs_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"cum{c}")
             for c in range(7)
         ],
-    )
-    # corpus-wide CDF: one map-side-combined pass, 8 longs of driver
-    # state (bounded collect)
-    grow = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.when(F.col("sens") <= c, 1).otherwise(0))
-            .alias(f"gcum{c}")
-            for c in range(7)
-        ],
+    ).localCheckpoint(eager=True)
+    # corpus-wide CDF: exact integer sums over the checkpointed group
+    # frame (sum of per-group conditional counts == the corpus count, so
+    # the values are bit-identical to the former full-corpus pass) — 8
+    # longs of driver state, no second documents scan
+    grow = g0.agg(
+        F.sum("group_size").alias("n"),
+        *[F.sum(f"cum{c}").alias(f"gcum{c}") for c in range(7)],
     ).collect()[0]
     gn = int(grow["n"])
     gf = [int(grow[f"gcum{c}"]) * 1000000 // gn for c in range(7)]

@@ -972,9 +972,13 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         # range over DISTINCT (order, supplier[, slow]) participation
         .distinct()
     )
+    # per_os feeds BOTH the per-order agg and the filtered join side —
+    # unmaterialized, the scan+join+distinct+agg subtree executes once per
+    # consumer (r15 profile). Eager localCheckpoint at the (order, supplier)
+    # grain; bounded by the order x supplier participation set.
     per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("slow").alias("slow")
-    )
+    ).localCheckpoint(eager=True)
     per_o = per_os.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_sup"),
         F.sum(F.col("slow").cast("long")).alias("n_slow"),
