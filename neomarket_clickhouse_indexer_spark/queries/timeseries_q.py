@@ -2454,6 +2454,13 @@ def _hier_cum(bc: DataFrame) -> tuple[DataFrame, DataFrame]:
     partition <= 2^17 rows at any value range (see the QSEL_FAN note).
     Reused by the Gini mean-absolute-difference closed form, which
     needs per-VALUE cumulative counts on the unbounded monetary axis."""
+    # bc feeds FIVE plan branches (bcum's base join, l1e, l2e, e3, ntab)
+    # whose broadcast-build jobs start concurrently — unmaterialized, the
+    # upstream corpus aggregation re-executed once per branch (r15 gini
+    # profile: six duplicate 40-task scan+agg jobs, 8.85s job-sum for a
+    # ~3s query). Eager checkpoint at the bucket/value grain, which is
+    # domain-bounded for every caller.
+    bc = bc.localCheckpoint(eager=True)
     # level tables (each row count <= the previous level's); exclusive
     # prefixes FOLD TOP-DOWN so the base bucket table joins exactly ONCE
     # (joining e1/e2/e3 into bc separately would shuffle the big table
@@ -5801,8 +5808,14 @@ GROUP BY 1, 2, 3
 
 def user_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_cents(spark, sf_dir)
+    # eager checkpoint, not bare persist: per_user feeds the value
+    # histogram AND the totals row — the branches race an unmaterialized
+    # cache (r10 rule), and a checkpointed leaf keeps AQE coalescing
+    # below it (the r15 segmentation-suite lesson)
     per_user = (
-        ev.groupBy("user_id").agg(F.sum("cents").alias("monetary")).persist()
+        ev.groupBy("user_id")
+        .agg(F.sum("cents").alias("monetary"))
+        .localCheckpoint(eager=True)
     )
     return gini_frame(per_user)
 
