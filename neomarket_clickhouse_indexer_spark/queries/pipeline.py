@@ -214,7 +214,14 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         train.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        # plain count, not countDistinct: shingles(distinct=True) already
+        # dedups grams within a doc and the broadcast semi-join is 1:1, so
+        # the multiset is distinct per doc_id by construction — countDistinct
+        # would put the gram back into the partial-aggregate key and shuffle
+        # (doc_id, gram) pairs where (doc_id, partial count) suffices
+        # (guide §2.3; the oracle keeps COUNT(DISTINCT) so the differential
+        # proves the per-doc distinctness assumption)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .withColumn("contaminated", F.lit(True))
     )
 
@@ -2663,7 +2670,13 @@ def docs_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     caches: list[DataFrame] = [db]
     try:
-        db.count()  # materialize before the two consumers (r10 rule)
+        # no pre-count: the r10 materialize-before-fan-out rule targets
+        # CONCURRENT consumers racing a cold cache. Here every consumer is
+        # a strictly sequential driver action — tots.collect() below is the
+        # first, and its own job fills db's persist cache before the
+        # broadcast build / probe ever read it — so a count() is one whole
+        # serial job round-trip of pure overhead (r15 profile: the dsir
+        # chain is 4 back-to-back 52-task jobs; this drops one of them)
         # the two distributions in ONE pass: conditional sums per bucket
         dist = db.groupBy("b").agg(
             F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("tc"),

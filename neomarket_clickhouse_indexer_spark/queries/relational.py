@@ -381,20 +381,32 @@ GROUP BY 1, 2
 def party_volume_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    supplier_side = li.select(
-        F.lit("supplier").alias("role"),
-        F.col("l_suppkey").cast("long").alias("party_key"),
-        F.col("l_extendedprice").alias("amount"),
-    )
-    customer_side = (
+    # ONE fact pass, not two: the union of (supplier-role rows off a raw
+    # lineitem scan) and (customer-role rows off a lineitem⋈orders join)
+    # scanned lineitem twice. Every lineitem row joins exactly one order
+    # (inner FK join), so posexplode-ing each joined row into its two role
+    # rows yields the IDENTICAL (role, party_key, amount) multiset while
+    # scanning the fact table once (guide §2.3/2.4 — the oracle keeps the
+    # UNION ALL form, so the differential proves the reshape).
+    both = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.lit("customer").alias("role"),
-            F.col("o_custkey").cast("long").alias("party_key"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("supplier").alias("role"),
+                        F.col("l_suppkey").cast("long").alias("party_key"),
+                    ),
+                    F.struct(
+                        F.lit("customer").alias("role"),
+                        F.col("o_custkey").cast("long").alias("party_key"),
+                    ),
+                )
+            ).alias("s"),
             F.col("l_extendedprice").alias("amount"),
         )
+        .select("s.role", "s.party_key", "amount")
     )
-    both = supplier_side.unionByName(customer_side)
     # role cardinality is 2 — a partitionBy("role") rank funnels every party
     # of a role through one task (round-1 verdict #5). Per-role TakeOrdered
     # branches keep the top-5 selection distributed; each branch's rank
