@@ -96,8 +96,6 @@ _TIER_ROWS_PER_FILE = {
     "documents": 256,    # tokenize/md5-per-bigram downstream
     "embeddings": 256,   # 64-dim fold scoring downstream
     "customer": 2_048,   # FastSS variant explosion downstream
-    "events": 12_500,    # many window/agg passes per scan
-    "orders": 25_000,
 }
 
 
