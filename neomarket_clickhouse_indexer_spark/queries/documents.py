@@ -21,6 +21,9 @@ from .timeseries_q import (
 )
 
 
+_SPREAD_MEMO: dict[tuple, bool] = {}
+
+
 def _spread(docs: DataFrame, spark: SparkSession) -> DataFrame:
     """Round-robin repartition when the scan yields fewer splits than cores.
 
@@ -30,11 +33,33 @@ def _spread(docs: DataFrame, spark: SparkSession) -> DataFrame:
     LSH band build at sf0.1. At 100 TB the scan already has thousands of
     splits and this is a no-op (the condition is false), so the extra
     exchange only ever fires where it pays for itself.
-    """
+
+    The split-count probe (``.rdd.getNumPartitions()``) is ~0.1 s of
+    serial driver work per call (plan → RDD conversion), paid by 23 call
+    sites per full pass. The count is a pure function of the scanned file
+    set (+ session split confs), and every caller passes a raw or filtered
+    parquet scan, so the decision is memoized per
+    (applicationId, parallelism, file set) — filtered slices of the same
+    table deliberately share one entry."""
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+    key = None
+    try:
+        files = docs.inputFiles()
+        if files:
+            key = (
+                spark.sparkContext.applicationId,
+                target,
+                tuple(sorted(files)),
+            )
+    except Exception:
+        key = None
+    if key is not None and key in _SPREAD_MEMO:
+        need = _SPREAD_MEMO[key]
+    else:
+        need = docs.rdd.getNumPartitions() < target
+        if key is not None:
+            _SPREAD_MEMO[key] = need
+    return docs.repartition(target) if need else docs
 
 
 def tokenized_docs_frame(docs: DataFrame) -> DataFrame:
