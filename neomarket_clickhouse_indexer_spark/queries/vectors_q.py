@@ -3289,14 +3289,29 @@ def nsw_frame(
         # NN-descent: expand over the UNDIRECTED rank<=NSW_EXPAND edge
         # subset (reverse neighbors count; the rank cap is the
         # deterministic rho-sample), then re-score ALL current edges ∪
-        # the two-hop candidates
+        # the two-hop candidates.
+        #
+        # two_hop computed from ONE exchange, not two (r15, guide §2.4):
+        # the naive self-join keys side A on dst-as-mid and side B on
+        # src-as-mid — two full shuffles of the same frame per round.
+        # But und is SYMMETRIC by construction ((x,y) ∈ und ⟺ (y,x) ∈
+        # und), so {(u.src, v.dst) : u.dst == v.src} == all ordered pairs
+        # of neighbors(mid) == nb ⋈ nb on mid. Repartition nb by mid once
+        # and eagerly checkpoint (LogicalRDD preserves the hash
+        # partitioning), and the self-join plans with ZERO additional
+        # exchanges — both sides read the co-partitioned checkpoint.
         sub = edges.filter(F.col("rank") <= expand).select("src", "dst")
         und = sub.unionByName(
             sub.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        nb = (
+            und.select(F.col("src").alias("mid"), F.col("dst").alias("other"))
+            .repartition(n_par, "mid")
+            .localCheckpoint(eager=True)
+        )
         two_hop = (
-            und.select("src", F.col("dst").alias("mid"))
-            .join(und.select(F.col("src").alias("mid"), "dst"), "mid")
+            nb.select("mid", F.col("other").alias("src"))
+            .join(nb.select("mid", F.col("other").alias("dst")), "mid")
             .select("src", "dst")
             .filter(F.col("src") != F.col("dst"))
         )
