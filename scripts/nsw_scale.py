@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
     hnsw_search_frame,
     nsw_frame,
+    nsw_search_frame,
 )
 from neomarket_clickhouse_indexer_spark.session import get_spark
 from neomarket_clickhouse_indexer_spark.sources.tables import load_table
@@ -93,12 +94,14 @@ def main() -> None:
         # maintained-index serve: base build + compaction are the
         # standing artifacts (untimed); time ONLY the beam search —
         # the user-visible query path of knn_nsw_search_maintained
+        # NOTE: nsw_frame/nsw_search_frame deliberately NOT re-imported
+        # here — a function-local import binding makes the name local to
+        # main() and the default build path below then dies with
+        # UnboundLocalError before its own (module-level) reference
         from neomarket_clickhouse_indexer_spark.queries.vectors_q import (
             N_QUERIES,
             _nsw_del_pred,
             nsw_delete_frame,
-            nsw_frame,
-            nsw_search_frame,
         )
 
         bucketings = [(k, n_planes) for k in range(4)]
