@@ -39,16 +39,29 @@ def _spread(docs: DataFrame, spark: SparkSession) -> DataFrame:
     sites per full pass. The count is a pure function of the scanned file
     set (+ session split confs), and every caller passes a raw or filtered
     parquet scan, so the decision is memoized per
-    (applicationId, parallelism, file set) — filtered slices of the same
-    table deliberately share one entry."""
+    (applicationId, parallelism, split confs, file set) — filtered slices
+    of the same table deliberately share one entry. The split-relevant
+    ``spark.sql.files.*`` confs are part of the key (r15 ADVICE): a
+    loader that changes them mid-session must not inherit a stale split
+    decision."""
     target = spark.sparkContext.defaultParallelism
     key = None
     try:
         files = docs.inputFiles()
         if files:
+            conf = spark.conf
+            split_confs = tuple(
+                conf.get(c, None)
+                for c in (
+                    "spark.sql.files.maxPartitionBytes",
+                    "spark.sql.files.openCostInBytes",
+                    "spark.sql.files.minPartitionNum",
+                )
+            )
             key = (
                 spark.sparkContext.applicationId,
                 target,
+                split_confs,
                 tuple(sorted(files)),
             )
     except Exception:

@@ -3304,6 +3304,13 @@ def nsw_frame(
         und = sub.unionByName(
             sub.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        # nb is deliberately NOT tracked in `caches` (r15 ADVICE note):
+        # unpersist() releases CacheManager entries, not checkpoint RDD
+        # blocks, so tracking it there would be a no-op. Reclamation is
+        # by reference drop — each round rebinds `nb`, releasing the
+        # previous round's blocks to Python GC + ContextCleaner, and
+        # NSW_ROUNDS is a small constant, so at most one superseded
+        # node-sized checkpoint is ever pending collection.
         nb = (
             und.select(F.col("src").alias("mid"), F.col("dst").alias("other"))
             .repartition(n_par, "mid")

@@ -53,6 +53,28 @@ def enable_normalized_tier(enabled: bool = True) -> None:
     _TIER_ENABLED = enabled
 
 
+# Table-resolution memo (r16, guide §7.3: driver-side serial work scales
+# with query count, not data). Every load_table call pays ~75 ms of
+# driver-only work — py4j round-trips, InMemoryFileIndex listing, parquet
+# schema inference, and the ns-magnitude footer check — and bench queries
+# make 1-6 calls each, INSIDE the timed region. The resolved DataFrame is
+# an immutable logical plan (no data, no results), so resolving a given
+# (session, path, source-version, tier) once and handing back the same
+# plan is exactly what a catalog lookup does in a real engine. Keyed on
+# the source file's (mtime_ns, size) so a rewritten fixture can never be
+# served stale, and on the tier flag so the raw-path differential gate
+# and the bench tier never share an entry.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _source_token(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; normalizes the events table's timestamp encoding.
 
@@ -72,6 +94,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     keeps event timestamps DateTime64, encoding-stable).
     """
     global _TIER_ENABLED
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(table_path(sf_dir, name)),
+        _source_token(table_path(sf_dir, name)),
+        _TIER_ENABLED,
+    )
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     if _TIER_ENABLED:
         from ..plans.layout import normalized_table_layout
 
@@ -81,7 +112,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             tier = normalized_table_layout(spark, sf_dir, name)
         finally:
             _TIER_ENABLED = True
-        return spark.read.parquet(tier)
+        out = spark.read.parquet(tier)
+        _TABLE_MEMO[key] = out
+        return out
     ts_cols = _TS_COLUMNS.get(name)
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -97,8 +130,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # downstream date predicate.
                 _assert_ns_magnitude(table_path(sf_dir, name), c)
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        _TABLE_MEMO[key] = df
         return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    out = spark.read.parquet(table_path(sf_dir, name))
+    _TABLE_MEMO[key] = out
+    return out
 
 
 # int64 nanoseconds for 1973-01-01 .. 2096-01-01 — any genuine ns epoch

@@ -49,3 +49,20 @@ def test_spread_filtered_slice_shares_entry(spark):
     # a different table is a different file set -> new entry
     D._spread(load_table(spark, SF, "events").select("event_id"), spark)
     assert len(D._SPREAD_MEMO) == 2
+
+
+def test_spread_split_conf_change_invalidates_entry(spark):
+    # r15 ADVICE: the memo key folds in the split-relevant
+    # spark.sql.files.* confs — a loader that changes them mid-session
+    # must re-probe, not inherit a stale split decision.
+    D._SPREAD_MEMO.clear()
+    docs = load_table(spark, SF, "documents")
+    D._spread(docs, spark)
+    assert len(D._SPREAD_MEMO) == 1
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
+        D._spread(load_table(spark, SF, "documents"), spark)
+        assert len(D._SPREAD_MEMO) == 2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
